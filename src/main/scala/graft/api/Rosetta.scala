@@ -1,0 +1,48 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational._
+import graft.ops.Reshape._
+
+/** Q8 `translate` — the crosswalk ("rosetta stone") join engine
+  * (SURVEY.md §2.8; etl_io.py:877-941).
+  *
+  * Maps user data between coding systems through a crosswalk table:
+  * project the (left, right) mapping pair, null-drop + dedup so the join
+  * doesn't fan out on duplicate mapping rows (J5, etl_io.py:922), explode
+  * any list-valued side (R3 — the reference's per-row `ast.literal_eval`
+  * driver loop, etl_io.py:924-934, becomes a distributed generator), join
+  * the data through the left code (J2), and optionally bridge-join a second
+  * dataset on the right code (J3, etl_io.py:938-939).
+  *
+  * Scale posture: crosswalks are code books (bounded) → broadcast, so the
+  * primary data never shuffles for the mapping join; the optional bridge
+  * join against a second dataset is left to Catalyst/AQE (it may be
+  * fact-sized).
+  */
+object Rosetta {
+
+  def translate(
+      data: DataFrame,
+      stone: DataFrame,
+      left: String,
+      right: String,
+      how: String = "inner",
+      data2: Option[DataFrame] = None,
+      listCols: Set[String] = Set.empty): DataFrame = {
+    require(Seq("inner", "left", "right", "outer").contains(how),
+      s"how must be inner|left|right|outer, got '$how'")
+    val pairs0 = dedupPairs(stone, left, right)
+    val pairs = Seq(left, right).filter(listCols.contains)
+      .foldLeft(pairs0)((d, c) => explodePyList(d, c))
+    val joined = data.join(broadcast(pairs), Seq(left), how)
+    // data2 is user data (possibly fact-sized): no broadcast hint — let
+    // Catalyst/AQE pick broadcast vs shuffled per actual size.
+    data2 match {
+      case Some(d2) => joined.join(d2, Seq(right), how)
+      case None     => joined
+    }
+  }
+}

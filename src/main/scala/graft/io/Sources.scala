@@ -1,0 +1,66 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source layer (SURVEY.md §2.1, S1–S7).
+  *
+  * The reference federates reads over ODBC/Access, SQLite, TSV, CSV and
+  * HTTP+zip (`etl_io.py:114-138`, `:738-768`, `:880-896`, `:679-708`).
+  * Spark-first, all of those collapse into `spark.read.<format>` with
+  * source-level predicate/projection pushdown handled by Catalyst, so this
+  * layer is thin: it names the corpus tables once, and provides the
+  * delimited-text readers (S4/S5) and a JDBC passthrough (S1).
+  *
+  * Scale posture: readers return lazy DataFrames; no driver materialization.
+  * At 100 TB the parquet paths become object-store prefixes and nothing here
+  * changes — partition discovery, column pruning and filter pushdown are
+  * scan-node concerns.
+  */
+object Sources {
+
+  /** All corpus tables (TESTDATA.md). One parquet file/dir each. */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S1-analog: parquet scan of a named corpus table. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S4: TSV scan (reference: `pd.read_csv(sep='\t')`, etl_io.py:763). */
+  def tsv(spark: SparkSession, path: String, inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  /** S5: CSV scan (reference: etl_io.py:894). */
+  def csv(spark: SparkSession, path: String, inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  /** S1: JDBC scan with full query pushdown (reference pushes templated SQL
+    * over ODBC, etl_io.py:185-198; Spark pushes the query to the source). */
+  def jdbc(spark: SparkSession, url: String, query: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("query", query).load()
+}
+
+/** Typed handles on the test corpus: one lazy DataFrame per table.
+  * Centralizing reads here means caching/bucketing decisions are made once.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def t(name: String): DataFrame = Sources.table(spark, dir, name)
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

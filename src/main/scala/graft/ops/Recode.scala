@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar recode / rename / normalize functions (SURVEY.md §2.7 F1–F4).
+  *
+  * The reference's `clean()` applies nested dict recodes with `df.replace`
+  * and bulk renames (`etl_io.py:149-154`); `school_query` zero-pads CIP
+  * codes with a Python format loop (`etl_io.py:374-381`). All of these are
+  * pure Catalyst expressions here — codegen'd, pushdown-friendly, no UDFs.
+  */
+object Recode {
+
+  /** F1: dictionary recode keeping unmapped values (pandas `replace`
+    * semantics: values not in the map pass through; NaN/null is untouched).
+    * Small bounded maps only — the map travels inside the plan as a literal.
+    * For large code books use [[recodeJoin]]. */
+  def recode(c: Column, m: Map[String, String]): Column =
+    if (m.isEmpty) c else coalesce(element_at(typedlit(m), c), c)
+
+  /** F1 at scale: recode via broadcast join against a code-book DataFrame
+    * (code, label). Keeps unmapped codes (left join + coalesce). */
+  def recodeJoin(df: DataFrame, dataCol: String, book: DataFrame,
+                 codeCol: String, labelCol: String): DataFrame = {
+    val b = broadcast(book.select(col(codeCol).as("__code"), col(labelCol).as("__label")))
+    df.join(b, df(dataCol) === b("__code"), "left")
+      .withColumn(dataCol, coalesce(col("__label"), col(dataCol)))
+      .drop("__code", "__label")
+  }
+
+  /** F1 applied per-column from a nested map {col -> {code -> label}} —
+    * the `df.replace(self.metadata)` shape (etl_io.py:151). */
+  def recodeAll(df: DataFrame, nested: Map[String, Map[String, String]]): DataFrame =
+    nested.foldLeft(df) { case (d, (c, m)) =>
+      if (d.columns.contains(c)) d.withColumn(c, recode(col(c), m)) else d
+    }
+
+  /** F2: bulk rename from a map (etl_io.py:153). Only columns present are
+    * renamed; order of remaining columns is preserved. */
+  def renameAll(df: DataFrame, renames: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(renames)
+
+  /** F3: zero-pad the integer part of a dotted code: "1.01" -> "01.01",
+    * "1" -> "01" (etl_io.py:374-381). Codes without a dot get padded whole. */
+  def zeroPadCode(c: Column, width: Int = 2): Column = {
+    val parts = split(c, "\\.")
+    val front = lpad(element_at(parts, 1), width, "0")
+    when(size(parts) > 1,
+      concat_ws(".", front, array_join(slice(parts, 2, 64), ".")))
+      .otherwise(front)
+  }
+
+  /** F4: "NAME, ST"-style label concat (etl_io.py:273-274). */
+  def label2(a: Column, b: Column, sep: String = ", "): Column =
+    concat(a, lit(sep), b)
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational combinators (SURVEY.md §2.2 P1–P8, §2.3 J1–J5, §2.4 A1–A5).
+  *
+  * The reference builds predicates by SQL string templating
+  * (`etl_io.py:245-269`, `:356-357`) and finishes queries with pandas
+  * merge/groupby. Here every predicate is a Catalyst [[Column]], so pushdown
+  * into the parquet scan and join-strategy selection (broadcast vs shuffled
+  * hash vs sort-merge, AQE skew handling) are automatic.
+  */
+object Relational {
+
+  /** P4: IN-list predicate (`isin`, etl_io.py:245-269, :383). */
+  def inList(c: Column, values: Seq[Any]): Column = c.isin(values: _*)
+
+  /** P5: dynamic conjunction of 0..n clauses (`' AND '.join(...)`,
+    * etl_io.py:269). Empty list → always-true, like the reference's
+    * absent WHERE. */
+  def conj(preds: Seq[Column]): Column =
+    preds.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** J4: semi-join reduction. The reference collects filtered dimension keys
+    * to the driver and templates them into the fact WHERE (etl_io.py:354-357);
+    * Spark-first this is a `left_semi` join — no driver round-trip, no
+    * IN-list length limits, and AQE turns it into a broadcast when the
+    * filtered dim is small. */
+  def semiJoin(facts: DataFrame, dims: DataFrame, key: String): DataFrame =
+    facts.join(dims.select(key), Seq(key), "left_semi")
+
+  /** J4 inverse (extension): anti-join (NOT EXISTS). */
+  def antiJoin(facts: DataFrame, dims: DataFrame, key: String): DataFrame =
+    facts.join(dims.select(key), Seq(key), "left_anti")
+
+  /** J5: dedup + null-drop of a crosswalk's mapping pair before joining, so
+    * the join does not fan out on duplicate mapping rows (etl_io.py:922). */
+  def dedupPairs(stone: DataFrame, left: String, right: String): DataFrame =
+    stone.select(left, right).na.drop("any").dropDuplicates()
+
+  /** Exact decimal SUM surfaced as double.
+    *
+    * The corpus measures are 2-decimal doubles; a parallel double sum is
+    * order-dependent in the low bits, which breaks hash-equality against a
+    * single-threaded oracle. Summing in DECIMAL(25,scale) is exact and
+    * associative, so partial (map-side) aggregation still applies and the
+    * result is bit-identical on 1 or 1000 executors. The final cast back to
+    * double keeps the output schema engine-neutral. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(25, scale))).cast("double")
+
+  /** Exact decimal sum of an already-multiplied measure, e.g.
+    * extendedprice*(1-discount): cast factors first so the product is exact. */
+  def dsumProd2(a: Column, b: Column, scaleA: Int = 2, scaleB: Int = 2): Column =
+    sum(a.cast(DecimalType(25, scaleA)) * b.cast(DecimalType(25, scaleB))).cast("double")
+}
