@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api.{GeoFilter, Ipeds}
+import graft.io.Tables
+import graft.queries.{ApiQueries, CoreQueries, ExtQueries, Reg}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query definitions live in [[graft.queries]]; this object only aggregates
+  * them into the (name → pipeline) and (name → DuckDB SQL) maps the driver
+  * consumes.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def registry: Seq[Reg] =
+    CoreQueries.all ++ ApiQueries.all ++ ExtQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full `awards` pipeline (etl_io.py:390-479 analog): geography
+    * restriction via semi-join, constructed zero-padded codes, exact-decimal
+    * multi-measure sums, label recode kept alongside the raw code. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Ipeds.awards(Tables(spark, "/root/testdata/sf0.001"),
+      GeoFilter(regionNames = Seq("ASIA", "EUROPE", "AMERICA")),
+      how = "detail",
+      labels = Map("0A.1" -> "Alpha One", "0N.3" -> "November Three"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(r => r.name -> r.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(r => r.oracle.map(sql => r.name -> sql)).toMap
 }

@@ -13,7 +13,12 @@ import graft.ops.Relational._
 final case class GeoFilter(
     regionNames: Seq[String] = Nil,
     nationKeys: Seq[Int] = Nil,
-    mktSegments: Seq[String] = Nil)
+    mktSegments: Seq[String] = Nil) {
+  /** True when at least one clause restricts the unit dimension — the only
+    * case where broadcasting the filtered units is size-safe at 100 TB. */
+  def isRestrictive: Boolean =
+    regionNames.nonEmpty || nationKeys.nonEmpty || mktSegments.nonEmpty
+}
 
 /** IPEDS-layer composites Q1–Q5 (SURVEY.md §2.8) on the star-schema corpus.
   *
@@ -94,19 +99,33 @@ object Ipeds {
     * fact rows with code + measure columns (+ optional geography column).
     * The reference's collected UNITID IN-list becomes a left-semi join. */
   def schoolQuery(t: Tables, geo: GeoFilter, codes: Seq[String] = Nil,
-                  geographyCol: Option[String] = None): DataFrame = {
+                  geographyCol: Option[String] = None,
+                  failIfNoUnits: Boolean = false): DataFrame = {
     val units = getUnitIds(t, geo, geographyCol)
+    // P8 empty-result guard (etl_io.py:343): the reference bails out when the
+    // geography selects no units. Opt-in because it costs an eager action on
+    // the (small, filtered) dimension — never on the fact table.
+    if (failIfNoUnits && units.isEmpty)
+      throw new IllegalArgumentException(
+        s"geography filter $geo selects no units (reference: etl_io.py:343)")
     val facts = awardFacts(t).where(col("l_linestatus") === "F")
     val restricted = geographyCol match {
       case Some(c) =>
-        // keep the geography attribute: broadcast inner join against the
-        // (filtered, small) unit dimension — the J1 enrichment merge
-        facts.join(broadcast(units), Seq("unit_id"))
+        // keep the geography attribute: J1 enrichment join. Broadcast only
+        // when the filter actually restricts the dimension — an unfiltered
+        // unit dimension is customer-sized and would OOM the driver at
+        // scale; unhinted, AQE picks broadcast vs shuffle from real sizes.
+        val dim = if (geo.isRestrictive) broadcast(units) else units
+        facts.join(dim, Seq("unit_id"))
       case None =>
         semiJoin(facts, units, "unit_id")
     }
+    // Normalize caller codes with the same zero-pad rule applied to the data
+    // column, mirroring the reference's pad-before-isin (etl_io.py:374-381) —
+    // unpadded inputs would otherwise silently select nothing.
+    val normCodes = codes.map(c => zeroPadCodeStr(c))
     val coded =
-      if (codes.nonEmpty) restricted.where(inList(col("cipcode"), codes))
+      if (normCodes.nonEmpty) restricted.where(inList(col("cipcode"), normCodes))
       else restricted
     coded.select(Seq("unit_id", "cipcode", "l_quantity", "l_extendedprice", "l_discount")
       .map(col) ++ geographyCol.map(col).toSeq: _*)
@@ -118,8 +137,9 @@ object Ipeds {
     * post-group CIPCODE length masks (P6, etl_io.py:468-476). */
   def awards(t: Tables, geo: GeoFilter, how: String = "total",
              level: Option[Int] = None, geographyCol: Option[String] = None,
+             codes: Seq[String] = Nil,
              labels: Map[String, String] = Map.empty): DataFrame = {
-    val base = schoolQuery(t, geo, Nil, geographyCol).drop("unit_id") // P2: drop before grouping
+    val base = schoolQuery(t, geo, codes, geographyCol).drop("unit_id") // P2: drop before grouping
     val keys = "cipcode" +: geographyCol.toSeq
     val measures = measureSet(how)
     val grouped = base.groupBy(keys.map(col): _*)
@@ -129,15 +149,18 @@ object Ipeds {
       case Some(len) => grouped.where(length(col("cipcode")) === len)
       case None      => grouped
     }
-    if (labels.nonEmpty) leveled.withColumn("cipcode", recode(col("cipcode"), labels))
+    // The reference ADDS a CIPNAME label column and keeps the raw CIPCODE
+    // (etl_io.py:464-465) — emit `cipname` alongside, not in place.
+    if (labels.nonEmpty) leveled.withColumn("cipname", recode(col("cipcode"), labels))
     else leveled
   }
 
   /** Q4 `programs` analog (etl_io.py:481-556): per-code row counts
     * (the reference counts UNITID rows per CIPCODE → PROG_COUNT). */
-  def programs(t: Tables, geo: GeoFilter, geographyCol: Option[String] = None): DataFrame = {
+  def programs(t: Tables, geo: GeoFilter, geographyCol: Option[String] = None,
+               codes: Seq[String] = Nil): DataFrame = {
     val keys = "cipcode" +: geographyCol.toSeq
-    schoolQuery(t, geo, Nil, geographyCol)
+    schoolQuery(t, geo, codes, geographyCol)
       .groupBy(keys.map(col): _*)
       .agg(count(col("unit_id")).as("prog_count"))
   }

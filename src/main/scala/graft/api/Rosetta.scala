@@ -17,10 +17,11 @@ import graft.ops.Reshape._
   * the data through the left code (J2), and optionally bridge-join a second
   * dataset on the right code (J3, etl_io.py:938-939).
   *
-  * Scale posture: crosswalks are code books (bounded) → broadcast, so the
-  * primary data never shuffles for the mapping join; the optional bridge
-  * join against a second dataset is left to Catalyst/AQE (it may be
-  * fact-sized).
+  * Scale posture: crosswalks are code books (bounded) → broadcast for
+  * `inner`/`left`, so the primary data never shuffles for the mapping join;
+  * `right`/`outer` modes cannot broadcast-hash (the crosswalk is a preserved
+  * side) and fall back to the planner's choice. The optional bridge join
+  * against a second dataset is left to Catalyst/AQE (it may be fact-sized).
   */
 object Rosetta {
 
@@ -37,7 +38,12 @@ object Rosetta {
     val pairs0 = dedupPairs(stone, left, right)
     val pairs = Seq(left, right).filter(listCols.contains)
       .foldLeft(pairs0)((d, c) => explodePyList(d, c))
-    val joined = data.join(broadcast(pairs), Seq(left), how)
+    // Broadcast the (bounded, code-book-sized) crosswalk only for join modes
+    // that can actually use a broadcast-hash join: for `right`/`outer` the
+    // crosswalk is a preserved side, Spark would silently ignore the hint and
+    // shuffle — so don't claim otherwise, just let the planner pick.
+    val hinted = if (how == "inner" || how == "left") broadcast(pairs) else pairs
+    val joined = data.join(hinted, Seq(left), how)
     // data2 is user data (possibly fact-sized): no broadcast hint — let
     // Catalyst/AQE pick broadcast vs shuffled per actual size.
     data2 match {

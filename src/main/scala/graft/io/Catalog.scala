@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Catalog {
 
-  /** List tables available under a corpus dir (S3 analog of `tables19`). */
-  def listTables(spark: SparkSession, dir: String): Seq[String] =
+  /** List tables available under a corpus dir (S3 analog of `tables19`).
+    * Uses the Hadoop FileSystem API so the same probe works on local dirs,
+    * HDFS, and object-store prefixes (the 100 TB posture) — not just
+    * driver-local paths. */
+  def listTables(spark: SparkSession, dir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
     Sources.tableNames.filter { n =>
-      new java.io.File(s"$dir/$n.parquet").exists()
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+      p.getFileSystem(conf).exists(p)
     }
+  }
 
   /** A5/A6: build `{key -> {code -> label}}` from a long metadata table.
     * Replaces the reference's per-key `unique()` + filter + `dict(tuple(...))`
@@ -35,6 +41,11 @@ object Catalog {
   def nestedMap(df: DataFrame, keyCol: String, codeCol: String, labelCol: String)
       : Map[String, Map[String, String]] =
     df.na.drop("any", Seq(keyCol, codeCol, labelCol))
+      // One label per (key, code): the default mapKeyDedupPolicy=EXCEPTION
+      // would crash map_from_entries on duplicate code rows, where the
+      // reference's dict(tuple(...)) silently last-wins (etl_io.py:104-108).
+      // max(label) is the deterministic stand-in for "one wins".
+      .groupBy(keyCol, codeCol).agg(max(col(labelCol)).as(labelCol))
       .groupBy(keyCol)
       .agg(map_from_entries(collect_list(struct(col(codeCol), col(labelCol)))).as("m"))
       .collect()

@@ -23,9 +23,23 @@ object Sources {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** S1-analog: parquet scan of a named corpus table. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** S1-analog: parquet scan of a named corpus table.
+    *
+    * `events.parquet` carries a TIMESTAMP(NANOS) column, which Spark's
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a
+    * long (legacy conf) and rebuild a microsecond timestamp with integer
+    * division — the same ns→µs truncation DuckDB applies natively, and
+    * exact where a double-valued division would lose precision on 1e18-ns
+    * values. Applies to any nanos-typed ts column, not just `events`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.find(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      .getOrElse(raw)
+  }
 
   /** S4: TSV scan (reference: `pd.read_csv(sep='\t')`, etl_io.py:763). */
   def tsv(spark: SparkSession, path: String, inferSchema: Boolean = true): DataFrame =

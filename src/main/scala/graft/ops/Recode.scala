@@ -42,13 +42,27 @@ object Recode {
     df.withColumnsRenamed(renames)
 
   /** F3: zero-pad the integer part of a dotted code: "1.01" -> "01.01",
-    * "1" -> "01" (etl_io.py:374-381). Codes without a dot get padded whole. */
+    * "1" -> "01" (etl_io.py:374-381). Codes without a dot get padded whole.
+    * Like Python's `'{:>02d}'.format`, fronts already >= width pass through
+    * unchanged (Spark's bare `lpad` would truncate them). */
   def zeroPadCode(c: Column, width: Int = 2): Column = {
     val parts = split(c, "\\.")
-    val front = lpad(element_at(parts, 1), width, "0")
+    val head = element_at(parts, 1)
+    val front = when(length(head) < width, lpad(head, width, "0")).otherwise(head)
     when(size(parts) > 1,
       concat_ws(".", front, array_join(slice(parts, 2, 64), ".")))
       .otherwise(front)
+  }
+
+  /** Driver-side mirror of [[zeroPadCode]] for normalizing caller-supplied
+    * code lists before building IN-list predicates (the reference zero-pads
+    * the caller's cipcode list too, etl_io.py:374-381). */
+  def zeroPadCodeStr(s: String, width: Int = 2): String = {
+    val parts = s.split("\\.", -1)
+    val front =
+      if (parts(0).length < width) ("0" * (width - parts(0).length)) + parts(0)
+      else parts(0)
+    if (parts.length > 1) (front +: parts.tail).mkString(".") else front
   }
 
   /** F4: "NAME, ST"-style label concat (etl_io.py:273-274). */

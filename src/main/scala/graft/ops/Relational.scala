@@ -52,7 +52,10 @@ object Relational {
     sum(c.cast(DecimalType(25, scale))).cast("double")
 
   /** Exact decimal sum of an already-multiplied measure, e.g.
-    * extendedprice*(1-discount): cast factors first so the product is exact. */
+    * extendedprice*(1-discount): cast factors first so the product is exact.
+    * DECIMAL(18,_) factors keep the product precision (37) within the
+    * 38-digit cap of both Spark and the DuckDB oracle — DECIMAL(25,_)²
+    * would overflow DuckDB's decimal width and silently lose parity. */
   def dsumProd2(a: Column, b: Column, scaleA: Int = 2, scaleB: Int = 2): Column =
-    sum(a.cast(DecimalType(25, scaleA)) * b.cast(DecimalType(25, scaleB))).cast("double")
+    sum(a.cast(DecimalType(18, scaleA)) * b.cast(DecimalType(18, scaleB))).cast("double")
 }

@@ -38,20 +38,25 @@ object Reshape {
       s"duplicate (${index.mkString(",")}, $pivotCol) pairs: pandas pivot would raise")
   }
 
-  /** Long→wide pivot counting occurrences per cell; absent cells are 0. */
+  /** Long→wide pivot counting occurrences per cell; absent cells are 0.
+    * Generated columns are referenced with backticks so pivot values
+    * containing dots (e.g. O*NET Element IDs like "1.A.1.a") are treated
+    * literally, not as nested-field paths. */
   def pivotCount(df: DataFrame, index: Seq[String], pivotCol: String,
-                 values: Seq[String]): DataFrame =
-    df.groupBy(index.map(col): _*)
+                 values: Seq[String]): DataFrame = {
+    val counted = df.groupBy(index.map(col): _*)
       .pivot(pivotCol, values)
       .agg(count(lit(1)))
-      .na.fill(0L, values)
+    values.foldLeft(counted)((d, v) =>
+      d.withColumn(v, coalesce(col(s"`$v`"), lit(0L))))
+  }
 
   /** R2: one-hot membership pivot — `bool=True` column, pivot, fillna(False)
     * (etl_io.py:870-871). Absent cells are false. */
   def oneHot(df: DataFrame, index: Seq[String], pivotCol: String,
              values: Seq[String]): DataFrame = {
     val counted = pivotCount(df, index, pivotCol, values)
-    values.foldLeft(counted)((d, v) => d.withColumn(v, col(v) > 0))
+    values.foldLeft(counted)((d, v) => d.withColumn(v, col(s"`$v`") > 0))
   }
 
   /** R3: explode a Python-repr list cell ("['11.0101', '11.02']") into one

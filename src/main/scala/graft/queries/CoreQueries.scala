@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Recode._
+import graft.ops.Relational._
+import graft.ops.Reshape._
+
+/** Registry entries for the core relational operators (SURVEY.md §2.2–§2.7:
+  * P/J/A/F/R families), each with its DuckDB oracle SQL. */
+object CoreQueries {
+
+  /** Shared SQL fragment: exact-decimal sum surfaced as double (see
+    * [[graft.ops.Relational.dsum]]). */
+  def sqlDsum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(25,2))) AS DOUBLE)"
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val all: Seq[Reg] = Seq(
+
+    // P1/P3: filter + projection; predicate + pruning reach the parquet scan.
+    Reg("p1_filter_project", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'""".stripMargin))(
+      (s, dir) => Tables(s, dir).lineitem
+        .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // P4/P5: IN-list predicate, conjunction of clauses.
+    Reg("p4_in_list", Some(
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_orderstatus = 'F'"""
+        .stripMargin))(
+      (s, dir) => Tables(s, dir).orders
+        .where(conj(Seq(
+          inList(col("o_orderpriority"), Seq("1-URGENT", "2-HIGH")),
+          col("o_orderstatus") === "F")))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")),
+
+    // P6: string-length predicate (CIP granularity analog, etl_io.py:468).
+    Reg("p6_length_filter", Some(
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE length(o_orderpriority) = 8""".stripMargin))(
+      (s, dir) => Tables(s, dir).orders
+        .where(length(col("o_orderpriority")) === 8)
+        .select("o_orderkey", "o_orderpriority")),
+
+    // A1: group-by exact-decimal SUM, multi-measure (etl_io.py:460).
+    Reg("a1_groupsum", Some(
+      s"""SELECT l_returnflag,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsumProd2(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    // A2: group-by COUNT (etl_io.py:537).
+    Reg("a2_groupcount", Some(
+      "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority"))(
+      (s, dir) => Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))),
+
+    // A3: group-by PRODUCT (etl_io.py:816-818) via the built-in partial-agg
+    // `product`. Groups are ≤13 rows and factors ∈[1,1.1], so rounding to 6
+    // decimals absorbs float order-dependence across partitionings.
+    Reg("a3_groupproduct", Some(
+      """SELECT l_orderkey, ROUND(PRODUCT(1 + l_discount), 6) AS disc_factor
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin))(
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy("l_orderkey")
+        .agg(round(product(lit(1) + col("l_discount")), 6).as("disc_factor"))),
+
+    // A4: ungrouped scalar COUNT (etl_io.py:599).
+    Reg("a4_count", Some("SELECT COUNT(*) AS n FROM lineitem"))(
+      (s, dir) => Tables(s, dir).lineitem.agg(count(lit(1)).as("n"))),
+
+    // A5/J5: distinct pairs (etl_io.py:76, :922).
+    Reg("a5_distinct", Some(
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))(
+      (s, dir) => Tables(s, dir).lineitem
+        .select("l_returnflag", "l_linestatus").distinct()),
+
+    // J1/J3: two-hop enrichment join (etl_io.py:386, :936-939).
+    Reg("j1_join_2hop", Some(
+      """SELECT l_orderkey, l_linenumber, c_custkey, c_mktsegment
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .select("l_orderkey", "l_linenumber", "c_custkey", "c_mktsegment")
+      }),
+
+    // J4: semi-join reduction — the reference's collected IN-list
+    // (etl_io.py:354-357) as a left-semi join, no driver round-trip.
+    Reg("j4_semijoin", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"""
+        .stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val dims = t.orders.where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"))
+        semiJoin(t.lineitem, dims, "l_orderkey")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      }),
+
+    // J4 inverse: anti-join (NOT EXISTS). o_orderkey is never null.
+    Reg("j4_antijoin", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))"""
+        .stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val dims = t.orders
+          .where(inList(col("o_orderpriority"), Seq("1-URGENT", "2-HIGH")))
+          .select(col("o_orderkey").as("l_orderkey"))
+        antiJoin(t.lineitem, dims, "l_orderkey")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      }),
+
+    // F1: dictionary recode, unmapped values pass through (etl_io.py:151).
+    Reg("f1_recode", Some(
+      """SELECT o_orderkey,
+        |  CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
+        |    WHEN '3-MEDIUM' THEN 'medium' ELSE o_orderpriority
+        |  END AS priority_label
+        |FROM orders""".stripMargin))(
+      (s, dir) => Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        recode(col("o_orderpriority"), Map(
+          "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium"))
+          .as("priority_label"))),
+
+    // F3: zero-pad dotted codes (etl_io.py:374-381). The constructed code's
+    // front (l_returnflag) is 1 char, so lpad-to-2 applies on both sides.
+    Reg("f3_zeropad", Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  lpad(l_returnflag, 2, '0') || '.' || CAST(l_linenumber AS VARCHAR) AS code
+        |FROM lineitem""".stripMargin))(
+      (s, dir) => Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        zeroPadCode(concat_ws(".", col("l_returnflag"), col("l_linenumber"))).as("code"))),
+
+    // F4: label concat (etl_io.py:273-274) over a broadcast dim join.
+    Reg("f4_label", Some(
+      """SELECT n_nationkey, n_name || ', ' || r_name AS nation_label
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), label2(col("n_name"), col("r_name")).as("nation_label"))
+      }),
+
+    // R1: long→wide pivot with explicit values (etl_io.py:823-825);
+    // max() is order-independent, unlike first().
+    Reg("r1_pivot", Some(
+      s"""SELECT user_id,
+         |${eventTypes.map(t => s"  max(CASE WHEN event_type = '$t' THEN value END) AS $t").mkString(",\n")}
+         |FROM events GROUP BY user_id""".stripMargin))(
+      (s, dir) => pivotWide(Tables(s, dir).events,
+        Seq("user_id"), "event_type", eventTypes, "value")),
+
+    // R1 variant: occurrence counts per cell, absent = 0.
+    Reg("r1_pivot_count", Some(
+      s"""SELECT user_id,
+         |${eventTypes.map(t => s"  count(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n")}
+         |FROM events GROUP BY user_id""".stripMargin))(
+      (s, dir) => pivotCount(Tables(s, dir).events,
+        Seq("user_id"), "event_type", eventTypes)),
+
+    // R2: one-hot membership pivot, absent = false (etl_io.py:870-871).
+    Reg("r2_onehot", Some(
+      s"""SELECT user_id,
+         |${eventTypes.map(t => s"  count(CASE WHEN event_type = '$t' THEN 1 END) > 0 AS $t").mkString(",\n")}
+         |FROM events GROUP BY user_id""".stripMargin))(
+      (s, dir) => oneHot(Tables(s, dir).events,
+        Seq("user_id"), "event_type", eventTypes)),
+
+    // R3: explode python-repr list cells (etl_io.py:924-934). The list cell
+    // is constructed from dim attributes; the oracle replays the expansion
+    // as a UNION ALL.
+    Reg("r3_explode", Some(
+      """SELECT n_nationkey, n_name AS code FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, r_name AS code
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val withList = t.nation
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"),
+            concat(lit("['"), col("n_name"), lit("', '"), col("r_name"), lit("']"))
+              .as("code"))
+        explodePyList(withList, "code")
+      })
+  )
+}

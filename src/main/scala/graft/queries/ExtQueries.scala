@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Relational._
+import CoreQueries.sqlDsum
+
+/** Registry entries for the §2.5 extension mandate: window functions,
+  * global top-k, set ops — plus JSON and date/time scalar coverage over
+  * `events` (SURVEY.md §2.7 note). Every ordering carries a unique tiebreak
+  * key (event_id / o_orderkey) so top-k is deterministic in both engines.
+  */
+object ExtQueries {
+
+  val all: Seq[Reg] = Seq(
+
+    // W: top-k per group via row_number (the reference has no windows;
+    // §2.5 extension). rn cast to BIGINT to match DuckDB's row_number type.
+    Reg("w1_topk_per_group", Some(
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events
+        |) WHERE rn <= 3""".stripMargin))(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))
+        Tables(s, dir).events
+          .select(col("user_id"), col("event_id"), col("value"),
+            row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 3)
+      }),
+
+    // W: lag + null-drop (P7) — value delta per user along event time.
+    Reg("w2_lag_delta", Some(
+      """SELECT user_id, event_id, dv FROM (
+        |  SELECT user_id, event_id,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+        |  FROM events
+        |) WHERE dv IS NOT NULL""".stripMargin))(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, dir).events
+          .select(col("user_id"), col("event_id"),
+            (col("value") - lag(col("value"), 1).over(w)).as("dv"))
+          .na.drop("any", Seq("dv"))
+      }),
+
+    // W: global top-k — orderBy + limit with a unique tiebreak.
+    Reg("w3_global_topk", Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))(
+      (s, dir) => Tables(s, dir).orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)),
+
+    // Set ops: UNION (distinct) then EXCEPT.
+    Reg("set1_union_except", Some(
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'"""
+        .stripMargin))(
+      (s, dir) => {
+        val c = Tables(s, dir).customer
+        val a = c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val b = c.where(col("c_acctbal") > 5000).select("c_custkey")
+        val x = c.where(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+        a.union(b).distinct().except(x)
+      }),
+
+    // Set ops: INTERSECT.
+    Reg("set2_intersect", Some(
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 1000""".stripMargin))(
+      (s, dir) => {
+        val c = Tables(s, dir).customer
+        c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(c.where(col("c_acctbal") > 1000).select("c_custkey"))
+      }),
+
+    // F-json: JSON field extraction from the events props column.
+    Reg("f_json_extract", Some(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin))(
+      (s, dir) => Tables(s, dir).events.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // F-date: day-truncated temporal rollup; the day leaves the result as a
+    // formatted string so timestamp representations never hit the compare.
+    Reg("f_date_trunc", Some(
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin))(
+      (s, dir) => Tables(s, dir).events
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value")))
+  )
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Dev-loop oracle compare (mirrors the driver's CORRECTNESS gate).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (graft.Verify output), runs the
+matching SQL from oracle_sql.json in DuckDB over the sfDir parquet tables,
+sorts columns by name and rows by all columns, and compares values.
+Dev tooling only — the shipped library is pure Scala/Spark.
+"""
+import json, math, sys
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except Exception:
+            pass
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    report, n_ok = {}, 0
+    for name, sql in sorted(oracle.items()):
+        entry = {}
+        try:
+            spark_df = norm(pd.read_parquet(f"{out_dir}/{name}"))
+            duck_df = norm(con.sql(sql).df())
+            entry["rows"] = [len(spark_df), len(duck_df)]
+            entry["rows_match"] = len(spark_df) == len(duck_df)
+            entry["schema_match"] = list(spark_df.columns) == list(duck_df.columns)
+            if not entry["schema_match"]:
+                entry["cols"] = [list(spark_df.columns), list(duck_df.columns)]
+            match = entry["rows_match"] and entry["schema_match"]
+            if match:
+                mismatches = []
+                sv, dv = spark_df.to_numpy(), duck_df.to_numpy()
+                for i in range(len(spark_df)):
+                    for j in range(len(spark_df.columns)):
+                        if not values_equal(sv[i][j], dv[i][j]):
+                            mismatches.append(
+                                (i, spark_df.columns[j], sv[i][j], dv[i][j]))
+                            if len(mismatches) >= 3:
+                                break
+                    if len(mismatches) >= 3:
+                        break
+                entry["hash_match"] = not mismatches
+                if mismatches:
+                    entry["sample_mismatch"] = [
+                        [int(i), c, repr(x), repr(y)] for i, c, x, y in mismatches]
+            else:
+                entry["hash_match"] = False
+            if entry["hash_match"]:
+                n_ok += 1
+        except Exception as e:
+            entry["error"] = f"{type(e).__name__}: {e}"
+            entry["hash_match"] = False
+        report[name] = entry
+    for name, entry in report.items():
+        flag = "OK " if entry.get("hash_match") else "FAIL"
+        extra = entry.get("error") or entry.get("sample_mismatch") or \
+            (entry.get("cols") if not entry.get("schema_match", True) else "") or \
+            ("" if entry.get("rows_match") else f"rows={entry.get('rows')}")
+        print(f"{flag} {name} {extra if extra else ''}")
+    print(f"\n{n_ok}/{len(report)} queries hash-match")
+    return 0 if n_ok == len(report) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
