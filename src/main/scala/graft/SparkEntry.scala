@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.{GeoFilter, Ipeds}
 import graft.io.Tables
-import graft.queries.{ApiQueries, CoreQueries, ExtQueries, Reg}
+import graft.queries.{ApiQueries, CoreQueries, ExtQueries, LlmQueries, Reg}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query definitions live in [[graft.queries]]; this object only aggregates
@@ -14,7 +14,7 @@ import graft.queries.{ApiQueries, CoreQueries, ExtQueries, Reg}
 object SparkEntry {
 
   private def registry: Seq[Reg] =
-    CoreQueries.all ++ ApiQueries.all ++ ExtQueries.all
+    CoreQueries.all ++ ApiQueries.all ++ ExtQueries.all ++ LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full `awards` pipeline (etl_io.py:390-479 analog): geography

@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps.{jaccard, shingles}
+
+/** Deduplication operators for the LLM-data-pipeline layer (SURVEY.md
+  * §2.11): exact (content hash), near-duplicate via banded MinHash + exact
+  * Jaccard verification, and SimHash.
+  *
+  * Scale posture: every path is bucketed — candidates come from equality
+  * joins on band signatures (shuffle hash-partitioned on the band key),
+  * NEVER from an all-pairs cross join. The verification join touches only
+  * candidate pairs. At 100 TB the cost is O(n · numHashes) map work plus
+  * joins whose fan-in is the bucket size.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content hash with the kept
+    * (minimum) id and the copy count. sha2-256 collisions are negligible. */
+  def exactDedupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Exact dedup: keep one arbitrary row per distinct content. */
+  def dropExactDups(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__h", sha2(col(textCol), 256))
+      .dropDuplicates("__h")
+      .drop("__h")
+
+  /** MinHash signature: for seed i, the min xxhash64(shingle, i) over the
+    * doc's shingle set. One array column of `numHashes` longs, all computed
+    * in a single codegen'd projection. */
+  def minhashSignature(textCol: Column, numHashes: Int, shingleK: Int = 3): Column = {
+    val sh = shingles(textCol, shingleK)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** Banded signature rows: (id, band, band_hash) — one row per band, where
+    * band_hash fingerprints `rowsPerBand` consecutive signature slots.
+    * Docs sharing ANY band hash are near-dup candidates (standard LSH
+    * banding: P(candidate) = 1-(1-J^r)^b). */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val r = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes, shingleK)
+    val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(slice(sig, j * r + 1, lit(r))))
+    df.select(col(idCol).as("id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate pairs from LSH buckets: equality self-join on (band,
+    * band_hash), ordered ids, distinct. Never all-pairs. */
+  def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleK: Int = 3): DataFrame = {
+    val b = minhashBands(df, idCol, textCol, numHashes, bands, shingleK)
+    val x = b.select(col("band"), col("band_hash"), col("id").as("a_id"))
+    val y = b.select(col("band"), col("band_hash"), col("id").as("b_id"))
+    x.join(y, Seq("band", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified with EXACT shingle
+    * Jaccard ≥ threshold. With 64 hashes / 16 bands, a true pair at J=0.7
+    * is missed with probability (1-0.7⁴)⁸·⁻¹⁶ ≈ 2e-8 — the verified output
+    * equals brute-force exact Jaccard for all practical purposes, at
+    * bucket-join cost. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7, numHashes: Int = 64,
+                   bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    val cands = nearDupCandidates(df, idCol, textCol, numHashes, bands, shingleK)
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    cands
+      .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** SimHash (bit-majority of token hashes), packed into a long. Hamming
+    * distance between simhashes approximates token-multiset similarity.
+    * Expression-only (SQL higher-order functions; column-valued shift
+    * amounts need the SQL parser, not the Scala DSL). */
+  def simhash(textCol: String, bits: Int = 32): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
+       |  acc + IF(2 * aggregate(transform(split(`$textCol`, ' '),
+       |                          w -> shiftright(xxhash64(w), b) & 1L),
+       |                0L, (a2, x) -> a2 + x)
+       |           > size(split(`$textCol`, ' ')),
+       |        shiftleft(1L, b), 0L))""".stripMargin)
+
+  /** SimHash near-dup pairs: band the simhash into `bands` chunks (two
+    * simhashes within hamming distance d share a chunk when d < bands),
+    * bucket-join on any equal chunk, verify with bit_count(xor) ≤ maxDist. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3, bits: Int = 32, bands: Int = 4): DataFrame = {
+    val chunk = bits / bands
+    val withSim = df.select(col(idCol).as("id"), simhash(textCol, bits).as("sim"))
+    // chunk j = (sim >> (j*chunk)) & ((1<<chunk)-1); column-valued shifts
+    // need the SQL parser:
+    val mask = (1L << chunk) - 1
+    val banded2 = withSim.select(col("id"), col("sim"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> shiftright(sim, j * $chunk) & ${mask}L)"))
+        .as(Seq("band", "chunk_val")))
+    val x = banded2.select(col("band"), col("chunk_val"), col("id").as("a_id"), col("sim").as("a_sim"))
+    val y = banded2.select(col("band"), col("chunk_val"), col("id").as("b_id"), col("sim").as("b_sim"))
+    x.join(y, Seq("band", "chunk_val"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

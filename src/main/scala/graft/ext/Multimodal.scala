@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal record: an opaque binary payload plus typed metadata.
+  * At 100 TB the payload column stays opaque to the planner (never
+  * decoded during relational work) and metadata carries the prunable,
+  * filterable attributes. */
+final case class MediaRecord(
+    doc_id: Long,
+    payload: Array[Byte],
+    mime: String,
+    n_bytes: Long)
+
+/** Deterministic per-record features produced by the (stubbed) decoder. */
+final case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    features: Array[Float])
+
+/** Multimodal-column plumbing for the LLM-data-pipeline layer (SURVEY.md
+  * §2.11): image/audio/video as opaque `binary` columns with typed metadata,
+  * and a decode/feature-extract stage whose Spark-side shape (schema,
+  * partition-parallel batched execution, typed output) is real while the
+  * actual codec is STUBBED — media libraries are not in this container.
+  */
+object Multimodal {
+
+  /** Lift a text corpus into a media table: the UTF-8 bytes stand in for an
+    * opaque payload; metadata (mime, byte length) is typed and prunable. */
+  def mediaTable(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      col(textCol).cast("binary").as("payload"),
+      lit("application/octet-stream").as("mime"),
+      octet_length(col(textCol).cast("binary")).cast("long").as("n_bytes"))
+
+  /** STUB decoder: stands in for a real image/audio codec (not available in
+    * this container). Deterministic function of the payload bytes so tests
+    * and the driver see stable output. A real deployment swaps only this
+    * function — the mapPartitions plumbing, batch shape, and output schema
+    * stay as-is. */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val w = 1 + (payload.length % 640)
+    val h = 1 + (if (payload.isEmpty) 0 else (payload(0) & 0xff) % 480)
+    val feats = Array.tabulate(8) { i =>
+      if (payload.length > i) (payload(i) & 0xff) / 255.0f else 0.0f
+    }
+    (w, h, feats)
+  }
+
+  /** Decode / feature-extract stage: partition-parallel over the media
+    * table, one typed output row per record. `mapPartitions` (not per-row
+    * `map`) so a real codec can amortize model/codec init per partition —
+    * the standard batched-UDF shape. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "mime", "n_bytes").as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition init of the (stub) codec would go here
+        it.map { rec =>
+          val (w, h, feats) = decodeStub(rec.payload)
+          MediaFeatures(rec.doc_id, rec.n_bytes, w, h, feats)
+        }
+      }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`) for the
+  * LLM-data-pipeline layer (SURVEY.md §2.11): exact brute-force top-k as the
+  * correctness baseline, LSH-bucketed variants as the scale path, and
+  * threshold near-dup within buckets.
+  *
+  * All vector math is higher-order Catalyst expressions (zip_with +
+  * aggregate) computed in double — a sequential left fold, matching what a
+  * scalar reference implementation computes, so results are reproducible
+  * across partitionings (per-row math has no accumulation-order freedom).
+  */
+object Similarity {
+
+  /** Dot product in double precision (float inputs upcast per element). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity = dot / (|a| · |b|). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact brute-force top-k neighbors of each query vector.
+    *
+    * The query side must be SMALL (it is broadcast; cost = |corpus| × |q|).
+    * This is the correctness baseline — use [[lshTopK]] when the query side
+    * scales. Similarity is rounded to `roundTo` decimals BEFORE ranking and
+    * ties break on neighbor id, so the top-k set is stable under float
+    * noise and across engines. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     roundTo: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(q)
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), roundTo).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.select(col("q_id"), col("n_id"), col("sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane components, seeded driver-side — the
+    * planes are bounded (nPlanes × dim doubles) and travel as a literal. */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of v·plane), packed
+    * into a long. Vectors close in cosine land in the same bucket with
+    * probability 1 - θ/π per bit. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val ps = planes(nPlanes, dim, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k via sign-LSH buckets: candidates are corpus vectors
+    * sharing the query's bucket; rank within bucket. The scale path — the
+    * join is an equality join on the bucket id (shuffle-partitioned, never
+    * all-pairs). Recall trades off with nPlanes. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nPlanes: Int = 8, dim: Int = 64, roundTo: Int = 4): DataFrame = {
+    val bq = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+    val bc = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+    val scored = bc.join(bq, Seq("bucket"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), roundTo).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.select(col("q_id"), col("n_id"), col("sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold within a bucket column
+    * (a label, an LSH bucket, any partition key) — the bucket bounds the
+    * pair fan-out so the join is never corpus². */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       bucketCol: String, threshold: Double,
+                       roundTo: Int = 4): DataFrame = {
+    val x = df.select(col(bucketCol).as("bucket"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val y = df.select(col(bucketCol).as("bucket"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    x.join(y, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_vec"), col("b_vec")), roundTo).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

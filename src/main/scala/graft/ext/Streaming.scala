@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.ops.Relational.dsum
+
+/** Structured Streaming variants of the batch aggregations (SURVEY.md §2.9).
+  *
+  * The reference has no streaming; these are the extension-mandated
+  * incremental forms of A1/A2 over the `events` table: readStream →
+  * watermark → tumbling window → aggregate. State is bounded by the
+  * watermark; at scale the same pipeline runs against a Kafka/file source
+  * with checkpointing — only the source/sink options change.
+  */
+object Streaming {
+
+  /** events schema for the streaming reader (streams must declare schemas —
+    * no inference job on an unbounded source). `ts` arrives as nanos-long
+    * (see [[graft.io.Sources.table]]) and is rebuilt to a timestamp. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet. The corpus ships
+    * events.parquet as a single FILE, but Spark's file-stream source only
+    * reads directories — stage a hardlink/copy into a temp dir once (cheap,
+    * driver-side, test-corpus-only; a production source is a directory or
+    * Kafka topic to begin with). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+        val dst = d.resolve("events.parquet")
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+        d.toString
+      }
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window A1/A2: per (day, event_type) exact sums + counts,
+    * 1-day watermark bounds state. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Run a streaming DataFrame to completion over the (bounded) file source
+    * with AvailableNow, collecting results via a memory sink; returns the
+    * final table. Batch-equivalent by construction — used to verify the
+    * streaming plan against the batch oracle. */
+  def runToTable(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

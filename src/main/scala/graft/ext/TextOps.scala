@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational.dsum
+
+/** Text-analysis operators for the LLM-data-pipeline layer (SURVEY.md §2.11)
+  * over the `documents` table: tokenization, shingling, language ID, quality
+  * scoring, fingerprinting, grouped corpus stats.
+  *
+  * Everything here is pure Catalyst expressions (split / transform / filter /
+  * aggregate higher-order functions) — codegen'd, no UDFs, no driver loops;
+  * per-row cost is independent of corpus size, so the operators scale
+  * linearly to 100 TB with zero shuffles except the final grouped stats.
+  */
+object TextOps {
+
+  /** Whitespace tokens. Single-space split (not a regex class) so the DuckDB
+    * oracle's string_split(text, ' ') sees identical tokens. */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Token count as BIGINT (matches DuckDB's len()). */
+  def tokenCount(c: Column): Column = size(words(c)).cast("long")
+
+  /** Distinct word k-shingles: ["a b c", "b c d", ...]. Mirrors the oracle's
+    * generate_series + list_transform construction; documents shorter than k
+    * words collapse to one (short) shingle. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val w = words(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
+      i => array_join(slice(w, i, lit(k)), " ")))
+  }
+
+  /** Exact Jaccard similarity of two (already-distinct) shingle arrays.
+    * Integer set sizes + one double division — bit-identical across engines. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** Normalized-text fingerprint: xxhash64 over lowercased,
+    * whitespace-collapsed text. Two docs differing only in case/spacing get
+    * the same fingerprint. */
+  def fingerprint(c: Column): Column =
+    xxhash64(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Per-language marker stopwords for the n-gram/stopword language-ID
+    * heuristic. Public knowledge (common function words). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Language-ID heuristic: count marker-word hits per language, take the
+    * argmax (ties broken lexicographically-last via struct max — fully
+    * deterministic), fall back to "und" when nothing matches. */
+  def langId(c: Column): Column = {
+    val toks = words(lower(c))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(toks, w => w.isin(markers: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Marker-hit ratio for the best language (diagnostic score for langId). */
+  def langScore(c: Column): Column = {
+    val toks = words(lower(c))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (_, markers) =>
+      size(filter(toks, w => w.isin(markers: _*)))
+    }
+    greatest(scored: _*).cast("double") / size(toks)
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "is")
+
+  /** Quality-scoring columns (heuristic, oracle-replicable arithmetic):
+    * token count, mean token length, stopword ratio, and a bounded linear
+    * quality score. Appended to the input row. */
+  def qualityColumns(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val nTokens = tokenCount(c)
+    val meanTokLen =
+      length(regexp_replace(c, " ", "")).cast("double") / nTokens
+    val stopRatio =
+      size(filter(words(c), w => w.isin(stopwords: _*))).cast("double") / nTokens
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("mean_tok_len", meanTokLen)
+      .withColumn("stop_ratio", stopRatio)
+      .withColumn("q_score",
+        least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - least(col("stop_ratio") * 2.0, lit(1.0))) * 0.3 +
+          least(col("mean_tok_len") / 8.0, lit(1.0)) * 0.2)
+  }
+
+  /** Grouped corpus statistics per (lang, source): doc count, exact char
+    * and token sums. Map-side partial aggregation applies; one shuffle on
+    * the two low-cardinality keys. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(tokenCount(col("text"))).cast("long").as("sum_tokens"))
+
+  /** Term frequencies: explode tokens → count per (lang, token). The heavy
+    * hitter of text analytics; shuffles once on the grouping key. */
+  def termFrequencies(docs: DataFrame, minCount: Long = 2): DataFrame =
+    docs.select(col("lang"), explode(words(col("text"))).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("tf"))
+      .where(col("tf") >= minCount)
+}

@@ -1,0 +1,46 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sink layer (SURVEY.md §2.1 S8/S9).
+  *
+  * The reference's `to_db` loops every catalog table into SQLite via
+  * `DataFrame.to_sql` (etl_io.py:203-219). Spark-first that's a partitioned
+  * `df.write` per table: parquet for the corpus path, JDBC for the
+  * database-copy path. Writers are driver-thin — all data movement happens
+  * on executors; at 100 TB the partitionBy/bucketing choice below is what
+  * keeps downstream reads pruned.
+  */
+object Sinks {
+
+  /** Write one table as parquet. `partitionCols` become directory partitions
+    * (partition pruning for downstream readers); default unpartitioned for
+    * small dims. */
+  def parquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+              mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** S8 analog: copy every catalog table under `srcDir` to `destDir` —
+    * the reference's full-DB copy loop (etl_io.py:203-219), one distributed
+    * write per table instead of a driver-side row pump. */
+  def copyAll(spark: SparkSession, srcDir: String, destDir: String,
+              partitionColsFor: String => Seq[String] = _ => Nil): Seq[String] = {
+    val tables = Catalog.listTables(spark, srcDir)
+    tables.foreach { t =>
+      parquet(Sources.table(spark, srcDir, t), s"$destDir/$t.parquet",
+        partitionColsFor(t))
+    }
+    tables
+  }
+
+  /** JDBC sink (SQLite/Postgres/...): the direct `to_sql` analog. The
+    * `numPartitions` cap bounds concurrent connections against the target. */
+  def jdbc(df: DataFrame, url: String, table: String,
+           mode: SaveMode = SaveMode.Overwrite, numPartitions: Int = 8): Unit =
+    df.coalesce(numPartitions).write.mode(mode)
+      .format("jdbc").option("url", url).option("dbtable", table)
+      .save()
+}

@@ -100,6 +100,38 @@ object ExtQueries {
          |FROM events GROUP BY 1""".stripMargin))(
       (s, dir) => Tables(s, dir).events
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value")))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))),
+
+    // S8 sink round-trip: write the A1 aggregate as parquet, read it back —
+    // the re-read result must hash-match the A1 oracle.
+    Reg("sink_roundtrip", Some(
+      s"""SELECT l_returnflag,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
+      (s, dir) => {
+        val out = Tables(s, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sink").resolve("a1.parquet").toString
+        graft.io.Sinks.parquet(out, path)
+        s.read.parquet(path)
+      }),
+
+    // ST: Structured Streaming variant of the windowed A1/A2 aggregation —
+    // readStream + watermark + tumbling 1-day window run to completion over
+    // the bounded file source; must match the batch oracle exactly.
+    Reg("stream_window", Some(
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin))(
+      (s, dir) => {
+        val name = s"stream_window_${streamRunCounter.incrementAndGet()}"
+        graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.windowedAgg(graft.ext.Streaming.readEvents(s, dir)),
+          name)
+      })
   )
+
+  private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.io.Tables
+
+/** Registry entries for the LLM-data-pipeline layer (SURVEY.md §2.11) over
+  * `documents` / `embeddings`. SQL-expressible operators get a DuckDB
+  * oracle (including dedup_near, whose oracle is BRUTE-FORCE exact Jaccard —
+  * the banded-MinHash path must reproduce it exactly, which it does with
+  * 64 hashes / 16 bands at miss probability ~1e-8 per true pair);
+  * hash-based ops (simhash, fingerprint, LSH) are registered rows-only.
+  */
+object LlmQueries {
+
+  /** DuckDB fragment: distinct word 3-shingles of `text` (mirrors
+    * [[graft.ext.TextOps.shingles]]). */
+  private val duckShingles =
+    """list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+      |      i -> string_split(text,' ')[i] || ' ' ||
+      |        string_split(text,' ')[i+1] || ' ' ||
+      |        string_split(text,' ')[i+2]))""".stripMargin
+
+  private val duckStop = "('the','a','of','and','is')"
+
+  val all: Seq[Reg] = Seq(
+
+    // Exact dedup: one row per distinct content, kept id + copy count.
+    // The oracle groups by the text itself — identical up to sha2 collision.
+    Reg("dedup_exact", Some(
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin))(
+      (s, dir) => Dedup.exactDedupGroups(Tables(s, dir).documents, "text", "doc_id")),
+
+    // Near dedup: banded MinHash candidates + exact-Jaccard verify vs the
+    // oracle's brute-force exact Jaccard over all pairs.
+    Reg("dedup_near", Some(
+      s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7"""
+        .stripMargin))(
+      (s, dir) => Dedup.nearDupPairs(Tables(s, dir).documents, "doc_id", "text",
+        threshold = 0.7)),
+
+    // SimHash near-dup pairs (hash-specific → rows-only check).
+    Reg("dedup_simhash", None)(
+      (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
+        maxDist = 6)),
+
+    // Embedding near-dup within label buckets (cosine ≥ 0.4 — this corpus
+    // has no high-cosine duplicates; max in-label cosine ≈ 0.47).
+    // DOUBLE[] cast: DuckDB's list_cosine_similarity computes in float32 on
+    // FLOAT[] inputs; the double-cast path is bit-identical to Spark's
+    // double HOF fold.
+    Reg("dedup_embed", Some(
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4"""
+        .stripMargin))(
+      (s, dir) => Similarity.embeddingNearDup(Tables(s, dir).embeddings,
+        "vec_id", "embedding", "label", threshold = 0.4)),
+
+    // Grouped corpus statistics.
+    Reg("text_stats", Some(
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang, source""".stripMargin))(
+      (s, dir) => TextOps.textStats(Tables(s, dir).documents)),
+
+    // Per-document quality scoring (identical arithmetic on both sides).
+    Reg("text_quality", Some(
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(replace(text,' ','')) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS mean_tok_len,
+         |  CAST(len(list_filter(string_split(text,' '), w -> w IN $duckStop)) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS stop_ratio,
+         |  least(CAST(len(string_split(text,' ')) AS BIGINT) / 100.0, 1.0) * 0.5
+         |    + (1.0 - least((CAST(len(list_filter(string_split(text,' '), w -> w IN $duckStop)) AS DOUBLE)
+         |                    / len(string_split(text,' '))) * 2.0, 1.0)) * 0.3
+         |    + least((CAST(length(replace(text,' ','')) AS DOUBLE)
+         |             / len(string_split(text,' '))) / 8.0, 1.0) * 0.2 AS q_score
+         |FROM documents""".stripMargin))(
+      (s, dir) => TextOps.qualityColumns(Tables(s, dir).documents, "text")
+        .select("doc_id", "n_tokens", "mean_tok_len", "stop_ratio", "q_score")),
+
+    // Term frequencies (the explode-groupBy heavy hitter).
+    Reg("text_tf", Some(
+      """SELECT lang, token, COUNT(*) AS tf FROM (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        |) GROUP BY lang, token HAVING COUNT(*) >= 2""".stripMargin))(
+      (s, dir) => TextOps.termFrequencies(Tables(s, dir).documents, minCount = 2)),
+
+    // Language-ID heuristic (marker argmax — heuristic-specific → rows-only).
+    Reg("text_langid", None)(
+      (s, dir) => Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        round(TextOps.langScore(col("text")), 6).as("lang_score"))),
+
+    // Normalized-content fingerprint (xxhash64 → rows-only).
+    Reg("text_fingerprint", None)(
+      (s, dir) => Tables(s, dir).documents.select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // Exact brute-force top-5 cosine neighbors for a bounded query set.
+    Reg("topk_sim", Some(
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings WHERE vec_id < 20)
+        |SELECT q_id, n_id, sim, rank FROM (
+        |  SELECT q_id, vec_id AS n_id,
+        |    ROUND(list_cosine_similarity(q_vec, CAST(embedding AS DOUBLE[])), 4) AS sim,
+        |    row_number() OVER (
+        |      PARTITION BY q_id
+        |      ORDER BY ROUND(list_cosine_similarity(q_vec, CAST(embedding AS DOUBLE[])), 4)
+        |        DESC, vec_id
+        |    ) AS rank
+        |  FROM q JOIN embeddings ON vec_id <> q_id
+        |) WHERE rank <= 5""".stripMargin))(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+      }),
+
+    // Approximate top-k via sign-LSH buckets (seeded planes → rows-only).
+    Reg("topk_sim_lsh", None)(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        Similarity.lshTopK(e, e.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nPlanes = 6)
+      }),
+
+    // Multimodal metadata projection (payload stays opaque).
+    Reg("mm_meta", Some(
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  'application/octet-stream' AS mime
+        |FROM documents""".stripMargin))(
+      (s, dir) => Multimodal.mediaTable(Tables(s, dir).documents)
+        .select("doc_id", "n_bytes", "mime")),
+
+    // Multimodal decode/feature-extract (stub codec → rows-only; the
+    // partition-parallel typed plumbing is what's under test).
+    Reg("mm_features", None)(
+      (s, dir) => Multimodal.extractFeatures(s,
+        Multimodal.mediaTable(Tables(s, dir).documents)).toDF())
+  )
+}

@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+  private val far  = "completely different words about spark catalyst expressions and shuffles"
+
+  test("exactDedupGroups keeps min id and counts copies") {
+    val df = Seq((1L, "x x x"), (2L, "x x x"), (3L, "y y y")).toDF("doc_id", "text")
+    val out = Dedup.exactDedupGroups(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("dropExactDups is idempotent and keeps one row per content") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val once = Dedup.dropExactDups(df, "text")
+    val twice = Dedup.dropExactDups(once, "text")
+    assert(once.count() == 2 && twice.count() == 2)
+  }
+
+  test("nearDupPairs finds near-duplicates and not unrelated docs") {
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("nearDupPairs jaccard matches a hand-computed value") {
+    val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val j = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .head.getDouble(2)
+    assert(j == 1.0) // identical docs
+  }
+
+  test("simhash of identical texts is identical; simhashPairs reports hamming 0") {
+    val df = Seq((1L, base), (2L, base), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("minhash candidate generation is bucketed, not all-pairs") {
+    // 4 mutually-unrelated docs must produce zero candidates (no bands collide)
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "red green blue yellow purple orange pink white"),
+      (4L, "spark flink trino duck presto hive impala drill")).toDF("doc_id", "text")
+    assert(Dedup.nearDupCandidates(df, "doc_id", "text").count() == 0)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("bruteForceTopK ranks nearest first with deterministic tiebreaks") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),   // closest to 0
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Seq(0.7f, 0.3f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L), (3L, 2L)))
+  }
+
+  test("embeddingNearDup finds high-cosine pairs within a bucket only") {
+    val vecs = Seq(
+      (0L, 1, Seq(1.0f, 0.0f)),
+      (1L, 1, Seq(0.99f, 0.01f)), // same bucket, near
+      (2L, 2, Seq(1.0f, 0.0f))    // near but different bucket
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingNearDup(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+
+  test("lshBucket assigns equal vectors to equal buckets deterministically") {
+    val vecs = Seq(
+      (0L, Seq.fill(4)(1.0f)),
+      (1L, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val b = vecs.select(Similarity.lshBucket(col("embedding"), 4, 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b(0) == b(1))
+  }
+
+  test("lshTopK finds the same top neighbor as brute force for close vectors") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (2L, Seq(0.98f, 0.02f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 1, nPlanes = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // with 2 planes the bucket is coarse; near-identical vectors share it
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Relational._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conj of empty predicate list selects everything (absent WHERE, etl_io.py:269)") {
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(df.where(conj(Nil)).count() == 3)
+  }
+
+  test("conj ANDs multiple predicates") {
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    assert(df.where(conj(Seq(col("x") > 1, col("x") < 4))).count() == 2)
+  }
+
+  test("semiJoin keeps fact rows with a matching dim key, never duplicates on dup dims (etl_io.py:354-357)") {
+    val facts = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val dims = Seq(1, 1, 2).toDF("k") // duplicate dim keys must not fan out
+    val out = semiJoin(facts, dims, "k")
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("antiJoin keeps fact rows without a matching dim key") {
+    val facts = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val dims = Seq(1).toDF("k")
+    assert(antiJoin(facts, dims, "k").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+  }
+
+  test("dedupPairs drops nulls and duplicate mapping rows before a join (etl_io.py:922)") {
+    val stone = Seq(
+      (Some("a"), Some("x")), (Some("a"), Some("x")),
+      (Some("b"), None), (None, Some("y"))).toDF("l", "r")
+    assert(dedupPairs(stone, "l", "r").count() == 1)
+  }
+
+  test("dsum is exact for 2-decimal doubles regardless of partitioning") {
+    val vals = (1 to 1000).map(i => i * 0.01)
+    val one = vals.toDF("v").coalesce(1).agg(dsum(col("v"))).head.getDouble(0)
+    val many = vals.toDF("v").repartition(7).agg(dsum(col("v"))).head.getDouble(0)
+    assert(one == many)
+    assert(one == 5005.0) // sum(1..1000)*0.01 exactly
+  }
+
+  test("inList builds an isin predicate") {
+    val df = Seq("a", "b", "c").toDF("x")
+    assert(df.where(inList(col("x"), Seq("a", "c"))).count() == 2)
+  }
+}
