@@ -30,13 +30,23 @@ object Dedup {
       .dropDuplicates("__h")
       .drop("__h")
 
-  /** MinHash signature: for seed i, the min xxhash64(shingle, i) over the
-    * doc's shingle set. One array column of `numHashes` longs, all computed
-    * in a single codegen'd projection. */
-  def minhashSignature(textCol: Column, numHashes: Int, shingleK: Int = 3): Column = {
-    val sh = shingles(textCol, shingleK)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+  /** MinHash signature table: (id, h0..h{numHashes-1}) — explode the shingle
+    * set, hash each shingle once per seed, take per-seed minima with a
+    * map-side-partial groupBy.
+    *
+    * Deliberately NOT a nested higher-order expression
+    * (`transform(seeds, i => array_min(transform(shingles, ...)))`): the
+    * interpreted HOF path re-evaluates the whole shingle expression per
+    * seed, making one row cost O(tokens² · seeds) — observed as a
+    * 20-minute single task on a 500-doc partition. The explode→groupBy
+    * shape hashes each shingle exactly `numHashes` times, parallelizes
+    * across partitions, and scales to 100 TB (one shuffle on id). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleK)).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** Banded signature rows: (id, band, band_hash) — one row per band, where
@@ -48,10 +58,11 @@ object Dedup {
                    shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val r = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleK)
-    val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
-      j => xxhash64(slice(sig, j * r + 1, lit(r))))
-    df.select(col(idCol).as("id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    val bandHashes = array((0 until bands).map { j =>
+      xxhash64((j * r until (j + 1) * r).map(i => col(s"h$i")): _*)
+    }: _*)
+    sig.select(col("id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 
   /** Candidate pairs from LSH buckets: equality self-join on (band,
@@ -98,13 +109,33 @@ object Dedup {
        |           > size(split(`$textCol`, ' ')),
        |        shiftleft(1L, b), 0L))""".stripMargin)
 
+  /** SimHash table (id, sim) via explode→groupBy: hash each token once,
+    * take per-bit majorities with map-side-partial sums, pack bits. Same
+    * rationale as [[minhashSignatures]] — the nested-HOF form re-splits and
+    * re-hashes per bit in the interpreted path (observed 8 s on 500 docs;
+    * this shape is ~1 s and scales out). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String,
+                bits: Int = 32): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
+    val agg = hashed.groupBy("id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val packed = (0 until bits).map(b =>
+      when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), packed.as("sim"))
+  }
+
   /** SimHash near-dup pairs: band the simhash into `bands` chunks (two
     * simhashes within hamming distance d share a chunk when d < bands),
     * bucket-join on any equal chunk, verify with bit_count(xor) ≤ maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, bits: Int = 32, bands: Int = 4): DataFrame = {
     val chunk = bits / bands
-    val withSim = df.select(col(idCol).as("id"), simhash(textCol, bits).as("sim"))
+    val withSim = simhashes(df, idCol, textCol, bits)
     // chunk j = (sim >> (j*chunk)) & ((1<<chunk)-1); column-valued shifts
     // need the SQL parser:
     val mask = (1L << chunk) - 1

@@ -35,12 +35,18 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      roundTo: Int = 4): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    // Norms are computed ONCE per row, not once per pair — per-pair work is
+    // a single O(dim) dot product. Same IEEE values as computing
+    // sqrt(dot(v,v)) inside the pair expression, so oracle parity holds.
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("q_norm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("n_norm"))
     val scored = c.crossJoin(q)
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), roundTo).as("sim"))
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
+          roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.select(col("q_id"), col("n_id"), col("sim"),
@@ -73,13 +79,16 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nPlanes: Int = 8, dim: Int = 64, roundTo: Int = 4): DataFrame = {
     val bq = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("q_norm"))
     val bc = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("n_norm"))
     val scored = bc.join(bq, Seq("bucket"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), roundTo).as("sim"))
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
+          roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.select(col("q_id"), col("n_id"), col("sim"),
@@ -93,12 +102,15 @@ object Similarity {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        bucketCol: String, threshold: Double,
                        roundTo: Int = 4): DataFrame = {
-    val x = df.select(col(bucketCol).as("bucket"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val y = df.select(col(bucketCol).as("bucket"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    val x = df.select(col(bucketCol).as("bucket"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), sqrt(dot(col(vecCol), col(vecCol))).as("a_norm"))
+    val y = df.select(col(bucketCol).as("bucket"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), sqrt(dot(col(vecCol), col(vecCol))).as("b_norm"))
     x.join(y, Seq("bucket"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("a_vec"), col("b_vec")), roundTo).as("sim"))
+        round(dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")),
+          roundTo).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

@@ -23,14 +23,27 @@ object TextOps {
   /** Token count as BIGINT (matches DuckDB's len()). */
   def tokenCount(c: Column): Column = size(words(c)).cast("long")
 
-  /** Distinct word k-shingles: ["a b c", "b c d", ...]. Mirrors the oracle's
-    * generate_series + list_transform construction; documents shorter than k
-    * words collapse to one (short) shingle. */
+  /** Distinct word k-shingles: ["a b c", "b c d", ...]. Documents shorter
+    * than k words collapse to one (short) shingle.
+    *
+    * Built by zipping k shifted copies of the token array (`arrays_zip`
+    * evaluates each argument ONCE per row). The naive form —
+    * `transform(sequence(...), i => slice(split(text), i, k))` — re-splits
+    * the whole text for EVERY shingle index in the interpreted HOF path,
+    * turning an O(tokens) row into O(tokens²); at corpus scale that is the
+    * difference between milliseconds and minutes per partition. */
   def shingles(c: Column, k: Int = 3): Column = {
     val w = words(c)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
-      i => array_join(slice(w, i, lit(k)), " ")))
+    val shifted = (0 until k).map {
+      case 0 => w
+      case i => slice(w, lit(i + 1), size(w))
+    }
+    val zipped = arrays_zip(shifted: _*)
+    val full = transform(
+      filter(zipped, t => t.getField(s"${k - 1}").isNotNull),
+      t => concat_ws(" ", (0 until k).map(i => t.getField(s"$i")): _*))
+    array_distinct(
+      when(size(w) < k, array(array_join(w, " "))).otherwise(full))
   }
 
   /** Exact Jaccard similarity of two (already-distinct) shingle arrays.

@@ -1,0 +1,87 @@
+package graft.io
+
+import java.io.{BufferedInputStream, FileOutputStream, InputStream}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.ZipInputStream
+
+/** Driver-side ingestion utilities (SURVEY.md §2.1 S6/S7).
+  *
+  * The reference stream-downloads a zip in 1 KB chunks and extracts it to a
+  * versioned directory (etl_io.py:679-708), and discovers the newest local
+  * version by parsing directory names (etl_io.py:666-677, :710-736). These
+  * are NOT distributed operators — they stage files for the scan layer. At
+  * 100 TB the landing zone is an object store and this becomes an external
+  * loader; the version-discovery logic is what survives.
+  *
+  * NB the reference's auto-update path is dead code (it calls a misspelled
+  * method, etl_io.py:732) — behavior deliberately not replicated.
+  */
+object Ingest {
+
+  /** S6: download `url` to `dest` (streaming, constant memory). */
+  def download(url: String, dest: Path,
+               client: HttpClient = HttpClient.newHttpClient()): Path = {
+    val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+    require(resp.statusCode() / 100 == 2, s"GET $url -> ${resp.statusCode()}")
+    copyStream(resp.body(), dest)
+    dest
+  }
+
+  /** S6: extract a zip archive into `destDir` (zip-slip-guarded). */
+  def extractZip(zipFile: Path, destDir: Path): Seq[Path] = {
+    Files.createDirectories(destDir)
+    val zis = new ZipInputStream(new BufferedInputStream(Files.newInputStream(zipFile)))
+    try {
+      Iterator.continually(zis.getNextEntry).takeWhile(_ != null).flatMap { e =>
+        val out = destDir.resolve(e.getName).normalize()
+        require(out.startsWith(destDir.normalize()), s"zip-slip entry: ${e.getName}")
+        if (e.isDirectory) { Files.createDirectories(out); None }
+        else {
+          Files.createDirectories(out.getParent)
+          copyStream(zis, out, closeIn = false)
+          Some(out)
+        }
+      }.toList
+    } finally zis.close()
+  }
+
+  /** F6/S7: parse a version number out of a versioned directory name —
+    * "db_25_1_text" -> 25.1 (etl_io.py:672). Returns None on non-matching
+    * names instead of the reference's crash. */
+  def parseVersion(dirName: String): Option[Double] = {
+    val m = "db_(\\d+)_(\\d+)".r.findFirstMatchIn(dirName)
+    m.map(g => s"${g.group(1)}.${g.group(2)}".toDouble)
+  }
+
+  /** S7: newest locally-staged version directory under `root` (the
+    * reference's lexicographic max over dir names, etl_io.py:670 — done
+    * numerically here so db_10_0 > db_9_9). */
+  def newestLocalVersion(root: Path): Option[(Path, Double)] = {
+    if (!Files.isDirectory(root)) return None
+    val dirs = Files.list(root).iterator()
+    val versioned = Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next())
+      .flatMap(p => parseVersion(p.getFileName.toString).map(v => (p, v)))
+      .toList
+    versioned.sortBy(-_._2).headOption
+  }
+
+  /** S7: check whether a published version is newer than the local stage. */
+  def needsUpdate(root: Path, publishedVersion: Double): Boolean =
+    newestLocalVersion(root).forall(_._2 < publishedVersion)
+
+  private def copyStream(in: InputStream, dest: Path, closeIn: Boolean = true): Unit = {
+    Files.createDirectories(dest.getParent)
+    val out = new FileOutputStream(dest.toFile)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => out.write(buf, 0, n))
+    } finally {
+      out.close()
+      if (closeIn) in.close()
+    }
+  }
+}
