@@ -25,6 +25,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Dot product that prefers the native codegen expression (`vec_dot`,
+    * registered by [[graft.GraftExtensions]]) and falls back to the HOF
+    * fold on sessions without the extension. Same element order and double
+    * upcasting → bit-identical results either way. */
+  private def pdot(df: DataFrame)(a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("vec_dot"))
+      call_function("vec_dot", a, b)
+    else dot(a, b)
+
   /** Exact brute-force top-k neighbors of each query vector.
     *
     * The query side must be SMALL (it is broadcast; cost = |corpus| × |q|).
@@ -38,14 +47,15 @@ object Similarity {
     // Norms are computed ONCE per row, not once per pair — per-pair work is
     // a single O(dim) dot product. Same IEEE values as computing
     // sqrt(dot(v,v)) inside the pair expression, so oracle parity holds.
+    val d = pdot(corpus) _
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("q_norm")))
+      sqrt(d(col(vecCol), col(vecCol))).as("q_norm")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("n_norm"))
+      sqrt(d(col(vecCol), col(vecCol))).as("n_norm"))
     val scored = c.crossJoin(q)
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
+        round(d(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
           roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -63,11 +73,14 @@ object Similarity {
 
   /** Sign-LSH bucket id: one bit per hyperplane (sign of v·plane), packed
     * into a long. Vectors close in cosine land in the same bucket with
-    * probability 1 - θ/π per bit. */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    * probability 1 - θ/π per bit. `dotFn` lets callers pass the native
+    * `vec_dot` (float·double arrays are accepted by both paths). */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int,
+                dotFn: (Column, Column) => Column = dot,
+                seed: Long = 42L): Column = {
     val ps = planes(nPlanes, dim, seed)
     ps.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotFn(vec, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -78,16 +91,17 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nPlanes: Int = 8, dim: Int = 64, roundTo: Int = 4): DataFrame = {
+    val d = pdot(corpus) _
     val bq = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("q_norm"))
+      lshBucket(col(vecCol), nPlanes, dim, d).as("bucket"),
+      sqrt(d(col(vecCol), col(vecCol))).as("q_norm"))
     val bc = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("n_norm"))
+      lshBucket(col(vecCol), nPlanes, dim, d).as("bucket"),
+      sqrt(d(col(vecCol), col(vecCol))).as("n_norm"))
     val scored = bc.join(bq, Seq("bucket"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
+        round(d(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
           roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -102,14 +116,15 @@ object Similarity {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        bucketCol: String, threshold: Double,
                        roundTo: Int = 4): DataFrame = {
+    val d = pdot(df) _
     val x = df.select(col(bucketCol).as("bucket"), col(idCol).as("a_id"),
-      col(vecCol).as("a_vec"), sqrt(dot(col(vecCol), col(vecCol))).as("a_norm"))
+      col(vecCol).as("a_vec"), sqrt(d(col(vecCol), col(vecCol))).as("a_norm"))
     val y = df.select(col(bucketCol).as("bucket"), col(idCol).as("b_id"),
-      col(vecCol).as("b_vec"), sqrt(dot(col(vecCol), col(vecCol))).as("b_norm"))
+      col(vecCol).as("b_vec"), sqrt(d(col(vecCol), col(vecCol))).as("b_norm"))
     x.join(y, Seq("bucket"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")),
+        round(d(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")),
           roundTo).as("sim"))
       .where(col("sim") >= threshold)
   }

@@ -62,6 +62,37 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Custom-state sessionization (§2.9 depth): per-user session summaries
+    * via `mapGroupsWithState` — sessions split on gaps > `gapMinutes`.
+    * Events within a group are sorted in-state (bounded per user per
+    * microbatch); state carries only counters + last timestamp, so it is
+    * O(1) per user at any scale. */
+  def sessionSummaries(spark: SparkSession, events: DataFrame,
+                       gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      // microsecond longs, not Timestamp: exact ordering + arithmetic
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[(Long, Long, Long)]) =>
+          // state = (n_sessions, n_events, last_ts_micros)
+          val (s0, e0, last0) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          var (s, e, last) = (s0, e0, last0)
+          it.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (last == Long.MinValue || r._2 - last > gapMicros) s += 1
+            e += 1; last = r._2
+          }
+          state.update((s, e, last))
+          (user, s, e)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
   /** Run a streaming DataFrame to completion over the (bounded) file source
     * with AvailableNow, collecting results via a memory sink; returns the
     * final table. Batch-equivalent by construction — used to verify the

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector math over embedding columns (`array<float>`/`array<double>`).
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`) is
+  * CodegenFallback — every element bounces through interpreted expression
+  * eval. These are proper Catalyst `BinaryExpression`s with `doGenCode`, so
+  * the similarity kernels run as tight JIT'd loops inside whole-stage
+  * codegen. Semantics match the HOF path bit-for-bit: elements upcast to
+  * double, sequential left-to-right accumulation.
+  *
+  * Registered as SQL functions `vec_dot` / `cosine_sim` by
+  * [[graft.GraftExtensions]].
+  */
+trait VectorFoldExpression extends BinaryExpression {
+
+  private def isVector(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVector(left.dataType) && isVector(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** java accessor for one element of the given child. */
+  protected def getter(e: Expression, arr: String, i: String): String =
+    if (elemIsFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  protected def readElem(e: Expression, arr: ArrayData, i: Int): Double =
+    if (elemIsFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
+}
+
+/** vec_dot(a, b): Σ a_i·b_i over min(len(a), len(b)); null if any read
+  * element is null. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += readElem(left, x, i) * readElem(right, y, i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  ${ev.value} += (${getter(left, a, i)}) * (${getter(right, b, i)});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine_sim(a, b): vec_dot(a,b) / (sqrt(vec_dot(a,a)) · sqrt(vec_dot(b,b))),
+  * computed in one pass per array. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += readElem(left, x, i) * readElem(right, y, i)
+      i += 1
+    }
+    var na = 0.0
+    i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null
+      val v = readElem(left, x, i); na += v * v; i += 1
+    }
+    var nb = 0.0
+    i = 0
+    while (i < y.numElements()) {
+      if (y.isNullAt(i)) return null
+      val v = readElem(right, y, i); nb += v * v; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else { $dot += (${getter(left, a, i)}) * (${getter(right, b, i)}); }
+         |}
+         |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else { double $v = ${getter(left, a, i)}; $na += $v * $v; }
+         |}
+         |for (int $i = 0; $i < $b.numElements() && !${ev.isNull}; $i++) {
+         |  if ($b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else { double $v = ${getter(right, b, i)}; $nb += $v * $v; }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

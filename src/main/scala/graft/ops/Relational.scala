@@ -40,6 +40,21 @@ object Relational {
   def dedupPairs(stone: DataFrame, left: String, right: String): DataFrame =
     stone.select(left, right).na.drop("any").dropDuplicates()
 
+  /** Skew-safe equi-join: salt the (skewed) fact side deterministically
+    * from a unique column and explode the dim side across `buckets` salt
+    * values, so one hot key spreads over `buckets` reducers instead of one.
+    * Result is identical to `facts.join(dims, key)`; use when AQE's skew
+    * handling isn't available (e.g. a non-AQE sink stage) or a key is known
+    * pathological. Dim side grows ×buckets — keep it the small side. */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
+                 saltSrcCol: String, buckets: Int = 16): DataFrame = {
+    val fs = facts.withColumn("__salt",
+      pmod(xxhash64(col(saltSrcCol)), lit(buckets.toLong)))
+    val ds = dims.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    fs.join(ds, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Exact decimal SUM surfaced as double.
     *
     * The corpus measures are 2-decimal doubles; a parallel double sum is

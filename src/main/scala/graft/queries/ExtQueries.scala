@@ -84,6 +84,41 @@ object ExtQueries {
           .intersect(c.where(col("c_acctbal") > 1000).select("c_custkey"))
       }),
 
+    // A-ext: CUBE over two keys (grouping-sets family; Spark + DuckDB both
+    // emit NULL for rolled-up key levels).
+    Reg("a7_cube", Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+        .stripMargin))(
+      (s, dir) => Tables(s, dir).lineitem
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))),
+
+    // A-ext: ROLLUP (hierarchical subtotals).
+    Reg("a8_rollup", Some(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+        .stripMargin))(
+      (s, dir) => Tables(s, dir).orders
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))),
+
+    // A-ext: exact distinct count per group (the HLL approx variant is
+    // registered rows-only below — approx sketches differ across engines).
+    Reg("a9_count_distinct", Some(
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))(
+      (s, dir) => Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))),
+
+    // A-ext: HLL approx distinct — engine-specific sketch, rows-only.
+    Reg("a9_approx_distinct", None)(
+      (s, dir) => Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))),
+
     // F-json: JSON field extraction from the events props column.
     Reg("f_json_extract", Some(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -101,6 +136,55 @@ object ExtQueries {
       (s, dir) => Tables(s, dir).events
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))),
+
+    // F-date: calendar part extraction (int parts cast to BIGINT to match
+    // DuckDB's year/month/day return type).
+    Reg("f_date_parts", Some(
+      """SELECT event_id, year(ts) AS y, month(ts) AS m, day(ts) AS d
+        |FROM events""".stripMargin))(
+      (s, dir) => Tables(s, dir).events.select(
+        col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"))),
+
+    // S3/A6: catalog nested-map materialization (the reference's
+    // metadata-dict build, etl_io.py:104-108) — collected driver-side,
+    // flattened back to rows for the oracle.
+    Reg("catalog_nestedmap", Some(
+      """SELECT r_name AS key, CAST(n_nationkey AS VARCHAR) AS code,
+        |  n_name AS label
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val meta = t.nation
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"),
+            col("n_nationkey").cast("string").as("code"), col("n_name"))
+        val nested = graft.io.Catalog.nestedMap(meta, "r_name", "code", "n_name")
+        import s.implicits._
+        nested.toSeq.flatMap { case (k, m) =>
+          m.toSeq.map { case (c, l) => (k, c, l) }
+        }.toDF("key", "code", "label")
+      }),
+
+    // F1 at scale: recode via broadcast join against a code-book DataFrame
+    // (the big-map variant of the literal-map recode).
+    Reg("f1_recode_join", Some(
+      """SELECT o_orderkey,
+        |  CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
+        |    ELSE o_orderpriority
+        |  END AS priority_label
+        |FROM orders""".stripMargin))(
+      (s, dir) => {
+        import s.implicits._
+        val book = Seq(("1-URGENT", "urgent"), ("2-HIGH", "high"))
+          .toDF("code", "label")
+        graft.ops.Recode
+          .recodeJoin(Tables(s, dir).orders, "o_orderpriority", book, "code", "label")
+          .select(col("o_orderkey"), col("o_orderpriority").as("priority_label"))
+      }),
 
     // S8 sink round-trip: write the A1 aggregate as parquet, read it back —
     // the re-read result must hash-match the A1 oracle.
@@ -121,6 +205,23 @@ object ExtQueries {
     // ST: Structured Streaming variant of the windowed A1/A2 aggregation —
     // readStream + watermark + tumbling 1-day window run to completion over
     // the bounded file source; must match the batch oracle exactly.
+    // ST: custom-state sessionization (mapGroupsWithState) — gap-based
+    // session counting per user, oracled against a lag-window SQL rewrite.
+    Reg("sessionize", Some(
+      """WITH x AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin))(
+      (s, dir) => graft.ext.Streaming.sessionSummaries(
+        s, Tables(s, dir).events, gapMinutes = 30)),
+
     Reg("stream_window", Some(
       s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -152,6 +152,35 @@ object LlmQueries {
     // partition-parallel typed plumbing is what's under test).
     Reg("mm_features", None)(
       (s, dir) => Multimodal.extractFeatures(s,
-        Multimodal.mediaTable(Tables(s, dir).documents)).toDF())
+        Multimodal.mediaTable(Tables(s, dir).documents)).toDF()),
+
+    // End-to-end training-data prep: deterministic exact dedup (keep min id
+    // per content) → quality scoring → threshold filter. The composition a
+    // 100 TB corpus-cleaning job actually runs, oracled step-for-step.
+    Reg("pipeline_clean_corpus", Some(
+      s"""WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  least(CAST(len(string_split(text,' ')) AS BIGINT) / 100.0, 1.0) * 0.5
+         |    + (1.0 - least((CAST(len(list_filter(string_split(text,' '), w -> w IN $duckStop)) AS DOUBLE)
+         |                    / len(string_split(text,' '))) * 2.0, 1.0)) * 0.3
+         |    + least((CAST(length(replace(text,' ','')) AS DOUBLE)
+         |             / len(string_split(text,' '))) / 8.0, 1.0) * 0.2 AS q_score
+         |FROM documents d JOIN kept USING (doc_id)
+         |WHERE least(CAST(len(string_split(text,' ')) AS BIGINT) / 100.0, 1.0) * 0.5
+         |    + (1.0 - least((CAST(len(list_filter(string_split(text,' '), w -> w IN $duckStop)) AS DOUBLE)
+         |                    / len(string_split(text,' '))) * 2.0, 1.0)) * 0.3
+         |    + least((CAST(length(replace(text,' ','')) AS DOUBLE)
+         |             / len(string_split(text,' '))) / 8.0, 1.0) * 0.2 >= 0.5"""
+        .stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val kept = Dedup.exactDedupGroups(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val deduped = docs.join(kept, Seq("doc_id"), "left_semi")
+        TextOps.qualityColumns(deduped, "text")
+          .where(col("q_score") >= 0.5)
+          .select("doc_id", "lang", "n_tokens", "q_score")
+      })
   )
 }

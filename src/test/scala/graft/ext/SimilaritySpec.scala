@@ -47,6 +47,33 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0) == b(1))
   }
 
+  test("native vec_dot/cosine_sim match the HOF fold bit-for-bit") {
+    assert(spark.catalog.functionExists("vec_dot"), "GraftExtensions not loaded")
+    val vecs = Seq(
+      (Seq(0.3f, -1.2f, 7.5f, 0.01f), Seq(2.0f, 0.5f, -0.25f, 9.9f)),
+      (Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(4.0f, 3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val both = vecs.select(
+      call_function("vec_dot", col("a"), col("b")).as("nd"),
+      Similarity.dot(col("a"), col("b")).as("hd"),
+      call_function("cosine_sim", col("a"), col("b")).as("nc"),
+      Similarity.cosine(col("a"), col("b")).as("hc")).collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
+  test("native expressions handle null elements and length mismatch") {
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 2.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f, 3.0f), Seq[java.lang.Float](1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(call_function("vec_dot", col("a"), col("b")).as("d"))
+      .collect()
+    assert(df(0).isNullAt(0))
+    assert(df(1).getDouble(0) == 3.0) // min-length fold
+  }
+
   test("lshTopK finds the same top neighbor as brute force for close vectors") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),

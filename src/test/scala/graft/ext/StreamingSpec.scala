@@ -7,6 +7,26 @@ import graft.ops.Relational.dsum
 
 class StreamingSpec extends SparkSpec {
 
+  test("mapGroupsWithState sessionization matches the lag-window batch formulation") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables(spark, dir).events
+    val stateful = Streaming.sessionSummaries(spark, events, gapMinutes = 30)
+      .orderBy("user_id").collect()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > 30 * 60, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect()
+    assert(stateful.length == batch.length && stateful.length > 0)
+    assert(stateful.sameElements(batch))
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
