@@ -84,25 +84,31 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k via sign-LSH buckets: candidates are corpus vectors
-    * sharing the query's bucket; rank within bucket. The scale path — the
-    * join is an equality join on the bucket id (shuffle-partitioned, never
-    * all-pairs). Recall trades off with nPlanes. */
+  /** Approximate top-k via multi-table sign-LSH: `tables` independent plane
+    * sets (OR-construction); candidates are corpus vectors sharing ANY
+    * table's bucket with the query, deduped, then ranked. Recall for a pair
+    * with bit-agreement p is 1-(1-p^nPlanes)^tables — tables trades
+    * candidate volume for recall; the join stays an equality join on
+    * (table, bucket), shuffle-partitioned, never all-pairs. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nPlanes: Int = 8, dim: Int = 64, roundTo: Int = 4): DataFrame = {
+              nPlanes: Int = 8, dim: Int = 64, tables: Int = 4,
+              roundTo: Int = 4): DataFrame = {
     val d = pdot(corpus) _
+    def bucketArr(vec: Column) = array((0 until tables).map(t =>
+      lshBucket(vec, nPlanes, dim, d, seed = 42L + t)): _*)
     val bq = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), nPlanes, dim, d).as("bucket"),
-      sqrt(d(col(vecCol), col(vecCol))).as("q_norm"))
+        sqrt(d(col(vecCol), col(vecCol))).as("q_norm"),
+        posexplode(bucketArr(col(vecCol))).as(Seq("tbl", "bucket")))
     val bc = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      lshBucket(col(vecCol), nPlanes, dim, d).as("bucket"),
-      sqrt(d(col(vecCol), col(vecCol))).as("n_norm"))
-    val scored = bc.join(bq, Seq("bucket"))
+        sqrt(d(col(vecCol), col(vecCol))).as("n_norm"),
+        posexplode(bucketArr(col(vecCol))).as(Seq("tbl", "bucket")))
+    val cands = bc.join(bq, Seq("tbl", "bucket"))
       .where(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
-        round(d(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
-          roundTo).as("sim"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cands.select(col("q_id"), col("n_id"),
+      round(d(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
+        roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.select(col("q_id"), col("n_id"), col("sim"),

@@ -47,6 +47,21 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0) == b(1))
   }
 
+  test("lshTopK recall vs brute force is usable on the real corpus (sf0.001)") {
+    val e = graft.io.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val q = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // this corpus's nearest neighbors sit near cos≈0.4 (bit-agreement
+    // p≈0.63): with 4 planes × 6 tables expected recall ≈ 1-(1-p⁴)⁶ ≈ 0.65
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+        nPlanes = 4, tables = 6)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall collapsed: $recall")
+    assert(approx.nonEmpty && approx.size <= exact.size)
+  }
+
   test("native vec_dot/cosine_sim match the HOF fold bit-for-bit") {
     assert(spark.catalog.functionExists("vec_dot"), "GraftExtensions not loaded")
     val vecs = Seq(

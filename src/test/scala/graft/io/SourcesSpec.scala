@@ -1,0 +1,51 @@
+package graft.io
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+
+  test("tsv scan reads tab-separated files with header + schema inference (S4)") {
+    val f = Files.createTempDirectory("src").resolve("onet.tsv")
+    Files.writeString(f,
+      "O*NET-SOC Code\tElement Name\tData Value\n11-1011.00\tLeadership\t4.25\n")
+    val df = Sources.tsv(spark, f.toString)
+    assert(df.columns.toSeq == Seq("O*NET-SOC Code", "Element Name", "Data Value"))
+    val r = df.collect().head
+    assert(r.getString(0) == "11-1011.00" && r.getDouble(2) == 4.25)
+  }
+
+  test("csv scan reads comma-separated files (S5)") {
+    val f = Files.createTempDirectory("src").resolve("stone.csv")
+    Files.writeString(f, "soc,cip_2020\n11-1011,\"['11.0101', '11.02']\"\n")
+    val df = Sources.csv(spark, f.toString)
+    assert(df.count() == 1)
+    assert(df.collect().head.getString(1) == "['11.0101', '11.02']")
+  }
+
+  test("JDBC sink + scan round-trip via embedded Derby (S1/S8)") {
+    val db = Files.createTempDirectory("derby").resolve("testdb")
+    val url = s"jdbc:derby:$db;create=true"
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
+    Sinks.jdbc(df, url, "t1", numPartitions = 1)
+    // Spark's JDBC writer quotes column identifiers (case-sensitive
+    // lowercase in Derby) — the read query must quote them too
+    val back = Sources.jdbc(spark, url, "SELECT \"id\", \"k\", \"v\" FROM t1")
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("Catalog.flatMap builds a code->label driver map (A5/varnames analog)") {
+    import spark.implicits._
+    val df = Seq(("c1", "Label One"), ("c2", "Label Two"), (null, "skip"))
+      .toDF("code", "label")
+    assert(Catalog.flatMap(df, "code", "label") ==
+      Map("c1" -> "Label One", "c2" -> "Label Two"))
+  }
+
+  test("Catalog.listTables probes via Hadoop FS (S3)") {
+    val found = Catalog.listTables(spark, "/root/testdata/sf0.001")
+    assert(found.contains("lineitem") && found.contains("documents"))
+  }
+}
