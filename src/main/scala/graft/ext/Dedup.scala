@@ -70,7 +70,10 @@ object Dedup {
   def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleK: Int = 3): DataFrame = {
-    val b = minhashBands(df, idCol, textCol, numHashes, bands, shingleK)
+    // cache: both self-join sides read the bands; without it the whole
+    // shingle→hash→min pipeline runs twice (the broadcast side cannot
+    // reuse the other side's exchange)
+    val b = minhashBands(df, idCol, textCol, numHashes, bands, shingleK).cache()
     val x = b.select(col("band"), col("band_hash"), col("id").as("a_id"))
     val y = b.select(col("band"), col("band_hash"), col("id").as("b_id"))
     x.join(y, Seq("band", "band_hash"))
@@ -135,7 +138,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, bits: Int = 32, bands: Int = 4): DataFrame = {
     val chunk = bits / bands
-    val withSim = simhashes(df, idCol, textCol, bits)
+    val withSim = simhashes(df, idCol, textCol, bits).cache() // self-joined below
     // chunk j = (sim >> (j*chunk)) & ((1<<chunk)-1); column-valued shifts
     // need the SQL parser:
     val mask = (1L << chunk) - 1

@@ -36,6 +36,19 @@ object Sinks {
     tables
   }
 
+  /** Bucketed table write: pre-shuffles data into `numBuckets` by
+    * `bucketCol` at write time so later equi-joins/aggregations on that
+    * column run WITHOUT a shuffle (co-located, Exchange-free sort-merge
+    * join between tables bucketed the same way). The 100 TB lever for
+    * repeatedly-joined fact tables; requires a session catalog
+    * (saveAsTable), works with the in-memory catalog + warehouse dir. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** JDBC sink (SQLite/Postgres/...): the direct `to_sql` analog. The
     * `numPartitions` cap bounds concurrent connections against the target. */
   def jdbc(df: DataFrame, url: String, table: String,

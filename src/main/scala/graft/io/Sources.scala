@@ -60,6 +60,15 @@ object Sources {
     * over ODBC, etl_io.py:185-198; Spark pushes the query to the source). */
   def jdbc(spark: SparkSession, url: String, query: String): DataFrame =
     spark.read.format("jdbc").option("url", url).option("query", query).load()
+
+  /** S2: register every corpus table as a temp view so callers can run raw
+    * SQL (the reference's custom-SQL escape hatch, etl_io.py:156-201 —
+    * `spark.sql` replaces string templating; pushdown stays automatic). */
+  def registerViews(spark: SparkSession, dir: String): Seq[String] = {
+    val present = Catalog.listTables(spark, dir)
+    present.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    present
+  }
 }
 
 /** Typed handles on the test corpus: one lazy DataFrame per table.

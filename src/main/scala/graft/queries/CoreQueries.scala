@@ -27,6 +27,20 @@ object CoreQueries {
         .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_quantity")),
 
+    // S2: the raw-SQL path — corpus tables as temp views + spark.sql; the
+    // same ANSI text runs on both engines.
+    Reg("s2_sql_template", Some(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderpriority"""
+        .stripMargin))(
+      (s, dir) => {
+        graft.io.Sources.registerViews(s, dir)
+        s.sql(
+          """SELECT o_orderpriority, COUNT(*) AS n
+            |FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderpriority"""
+            .stripMargin)
+      }),
+
     // P4/P5: IN-list predicate, conjunction of clauses.
     Reg("p4_in_list", Some(
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders

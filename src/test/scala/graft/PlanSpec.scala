@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.io.Tables
+
+/** Performance-contract checks: these pin the PLAN properties the 100 TB
+  * posture depends on — pushdown reaching the scan, pruned read schemas,
+  * rank-limit pushdown, and shuffle-free joins between co-bucketed tables.
+  * A regression here is a scale bug even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private lazy val t = Tables(spark, "/root/testdata/sf0.001")
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan (PushedFilters/ReadSchema)") {
+    val df = t.lineitem
+      .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("GreaterThanOrEqual(l_shipdate"), s"filter not pushed:\n$scan")
+    assert(!scan.contains("l_extendedprice"), s"column pruning failed:\n$scan")
+  }
+
+  test("window top-k plans with rank-limit pushdown (WindowGroupLimit)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
+    val df = t.events.select(col("user_id"), col("value"),
+      row_number().over(w).as("rn")).where(col("rn") <= 3)
+    assert(physical(df).contains("WindowGroupLimit"), physical(df))
+  }
+
+  test("small dims plan as broadcast joins in the awards pipeline") {
+    val df = graft.api.Ipeds.awards(t,
+      graft.api.GeoFilter(regionNames = Seq("ASIA")), how = "total")
+    assert(physical(df).contains("BroadcastHashJoin"), physical(df))
+  }
+
+  test("co-bucketed tables join without a shuffle (Exchange-free)") {
+    import graft.io.Sinks
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val a = (1 to 1000).map(i => (i.toLong % 50, s"a$i")).toDF("k", "va")
+      val b = (1 to 500).map(i => (i.toLong % 50, s"b$i")).toDF("k", "vb")
+      Sinks.writeBucketed(a, "bkt_a", "k", 8, sortCol = Some("k"))
+      Sinks.writeBucketed(b, "bkt_b", "k", 8, sortCol = Some("k"))
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("k"))
+      val plan = physical(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1000 * 10) // 20 a-rows x 10 b-rows per key x 50 keys
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
