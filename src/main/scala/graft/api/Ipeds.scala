@@ -174,6 +174,12 @@ object Ipeds {
       .groupBy(col(geographyCol))
       .agg(count(col("unit_id")).as("school_count"))
 
+  /** Q5 scalar variant: the reference returns a bare `int` when no
+    * geography grouping is requested (etl_io.py:599) — row count over the
+    * restricted facts. */
+  def schoolsCount(t: Tables, geo: GeoFilter): Long =
+    schoolQuery(t, geo, Nil, None).count()
+
   /** Q5 corrected variant: distinct units per geography. */
   def schoolsDistinct(t: Tables, geo: GeoFilter, geographyCol: String): DataFrame =
     schoolQuery(t, geo, Nil, Some(geographyCol))

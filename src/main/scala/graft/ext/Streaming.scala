@@ -97,14 +97,22 @@ object Streaming {
     * with AvailableNow, collecting results via a memory sink; returns the
     * final table. Batch-equivalent by construction — used to verify the
     * streaming plan against the batch oracle. */
-  def runToTable(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+  def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
+                 outputMode: String = "complete"): DataFrame = {
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming dedup within watermark (§2.9): first event per
+    * (user_id, event_type); the 1-day watermark bounds dedup state. */
+  def dedupedPairs(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id", "event_type")
 }

@@ -53,6 +53,15 @@ object TextOps {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** BPE-ish token count: a GPT-2-style pre-tokenizer regex (contraction
+    * suffixes, letter runs, digit runs, punctuation runs, whitespace) —
+    * the cheap proxy for "how many BPE tokens will this cost" that
+    * training-data pipelines budget with. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c,
+      lit("'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
+      .cast("long")
+
   /** Normalized-text fingerprint: xxhash64 over lowercased,
     * whitespace-collapsed text. Two docs differing only in case/spacing get
     * the same fingerprint. */

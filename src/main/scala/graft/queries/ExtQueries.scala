@@ -205,6 +205,19 @@ object ExtQueries {
     // ST: Structured Streaming variant of the windowed A1/A2 aggregation —
     // readStream + watermark + tumbling 1-day window run to completion over
     // the bounded file source; must match the batch oracle exactly.
+    // ST: streaming dedup within watermark → batch rollup of the deduped
+    // stream; equals COUNT(DISTINCT user) per type.
+    Reg("stream_dedup", Some(
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin))(
+      (s, dir) => {
+        val name = s"stream_dedup_${streamRunCounter.incrementAndGet()}"
+        val deduped = graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.dedupedPairs(graft.ext.Streaming.readEvents(s, dir)),
+          name, outputMode = "append")
+        deduped.groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
+      }),
+
     // ST: custom-state sessionization (mapGroupsWithState) — gap-based
     // session counting per user, oracled against a lag-window SQL rewrite.
     Reg("sessionize", Some(

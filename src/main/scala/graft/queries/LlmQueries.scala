@@ -100,6 +100,29 @@ object LlmQueries {
         |) GROUP BY lang, token HAVING COUNT(*) >= 2""".stripMargin))(
       (s, dir) => TextOps.termFrequencies(Tables(s, dir).documents, minCount = 2)),
 
+    // BPE-ish token counting (GPT-2-style pre-tokenizer regex; Java and RE2
+    // regex engines agree on this pattern over the corpus — oracled).
+    Reg("text_tokens_bpe", Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'))
+        |    AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin))(
+      (s, dir) => Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"), lit(0)))
+          .cast("long").as("n_bpe"))),
+
+    // Stratified sampling for train/dev splits (seeded per-partition RNG is
+    // engine-specific → rows-only).
+    Reg("sample_stratified", None)(
+      (s, dir) => Tables(s, dir).documents
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1),
+          seed = 42L)
+        .select("doc_id", "lang")),
+
     // Language-ID heuristic (marker argmax — heuristic-specific → rows-only).
     Reg("text_langid", None)(
       (s, dir) => Tables(s, dir).documents.select(

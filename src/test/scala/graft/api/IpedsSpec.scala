@@ -40,6 +40,12 @@ class IpedsSpec extends SparkSpec {
     assert(rawTotal > distTotal) // row counts exceed distinct unit counts
   }
 
+  test("schoolsCount returns the bare scalar (reference's ungrouped int, etl_io.py:599)") {
+    val n = Ipeds.schoolsCount(t, GeoFilter(regionNames = Seq("ASIA")))
+    assert(n > 0)
+    assert(n == Ipeds.schoolQuery(t, GeoFilter(regionNames = Seq("ASIA"))).count())
+  }
+
   test("measureSet rejects unknown how") {
     intercept[IllegalArgumentException] { Ipeds.measureSet("race_sex_detail") }
   }

@@ -48,6 +48,13 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
   }
 
+  test("bpeTokenCount splits contractions, words, digits, punctuation") {
+    val out = Seq("I'll pay 100 dollars, obviously!").toDF("t")
+      .select(bpeTokenCount(col("t")).as("n")).head.getLong(0)
+    // I |'ll| pay| 100| dollars|,| obviously|! → 8
+    assert(out == 8L)
+  }
+
   test("termFrequencies counts tokens per lang with a min-count floor") {
     val docs = Seq(("en", "a a b"), ("en", "a c")).toDF("lang", "text")
     val tf = termFrequencies(docs, minCount = 2).collect()
