@@ -113,6 +113,38 @@ object ExtQueries {
         .groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("n_customers"))),
 
+    // A-ext: exact interpolating median per group (both engines average the
+    // two middle values for even counts).
+    Reg("a10_median", Some(
+      """SELECT l_returnflag, median(l_quantity) AS med
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))),
+
+    // A-ext: variance-family stats, rounded (parallel Welford merge vs the
+    // oracle's sequential pass differ only in ~1e-12 relative error).
+    Reg("a12_stats", Some(
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS c
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c"))),
+
+    // A-ext: deterministic argmax via struct max (field-by-field compare in
+    // both engines; the id tiebreak makes ties impossible).
+    Reg("a13_argmax", Some(
+      """SELECT o_orderpriority,
+        |  struct_extract(max(ROW(o_totalprice, o_orderkey)), 2) AS top_orderkey
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))(
+      (s, dir) => Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey")))
+          .getField("o_orderkey").as("top_orderkey"))),
+
     // A-ext: HLL approx distinct — engine-specific sketch, rows-only.
     Reg("a9_approx_distinct", None)(
       (s, dir) => Tables(s, dir).orders
