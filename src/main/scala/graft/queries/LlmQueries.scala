@@ -47,10 +47,13 @@ object LlmQueries {
       (s, dir) => Dedup.nearDupPairs(Tables(s, dir).documents, "doc_id", "text",
         threshold = 0.7)),
 
-    // SimHash near-dup pairs (hash-specific → rows-only check).
+    // SimHash near-dup pairs (hash-specific → rows-only check). 64-bit
+    // hashes: with a shared vocabulary, 32 bits cannot separate true
+    // near-dups (hamming ≤3 of 64 keeps precision; 32-bit/≤6 flagged 7.6%
+    // of all pairs on this corpus).
     Reg("dedup_simhash", None)(
       (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
-        maxDist = 6)),
+        maxDist = 3, bits = 64, bands = 4)),
 
     // Embedding near-dup within label buckets (cosine ≥ 0.4 — this corpus
     // has no high-cosine duplicates; max in-label cosine ≈ 0.47).
