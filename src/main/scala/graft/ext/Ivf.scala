@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mutable centroid accumulator: element-wise sum + count. */
+final case class CentroidBuf(var sum: Array[Double], var n: Long)
+
+/** Typed Aggregator computing the mean vector of an embedding group —
+  * the custom-Aggregator path reserved in SURVEY §2.10 for vector math the
+  * built-ins can't express. Partial-aggregation friendly: `reduce` folds a
+  * row into the buffer, `merge` combines map-side partials, so each cell's
+  * centroid is one shuffle of k buffers, never a collect of vectors. */
+object VectorCentroid extends Aggregator[Array[Float], CentroidBuf, Array[Double]] {
+
+  override def zero: CentroidBuf = CentroidBuf(Array.emptyDoubleArray, 0L)
+
+  override def reduce(b: CentroidBuf, a: Array[Float]): CentroidBuf = {
+    if (b.sum.isEmpty) b.sum = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length && i < b.sum.length) { b.sum(i) += a(i); i += 1 }
+    b.n += 1
+    b
+  }
+
+  override def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf = {
+    if (x.sum.isEmpty) y
+    else if (y.sum.isEmpty) x
+    else {
+      var i = 0
+      while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+      x.n += y.n
+      x
+    }
+  }
+
+  override def finish(b: CentroidBuf): Array[Double] =
+    if (b.n == 0) b.sum else b.sum.map(_ / b.n)
+
+  override def bufferEncoder: Encoder[CentroidBuf] = ExpressionEncoder[CentroidBuf]()
+  override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+}
+
+/** IVF-style (inverted-file) approximate similarity search (SURVEY §2.11's
+  * "IVF or LSH-bucketed variant as the scale path"): the corpus is
+  * partitioned into cells, each cell summarized by its centroid (typed
+  * [[VectorCentroid]] Aggregator); a query probes only the `nprobe` cells
+  * whose centroids are nearest, so the search join is an equality join on
+  * the cell id over a fraction of the corpus. Centroids are bounded
+  * (cells × dim doubles) and travel as a broadcast literal — the corpus
+  * never moves. */
+object Ivf {
+
+  /** Per-cell centroids via the typed Aggregator. Returns (cell, centroid:
+    * array<double>). */
+  def centroids(df: DataFrame, cellCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(cellCol).cast("int").as("cell"), col(vecCol).as("vec"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VectorCentroid.toColumn.name("centroid"))
+      .toDF("cell", "centroid")
+  }
+
+  /** Approximate top-k: probe the `nprobe` cells nearest each query (by
+    * centroid cosine), brute-force only within those cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, cellCol: String,
+              k: Int, nprobe: Int = 2, roundTo: Int = 4): DataFrame = {
+    // bounded: (cells × dim) doubles — safe to collect + broadcast as literal
+    val cents: Seq[(Int, Seq[Double])] = centroids(corpus, cellCol, vecCol)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+      .sortBy(_._1)
+
+    // rank cells per query by centroid cosine, keep nprobe
+    val cellScores = array(cents.map { case (cell, c) =>
+      struct(
+        Similarity.cosine(col(vecCol), typedlit(c)).as("sim"),
+        lit(cell).as("cell"))
+    }: _*)
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        explode(slice(reverse(array_sort(cellScores)), 1, nprobe)).as("probe"))
+      .select(col("q_id"), col("q_vec"), col("probe.cell").as("cell"))
+
+    val c = corpus.select(col(cellCol).cast("int").as("cell"),
+      col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.join(probed, Seq("cell"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(Similarity.cosine(col("q_vec"), col("n_vec")), roundTo).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.select(col("q_id"), col("n_id"), col("sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= k)
+  }
+}

@@ -166,6 +166,15 @@ object LlmQueries {
           "vec_id", "embedding", k = 5, nPlanes = 6)
       }),
 
+    // Approximate top-k via IVF cells (typed-Aggregator centroids, probe
+    // the nearest nprobe cells → rows-only).
+    Reg("topk_sim_ivf", None)(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        graft.ext.Ivf.ivfTopK(e, e.where(col("vec_id") < 20),
+          "vec_id", "embedding", "label", k = 5, nprobe = 3)
+      }),
+
     // Multimodal metadata projection (payload stays opaque).
     Reg("mm_meta", Some(
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
