@@ -126,8 +126,25 @@ object LlmQueries {
           seed = 42L)
         .select("doc_id", "lang")),
 
-    // Language-ID heuristic (marker argmax — heuristic-specific → rows-only).
-    Reg("text_langid", None)(
+    // Language-ID heuristic: the marker-argmax is deterministic CASE logic,
+    // so it IS oracle-able — ties break lexicographically-last, which the
+    // SQL encodes by checking languages in reverse lexicographic order.
+    Reg("text_langid", Some {
+      val markers = TextOps.langMarkers.toSeq.sortBy(_._1)
+      def hits(m: Seq[String]) =
+        s"len(list_filter(string_split(lower(text),' '), w -> w IN (${m.map("'" + _ + "'").mkString(",")})))"
+      val best = s"greatest(${markers.map(m => hits(m._2)).mkString(", ")})"
+      val cases = markers.reverse
+        .map { case (lang, m) => s"WHEN ${hits(m)} = $best THEN '$lang'" }
+        .mkString("\n    ")
+      s"""SELECT doc_id,
+         |  CASE WHEN $best = 0 THEN 'und'
+         |    $cases
+         |  END AS lang_pred,
+         |  ROUND(CAST($best AS DOUBLE) / len(string_split(lower(text),' ')), 6)
+         |    AS lang_score
+         |FROM documents""".stripMargin
+    })(
       (s, dir) => Tables(s, dir).documents.select(
         col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"),
@@ -188,6 +205,23 @@ object LlmQueries {
     Reg("mm_features", None)(
       (s, dir) => Multimodal.extractFeatures(s,
         Multimodal.mediaTable(Tables(s, dir).documents)).toDF()),
+
+    // Scalar projection of the decode stage: the stub codec is pure
+    // arithmetic on payload bytes, so the mapPartitions pipeline can be
+    // oracled exactly (ASCII corpus: first byte = ord of first char).
+    Reg("mm_features_flat", Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(1 + octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
+        |  CAST(1 + CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0
+        |       ELSE ord(substr(text, 1, 1)) % 480 END AS BIGINT) AS height
+        |FROM documents""".stripMargin))(
+      (s, dir) => Multimodal.extractFeatures(s,
+        Multimodal.mediaTable(Tables(s, dir).documents))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))),
 
     // End-to-end training-data prep: deterministic exact dedup (keep min id
     // per content) → quality scoring → threshold filter. The composition a
