@@ -66,6 +66,42 @@ object Ivf {
       .toDF("cell", "centroid")
   }
 
+  /** Assignment column: index of the centroid with max cosine to `vec`.
+    * Centroids travel as literals (bounded: k × dim doubles). */
+  private def nearestCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array_max(array(cents.map { case (cell, c) =>
+      struct(
+        Similarity.cosine(vec, typedlit(c)).as("sim"),
+        lit(cell).as("cell"))
+    }: _*)).getField("cell")
+
+  /** Distributed Lloyd k-means over an embedding column (cosine
+    * assignment): deterministic seeded init (k rows by hash order), then
+    * `iters` rounds of [assign via broadcast centroid literals → recompute
+    * centroids with the typed Aggregator]. Per iteration: one aggregation
+    * job plus a driver collect of k bounded centroids — the corpus itself
+    * never moves or collects. Returns the input with a `cell` column. */
+  def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    var cents: Seq[(Int, Seq[Double])] = df
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+      .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+
+    var assigned = df.withColumn("cell", nearestCell(col(vecCol), cents))
+    var it = 0
+    while (it < iters) {
+      cents = centroids(assigned, "cell", vecCol)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+      assigned = df.withColumn("cell", nearestCell(col(vecCol), cents))
+      it += 1
+    }
+    assigned
+  }
+
   /** Approximate top-k: probe the `nprobe` cells nearest each query (by
     * centroid cosine), brute-force only within those cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,

@@ -192,6 +192,17 @@ object LlmQueries {
           "vec_id", "embedding", "label", k = 5, nprobe = 3)
       }),
 
+    // IVF over kmeans-learned cells (distributed Lloyd iterations;
+    // iterative algorithm → rows-only).
+    Reg("topk_sim_ivf_kmeans", None)(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val cells = graft.ext.Ivf.kmeansCells(e, "vec_id", "embedding",
+          k = 8, iters = 2)
+        graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
+          "vec_id", "embedding", "cell", k = 5, nprobe = 3)
+      }),
+
     // Multimodal metadata projection (payload stays opaque).
     Reg("mm_meta", Some(
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,

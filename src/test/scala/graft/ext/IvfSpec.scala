@@ -29,6 +29,35 @@ class IvfSpec extends SparkSpec {
     assert(!out.contains(2L) || out.length <= 2)
   }
 
+  test("kmeansCells recovers separable clusters") {
+    val rnd = new scala.util.Random(7)
+    def around(base: Seq[Float]) = base.map(v => v + rnd.nextFloat() * 0.05f)
+    val clusters = Seq(
+      Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f), Seq(0.0f, 0.0f, 1.0f))
+    val rows = for {
+      (base, ci) <- clusters.zipWithIndex
+      j <- 0 until 20
+    } yield ((ci * 20 + j).toLong, around(base), ci)
+    val df = rows.map { case (id, v, ci) => (id, v, ci) }
+      .toDF("vec_id", "embedding", "true_cluster")
+    val cells = Ivf.kmeansCells(df, "vec_id", "embedding", k = 3, iters = 3)
+    // each learned cell must be pure: one true cluster per cell
+    val purity = cells.groupBy("cell")
+      .agg(countDistinct("true_cluster").as("n"))
+      .collect().map(_.getLong(1))
+    assert(purity.forall(_ == 1L), s"mixed cells: ${purity.toSeq}")
+    assert(purity.length == 3)
+  }
+
+  test("ivfTopK works over kmeans-learned cells") {
+    val e = graft.io.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cells = Ivf.kmeansCells(e, "vec_id", "embedding", k = 8, iters = 2)
+    val out = Ivf.ivfTopK(cells, cells.where(col("vec_id") < 5),
+      "vec_id", "embedding", "cell", k = 3, nprobe = 2)
+    assert(out.count() > 0)
+    assert(out.groupBy("q_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("ivfTopK recall vs brute force on the real corpus (label cells, nprobe=3)") {
     val e = graft.io.Tables(spark, "/root/testdata/sf0.001").embeddings
     val q = e.where(col("vec_id") < 10)
