@@ -13,7 +13,7 @@ import graft.queries.{ApiQueries, CoreQueries, ExtQueries, LlmQueries, Reg}
   */
 object SparkEntry {
 
-  private def registry: Seq[Reg] =
+  private[graft] def registry: Seq[Reg] =
     CoreQueries.all ++ ApiQueries.all ++ ExtQueries.all ++ LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -70,16 +70,22 @@ object Dedup {
   def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleK: Int = 3): DataFrame = {
-    // cache: both self-join sides read the bands; without it the whole
+    // persist: both self-join sides read the bands; without it the whole
     // shingle→hash→min pipeline runs twice (the broadcast side cannot
-    // reuse the other side's exchange)
-    val b = minhashBands(df, idCol, textCol, numHashes, bands, shingleK).cache()
+    // reuse the other side's exchange). The candidate set — far smaller
+    // than the bands — is eagerly localCheckpoint'ed so the bands cache can
+    // be released immediately instead of living for the session (checkpoint
+    // blocks are reference-tracked and GC-cleaned by the ContextCleaner).
+    val b = minhashBands(df, idCol, textCol, numHashes, bands, shingleK).persist()
     val x = b.select(col("band"), col("band_hash"), col("id").as("a_id"))
     val y = b.select(col("band"), col("band_hash"), col("id").as("b_id"))
-    x.join(y, Seq("band", "band_hash"))
+    val cands = x.join(y, Seq("band", "band_hash"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
+      .localCheckpoint()
+    b.unpersist()
+    cands
   }
 
   /** Near-duplicate pairs: LSH candidates verified with EXACT shingle
@@ -138,7 +144,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, bits: Int = 32, bands: Int = 4): DataFrame = {
     val chunk = bits / bands
-    val withSim = simhashes(df, idCol, textCol, bits).cache() // self-joined below
+    // persisted for the self-join below; released after the (small) verified
+    // pair set is materialized — same hygiene as [[nearDupCandidates]]
+    val withSim = simhashes(df, idCol, textCol, bits).persist()
     // chunk j = (sim >> (j*chunk)) & ((1<<chunk)-1); column-valued shifts
     // need the SQL parser:
     val mask = (1L << chunk) - 1
@@ -148,11 +156,14 @@ object Dedup {
         .as(Seq("band", "chunk_val")))
     val x = banded2.select(col("band"), col("chunk_val"), col("id").as("a_id"), col("sim").as("a_sim"))
     val y = banded2.select(col("band"), col("chunk_val"), col("id").as("b_id"), col("sim").as("b_sim"))
-    x.join(y, Seq("band", "chunk_val"))
+    val pairs = x.join(y, Seq("band", "chunk_val"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
+      .localCheckpoint()
+    withSim.unpersist()
+    pairs
   }
 }

@@ -19,8 +19,11 @@ object VectorCentroid extends Aggregator[Array[Float], CentroidBuf, Array[Double
 
   override def reduce(b: CentroidBuf, a: Array[Float]): CentroidBuf = {
     if (b.sum.isEmpty) b.sum = new Array[Double](a.length)
+    require(a.length == b.sum.length,
+      s"embedding dimension mismatch: ${a.length} vs ${b.sum.length} — " +
+        "mixed-dimension vectors would silently corrupt the centroid")
     var i = 0
-    while (i < a.length && i < b.sum.length) { b.sum(i) += a(i); i += 1 }
+    while (i < a.length) { b.sum(i) += a(i); i += 1 }
     b.n += 1
     b
   }
@@ -29,6 +32,8 @@ object VectorCentroid extends Aggregator[Array[Float], CentroidBuf, Array[Double
     if (x.sum.isEmpty) y
     else if (y.sum.isEmpty) x
     else {
+      require(x.sum.length == y.sum.length,
+        s"embedding dimension mismatch: ${x.sum.length} vs ${y.sum.length}")
       var i = 0
       while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
       x.n += y.n

@@ -13,7 +13,10 @@ import org.apache.spark.sql.types._
   * eval. These are proper Catalyst `BinaryExpression`s with `doGenCode`, so
   * the similarity kernels run as tight JIT'd loops inside whole-stage
   * codegen. Semantics match the HOF path bit-for-bit: elements upcast to
-  * double, sequential left-to-right accumulation.
+  * double, sequential left-to-right accumulation, and NULL when the array
+  * lengths differ (the HOF `zip_with` null-pads the shorter array, which
+  * propagates NULL through the fold — the native path mirrors that instead
+  * of silently summing over min(len)).
   *
   * Registered as SQL functions `vec_dot` / `cosine_sim` by
   * [[graft.GraftExtensions]].
@@ -46,8 +49,8 @@ trait VectorFoldExpression extends BinaryExpression {
     if (elemIsFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
 }
 
-/** vec_dot(a, b): Σ a_i·b_i over min(len(a), len(b)); null if any read
-  * element is null. */
+/** vec_dot(a, b): Σ a_i·b_i; null if the lengths differ or any element is
+  * null (matches the HOF zip_with/aggregate fold). */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorFoldExpression {
 
@@ -56,7 +59,8 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -72,9 +76,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  ${ev.value} += (${getter(left, a, i)}) * (${getter(right, b, i)});
          |}
@@ -96,7 +101,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -128,7 +134,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val v = ctx.freshName("v")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }

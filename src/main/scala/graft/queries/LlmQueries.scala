@@ -14,13 +14,19 @@ import graft.io.Tables
 object LlmQueries {
 
   /** DuckDB fragment: distinct word 3-shingles of `text` (mirrors
-    * [[graft.ext.TextOps.shingles]]). */
+    * [[graft.ext.TextOps.shingles]] INCLUDING the short-doc branch: documents
+    * with fewer than 3 tokens collapse to one whole-text shingle — without
+    * the CASE, the transform would index past the token list and produce a
+    * [NULL] shingle set, silently missing exact-dup short docs). */
   private val duckShingles =
-    """list_distinct(list_transform(
-      |      generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+    """CASE WHEN len(string_split(text,' ')) < 3
+      |    THEN [array_to_string(string_split(text,' '), ' ')]
+      |    ELSE list_distinct(list_transform(
+      |      generate_series(1, len(string_split(text,' '))-2),
       |      i -> string_split(text,' ')[i] || ' ' ||
       |        string_split(text,' ')[i+1] || ' ' ||
-      |        string_split(text,' ')[i+2]))""".stripMargin
+      |        string_split(text,' ')[i+2]))
+      |    END""".stripMargin
 
   private val duckStop = "('the','a','of','and','is')"
 
@@ -211,11 +217,31 @@ object LlmQueries {
       (s, dir) => Multimodal.mediaTable(Tables(s, dir).documents)
         .select("doc_id", "n_bytes", "mime")),
 
-    // Multimodal decode/feature-extract (stub codec → rows-only; the
-    // partition-parallel typed plumbing is what's under test).
-    Reg("mm_features", None)(
+    // Multimodal decode/feature-extract. The typed Dataset keeps
+    // `features: array<float>`, but the REGISTERED query projects it to a
+    // scalar signature: f_i = byte_i/255f, so round(f_i*255) recovers the
+    // exact byte and the whole decode stage oracles as integers (no float
+    // formatting ambiguity, and the driver's pandas row-sort never sees an
+    // unhashable ndarray column).
+    Reg("mm_features", Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(1 + octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
+        |  CAST(1 + CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0
+        |       ELSE ord(substr(text, 1, 1)) % 480 END AS BIGINT) AS height,
+        |  array_to_string(list_transform(generate_series(1, 8),
+        |    i -> CAST(CASE WHEN octet_length(CAST(text AS BLOB)) >= i
+        |              THEN ord(substr(text, i, 1)) ELSE 0 END AS VARCHAR)),
+        |    ',') AS features_sig
+        |FROM documents""".stripMargin))(
       (s, dir) => Multimodal.extractFeatures(s,
-        Multimodal.mediaTable(Tables(s, dir).documents)).toDF()),
+        Multimodal.mediaTable(Tables(s, dir).documents))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          concat_ws(",", transform(col("features"),
+            f => round(f.cast("double") * 255).cast("long"))).as("features_sig"))),
 
     // Scalar projection of the decode stage: the stub codec is pure
     // arithmetic on payload bytes, so the mapPartitions pipeline can be

@@ -13,6 +13,12 @@ class EntrySpec extends SparkSpec {
     val qNames = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qNames))
     assert(qNames.size >= 60)
+    // .toMap would silently last-win a duplicate Reg name, shadowing an
+    // earlier query AND its oracle — compare against the raw registry.
+    val regNames = SparkEntry.registry.map(_.name)
+    val dups = regNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(regNames.size == qNames.size, s"duplicate query names: ${dups.mkString(",")}")
+    assert(SparkEntry.registry.count(_.oracle.isDefined) == SparkEntry.oracleSql.size)
   }
 
   test("every registered query runs and returns rows at sf0.001") {
