@@ -34,9 +34,15 @@ object Bench {
       case c => c.toString
     }
 
+    // dev loop: SPARK_GRAFT_ONLY="q1,q2" times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     val runs = 2
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         try {
           val times = (1 to runs).map { _ =>
             val t0 = System.nanoTime()

@@ -71,14 +71,33 @@ object Ivf {
       .toDF("cell", "centroid")
   }
 
+  /** Unit-normalize a centroid driver-side (k × dim doubles — trivial). */
+  private def unitize(c: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(c.iterator.map(x => x * x).sum)
+    if (n == 0.0) c else c.map(_ / n)
+  }
+
+  /** Per-centroid (score, cell) structs ranked by RAW dot against
+    * unit-normalized centroid literals. The row's own norm is a constant
+    * factor across all centroids, so argmax dot == argmax cosine — no
+    * per-centroid recomputation of sqrt(dot(vec,vec)), and the dot itself
+    * is the native codegen `vec_dot` when the extension is registered
+    * (the interpreted HOF cosine here was the round-2 perf_weak finding). */
+  private def centroidDots(df: DataFrame, vec: Column,
+                           cents: Seq[(Int, Seq[Double])]): Column = {
+    val d = Similarity.pdot(df) _
+    array(cents.map { case (cell, c) =>
+      struct(
+        d(vec, typedlit(unitize(c))).as("score"),
+        lit(cell).as("cell"))
+    }: _*)
+  }
+
   /** Assignment column: index of the centroid with max cosine to `vec`.
     * Centroids travel as literals (bounded: k × dim doubles). */
-  private def nearestCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    array_max(array(cents.map { case (cell, c) =>
-      struct(
-        Similarity.cosine(vec, typedlit(c)).as("sim"),
-        lit(cell).as("cell"))
-    }: _*)).getField("cell")
+  private def nearestCell(df: DataFrame, vec: Column,
+                          cents: Seq[(Int, Seq[Double])]): Column =
+    array_max(centroidDots(df, vec, cents)).getField("cell")
 
   /** Distributed Lloyd k-means over an embedding column (cosine
     * assignment): deterministic seeded init (k rows by hash order), then
@@ -88,7 +107,13 @@ object Ivf {
     * never moves or collects. Returns the input with a `cell` column. */
   def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
-    var cents: Seq[(Int, Seq[Double])] = df
+    // Each Lloyd iteration re-derives assignments from the input; persist it
+    // so the seed scan + every centroid aggregation read cached blocks
+    // instead of replaying the source lineage (round-2 "recompute chain").
+    // Released before returning: the iterations execute eagerly (collects)
+    // while this frame is hot; the RETURNED plan re-reads the source lazily.
+    val work = df.persist()
+    var cents: Seq[(Int, Seq[Double])] = work
       .orderBy(xxhash64(col(idCol), lit(seed)))
       .limit(k)
       .select(col(vecCol))
@@ -96,15 +121,16 @@ object Ivf {
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
       .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
 
-    var assigned = df.withColumn("cell", nearestCell(col(vecCol), cents))
     var it = 0
     while (it < iters) {
+      val assigned = work.withColumn("cell", nearestCell(work, col(vecCol), cents))
       cents = centroids(assigned, "cell", vecCol)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
-      assigned = df.withColumn("cell", nearestCell(col(vecCol), cents))
       it += 1
     }
-    assigned
+    val out = df.withColumn("cell", nearestCell(df, col(vecCol), cents))
+    work.unpersist()
+    out
   }
 
   /** Approximate top-k: probe the `nprobe` cells nearest each query (by
@@ -117,22 +143,24 @@ object Ivf {
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
       .sortBy(_._1)
 
-    // rank cells per query by centroid cosine, keep nprobe
-    val cellScores = array(cents.map { case (cell, c) =>
-      struct(
-        Similarity.cosine(col(vecCol), typedlit(c)).as("sim"),
-        lit(cell).as("cell"))
-    }: _*)
+    // rank cells per query by centroid dot (unit centroids ⇒ cosine order),
+    // keep nprobe; norms computed ONCE per row, native vec_dot throughout
+    val d = Similarity.pdot(corpus) _
     val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        explode(slice(reverse(array_sort(cellScores)), 1, nprobe)).as("probe"))
-      .select(col("q_id"), col("q_vec"), col("probe.cell").as("cell"))
+        sqrt(d(col(vecCol), col(vecCol))).as("q_norm"),
+        explode(slice(reverse(array_sort(
+          centroidDots(queries, col(vecCol), cents))), 1, nprobe)).as("probe"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("probe.cell").as("cell"))
 
     val c = corpus.select(col(cellCol).cast("int").as("cell"),
-      col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      sqrt(d(col(vecCol), col(vecCol))).as("n_norm"))
     val scored = c.join(probed, Seq("cell"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        round(Similarity.cosine(col("q_vec"), col("n_vec")), roundTo).as("sim"))
+        round(d(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
+          roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.select(col("q_id"), col("n_id"), col("sim"),

@@ -29,7 +29,7 @@ object Similarity {
     * registered by [[graft.GraftExtensions]]) and falls back to the HOF
     * fold on sessions without the extension. Same element order and double
     * upcasting → bit-identical results either way. */
-  private def pdot(df: DataFrame)(a: Column, b: Column): Column =
+  private[ext] def pdot(df: DataFrame)(a: Column, b: Column): Column =
     if (df.sparkSession.catalog.functionExists("vec_dot"))
       call_function("vec_dot", a, b)
     else dot(a, b)
