@@ -116,6 +116,21 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Recall-style overlap of an approximate top-k result against the exact
+    * one: one row (method, n_hits, n_exact, recall). Both inputs are
+    * (q_id, n_id[, ...]) top-k frames; the semi-join and the counts are
+    * distributed — nothing is collected. This is the quantitative gate that
+    * tells a user what the ANN "scale path" loses vs [[bruteForceTopK]]. */
+  def overlapStats(exact: DataFrame, approx: DataFrame, method: String): DataFrame = {
+    val hits = exact.select("q_id", "n_id")
+      .join(approx.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val tot = exact.select("q_id", "n_id").agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(tot).select(
+      lit(method).as("method"), col("n_hits"), col("n_exact"),
+      round(col("n_hits") / col("n_exact"), 4).as("recall"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within a bucket column
     * (a label, an LSH bucket, any partition key) — the bucket bounds the
     * pair fan-out so the join is never corpus². */

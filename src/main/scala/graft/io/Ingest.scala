@@ -72,6 +72,20 @@ object Ingest {
   def needsUpdate(root: Path, publishedVersion: Double): Boolean =
     newestLocalVersion(root).forall(_._2 < publishedVersion)
 
+  /** S7 publish side: discover advertised versions in a fetched HTML or
+    * manifest string — every token matching the versioned-name pattern,
+    * newest first (the reference scrapes its download page for db_MM_m
+    * links, etl_io.py:710-736; its auto-update call site is dead code due
+    * to a typo, so only this pure, offline-testable parse is replicated). */
+  def discoverPublishedVersions(html: String): Seq[(String, Double)] =
+    "db_(\\d+)_(\\d+)".r.findAllMatchIn(html)
+      .map(m => m.matched -> s"${m.group(1)}.${m.group(2)}".toDouble)
+      .toSeq.distinct.sortBy(-_._2)
+
+  /** S7: the newest advertised version, if any. */
+  def newestPublishedVersion(html: String): Option[Double] =
+    discoverPublishedVersions(html).headOption.map(_._2)
+
   private def copyStream(in: InputStream, dest: Path, closeIn: Boolean = true): Unit = {
     Files.createDirectories(dest.getParent)
     val out = new FileOutputStream(dest.toFile)

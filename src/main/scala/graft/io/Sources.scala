@@ -41,20 +41,25 @@ object Sources {
       .getOrElse(raw)
   }
 
-  /** S4: TSV scan (reference: `pd.read_csv(sep='\t')`, etl_io.py:763). */
-  def tsv(spark: SparkSession, path: String, inferSchema: Boolean = true): DataFrame =
-    spark.read
-      .option("sep", "\t")
-      .option("header", "true")
-      .option("inferSchema", inferSchema.toString)
-      .csv(path)
+  /** S4: TSV scan (reference: `pd.read_csv(sep='\t')`, etl_io.py:763).
+    * Pass an explicit `schema` for deterministic types (inference costs an
+    * extra pass over the files AND can drift across data samples — at
+    * 100 TB both matter). */
+  def tsv(spark: SparkSession, path: String, inferSchema: Boolean = true,
+          schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    delimited(spark, path, "\t", inferSchema, schema)
 
   /** S5: CSV scan (reference: etl_io.py:894). */
-  def csv(spark: SparkSession, path: String, inferSchema: Boolean = true): DataFrame =
-    spark.read
-      .option("header", "true")
-      .option("inferSchema", inferSchema.toString)
-      .csv(path)
+  def csv(spark: SparkSession, path: String, inferSchema: Boolean = true,
+          schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    delimited(spark, path, ",", inferSchema, schema)
+
+  private def delimited(spark: SparkSession, path: String, sep: String,
+                        inferSchema: Boolean,
+                        schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val r = spark.read.option("sep", sep).option("header", "true")
+    schema.fold(r.option("inferSchema", inferSchema.toString))(r.schema).csv(path)
+  }
 
   /** S1: JDBC scan with full query pushdown (reference pushes templated SQL
     * over ODBC, etl_io.py:185-198; Spark pushes the query to the source). */

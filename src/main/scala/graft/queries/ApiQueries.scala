@@ -116,6 +116,20 @@ object ApiQueries {
       (s, dir) => Ipeds.schoolsRaw(Tables(s, dir),
         GeoFilter(regionNames = Seq("AFRICA", "AMERICA")), "nation_name")),
 
+    // Q5 scalar variant: the reference returns a bare int when no geography
+    // grouping is requested (etl_io.py:599) — surfaced as a 1-row frame so
+    // the scalar path is oracle-checked too.
+    Reg("schools_count", Some(
+      s"""SELECT COUNT(*) AS n_schools
+         |FROM ($factsSql
+         |  AND o_custkey IN (${unitsSql("r_name IN ('ASIA','AFRICA')")}))"""
+        .stripMargin))(
+      (s, dir) => {
+        import s.implicits._
+        Seq(Ipeds.schoolsCount(Tables(s, dir),
+          GeoFilter(regionNames = Seq("ASIA", "AFRICA")))).toDF("n_schools")
+      }),
+
     // Q5 corrected variant: distinct units per geography.
     Reg("q5_schools_distinct", Some(
       s"""SELECT nation_name, COUNT(DISTINCT unit_id) AS school_count

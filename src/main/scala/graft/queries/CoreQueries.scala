@@ -17,7 +17,66 @@ object CoreQueries {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Staged inputs for the source-scan queries (S1/S4/S5): one per
+    * (kind, corpus dir) per JVM — Bench's two timed runs and parallel test
+    * suites re-use the same staged copy instead of re-writing it. */
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageOnce(kind: String, dir: String)(create: String => Unit): String =
+    stageCache.computeIfAbsent(s"$kind:$dir", { _ =>
+      val p = java.nio.file.Files.createTempDirectory(s"graft_stage_$kind")
+        .resolve("data").toString
+      create(p)
+      p
+    })
+
   val all: Seq[Reg] = Seq(
+
+    // S1: JDBC scan with full query pushdown, oracle-checked — the nation
+    // dim staged into an embedded Derby DB via the S8 JDBC sink, read back
+    // through Sources.jdbc with a pushed filter. The reference's PRIMARY
+    // source is exactly this shape (templated SQL over a DB connection,
+    // etl_io.py:114-138, :185-198). Derby folds unquoted identifiers to
+    // upper case, so the pushed query quotes the column names.
+    Reg("jdbc_scan", Some(
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey IN (0, 1)""".stripMargin))(
+      (s, dir) => {
+        val db = stageOnce("derby", dir) { p =>
+          graft.io.Sinks.jdbc(Tables(s, dir).nation,
+            s"jdbc:derby:$p;create=true", "graft_nation", numPartitions = 1)
+        }
+        graft.io.Sources.jdbc(s, s"jdbc:derby:$db",
+          """SELECT "n_nationkey", "n_name", "n_regionkey" FROM graft_nation
+            |WHERE "n_regionkey" IN (0, 1)""".stripMargin)
+      }),
+
+    // S4: TSV scan, oracle-checked — nation staged as header'd TSV, read
+    // back with an explicit schema (the reference reads 37 O*NET TSVs,
+    // etl_io.py:738-768).
+    Reg("s4_tsv_scan", Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation"))(
+      (s, dir) => {
+        val nation = Tables(s, dir).nation
+        val path = stageOnce("tsv", dir) { p =>
+          nation.coalesce(1).write.option("sep", "\t").option("header", "true")
+            .mode("overwrite").csv(p)
+        }
+        graft.io.Sources.tsv(s, path, schema = Some(nation.schema))
+      }),
+
+    // S5: CSV scan, oracle-checked — customer staged as CSV (strings +
+    // doubles exercise quoting and numeric round-trip; Spark's double
+    // formatting is shortest-round-trip so the values survive exactly).
+    Reg("s5_csv_scan", Some(
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"))(
+      (s, dir) => {
+        val customer = Tables(s, dir).customer
+        val path = stageOnce("csv", dir) { p =>
+          customer.coalesce(1).write.option("header", "true")
+            .mode("overwrite").csv(p)
+        }
+        graft.io.Sources.csv(s, path, schema = Some(customer.schema))
+      }),
 
     // P1/P3: filter + projection; predicate + pruning reach the parquet scan.
     Reg("p1_filter_project", Some(

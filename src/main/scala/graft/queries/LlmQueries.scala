@@ -209,6 +209,30 @@ object LlmQueries {
           "vec_id", "embedding", "cell", k = 5, nprobe = 3)
       }),
 
+    // ANN quality gate: recall@5 of the two scale paths (sign-LSH, IVF over
+    // kmeans cells) against the ORACLE-GREEN brute-force baseline, at the
+    // parameter points AnnRecallSpec pins to >=0.9 on this corpus (random
+    // embeddings — the adversarial case for ANN; clustered real data does
+    // better). Seeded hashes -> rows-only, but the recall VALUES are the
+    // measurable evidence the approximate paths are good, not just running.
+    Reg("ann_recall", None)(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val q = e.where(col("vec_id") < 20)
+        // bounded (|q| x k rows): checkpoint so the brute-force pass runs
+        // once, not once per method comparison
+        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+          .select("q_id", "n_id").localCheckpoint()
+        val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+          nPlanes = 4, tables = 16)
+        val cells = graft.ext.Ivf.kmeansCells(e, "vec_id", "embedding",
+          k = 8, iters = 2)
+        val ivf = graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
+          "vec_id", "embedding", "cell", k = 5, nprobe = 6)
+        Similarity.overlapStats(exact, lsh, "lsh")
+          .union(Similarity.overlapStats(exact, ivf, "ivf_kmeans"))
+      }),
+
     // Multimodal metadata projection (payload stays opaque).
     Reg("mm_meta", Some(
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,

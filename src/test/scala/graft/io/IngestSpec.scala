@@ -36,6 +36,24 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.parseVersion("not_a_db") == None)
   }
 
+  test("discoverPublishedVersions parses versions out of a listing page (etl_io.py:710-736)") {
+    val html =
+      """<html><body>
+        |<a href="/downloads/db_25_1_text.zip">db_25_1_text.zip</a>
+        |<a href="/downloads/db_25_0_text.zip">db_25_0_text.zip</a>
+        |<a href="/downloads/db_9_9_text.zip">old db_9_9</a>
+        |<a href="/other/readme.html">readme</a>
+        |</body></html>""".stripMargin
+    val found = Ingest.discoverPublishedVersions(html)
+    assert(found.map(_._2) == Seq(25.1, 25.0, 9.9)) // newest first, deduped
+    assert(Ingest.newestPublishedVersion(html) == Some(25.1))
+    assert(Ingest.newestPublishedVersion("<html>no links</html>") == None)
+    // end-to-end with the local stage: published 25.1 vs staged 10.0
+    val root = Files.createTempDirectory("pubversions")
+    Files.createDirectory(root.resolve("db_10_0_text"))
+    assert(Ingest.needsUpdate(root, Ingest.newestPublishedVersion(html).get))
+  }
+
   test("newestLocalVersion picks numerically-newest staged dir") {
     val root = Files.createTempDirectory("versions")
     Files.createDirectory(root.resolve("db_9_9_text"))
