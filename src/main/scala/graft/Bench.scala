@@ -57,6 +57,16 @@ object Bench {
         }
       }
 
+    // per-query fixed cost of this harness (plan + dispatch + 32-partition
+    // scheduling of a trivial job) — lets a reader separate Spark's
+    // small-data constant from actual operator work when comparing against
+    // the single-thread pandas baseline
+    val floor = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val bad = results.collect { case (n, Left(m)) => n -> m }
     val qs = ok.map { case (k, v) => "\"" + esc(k) + "\":" + v }
@@ -64,7 +74,7 @@ object Bench {
     val errs = bad.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"floor_sec":$floor,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,18 +38,22 @@ object Streaming {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     val streamDir =
       if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
+      else stagedDirs.computeIfAbsent(src.toString, { _ =>
         val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
         val dst = d.resolve("events.parquet")
         try java.nio.file.Files.createLink(dst, src)
         catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
         d.toString
-      }
+      })
     spark.readStream
       .schema(eventsSchema)
       .parquet(streamDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** One staged dir per source file per JVM — repeated bench/test runs
+    * reuse it instead of accreting temp dirs. */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Tumbling-window A1/A2: per (day, event_type) exact sums + counts,
     * 1-day watermark bounds state. */

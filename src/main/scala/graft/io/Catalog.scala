@@ -41,16 +41,17 @@ object Catalog {
   def nestedMap(df: DataFrame, keyCol: String, codeCol: String, labelCol: String)
       : Map[String, Map[String, String]] =
     df.na.drop("any", Seq(keyCol, codeCol, labelCol))
-      // One label per (key, code): the default mapKeyDedupPolicy=EXCEPTION
-      // would crash map_from_entries on duplicate code rows, where the
-      // reference's dict(tuple(...)) silently last-wins (etl_io.py:104-108).
-      // max(label) is the deterministic stand-in for "one wins".
+      // One label per (key, code): the reference's dict(tuple(...)) silently
+      // last-wins on duplicate code rows (etl_io.py:104-108); max(label) is
+      // the deterministic stand-in for "one wins". The nesting itself is
+      // built driver-side from the (bounded) flat rows — one Spark job, no
+      // second shuffle into map_from_entries just to unpack it again.
       .groupBy(keyCol, codeCol).agg(max(col(labelCol)).as(labelCol))
-      .groupBy(keyCol)
-      .agg(map_from_entries(collect_list(struct(col(codeCol), col(labelCol)))).as("m"))
       .collect()
-      .map(r => r.getString(0) -> r.getMap[String, String](1).toMap)
-      .toMap
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        k -> rows.map(r => r.getString(1) -> r.getString(2)).toMap
+      }
 
   /** Flat `{code -> label}` map from a two-column DataFrame (varnames dict
     * analog, etl_io.py:74-79). */

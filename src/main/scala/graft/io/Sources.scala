@@ -68,12 +68,26 @@ object Sources {
 
   /** S2: register every corpus table as a temp view so callers can run raw
     * SQL (the reference's custom-SQL escape hatch, etl_io.py:156-201 —
-    * `spark.sql` replaces string templating; pushdown stays automatic). */
-  def registerViews(spark: SparkSession, dir: String): Seq[String] = {
-    val present = Catalog.listTables(spark, dir)
-    present.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
-    present
-  }
+    * `spark.sql` replaces string templating; pushdown stays automatic).
+    *
+    * Memoized per (session, dir): registration costs one FS probe + parquet
+    * footer read per table, which a repeatedly-called SQL entry point should
+    * pay once, not per query. Switching dirs re-registers (the views are
+    * names shared across dirs); sessions are weakly held. */
+  def registerViews(spark: SparkSession, dir: String): Seq[String] =
+    viewState.synchronized {
+      val st = viewState.get(spark)
+      if (st != null && st.dir == dir) st.tables
+      else {
+        val present = Catalog.listTables(spark, dir)
+        present.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+        viewState.put(spark, ViewState(dir, present))
+        present
+      }
+    }
+
+  private final case class ViewState(dir: String, tables: Seq[String])
+  private val viewState = new java.util.WeakHashMap[SparkSession, ViewState]()
 }
 
 /** Typed handles on the test corpus: one lazy DataFrame per table.

@@ -228,8 +228,12 @@ object ExtQueries {
         val out = Tables(s, dir).lineitem
           .groupBy("l_returnflag")
           .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_sink").resolve("a1.parquet").toString
+        // stable per-corpus path + Overwrite mode: repeated runs exercise
+        // the write every time without accreting temp dirs
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_sink_roundtrip_${Integer.toHexString(dir.hashCode)}",
+          "a1.parquet").toString
         graft.io.Sinks.parquet(out, path)
         s.read.parquet(path)
       }),
