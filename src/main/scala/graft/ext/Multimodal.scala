@@ -21,6 +21,23 @@ final case class MediaFeatures(
     height: Int,
     features: Array[Float])
 
+/** Output of the (stubbed) resize stage: source dims from the decoder,
+  * target dims, and a checksum over the stride-resampled payload. */
+final case class ResizedMedia(
+    doc_id: Long,
+    src_w: Int,
+    src_h: Int,
+    target_w: Int,
+    target_h: Int,
+    checksum: Long)
+
+/** One sampled frame of a media payload treated as fixed-size-frame video. */
+final case class MediaFrame(
+    doc_id: Long,
+    frame_idx: Int,
+    n_frame_bytes: Int,
+    checksum: Long)
+
 /** Multimodal-column plumbing for the LLM-data-pipeline layer (SURVEY.md
   * §2.11): image/audio/video as opaque `binary` columns with typed metadata,
   * and a decode/feature-extract stage whose Spark-side shape (schema,
@@ -65,6 +82,56 @@ object Multimodal {
         it.map { rec =>
           val (w, h, feats) = decodeStub(rec.payload)
           MediaFeatures(rec.doc_id, rec.n_bytes, w, h, feats)
+        }
+      }
+  }
+
+  /** Resize stage (STUB resampler): a real image resize keeps one sample
+    * per target pixel; the stub keeps one payload byte per target cell at
+    * a fixed stride and checksums them — deterministic, so the whole
+    * partition-parallel pipeline is oracle-checkable. Same swap-only-the-
+    * kernel contract as [[extractFeatures]]. */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "mime", "n_bytes").as[MediaRecord]
+      .mapPartitions { it =>
+        val n = targetW * targetH
+        it.map { rec =>
+          val (w, h, _) = decodeStub(rec.payload)
+          val stride = math.max(rec.payload.length / n, 1)
+          var sum = 0L
+          var j = 0
+          while (j < n) {
+            val p = j * stride
+            if (p < rec.payload.length) sum += rec.payload(p) & 0xff
+            j += 1
+          }
+          ResizedMedia(rec.doc_id, w, h, targetW, targetH, sum)
+        }
+      }
+  }
+
+  /** Frame-sampling stage: the payload viewed as fixed-`frameBytes` frames,
+    * keeping every `every`-th frame — the video-keyframe shape (one output
+    * row per kept frame, row growth bounded by len/frameBytes/every).
+    * Checksum stands in for the decoded frame tensor. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 16, every: Int = 2): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "mime", "n_bytes").as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { rec =>
+          val len = rec.payload.length
+          val nFrames = (len + frameBytes - 1) / frameBytes
+          (0 until nFrames by every).iterator.map { f =>
+            val from = f * frameBytes
+            val until = math.min(from + frameBytes, len)
+            var sum = 0L
+            var i = from
+            while (i < until) { sum += rec.payload(i) & 0xff; i += 1 }
+            MediaFrame(rec.doc_id, f, until - from, sum)
+          }
         }
       }
   }

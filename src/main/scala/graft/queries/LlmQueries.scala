@@ -284,6 +284,57 @@ object LlmQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))),
 
+    // Multimodal resize stage (stub resampler): stride-sampled checksum is
+    // pure byte arithmetic -> the partition-parallel plumbing oracles
+    // exactly (ASCII corpus: ord(char) == byte).
+    Reg("mm_resize", Some(
+      """WITH m AS (SELECT doc_id, text,
+        |             octet_length(CAST(text AS BLOB)) AS len FROM documents)
+        |SELECT doc_id,
+        |  CAST(1 + len % 640 AS BIGINT) AS src_w,
+        |  CAST(1 + CASE WHEN len = 0 THEN 0
+        |       ELSE ord(substr(text, 1, 1)) % 480 END AS BIGINT) AS src_h,
+        |  CAST(8 AS BIGINT) AS target_w,
+        |  CAST(8 AS BIGINT) AS target_h,
+        |  CAST(coalesce(list_aggregate(list_transform(
+        |    list_filter(list_transform(generate_series(0, 63),
+        |      j -> j * greatest(len // 64, 1)), p -> p < len),
+        |    p -> ord(substr(text, p + 1, 1))), 'sum'), 0) AS BIGINT) AS checksum
+        |FROM m""".stripMargin))(
+      (s, dir) => Multimodal.resize(s,
+        Multimodal.mediaTable(Tables(s, dir).documents), targetW = 8, targetH = 8)
+        .toDF()
+        .select(col("doc_id"),
+          col("src_w").cast("long").as("src_w"),
+          col("src_h").cast("long").as("src_h"),
+          col("target_w").cast("long").as("target_w"),
+          col("target_h").cast("long").as("target_h"),
+          col("checksum"))),
+
+    // Multimodal frame sampling (payload as fixed-16-byte-frame video,
+    // every 2nd frame kept) — one row per kept frame, oracled frame-exact.
+    Reg("mm_frames", Some(
+      """WITH m AS (SELECT doc_id, text,
+        |             octet_length(CAST(text AS BLOB)) AS len FROM documents),
+        |     f AS (SELECT doc_id, text, len,
+        |             unnest(generate_series(0,
+        |               CAST((len + 15) // 16 AS BIGINT) - 1, 2)) AS frame_idx
+        |           FROM m)
+        |SELECT doc_id, frame_idx,
+        |  CAST(least((frame_idx + 1) * 16, len) - frame_idx * 16 AS BIGINT)
+        |    AS n_frame_bytes,
+        |  CAST(coalesce(list_aggregate(list_transform(
+        |    generate_series(frame_idx * 16 + 1, least((frame_idx + 1) * 16, len)),
+        |    i -> ord(substr(text, i, 1))), 'sum'), 0) AS BIGINT) AS checksum
+        |FROM f""".stripMargin))(
+      (s, dir) => Multimodal.sampleFrames(s,
+        Multimodal.mediaTable(Tables(s, dir).documents), frameBytes = 16, every = 2)
+        .toDF()
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frame_bytes").cast("long").as("n_frame_bytes"),
+          col("checksum"))),
+
     // End-to-end training-data prep: deterministic exact dedup (keep min id
     // per content) → quality scoring → threshold filter. The composition a
     // 100 TB corpus-cleaning job actually runs, oracled step-for-step.
