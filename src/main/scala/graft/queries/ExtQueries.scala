@@ -122,6 +122,50 @@ object ExtQueries {
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_quantity, 0.5)").as("med"))),
 
+    // A-ext: exact interpolating quantiles per group (both engines linearly
+    // interpolate between order statistics — same definition, exact match).
+    Reg("a11_quantiles", Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"))),
+
+    // A-ext: sketch-based quantiles (KLL/GK-style approx — engine-specific
+    // sketch, rows-only; the exact variant above is the oracle-checked one).
+    Reg("a11_approx_quantiles", None)(
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+          .getItem(0).as("q25_approx"))),
+
+    // R5: unpivot (wide->long), the inverse of R1 — pivot events wide, melt
+    // back; nulls (absent cells) dropped on both sides.
+    Reg("r5_unpivot", Some {
+      val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+      val wideSql = eventTypes
+        .map(t => s"  max(CASE WHEN event_type = '$t' THEN value END) AS $t")
+        .mkString(",\n")
+      val arms = eventTypes
+        .map(t => s"SELECT user_id, '$t' AS event_type, $t AS value FROM wide WHERE $t IS NOT NULL")
+        .mkString("\nUNION ALL\n")
+      s"""WITH wide AS (SELECT user_id,\n$wideSql\n  FROM events GROUP BY user_id)
+         |$arms""".stripMargin
+    })(
+      (s, dir) => {
+        val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+        val wide = graft.ops.Reshape.pivotWide(Tables(s, dir).events,
+          Seq("user_id"), "event_type", eventTypes, "value")
+        graft.ops.Reshape.meltView(wide, Seq("user_id"), eventTypes,
+            "event_type", "value")
+          .na.drop("any", Seq("value"))
+      }),
+
     // A-ext: variance-family stats, rounded (parallel Welford merge vs the
     // oracle's sequential pass differ only in ~1e-12 relative error).
     Reg("a12_stats", Some(

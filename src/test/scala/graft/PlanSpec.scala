@@ -38,6 +38,27 @@ class PlanSpec extends SparkSpec {
     assert(physical(df).contains("BroadcastHashJoin"), physical(df))
   }
 
+  test("IVF search plans with the native vec_dot codegen kernel, not the interpreted HOF") {
+    val e = t.embeddings
+    val df = graft.ext.Ivf.ivfTopK(e, e.where(col("vec_id") < 5),
+      "vec_id", "embedding", "label", k = 3, nprobe = 2)
+    val plan = physical(df)
+    assert(plan.contains("vec_dot"), s"native kernel missing from plan:\n$plan")
+    // the round-2 perf regression was exactly this: CodegenFallback
+    // aggregate(zip_with(...)) per centroid per row
+    assert(!plan.contains("aggregate(zip_with"),
+      s"interpreted HOF fold crept back into the IVF path:\n$plan")
+  }
+
+  test("brute-force top-k plans with native vec_dot and a broadcast query side") {
+    val e = t.embeddings
+    val df = graft.ext.Similarity.bruteForceTopK(e,
+      e.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+    val plan = physical(df)
+    assert(plan.contains("vec_dot"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("co-bucketed tables join without a shuffle (Exchange-free)") {
     import graft.io.Sinks
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -36,6 +36,16 @@ class SourcesSpec extends SparkSpec {
       .toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
   }
 
+  test("registerViews memoizes per dir and re-registers on dir switch (S2)") {
+    val a = Sources.registerViews(spark, "/root/testdata/sf0.001")
+    val small = spark.table("lineitem").count()
+    assert(Sources.registerViews(spark, "/root/testdata/sf0.001") == a) // cached
+    Sources.registerViews(spark, "/root/testdata/sf0.01")
+    val big = spark.table("lineitem").count()
+    assert(big > small, s"dir switch did not re-point the views ($small vs $big)")
+    Sources.registerViews(spark, "/root/testdata/sf0.001") // restore for peers
+  }
+
   test("Catalog.flatMap builds a code->label driver map (A5/varnames analog)") {
     import spark.implicits._
     val df = Seq(("c1", "Label One"), ("c2", "Label Two"), (null, "skip"))
