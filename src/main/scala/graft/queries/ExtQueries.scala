@@ -298,6 +298,28 @@ object ExtQueries {
         deduped.groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
       }),
 
+    // ST: stream-static enrichment join — the streaming plan broadcasts the
+    // static dim into every microbatch (no state, no watermark needed);
+    // equals the batch join row-for-row.
+    Reg("stream_enrich", Some(
+      """SELECT event_id, event_type,
+        |  CASE event_type WHEN 'click' THEN 'Click' WHEN 'error' THEN 'Error'
+        |    WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Signup'
+        |    WHEN 'view' THEN 'View' ELSE event_type END AS type_label
+        |FROM events""".stripMargin))(
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq("click" -> "Click", "error" -> "Error",
+          "purchase" -> "Purchase", "signup" -> "Signup", "view" -> "View")
+          .toDF("event_type", "type_label")
+        val name = s"stream_enrich_${streamRunCounter.incrementAndGet()}"
+        val joined = graft.ext.Streaming.readEvents(s, dir)
+          .join(broadcast(dim), Seq("event_type"), "left")
+          .select(col("event_id"), col("event_type"),
+            coalesce(col("type_label"), col("event_type")).as("type_label"))
+        graft.ext.Streaming.runToTable(s, joined, name, outputMode = "append")
+      }),
+
     // ST: custom-state sessionization (mapGroupsWithState) — gap-based
     // session counting per user, oracled against a lag-window SQL rewrite.
     Reg("sessionize", Some(
