@@ -207,6 +207,22 @@ object CoreQueries {
           .select("l_orderkey", "l_linenumber", "l_quantity")
       }),
 
+    // J-skew: salted join — the hot-key mitigation (fact side salted by a
+    // row-level hash, dim side exploded across the salt range) must be
+    // RESULT-IDENTICAL to the plain equi-join; the oracle is exactly that
+    // plain join, so the rewrite's correctness is hash-checked.
+    Reg("j_salted", Some(
+      """SELECT c_custkey, n_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.Relational.saltedJoin(
+            t.customer.withColumnRenamed("c_nationkey", "n_nationkey"),
+            t.nation.select("n_nationkey", "n_name"),
+            key = "n_nationkey", saltSrcCol = "c_custkey", buckets = 8)
+          .select("c_custkey", "n_name")
+      }),
+
     // F1: dictionary recode, unmapped values pass through (etl_io.py:151).
     Reg("f1_recode", Some(
       """SELECT o_orderkey,
