@@ -106,6 +106,33 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Character-n-gram Jaccard near-dup pairs within a blocking key: exact
+    * set Jaccard over char k-grams, pairs restricted to equal `blockCol`
+    * values (a language, a length bucket, an LSH bucket — anything that
+    * bounds the per-block fan-out). The non-hashed member of the dedup
+    * family: no signatures, no probability of a miss WITHIN a block; the
+    * block choice is the recall/cost dial. At 100 TB use a blocking key
+    * with bounded groups (or feed LSH candidates in as the block). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, k: Int = 5,
+                        threshold: Double = 0.6): DataFrame = {
+    // persist the gram sets across the self-join sides (same hygiene as
+    // [[nearDupCandidates]]: the far-smaller verified pair set materializes
+    // eagerly, then the set cache is released)
+    val sets = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      TextOps.charGrams(col(textCol), k).as("g")).persist()
+    val x = sets.select(col("block"), col("id").as("a_id"), col("g").as("a_g"))
+    val y = sets.select(col("block"), col("id").as("b_id"), col("g").as("b_g"))
+    val pairs = x.join(y, Seq("block"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_g"), col("b_g")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .localCheckpoint()
+    sets.unpersist()
+    pairs
+  }
+
   /** SimHash (bit-majority of token hashes), packed into a long. Hamming
     * distance between simhashes approximates token-multiset similarity.
     * Expression-only (SQL higher-order functions; column-valued shift

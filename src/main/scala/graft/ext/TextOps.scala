@@ -46,6 +46,17 @@ object TextOps {
       when(size(w) < k, array(array_join(w, " "))).otherwise(full))
   }
 
+  /** Distinct character k-grams of `text` (the n-gram-Jaccard dedup
+    * family). One `substr` per start offset — each element is O(k) work,
+    * NOT the nested-HOF pitfall (no inner aggregate re-evaluated per
+    * element). Texts shorter than k collapse to one whole-text gram; the
+    * tail grams are the (shorter) suffixes, matching SQL substr semantics
+    * on both engines. */
+  def charGrams(c: Column, k: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => c.substr(i, lit(k))))
+
   /** Exact Jaccard similarity of two (already-distinct) shingle arrays.
     * Integer set sizes + one double division — bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column = {

@@ -53,6 +53,31 @@ object LlmQueries {
       (s, dir) => Dedup.nearDupPairs(Tables(s, dir).documents, "doc_id", "text",
         threshold = 0.7)),
 
+    // Character-n-gram Jaccard near-dup — the non-hashed dedup family
+    // member, exact within a block. Blocked on the 20-char text PREFIX
+    // (classic prefix blocking): block sizes stay O(dup-group), so the
+    // within-block brute force is linear-ish — a lang-level block was
+    // measured quadratic-catastrophic (2059-doc block -> 2.1M pairs ->
+    // 285 s at sf0.1; prefix blocks max out at 4 docs -> 0.3 s). The
+    // oracle replays the same blocks, so parity is exact by construction.
+    Reg("dedup_ngram", Some(
+      """WITH g AS (SELECT substr(text, 1, 20) AS block, doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substr(text, i, 5))) AS gr
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        |    (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jaccard
+        |FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        |    (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.4"""
+        .stripMargin))(
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Tables(s, dir).documents
+          .withColumn("prefix20", substring(col("text"), 1, 20)),
+        "doc_id", "text", blockCol = "prefix20", k = 5, threshold = 0.4)),
+
     // SimHash near-dup pairs (hash-specific → rows-only check). 64-bit
     // hashes: with a shared vocabulary, 32 bits cannot separate true
     // near-dups (hamming ≤3 of 64 keeps precision; 32-bit/≤6 flagged 7.6%

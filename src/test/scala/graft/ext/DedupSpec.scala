@@ -37,6 +37,27 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0) // identical docs
   }
 
+  test("ngramJaccardPairs: near pair found within a block, cross-block pairs never compared") {
+    val df = Seq(
+      (1L, base, "en"), (2L, near, "en"),  // near-dups, same block
+      (3L, far, "en"),                     // same block, unrelated
+      (4L, base, "de")                     // identical to 1 but other block
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang",
+        k = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L))) // (1,4) blocked away; (x,3) below threshold
+  }
+
+  test("charGrams: short text collapses to one whole-text gram; tails are suffixes") {
+    import org.apache.spark.sql.functions.col
+    val out = Seq(("abc"), ("abcdefg")).toDF("t")
+      .select(TextOps.charGrams(col("t"), 5).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("abc"))
+    assert(out(1) == Seq("abcde", "bcdef", "cdefg"))
+  }
+
   test("simhash of identical texts is identical; simhashPairs reports hamming 0") {
     val df = Seq((1L, base), (2L, base), (3L, far)).toDF("doc_id", "text")
     val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 0)
