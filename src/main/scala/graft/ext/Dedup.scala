@@ -133,6 +133,16 @@ object Dedup {
     pairs
   }
 
+  /** Drop near-duplicates given a (a_id < b_id) pair list: the keep-first
+    * policy — every doc appearing as the LARGER id of a pair is dropped, so
+    * one representative (the smallest id reachable greedily) survives per
+    * duplicate neighborhood. One anti-join; no driver round-trip. (Full
+    * transitive-closure canonicalization needs iterative connected
+    * components — deliberately out of scope for the single-pass pipeline.) */
+  def dropNearDups(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("b_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** SimHash (bit-majority of token hashes), packed into a long. Hamming
     * distance between simhashes approximates token-multiset similarity.
     * Expression-only (SQL higher-order functions; column-valued shift

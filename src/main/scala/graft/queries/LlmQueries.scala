@@ -360,6 +360,25 @@ object LlmQueries {
           col("n_frame_bytes").cast("long").as("n_frame_bytes"),
           col("checksum"))),
 
+    // Near-dedup APPLIED: the corpus minus the larger id of every verified
+    // near-dup pair (keep-first policy) — what a cleaning job actually
+    // emits. Oracle-able because the pair list itself is (dedup_near).
+    Reg("pipeline_near_clean", Some(
+      s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |pairs AS (
+         |  SELECT b.doc_id AS b_id
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT b_id FROM pairs)""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+        Dedup.dropNearDups(docs, pairs, "doc_id")
+          .select("doc_id", "lang", "source")
+      }),
+
     // End-to-end training-data prep: deterministic exact dedup (keep min id
     // per content) → quality scoring → threshold filter. The composition a
     // 100 TB corpus-cleaning job actually runs, oracled step-for-step.
