@@ -97,6 +97,41 @@ object Streaming {
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** One row PER SESSION via `flatMapGroupsWithState` (the multi-row-output
+    * sibling of [[sessionSummaries]]'s mapGroupsWithState): sessions split
+    * on gaps > `gapMinutes`; each emits (user, 1-based session index, event
+    * count). State is the running session count + last ts — O(1) per user;
+    * emitted rows are Append-mode compatible for a true stream. */
+  def sessionRows(spark: SparkSession, events: DataFrame,
+                  gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[(Long, Long)]) =>
+          // state = (n_sessions_so_far, last_ts_micros)
+          var (sIdx, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var n = 0L
+          it.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (last == Long.MinValue || r._2 - last > gapMicros) {
+              if (n > 0) out += ((user, sIdx, n))
+              sIdx += 1; n = 0L
+            }
+            n += 1; last = r._2
+          }
+          if (n > 0) out += ((user, sIdx, n))
+          state.update((sIdx, last))
+          out.iterator
+      }
+      .toDF("user_id", "session_idx", "n_events")
+  }
+
   /** Run a streaming DataFrame to completion over the (bounded) file source
     * with AvailableNow, collecting results via a memory sink; returns the
     * final table. Batch-equivalent by construction — used to verify the

@@ -337,6 +337,28 @@ object ExtQueries {
       (s, dir) => graft.ext.Streaming.sessionSummaries(
         s, Tables(s, dir).events, gapMinutes = 30)),
 
+    // ST: per-session rows via flatMapGroupsWithState (the multi-row custom
+    // state API) — oracled against a lag + running-sum window rewrite.
+    Reg("sessionize_rows", Some(
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM x
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, session_idx""".stripMargin))(
+      (s, dir) => graft.ext.Streaming.sessionRows(
+        s, Tables(s, dir).events, gapMinutes = 30)),
+
     Reg("stream_window", Some(
       s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -27,6 +27,27 @@ class StreamingSpec extends SparkSpec {
     assert(stateful.sameElements(batch))
   }
 
+  test("flatMapGroupsWithState session rows are consistent with the per-user summaries") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables(spark, dir).events
+    val rows = Streaming.sessionRows(spark, events, gapMinutes = 30)
+    val fromRows = rows.groupBy("user_id")
+      .agg(max("session_idx").as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val summaries = Streaming.sessionSummaries(spark, events, gapMinutes = 30)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fromRows.length > 0)
+    assert(fromRows.toSeq == summaries.toSeq)
+    // session indices are 1..n per user with no gaps
+    import spark.implicits._
+    val gaps = rows.groupBy("user_id")
+      .agg(max("session_idx").as("mx"), count(lit(1)).cast("long").as("cnt"))
+      .where(col("mx") =!= col("cnt")).count()
+    assert(gaps == 0)
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
