@@ -149,4 +149,22 @@ object TextOps {
       .groupBy("lang", "token")
       .agg(count(lit(1)).as("tf"))
       .where(col("tf") >= minCount)
+
+  /** TF-IDF per (doc, token): tf · ln(N/df), rounded to 6 decimals (ln is
+    * IEEE-identical across engines; rounding absorbs the product ulp).
+    * Two token passes (tf and df aggregations) + a shuffle join on token;
+    * the corpus size joins in as a broadcast 1-row frame — no driver
+    * action, the whole plan stays lazy. `minTf` bounds the output to
+    * repeated terms. */
+  def tfIdf(docs: DataFrame, idCol: String = "doc_id", minTf: Long = 2): DataFrame = {
+    val tok = docs.select(col(idCol), explode(words(col("text"))).as("token"))
+    val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+      .where(col("tf") >= minTf)
+    val dfreq = tok.groupBy("token").agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+  }
 }

@@ -134,6 +134,19 @@ object LlmQueries {
         |) GROUP BY lang, token HAVING COUNT(*) >= 2""".stripMargin))(
       (s, dir) => TextOps.termFrequencies(Tables(s, dir).documents, minCount = 2)),
 
+    // TF-IDF per (doc, token) for repeated terms — tf * ln(N/df), the
+    // canonical relevance weight a text pipeline feeds downstream.
+    Reg("text_tfidf", Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       GROUP BY doc_id, token HAVING COUNT(*) >= 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT doc_id, token, ROUND(tf * ln(n_docs / df), 6) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin))(
+      (s, dir) => TextOps.tfIdf(Tables(s, dir).documents, minTf = 2)),
+
     // BPE-ish token counting (GPT-2-style pre-tokenizer regex; Java and RE2
     // regex engines agree on this pattern over the corpus — oracled).
     Reg("text_tokens_bpe", Some(
