@@ -190,6 +190,25 @@ object ApiQueries {
           .select("c_custkey", "n_regionkey", "r_name")
       }),
 
+    // Q8 parameterized join type (J2's caller-chosen `how`, etl_io.py:898):
+    // left join through a PARTIAL crosswalk — unmapped rows survive with a
+    // NULL code, which the reference's how='left' path also produces.
+    Reg("q8_translate_left", Some(
+      """SELECT c_custkey, n_regionkey
+        |FROM customer LEFT JOIN (
+        |  SELECT DISTINCT n_nationkey, n_regionkey FROM nation
+        |  WHERE n_regionkey <> 0) n
+        |ON c_nationkey = n_nationkey""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Rosetta.translate(
+          data = t.customer.withColumnRenamed("c_nationkey", "n_nationkey")
+            .select("c_custkey", "n_nationkey"),
+          stone = t.nation.where(col("n_regionkey") =!= 0),
+          left = "n_nationkey", right = "n_regionkey", how = "left")
+          .select("c_custkey", "n_regionkey")
+      }),
+
     // Q8 with a list-valued crosswalk side: the python-repr cell is exploded
     // distributedly (R3); the oracle replays the expansion as UNION ALL.
     Reg("q8_translate_explode", Some(
