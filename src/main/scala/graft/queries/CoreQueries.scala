@@ -237,6 +237,15 @@ object CoreQueries {
           "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium"))
           .as("priority_label"))),
 
+    // F2: bulk rename (machine names -> titles, etl_io.py:153) — the
+    // varnames-dict rename surfaced as a query (aliases in the oracle).
+    Reg("f2_rename", Some(
+      """SELECT o_orderkey AS order_key, o_orderpriority AS priority
+        |FROM orders""".stripMargin))(
+      (s, dir) => graft.ops.Recode.renameAll(Tables(s, dir).orders,
+        Map("o_orderkey" -> "order_key", "o_orderpriority" -> "priority"))
+        .select("order_key", "priority")),
+
     // F3: zero-pad dotted codes (etl_io.py:374-381). The constructed code's
     // front (l_returnflag) is 1 char, so lpad-to-2 applies on both sides.
     Reg("f3_zeropad", Some(
