@@ -122,6 +122,20 @@ object ExtQueries {
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_quantity, 0.5)").as("med"))),
 
+    // A-ext: min/max/avg trio (absent from the reference; §2.4 note). The
+    // mean divides an exact decimal sum by the count so parallel
+    // accumulation order cannot move the low double bits.
+    Reg("a14_minmax_avg", Some(
+      s"""SELECT l_returnflag,
+         |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+         |  ${sqlDsum("l_quantity")} / COUNT(*) AS avg_q
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
+      (s, dir) => Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_q"))),
+
     // A-ext: exact interpolating quantiles per group (both engines linearly
     // interpolate between order statistics — same definition, exact match).
     Reg("a11_quantiles", Some(
