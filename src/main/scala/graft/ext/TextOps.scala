@@ -79,6 +79,39 @@ object TextOps {
   def fingerprint(c: Column): Column =
     xxhash64(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Winnowing fingerprints (MOSS-style rolling-hash selection): hash every
+    * char k-gram, slide a window of `w` consecutive hashes, keep each
+    * window's minimum — any substring shared between two docs of length
+    * ≥ k+w-1 is GUARANTEED to contribute a shared fingerprint. Returns one
+    * (id, fp) row per distinct selected hash.
+    *
+    * Shape: posexplode grams → explode each gram into the ≤w windows it
+    * belongs to → groupBy (id, window) min → distinct. Deliberately NOT
+    * `transform(windows, i -> array_min(slice(grams, ...)))`: in the
+    * interpreted HOF path that re-materializes the gram array per window —
+    * the [[graft.ext.Dedup.minhashSignatures]] quadratic pitfall again. The
+    * explode form is O(len · w) rows with map-side partial mins. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      greatest(length(col(textCol)) - (k - 1), lit(1)).as("n"),
+      posexplode(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
+        i => xxhash64(col(textCol).substr(i, lit(k))))).as(Seq("pos", "h")))
+    grams
+      // gram at pos is a member of windows [pos-w+1, pos], clamped to the
+      // full-window range [0, n-w] (short docs keep window 0 = global min).
+      // Guard start<=end explicitly: Spark's sequence() runs DESCENDING when
+      // start > end, which would fabricate windows for trailing grams.
+      .select(col("id"), col("h"),
+        greatest(col("pos") - (w - 1), lit(0)).as("ws"),
+        least(col("pos"), greatest(col("n") - w, lit(0))).as("we"))
+      .where(col("ws") <= col("we"))
+      .select(col("id"), col("h"), explode(sequence(col("ws"), col("we"))).as("win"))
+      .groupBy("id", "win").agg(min(col("h")).as("fp"))
+      .select(col("id"), col("fp")).distinct()
+  }
+
   /** Per-language marker stopwords for the n-gram/stopword language-ID
     * heuristic. Public knowledge (common function words). */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -199,6 +199,13 @@ object LlmQueries {
       (s, dir) => Tables(s, dir).documents.select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // Winnowing (rolling-hash) fingerprints — any shared substring of
+    // length >= k+w-1 yields a shared fp (TextOpsSpec pins the guarantee);
+    // hash values are engine-specific → rows-only.
+    Reg("text_winnow", None)(
+      (s, dir) => TextOps.winnowFingerprints(Tables(s, dir).documents,
+        "doc_id", "text", k = 5, w = 4)),
+
     // Exact brute-force top-5 cosine neighbors for a bounded query set.
     Reg("topk_sim", Some(
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec

@@ -35,6 +35,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "und"))
   }
 
+  test("winnowFingerprints: shared substrings >= k+w-1 guarantee a shared fp; disjoint texts share none") {
+    val df = Seq(
+      (1L, "the common payload segment is right here inside this document"),
+      (2L, "totally other text but the common payload segment is right here too"),
+      (3L, "zzz qqq xxx vvv www uuu yyy ttt rrr")).toDF("doc_id", "text")
+    val fps = winnowFingerprints(df, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "long shared substring must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated texts should not collide")
+    // identical inputs -> identical fingerprint sets (deterministic)
+    val again = winnowFingerprints(df, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == fps.toSeq.flatMap { case (id, s) => s.map(id -> _) }.toSet)
+    // far fewer fingerprints than grams (the point of winnowing)
+    assert(fps(1L).size < 62 - 4)
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val out = Seq("Hello  World", "hello world").toDF("t")
       .select(fingerprint(col("t")).as("f")).collect().map(_.getLong(0))
