@@ -55,6 +55,33 @@ object Relational {
     fs.join(ds, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** As-of join (extension; SURVEY §2.3's "not present" list — an operator
+    * Spark lacks natively): for each left row, attach the single right row
+    * with the GREATEST right ts <= left ts within `key`. Implemented as a
+    * union + ordered window carry-forward — one shuffle on the key, O(1)
+    * carried state per row — NEVER the per-key range cross join, which is
+    * quadratic in key group size and dies at scale. Equal timestamps match
+    * (right sorts before left at the same ts). The right side must be
+    * unique per (key, ts) — pre-aggregate duplicates (callers mirror the
+    * same dedup in any oracle). `how` = "inner" drops left rows with no
+    * prior right row; "left" keeps them with null carries. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               carryCols: Seq[String], how: String = "inner"): DataFrame = {
+    require(Seq("inner", "left").contains(how), s"how must be inner|left, got '$how'")
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("__side", lit(1))
+    val r = right.withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carryCols.foldLeft(u)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val lefts = carried.where(col("__side") === 1).drop("__side")
+    if (how == "inner")
+      lefts.where(conj(carryCols.map(c => col(c).isNotNull)))
+    else lefts
+  }
+
   /** Exact decimal SUM surfaced as double.
     *
     * The corpus measures are 2-decimal doubles; a parallel double sum is

@@ -57,6 +57,39 @@ object ExtQueries {
         .select("o_orderkey", "o_totalprice")
         .limit(10)),
 
+    // J-asof: as-of join — each click matched to the LATEST purchase at or
+    // before it per user. Oracle is DuckDB's native ASOF JOIN; both sides
+    // compare at microsecond precision (CAST from ns) and dedup purchases
+    // per (user, ts) with the same struct-max policy. Timestamps stay out
+    // of the output per the parity rules.
+    Reg("j_asof", Some(
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |             CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |       FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts,
+        |        struct_extract(max(ROW(event_id, value)), 1) AS purchase_id,
+        |        struct_extract(max(ROW(event_id, value)), 2) AS purchase_value
+        |      FROM p0 GROUP BY user_id, ts)
+        |SELECT c.click_id, c.user_id, p.purchase_id, p.purchase_value
+        |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
+        .stripMargin))(
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max(struct(col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("ts"),
+            col("m.event_id").as("purchase_id"),
+            col("m.value").as("purchase_value"))
+        asofJoin(clicks, purchases, "user_id", "ts",
+            Seq("purchase_id", "purchase_value"))
+          .select("click_id", "user_id", "purchase_id", "purchase_value")
+      }),
+
     // Set ops: UNION (distinct) then EXCEPT.
     Reg("set1_union_except", Some(
       """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

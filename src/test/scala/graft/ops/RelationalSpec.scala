@@ -37,6 +37,21 @@ class RelationalSpec extends SparkSpec {
     assert(dedupPairs(stone, "l", "r").count() == 1)
   }
 
+  test("asofJoin attaches the latest right row at or before each left ts; inner drops unmatched") {
+    val clicks = Seq((10L, 1L, 10L), (20L, 1L, 20L), (30L, 2L, 7L))
+      .toDF("click_id", "k", "ts")
+    val quotes = Seq((1L, 5L, 1.0), (1L, 20L, 2.0), (1L, 25L, 3.0))
+      .toDF("k", "ts", "q")
+    val out = asofJoin(clicks, quotes, "k", "ts", Seq("q"))
+      .orderBy("click_id").collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Double]("q")))
+    // ts=10 -> quote@5; ts=20 -> quote@20 (equal ts matches); k=2 unmatched dropped
+    assert(out.toSeq == Seq((10L, 1.0), (20L, 2.0)))
+    val left = asofJoin(clicks, quotes, "k", "ts", Seq("q"), how = "left")
+      .orderBy("click_id").collect()
+    assert(left.length == 3 && left(2).isNullAt(left(2).fieldIndex("q")))
+  }
+
   test("dsum is exact for 2-decimal doubles regardless of partitioning") {
     val vals = (1 to 1000).map(i => i * 0.01)
     val one = vals.toDF("v").coalesce(1).agg(dsum(col("v"))).head.getDouble(0)
