@@ -82,6 +82,28 @@ object Relational {
     else lefts
   }
 
+  /** Range (interval-containment) join (extension; the other §2.3 "Spark
+    * lacks it" operator): left rows matched to right intervals with
+    * lo <= value < hi. The theta formulation (`JOIN ON value BETWEEN lo
+    * AND hi`) plans as a nested-loop — quadratic per partition pair. Here
+    * each interval explodes across the fixed-size bins it overlaps and the
+    * join becomes an EQUALITY join on the bin (shuffle-partitioned,
+    * AQE-eligible), with exact containment verified after. Fan-out =
+    * interval width / binSize — pick binSize near the typical interval
+    * width so each interval lands in O(1) bins. */
+  def rangeJoin(left: DataFrame, right: DataFrame, valCol: String,
+                loCol: String, hiCol: String, binSize: Double): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val lb = left.withColumn("__bin", floor(col(valCol) / binSize).cast("long"))
+    val rb = right.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binSize).cast("long"),
+        floor(col(hiCol) / binSize).cast("long"))))
+    lb.join(rb, Seq("__bin"))
+      .where(col(valCol) >= col(loCol) && col(valCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** Exact decimal SUM surfaced as double.
     *
     * The corpus measures are 2-decimal doubles; a parallel double sum is

@@ -90,6 +90,25 @@ object ExtQueries {
           .select("click_id", "user_id", "purchase_id", "purchase_value")
       }),
 
+    // J-range: interval-containment join — events bucketed into value
+    // bands. The oracle is the plain BETWEEN-style theta join; the Spark
+    // side is the binned equi-join rewrite, so the hash compare certifies
+    // the rewrite is containment-exact.
+    Reg("j_range", Some(
+      """SELECT event_id, band FROM events
+        |JOIN (VALUES (0.0, 125.0, 'q1'), (125.0, 250.0, 'q2'),
+        |             (250.0, 375.0, 'q3'), (375.0, 1000.0, 'q4'))
+        |  b(lo, hi, band)
+        |ON value >= lo AND value < hi""".stripMargin))(
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq((0.0, 125.0, "q1"), (125.0, 250.0, "q2"),
+          (250.0, 375.0, "q3"), (375.0, 1000.0, "q4")).toDF("lo", "hi", "band")
+        rangeJoin(Tables(s, dir).events, bands,
+            valCol = "value", loCol = "lo", hiCol = "hi", binSize = 125.0)
+          .select("event_id", "band")
+      }),
+
     // Set ops: UNION (distinct) then EXCEPT.
     Reg("set1_union_except", Some(
       """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -52,6 +52,17 @@ class RelationalSpec extends SparkSpec {
     assert(left.length == 3 && left(2).isNullAt(left(2).fieldIndex("q")))
   }
 
+  test("rangeJoin matches interval containment exactly, including bin-straddling intervals") {
+    val points = Seq((1L, 0.5), (2L, 10.0), (3L, 99.9), (4L, 150.0))
+      .toDF("id", "value")
+    val ivals = Seq((0.0, 10.0, "a"), (5.0, 120.0, "b")) // b straddles bins
+      .toDF("lo", "hi", "band")
+    val out = rangeJoin(points, ivals, "value", "lo", "hi", binSize = 10.0)
+      .select("id", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 0.5 in a only; 10.0 in b only (hi-exclusive for a); 99.9 in b; 150 nowhere
+    assert(out == Set((1L, "a"), (2L, "b"), (3L, "b")))
+  }
+
   test("dsum is exact for 2-decimal doubles regardless of partitioning") {
     val vals = (1 to 1000).map(i => i * 0.01)
     val one = vals.toDF("v").coalesce(1).agg(dsum(col("v"))).head.getDouble(0)
