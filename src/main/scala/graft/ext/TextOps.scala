@@ -85,30 +85,25 @@ object TextOps {
     * ≥ k+w-1 is GUARANTEED to contribute a shared fingerprint. Returns one
     * (id, fp) row per distinct selected hash.
     *
-    * Shape: posexplode grams → explode each gram into the ≤w windows it
-    * belongs to → groupBy (id, window) min → distinct. Deliberately NOT
-    * `transform(windows, i -> array_min(slice(grams, ...)))`: in the
-    * interpreted HOF path that re-materializes the gram array per window —
-    * the [[graft.ext.Dedup.minhashSignatures]] quadratic pitfall again. The
-    * explode form is O(len · w) rows with map-side partial mins. */
+    * Shape: explode start offsets → per-ROW substr+xxhash64 (whole-stage
+    * codegen — NOT a hash inside an interpreted `transform` lambda, which
+    * costs ~3× in eval overhead) → sliding min via a window FRAME
+    * (current..w-1 following) on one shuffle — no ×w row fan-out, no
+    * second explode. Trailing positions (no full window) are filtered
+    * AFTER the frame min so short docs keep window 0 = global min. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, w: Int = 4): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-      greatest(length(col(textCol)) - (k - 1), lit(1)).as("n"),
-      posexplode(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
-        i => xxhash64(col(textCol).substr(i, lit(k))))).as(Seq("pos", "h")))
-    grams
-      // gram at pos is a member of windows [pos-w+1, pos], clamped to the
-      // full-window range [0, n-w] (short docs keep window 0 = global min).
-      // Guard start<=end explicitly: Spark's sequence() runs DESCENDING when
-      // start > end, which would fabricate windows for trailing grams.
-      .select(col("id"), col("h"),
-        greatest(col("pos") - (w - 1), lit(0)).as("ws"),
-        least(col("pos"), greatest(col("n") - w, lit(0))).as("we"))
-      .where(col("ws") <= col("we"))
-      .select(col("id"), col("h"), explode(sequence(col("ws"), col("we"))).as("win"))
-      .groupBy("id", "win").agg(min(col("h")).as("fp"))
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol).as("id"), col(textCol).as("t"),
+        greatest(length(col(textCol)) - (k - 1), lit(1)).as("n"))
+      .select(col("id"), col("n"),
+        explode(sequence(lit(1), col("n"))).as("pos"), col("t"))
+      .select(col("id"), col("n"), col("pos"),
+        xxhash64(col("t").substr(col("pos"), lit(k))).as("h"))
+    val frame = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.withColumn("fp", min(col("h")).over(frame))
+      .where(col("pos") - 1 <= greatest(col("n") - w, lit(0)))
       .select(col("id"), col("fp")).distinct()
   }
 
