@@ -59,6 +59,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asofJoin equals the brute-force latest-at-or-before reference") {
+    for (trial <- 1 to 3) {
+      val lefts = Seq.tabulate(60)(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      // unique (key, ts) on the right, as the operator contract requires
+      val rights = Seq.fill(80)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+        .distinct.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, i.toDouble) }
+      val lDf = lefts.toDF("lid", "k", "ts")
+      val rDf = rights.toDF("k", "ts", "payload")
+      val got = asofJoin(lDf, rDf, "k", "ts", Seq("payload"))
+        .select("lid", "payload").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = lefts.flatMap { case (lid, k, ts) =>
+        rights.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(_._2).lastOption.map(r => lid -> r._3)
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("property: rangeJoin equals the brute-force containment reference at any binSize") {
+    for (binSize <- Seq(1.0, 7.0, 100.0)) {
+      val points = Seq.tabulate(50)(i => (i.toLong, rnd.nextInt(200).toDouble))
+      val ivals = Seq.tabulate(20) { i =>
+        val lo = rnd.nextInt(180).toDouble
+        (lo, lo + 1 + rnd.nextInt(40), s"b$i")
+      }
+      val got = rangeJoin(points.toDF("pid", "value"),
+          ivals.toDF("lo", "hi", "band"), "value", "lo", "hi", binSize)
+        .select("pid", "band").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = (for {
+        (pid, v) <- points
+        (lo, hi, b) <- ivals if v >= lo && v < hi
+      } yield (pid, b)).toSet
+      assert(got == want, s"binSize $binSize")
+    }
+  }
+
   test("property: pivot∘melt round-trips for complete matrices") {
     val long = (for { s <- 1 to 4; e <- Seq("x", "y", "z") }
       yield (s"s$s", e, rnd.nextInt(100).toDouble)).toDF("soc", "elem", "v")
