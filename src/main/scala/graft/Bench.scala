@@ -39,17 +39,22 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
     val runs = 2
-    val results: Seq[(String, Either[String, Double])] =
+    val results: Seq[(String, Either[String, Seq[Double]])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         try {
-          val times = (1 to runs).map { _ =>
+          def once(): Double = {
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }
-          name -> Right(times.min)
+          val base = (1 to runs).map(_ => once())
+          // contention armor: when the two runs disagree >2x, something
+          // external (GC, a concurrent process) likely polluted the window —
+          // take a third run so the min is a believable operator time
+          val times = if (base.max > 2 * base.min) base :+ once() else base
+          name -> Right(times)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -67,14 +72,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    val ok = results.collect { case (n, Right(t)) => n -> t }
+    val ok = results.collect { case (n, Right(ts)) => n -> ts }
     val bad = results.collect { case (n, Left(m)) => n -> m }
-    val qs = ok.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+    val qs = ok.map { case (k, ts) => "\"" + esc(k) + "\":" + ts.min }
       .mkString("{", ",", "}")
+    // per-run times so a reader can spot contention-inflated measurements
+    // (a phantom outlier shows as one run far above the others)
+    val runsJson = ok.map { case (k, ts) =>
+      "\"" + esc(k) + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = bad.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"floor_sec":$floor,"sf":"$sfDir"}""")
+    val total = ok.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"floor_sec":$floor,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

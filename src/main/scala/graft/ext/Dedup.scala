@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import TextOps.{jaccard, shingles}
@@ -142,18 +142,6 @@ object Dedup {
   def dropNearDups(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("b_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
-
-  /** SimHash (bit-majority of token hashes), packed into a long. Hamming
-    * distance between simhashes approximates token-multiset similarity.
-    * Expression-only (SQL higher-order functions; column-valued shift
-    * amounts need the SQL parser, not the Scala DSL). */
-  def simhash(textCol: String, bits: Int = 32): Column = expr(
-    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
-       |  acc + IF(2 * aggregate(transform(split(`$textCol`, ' '),
-       |                          w -> shiftright(xxhash64(w), b) & 1L),
-       |                0L, (a2, x) -> a2 + x)
-       |           > size(split(`$textCol`, ' ')),
-       |        shiftleft(1L, b), 0L))""".stripMargin)
 
   /** SimHash table (id, sim) via explode→groupBy: hash each token once,
     * take per-bit majorities with map-side-partial sums, pack bits. Same

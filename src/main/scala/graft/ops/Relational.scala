@@ -64,22 +64,48 @@ object Relational {
     * (right sorts before left at the same ts). The right side must be
     * unique per (key, ts) — pre-aggregate duplicates (callers mirror the
     * same dedup in any oracle). `how` = "inner" drops left rows with no
-    * prior right row; "left" keeps them with null carries. */
+    * prior right row; "left" keeps them with null carries. `maxGap` bounds
+    * the backward tolerance (pandas merge_asof's `tolerance`): a match
+    * older than `left.ts - maxGap` is treated as no match. Pass an interval
+    * literal for timestamp ts columns, a numeric for numeric ts. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-               carryCols: Seq[String], how: String = "inner"): DataFrame = {
+               carryCols: Seq[String], how: String = "inner",
+               maxGap: Option[Column] = None): DataFrame = {
     require(Seq("inner", "left").contains(how), s"how must be inner|left, got '$how'")
     import org.apache.spark.sql.expressions.Window
     val l = left.withColumn("__side", lit(1))
+    // All carries ride in ONE struct so a single last(ignoreNulls) carries
+    // them atomically: every output field comes from the SAME right row,
+    // even when that row has NULL in some carry columns. (Per-column
+    // last(c, ignoreNulls) would skip a null field back to an OLDER right
+    // row, stitching a composite row that never existed — and "inner" would
+    // wrongly drop matched rows whose true match carries a null field.)
+    // A struct literal is never null itself, so it doubles as the match
+    // marker: null struct after the carry-forward == no prior right row.
+    // The right ts rides along as one extra field so the gap check reads
+    // the ACTUAL matched row's timestamp, not a per-column reconstruction.
     val r = right.withColumn("__side", lit(0))
+      .withColumn("__carry",
+        struct(carryCols.map(col) :+ col(tsCol).as("__rts"): _*))
+      .drop(carryCols: _*)
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(u)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    val lefts = carried.where(col("__side") === 1).drop("__side")
-    if (how == "inner")
-      lefts.where(conj(carryCols.map(c => col(c).isNotNull)))
-    else lefts
+    val carried = u
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val valid = maxGap match {
+      case Some(g) => col("__carry").isNotNull &&
+        col(tsCol) - col("__carry").getField("__rts") <= g
+      case None => col("__carry").isNotNull
+    }
+    // too-old matches become non-matches: nulled for "left", dropped for
+    // "inner" — atomically, since only the whole struct is gated
+    val gated = carried.withColumn("__carry", when(valid, col("__carry")))
+    val matched =
+      if (how == "inner") gated.where(col("__carry").isNotNull) else gated
+    carryCols.foldLeft(matched)((d, c) => d.withColumn(c, col("__carry").getField(c)))
+      .drop("__side", "__carry")
   }
 
   /** Range (interval-containment) join (extension; the other §2.3 "Spark

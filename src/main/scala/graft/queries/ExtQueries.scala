@@ -90,6 +90,39 @@ object ExtQueries {
           .select("click_id", "user_id", "purchase_id", "purchase_value")
       }),
 
+    // J-asof with backward tolerance: same as j_asof but a match older than
+    // 30 minutes counts as no match (pandas merge_asof `tolerance`). The
+    // oracle is DuckDB's native ASOF JOIN with the gap filtered after —
+    // identical semantics for how='inner'.
+    Reg("j_asof_gap", Some(
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |             CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |       FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts,
+        |        struct_extract(max(ROW(event_id, value)), 1) AS purchase_id,
+        |        struct_extract(max(ROW(event_id, value)), 2) AS purchase_value
+        |      FROM p0 GROUP BY user_id, ts)
+        |SELECT c.click_id, c.user_id, p.purchase_id, p.purchase_value
+        |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |WHERE c.ts - p.ts <= INTERVAL 30 MINUTE""".stripMargin))(
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max(struct(col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("ts"),
+            col("m.event_id").as("purchase_id"),
+            col("m.value").as("purchase_value"))
+        asofJoin(clicks, purchases, "user_id", "ts",
+            Seq("purchase_id", "purchase_value"),
+            maxGap = Some(expr("INTERVAL 30 MINUTES")))
+          .select("click_id", "user_id", "purchase_id", "purchase_value")
+      }),
+
     // J-range: interval-containment join — events bucketed into value
     // bands. The oracle is the plain BETWEEN-style theta join; the Spark
     // side is the binned equi-join rewrite, so the hash compare certifies

@@ -80,6 +80,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asofJoin carries all fields atomically from the SAME right row (null carries)") {
+    for (trial <- 1 to 3) {
+      // pv is null ~30% of the time while pid is always set — the tearing
+      // trigger: a per-column carry would fetch pv from an OLDER right row
+      // (or "inner" would wrongly drop the row); the atomic carry must
+      // deliver (pid, pv) from exactly the latest right row, nulls included.
+      val rights = Seq.fill(80)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+        .distinct.zipWithIndex
+        .map { case ((k, ts), i) =>
+          (k, ts, i.toLong, if (rnd.nextInt(10) < 3) None else Some(i * 1.5))
+        }
+      val lefts = Seq.tabulate(60)(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      val lDf = lefts.toDF("lid", "k", "ts")
+      val rDf = rights.toDF("k", "ts", "pid", "pv")
+      for (how <- Seq("inner", "left")) {
+        val got = asofJoin(lDf, rDf, "k", "ts", Seq("pid", "pv"), how)
+          .select("lid", "pid", "pv").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+             if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+        val matches = lefts.map { case (lid, k, ts) =>
+          lid -> rights.filter(r => r._1 == k && r._2 <= ts).sortBy(_._2).lastOption
+        }
+        val want = (if (how == "inner") matches.filter(_._2.isDefined) else matches)
+          .map { case (lid, m) =>
+            lid -> (m.map(_._3), m.flatMap(_._4))
+          }.toMap
+        assert(got == want, s"trial $trial how $how")
+      }
+    }
+  }
+
+  test("property: asofJoin maxGap turns too-old matches into non-matches") {
+    for (trial <- 1 to 3) {
+      val rights = Seq.fill(60)((rnd.nextInt(4).toLong, rnd.nextInt(200).toLong))
+        .distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toDouble) }
+      val lefts = Seq.tabulate(50)(i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(200).toLong))
+      val gap = 15L
+      val got = asofJoin(lefts.toDF("lid", "k", "ts"),
+          rights.toDF("k", "ts", "payload"), "k", "ts", Seq("payload"),
+          how = "inner", maxGap = Some(lit(gap)))
+        .select("lid", "payload").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = lefts.flatMap { case (lid, k, ts) =>
+        rights.filter(r => r._1 == k && r._2 <= ts).sortBy(_._2).lastOption
+          .filter(r => ts - r._2 <= gap).map(r => lid -> r._3)
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("property: rangeJoin equals the brute-force containment reference at any binSize") {
     for (binSize <- Seq(1.0, 7.0, 100.0)) {
       val points = Seq.tabulate(50)(i => (i.toLong, rnd.nextInt(200).toDouble))
