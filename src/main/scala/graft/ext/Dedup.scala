@@ -133,6 +133,26 @@ object Dedup {
     pairs
   }
 
+  /** Char-n-gram Jaccard verification over an EXPLICIT candidate pair list
+    * (e.g. [[nearDupCandidates]] MinHash-LSH output) — the
+    * LSH-candidates-as-block variant of [[ngramJaccardPairs]]: prefix
+    * blocking is blind to near-dups that differ in the first `prefixLen`
+    * chars, whereas LSH candidates are recall-bounded by the banding math
+    * regardless of WHERE the edit falls. Two bounded joins fetch the gram
+    * sets; cost is O(|cands|), never all-pairs. */
+  def ngramJaccardOverCandidates(df: DataFrame, cands: DataFrame,
+                                 idCol: String, textCol: String, k: Int = 5,
+                                 threshold: Double = 0.6): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      TextOps.charGrams(col(textCol), k).as("g"))
+    cands.select("a_id", "b_id")
+      .join(sets.select(col("id").as("a_id"), col("g").as("a_g")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("g").as("b_g")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_g"), col("b_g")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Drop near-duplicates given a (a_id < b_id) pair list: the keep-first
     * policy — every doc appearing as the LARGER id of a pair is dropped, so
     * one representative (the smallest id reachable greedily) survives per
@@ -162,6 +182,84 @@ object Dedup {
       .reduce(_ + _)
     agg.select(col("id"), packed.as("sim"))
   }
+
+  /** Connected components over an undirected pair list — the transitive-
+    * closure canonicalization [[dropNearDups]] deliberately leaves open:
+    * a chain a~b, b~c (no a~c pair) is ONE duplicate group and must keep
+    * exactly one representative.
+    *
+    * Alternating large-star / small-star contractions (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each round is two
+    * self-join+groupBy passes over the CURRENT edge list, and the edge list
+    * converges to a star forest — every node pointing at its component
+    * minimum — in O(log n) rounds, independent of chain length. That bound
+    * is what makes this the 100 TB answer: a min-label-propagation loop
+    * needs O(diameter) shuffles and dies on long chains. Each round is
+    * localCheckpoint'ed so lineage stays flat and the (small) edge list
+    * never re-derives from the corpus.
+    *
+    * Returns (id, component) for every id appearing in `pairs`, where
+    * component = the minimum id reachable via any pair chain. Throws if the
+    * edge set has not stabilized after `maxIter` rounds (2^maxIter nodes) —
+    * wrong groups are worse than a loud failure. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id", maxIter: Int = 16): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+
+    // large-star: every neighbor LARGER than u links to the min of u's
+    // closed neighborhood; keeps connectivity, strictly shrinks big stars
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      und.join(m, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: orient edges larger->smaller, then every smaller
+    // neighbor (and u itself) links to u's minimum neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = or.groupBy("u").agg(min(col("v")).as("m"))
+      or.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact stability check: two anti-joins over the (small) edge lists
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // stable star forest: each non-root points at its component minimum
+    nodes.join(edges.groupBy(col("u").as("id")).agg(min(col("v")).as("c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+  }
+
+  /** Canonical near-dup cleaning: keep exactly the component-minimum doc of
+    * every duplicate group (transitive closure of the verified pair list),
+    * plus all unpaired docs. Unlike single-pass [[dropNearDups]], chains
+    * spanning multiple pairs collapse to ONE kept representative. */
+  def dropNearDupGroups(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(
+      connectedComponents(pairs).where(col("id") =!= col("component"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
 
   /** SimHash near-dup pairs: band the simhash into `bands` chunks (two
     * simhashes within hamming distance d share a chunk when d < bands),

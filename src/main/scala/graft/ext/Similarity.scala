@@ -128,7 +128,10 @@ object Similarity {
     val tot = exact.select("q_id", "n_id").agg(count(lit(1)).as("n_exact"))
     hits.crossJoin(tot).select(
       lit(method).as("method"), col("n_hits"), col("n_exact"),
-      round(col("n_hits") / col("n_exact"), 4).as("recall"))
+      // n_exact=0 (empty query set / over-filtered ids) must read as
+      // recall 0.0, not a NULL that NPEs a getAs[Double] downstream
+      when(col("n_exact") > 0, round(col("n_hits") / col("n_exact"), 4))
+        .otherwise(lit(0.0)).as("recall"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold within a bucket column

@@ -100,8 +100,13 @@ object Streaming {
   /** One row PER SESSION via `flatMapGroupsWithState` (the multi-row-output
     * sibling of [[sessionSummaries]]'s mapGroupsWithState): sessions split
     * on gaps > `gapMinutes`; each emits (user, 1-based session index, event
-    * count). State is the running session count + last ts — O(1) per user;
-    * emitted rows are Append-mode compatible for a true stream. */
+    * count). State is the running session count + last ts — O(1) per user.
+    * Batch-equivalence only: with NoTimeout, each batch emits the
+    * still-open final session, which a later batch would re-emit with a
+    * higher count if more events arrived — a true incremental stream must
+    * hold the open session in state and finalize it via an event-time
+    * timeout instead. Over the bounded AvailableNow source used here (all
+    * events in one batch) the output equals the batch sessionization. */
   def sessionRows(spark: SparkSession, events: DataFrame,
                   gapMinutes: Int): DataFrame = {
     import spark.implicits._
@@ -145,7 +150,12 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // snapshot the sink (results here are bounded: aggregates / verify-size
+    // frames), then drop the memory-sink temp view — otherwise a long-lived
+    // session running the bench repeatedly accretes stream_* tables
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Streaming dedup within watermark (§2.9): first event per

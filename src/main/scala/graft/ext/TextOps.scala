@@ -49,9 +49,9 @@ object TextOps {
   /** Distinct character k-grams of `text` (the n-gram-Jaccard dedup
     * family). One `substr` per start offset — each element is O(k) work,
     * NOT the nested-HOF pitfall (no inner aggregate re-evaluated per
-    * element). Texts shorter than k collapse to one whole-text gram; the
-    * tail grams are the (shorter) suffixes, matching SQL substr semantics
-    * on both engines. */
+    * element). Every gram is full length k (start offsets stop at
+    * len-k+1 — no shorter suffix grams); the single exception is a text
+    * shorter than k, which collapses to one whole-text gram. */
   def charGrams(c: Column, k: Int = 5): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
@@ -105,6 +105,49 @@ object TextOps {
     grams.withColumn("fp", min(col("h")).over(frame))
       .where(col("pos") - 1 <= greatest(col("n") - w, lit(0)))
       .select(col("id"), col("fp")).distinct()
+  }
+
+  /** Winnowing overlap candidates — the actual MOSS use case for
+    * [[winnowFingerprints]]: pairs of docs sharing at least `minShared`
+    * selected fingerprints, i.e. candidate plagiarism/overlap pairs. Any two
+    * docs sharing a substring of length ≥ k+w-1 are GUARANTEED to appear
+    * (the winnowing guarantee lifts from fingerprints to pairs: the shared
+    * window's minimum is selected in both docs).
+    *
+    * Shape: equality self-join on fp (bucketed — never all-pairs), then one
+    * groupBy counting distinct shared fps per ordered pair. `maxDf` drops
+    * fingerprints appearing in more than that many docs first (boilerplate
+    * grams — headers, license blocks — would otherwise create quadratic
+    * buckets; MOSS does the same). The fp table is persisted across the
+    * self-join sides and released once the far-smaller pair list
+    * materializes. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4, minShared: Long = 2,
+                         maxDf: Long = 100, minOverlap: Double = 0.0): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("fp")
+    // persist the RARE fp table: read by both self-join sides AND the
+    // per-doc totals; released after the far-smaller pair list materializes
+    val rfps = fps.join(rare, "fp").persist()
+    val sizes = rfps.groupBy(col("id")).agg(count(lit(1)).as("n_fps"))
+    val x = rfps.select(col("fp"), col("id").as("a_id"))
+    val y = rfps.select(col("fp"), col("id").as("b_id"))
+    val pairs = x.join(y, Seq("fp"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      // containment score: shared / smaller side's rare-fp count — the
+      // MOSS-style ranking; an absolute count floor alone is corpus-
+      // dependent (common-vocabulary corpora share grams everywhere)
+      .join(sizes.select(col("id").as("a_id"), col("n_fps").as("a_n")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n_fps").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        round(col("n_shared") / least(col("a_n"), col("b_n")), 6).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+      .localCheckpoint()
+    rfps.unpersist()
+    pairs
   }
 
   /** Per-language marker stopwords for the n-gram/stopword language-ID

@@ -77,7 +77,12 @@ object Sources {
   def registerViews(spark: SparkSession, dir: String): Seq[String] =
     viewState.synchronized {
       val st = viewState.get(spark)
-      if (st != null && st.dir == dir) st.tables
+      // cache hit must still be VALID: other code can drop or shadow a temp
+      // view (any createOrReplaceTempView on a colliding name), and the dir
+      // can gain/lose tables. tableExists per cached name is a catalog map
+      // probe — cheap next to re-reading parquet footers.
+      if (st != null && st.dir == dir &&
+          st.tables.forall(spark.catalog.tableExists)) st.tables
       else {
         val present = Catalog.listTables(spark, dir)
         present.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))

@@ -30,6 +30,29 @@ object LlmQueries {
 
   private val duckStop = "('the','a','of','and','is')"
 
+  /** DuckDB fragment: the brute-force verified near-dup pair list (same
+    * predicate as the dedup_near oracle, ids only) — the input both engines
+    * agree on before any grouping. */
+  private val duckPairs =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7"""
+      .stripMargin
+
+  /** DuckDB fragment: transitive closure of the pair list → per-doc
+    * component minimum (the oracle for the large-star/small-star result;
+    * the recursive CTE is fine at oracle scale, quadratic at real scale —
+    * which is exactly why the Spark side uses star contractions instead). */
+  private val duckComponents =
+    s"""und AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |       UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT u, v FROM und
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u)""".stripMargin
+
   val all: Seq[Reg] = Seq(
 
     // Exact dedup: one row per distinct content, kept id + copy count.
@@ -77,6 +100,71 @@ object LlmQueries {
         Tables(s, dir).documents
           .withColumn("prefix20", substring(col("text"), 1, 20)),
         "doc_id", "text", blockCol = "prefix20", k = 5, threshold = 0.4)),
+
+    // Near-dup group canonicalization: connected components over the
+    // verified pair list — every doc mapped to the minimum id reachable
+    // through any chain of near-dup pairs (its canonical representative).
+    // Spark runs O(log n) large-star/small-star rounds; the oracle replays
+    // the same pairs through a recursive-CTE transitive closure.
+    Reg("dedup_groups", Some(
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |pairs AS ($duckPairs),
+         |$duckComponents
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+        docs.select("doc_id")
+          .join(Dedup.connectedComponents(pairs)
+            .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+      }),
+
+    // Canonical near-dedup APPLIED: keep exactly one representative (the
+    // component minimum) per duplicate group — the transitive-closure
+    // completion of pipeline_near_clean's single-pass keep-first policy.
+    Reg("dedup_group_clean", Some(
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |pairs AS ($duckPairs),
+         |$duckComponents
+         |SELECT doc_id, lang, source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM comp c
+         |                  WHERE c.doc_id = d.doc_id AND c.component <> d.doc_id)"""
+        .stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+        Dedup.dropNearDupGroups(docs, pairs, "doc_id")
+          .select("doc_id", "lang", "source")
+      }),
+
+    // Char-n-gram Jaccard with LSH candidates AS the block: closes the
+    // prefix-20 recall hole (near-dups differing in the first 20 chars are
+    // invisible to prefix blocking; LSH candidacy is edit-position-blind).
+    // The oracle is the TRUE all-pairs brute force — no block replay — so
+    // the hash compare certifies candidates+verify == brute force on this
+    // corpus, the strongest available check for a candidate generator.
+    Reg("dedup_ngram_lsh", Some(
+      """WITH g AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substr(text, i, 5))) AS gr
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        |    (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        |    (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.4"""
+        .stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val cands = Dedup.nearDupCandidates(docs, "doc_id", "text")
+        Dedup.ngramJaccardOverCandidates(docs, cands, "doc_id", "text",
+          k = 5, threshold = 0.4)
+      }),
 
     // SimHash near-dup pairs (hash-specific → rows-only check). 64-bit
     // hashes: with a shared vocabulary, 32 bits cannot separate true
@@ -205,6 +293,16 @@ object LlmQueries {
     Reg("text_winnow", None)(
       (s, dir) => TextOps.winnowFingerprints(Tables(s, dir).documents,
         "doc_id", "text", k = 5, w = 4)),
+
+    // Winnowing APPLIED — document-overlap candidate pairs (the MOSS use
+    // case): pairs whose shared rare fingerprints cover >= half the smaller
+    // doc's fingerprint set (containment >= 0.5). xxhash64-derived fp
+    // values -> rows-only; the pair-level guarantee (shared substring of
+    // length >= k+w-1 => paired at minShared=1) is pinned in TextOpsSpec.
+    Reg("text_winnow_pairs", None)(
+      (s, dir) => TextOps.winnowOverlapPairs(Tables(s, dir).documents,
+        "doc_id", "text", k = 5, w = 4, minShared = 2, maxDf = 100,
+        minOverlap = 0.5)),
 
     // Exact brute-force top-5 cosine neighbors for a bounded query set.
     Reg("topk_sim", Some(

@@ -65,6 +65,51 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("connectedComponents: chain a~b, b~c (no a~c edge) is ONE group; clean keeps one doc") {
+    // texts built so J(a,b)>=0.7, J(b,c)>=0.7 but J(a,c)<0.7 — the case
+    // single-pass keep-first cannot canonicalize
+    val words = (1 to 20).map(i => s"w$i")
+    val a = words.take(16).mkString(" ")                 // w1..w16
+    val b = words.slice(2, 18).mkString(" ")             // w3..w18
+    val c = words.slice(4, 20).mkString(" ")             // w5..w20
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, "unrelated totally different"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.7)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"fixture broke: $pairs")
+    val comp = Dedup.connectedComponents(pairs.toSeq.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val kept = Dedup.dropNearDupGroups(df, pairs.toSeq.toDF("a_id", "b_id"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("connectedComponents matches union-find on random graphs (chains, stars, isolates)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (u, v) => u != v }
+        .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+      // reference: driver-side union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("minhash candidate generation is bucketed, not all-pairs") {
     // 4 mutually-unrelated docs must produce zero candidates (no bands collide)
     val df = Seq(

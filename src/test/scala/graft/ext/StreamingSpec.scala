@@ -48,6 +48,18 @@ class StreamingSpec extends SparkSpec {
     assert(gaps == 0)
   }
 
+  test("runToTable drops its memory-sink view: catalog table count is stable across runs") {
+    val dir = "/root/testdata/sf0.001"
+    def run(n: String) = Streaming.runToTable(spark,
+      Streaming.windowedAgg(Streaming.readEvents(spark, dir)), n)
+    val r1 = run("stream_hygiene_1")
+    val before = spark.catalog.listTables().count()
+    val r2 = run("stream_hygiene_2")
+    assert(spark.catalog.listTables().count() == before)
+    // and the snapshot stays readable after its view is gone
+    assert(r1.count() == r2.count() && r1.count() > 0)
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,

@@ -53,6 +53,32 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L).size < 62 - 4)
   }
 
+  test("winnowOverlapPairs: property — docs planted with a >= k+w-1 shared substring are ALWAYS paired") {
+    val k = 5; val w = 4
+    val rnd = new scala.util.Random(11)
+    def randText(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    for (trial <- 1 to 3) {
+      val shared = randText(k + w - 1) // minimum guaranteed-detectable overlap
+      val docs = Seq(
+        (1L, randText(40) + shared + randText(40)),
+        (2L, randText(35) + shared + randText(45)),
+        (3L, randText(90))).toDF("doc_id", "text")
+      val pairs = winnowOverlapPairs(docs, "doc_id", "text", k, w,
+          minShared = 1, maxDf = 100)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"trial $trial: guarantee violated")
+    }
+    // and overlap counts rank a full duplicate above a partial overlap
+    val base = randText(120)
+    val docs2 = Seq((1L, base), (2L, base),
+      (3L, base.take(30) + randText(90))).toDF("doc_id", "text")
+    val n = winnowOverlapPairs(docs2, "doc_id", "text", k, w,
+        minShared = 1, maxDf = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(n((1L, 2L)) > n.getOrElse((1L, 3L), 0L))
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val out = Seq("Hello  World", "hello world").toDF("t")
       .select(fingerprint(col("t")).as("f")).collect().map(_.getLong(0))
