@@ -146,8 +146,9 @@ object Ivf {
     // rank cells per query by centroid dot (unit centroids ⇒ cosine order),
     // keep nprobe; norms computed ONCE per row, native vec_dot throughout
     val d = Similarity.pdot(corpus) _
+    val nrm = Similarity.pnorm(corpus) _
     val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        sqrt(d(col(vecCol), col(vecCol))).as("q_norm"),
+        nrm(col(vecCol)).as("q_norm"),
         explode(slice(reverse(array_sort(
           centroidDots(queries, col(vecCol), cents))), 1, nprobe)).as("probe"))
       .select(col("q_id"), col("q_vec"), col("q_norm"),
@@ -155,7 +156,7 @@ object Ivf {
 
     val c = corpus.select(col(cellCol).cast("int").as("cell"),
       col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      sqrt(d(col(vecCol), col(vecCol))).as("n_norm"))
+      nrm(col(vecCol)).as("n_norm"))
     val scored = c.join(probed, Seq("cell"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),

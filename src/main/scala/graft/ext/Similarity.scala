@@ -34,6 +34,14 @@ object Similarity {
       call_function("vec_dot", a, b)
     else dot(a, b)
 
+  /** L2 norm preferring the fused native `vec_norm` (one traversal instead
+    * of square-accumulate + separate sqrt over a second pass); IEEE-identical
+    * to sqrt(dot(v,v)) either way, so hashes cannot move. */
+  private[ext] def pnorm(df: DataFrame)(v: Column): Column =
+    if (df.sparkSession.catalog.functionExists("vec_norm"))
+      call_function("vec_norm", v)
+    else sqrt(dot(v, v))
+
   /** Exact brute-force top-k neighbors of each query vector.
     *
     * The query side must be SMALL (it is broadcast; cost = |corpus| × |q|).
@@ -48,10 +56,11 @@ object Similarity {
     // a single O(dim) dot product. Same IEEE values as computing
     // sqrt(dot(v,v)) inside the pair expression, so oracle parity holds.
     val d = pdot(corpus) _
+    val nrm = pnorm(corpus) _
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      sqrt(d(col(vecCol), col(vecCol))).as("q_norm")))
+      nrm(col(vecCol)).as("q_norm")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      sqrt(d(col(vecCol), col(vecCol))).as("n_norm"))
+      nrm(col(vecCol)).as("n_norm"))
     val scored = c.crossJoin(q)
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
@@ -95,13 +104,14 @@ object Similarity {
               nPlanes: Int = 8, dim: Int = 64, tables: Int = 4,
               roundTo: Int = 4): DataFrame = {
     val d = pdot(corpus) _
+    val nrm = pnorm(corpus) _
     def bucketArr(vec: Column) = array((0 until tables).map(t =>
       lshBucket(vec, nPlanes, dim, d, seed = 42L + t)): _*)
     val bq = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        sqrt(d(col(vecCol), col(vecCol))).as("q_norm"),
+        nrm(col(vecCol)).as("q_norm"),
         posexplode(bucketArr(col(vecCol))).as(Seq("tbl", "bucket")))
     val bc = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        sqrt(d(col(vecCol), col(vecCol))).as("n_norm"),
+        nrm(col(vecCol)).as("n_norm"),
         posexplode(bucketArr(col(vecCol))).as(Seq("tbl", "bucket")))
     val cands = bc.join(bq, Seq("tbl", "bucket"))
       .where(col("n_id") =!= col("q_id"))
@@ -141,10 +151,11 @@ object Similarity {
                        bucketCol: String, threshold: Double,
                        roundTo: Int = 4): DataFrame = {
     val d = pdot(df) _
+    val nrm = pnorm(df) _
     val x = df.select(col(bucketCol).as("bucket"), col(idCol).as("a_id"),
-      col(vecCol).as("a_vec"), sqrt(d(col(vecCol), col(vecCol))).as("a_norm"))
+      col(vecCol).as("a_vec"), nrm(col(vecCol)).as("a_norm"))
     val y = df.select(col(bucketCol).as("bucket"), col(idCol).as("b_id"),
-      col(vecCol).as("b_vec"), sqrt(d(col(vecCol), col(vecCol))).as("b_norm"))
+      col(vecCol).as("b_vec"), nrm(col(vecCol)).as("b_norm"))
     x.join(y, Seq("bucket"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -37,6 +37,12 @@ trait VectorFoldExpression extends BinaryExpression {
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
+
+  /** NULL can arise from NON-null inputs (length mismatch, null element).
+    * The BinaryExpression default — nullable iff a child is nullable — would
+    * let Spark trust a non-null schema and read the slot as 0.0 instead of
+    * NULL when both children are non-nullable literals/computed arrays. */
+  override def nullable: Boolean = true
 
   protected def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -89,6 +95,67 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** vec_norm(a): sqrt(Σ a_i²) in ONE fused pass — the `sqrt(vec_dot(v,v))`
+  * idiom every similarity scan pays per row costs an extra array traversal
+  * plus a second null/length check; this folds square-accumulate and sqrt
+  * into a single loop. NULL on a null element (same contract as the fold).
+  * IEEE-identical to sqrt(vec_dot(v,v)): same sequential accumulation, one
+  * final sqrt — so swapping it into an oracled query cannot move a hash. */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "vec_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float>/array<double> argument, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  /** NULL on a null element even when the input array itself is
+    * non-nullable — same rationale as [[VectorFoldExpression.nullable]]. */
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      val get = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $v = $get; $s += $v * $v;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** cosine_sim(a, b): vec_dot(a,b) / (sqrt(vec_dot(a,a)) · sqrt(vec_dot(b,b))),

@@ -59,6 +59,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("similarity scans plan with fused vec_norm — no sqrt-over-fold third pass") {
+    val e = t.embeddings
+    val df = graft.ext.Similarity.bruteForceTopK(e,
+      e.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+    val plan = physical(df)
+    assert(plan.contains("vec_norm"), s"fused norm missing from plan:\n$plan")
+    assert(!plan.contains("SQRT(vec_dot"), s"unfused norm still present:\n$plan")
+  }
+
+  test("native vec_norm equals sqrt(HOF dot) bit-for-bit; null element and empty array contracts") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("vec_norm"))
+    val df = Seq(
+      Seq(1.5f, -2.25f, 3.75f), Seq(0.0f, 0.0f, 0.0f), Seq(7.125f))
+      .toDF("v")
+    val rows = df.select(
+      call_function("vec_norm", col("v")).as("n"),
+      sqrt(graft.ext.Similarity.dot(col("v"), col("v"))).as("h")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // empty array -> 0.0; null element -> NULL
+    val edge = spark.sql(
+      "SELECT vec_norm(CAST(array() AS ARRAY<DOUBLE>)) AS e, " +
+        "vec_norm(array(1.0D, CAST(NULL AS DOUBLE))) AS nn").head
+    assert(edge.getDouble(0) == 0.0 && edge.isNullAt(1))
+    // regression: the expressions must DECLARE nullable=true — with
+    // non-nullable inputs (literals) the default child-derived nullability
+    // let collect() read the null slot as 0.0 instead of NULL
+    val ragged = spark.sql(
+      "SELECT vec_dot(array(1.0D), array(1.0D, 2.0D)) AS d").head
+    assert(ragged.isNullAt(0), s"ragged vec_dot on non-nullable inputs: $ragged")
+  }
+
   test("co-bucketed tables join without a shuffle (Exchange-free)") {
     import graft.io.Sinks
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
