@@ -64,48 +64,77 @@ object Relational {
     * (right sorts before left at the same ts). The right side must be
     * unique per (key, ts) — pre-aggregate duplicates (callers mirror the
     * same dedup in any oracle). `how` = "inner" drops left rows with no
-    * prior right row; "left" keeps them with null carries. `maxGap` bounds
-    * the backward tolerance (pandas merge_asof's `tolerance`): a match
-    * older than `left.ts - maxGap` is treated as no match. Pass an interval
-    * literal for timestamp ts columns, a numeric for numeric ts. */
+    * match; "left" keeps them with null carries. `maxGap` bounds the match
+    * distance (pandas merge_asof's `tolerance`): a match further than
+    * maxGap is treated as no match — pass an interval literal for
+    * timestamp ts columns, a numeric for numeric ts. `direction` is
+    * pandas merge_asof's: "backward" (latest right at or before, the
+    * default), "forward" (earliest right at or after), "nearest" (closer
+    * of the two; exact ties prefer backward). All directions remain the
+    * same single key-shuffle — forward is the mirrored window frame,
+    * nearest evaluates both frames over ONE sort and picks per row. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                carryCols: Seq[String], how: String = "inner",
-               maxGap: Option[Column] = None): DataFrame = {
+               maxGap: Option[Column] = None,
+               direction: String = "backward"): DataFrame = {
     require(Seq("inner", "left").contains(how), s"how must be inner|left, got '$how'")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     import org.apache.spark.sql.expressions.Window
-    val l = left.withColumn("__side", lit(1))
-    // All carries ride in ONE struct so a single last(ignoreNulls) carries
-    // them atomically: every output field comes from the SAME right row,
-    // even when that row has NULL in some carry columns. (Per-column
-    // last(c, ignoreNulls) would skip a null field back to an OLDER right
-    // row, stitching a composite row that never existed — and "inner" would
-    // wrongly drop matched rows whose true match carries a null field.)
-    // A struct literal is never null itself, so it doubles as the match
-    // marker: null struct after the carry-forward == no prior right row.
-    // The right ts rides along as one extra field so the gap check reads
-    // the ACTUAL matched row's timestamp, not a per-column reconstruction.
-    val r = right.withColumn("__side", lit(0))
+    // Equal timestamps must MATCH: the right row has to sort on the frame
+    // side of the left row at the same ts — before it for the backward
+    // (preceding) frame, after it for the forward (following) frame. For
+    // "nearest" the backward frame alone catches the equal-ts row at gap 0,
+    // which wins every tie, so the backward orientation serves both.
+    val leftSide = if (direction == "forward") 0 else 1
+    val l = left.withColumn("__side", lit(leftSide))
+    // All carries ride in ONE struct so a single last/first(ignoreNulls)
+    // carries them atomically: every output field comes from the SAME right
+    // row, even when that row has NULL in some carry columns. (Per-column
+    // carry would skip a null field to a DIFFERENT right row, stitching a
+    // composite row that never existed — and "inner" would wrongly drop
+    // matched rows whose true match carries a null field.) A struct literal
+    // is never null itself, so it doubles as the match marker; the right ts
+    // rides along as one extra field so the gap/nearest arithmetic reads
+    // the ACTUAL matched row's timestamp.
+    val r = right.withColumn("__side", lit(1 - leftSide))
       .withColumn("__carry",
         struct(carryCols.map(col) :+ col(tsCol).as("__rts"): _*))
       .drop(carryCols: _*)
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = u
-      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-    val valid = maxGap match {
-      case Some(g) => col("__carry").isNotNull &&
-        col(tsCol) - col("__carry").getField("__rts") <= g
-      case None => col("__carry").isNotNull
+    val ord = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
+    val back = last(col("__carry"), ignoreNulls = true)
+      .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("__carry"), ignoreNulls = true)
+      .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    def bGap(c: Column) = col(tsCol) - c.getField("__rts")
+    def fGap(c: Column) = c.getField("__rts") - col(tsCol)
+    def valid(c: Column, gap: Column) =
+      c.isNotNull && maxGap.map(gap <= _).getOrElse(lit(true))
+    val carried = (direction match {
+      case "backward" => u.withColumn("__b", back)
+      case "forward"  => u.withColumn("__f", fwd)
+      case "nearest"  => u.withColumn("__b", back).withColumn("__f", fwd)
+    }).where(col("__side") === leftSide)
+    // out-of-tolerance / absent matches become non-matches: nulled for
+    // "left", dropped for "inner" — atomically, the whole struct at once
+    val chosen = direction match {
+      case "backward" => when(valid(col("__b"), bGap(col("__b"))), col("__b"))
+      case "forward"  => when(valid(col("__f"), fGap(col("__f"))), col("__f"))
+      case "nearest" =>
+        val bOk = valid(col("__b"), bGap(col("__b")))
+        val fOk = valid(col("__f"), fGap(col("__f")))
+        when(bOk && fOk,
+            when(bGap(col("__b")) <= fGap(col("__f")), col("__b"))
+              .otherwise(col("__f")))
+          .when(bOk, col("__b"))
+          .when(fOk, col("__f"))
     }
-    // too-old matches become non-matches: nulled for "left", dropped for
-    // "inner" — atomically, since only the whole struct is gated
-    val gated = carried.withColumn("__carry", when(valid, col("__carry")))
+    val gated = carried.withColumn("__carry", chosen)
     val matched =
       if (how == "inner") gated.where(col("__carry").isNotNull) else gated
     carryCols.foldLeft(matched)((d, c) => d.withColumn(c, col("__carry").getField(c)))
-      .drop("__side", "__carry")
+      .drop("__side", "__carry", "__b", "__f")
   }
 
   /** Range (interval-containment) join (extension; the other §2.3 "Spark

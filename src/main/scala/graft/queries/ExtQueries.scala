@@ -13,6 +13,21 @@ import CoreQueries.sqlDsum
   */
 object ExtQueries {
 
+  /** Shared as-of sides: clicks, and purchases deduped per (user, ts) with
+    * the struct-max policy every j_asof* oracle mirrors. */
+  private def asofSides(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables(s, dir).events
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts"),
+        col("m.event_id").as("purchase_id"),
+        col("m.value").as("purchase_value"))
+    (clicks, purchases)
+  }
+
   val all: Seq[Reg] = Seq(
 
     // W: top-k per group via row_number (the reference has no windows;
@@ -76,15 +91,7 @@ object ExtQueries {
         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
         .stripMargin))(
       (s, dir) => {
-        val ev = Tables(s, dir).events
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
-        val purchases = ev.where(col("event_type") === "purchase")
-          .groupBy("user_id", "ts")
-          .agg(max(struct(col("event_id"), col("value"))).as("m"))
-          .select(col("user_id"), col("ts"),
-            col("m.event_id").as("purchase_id"),
-            col("m.value").as("purchase_value"))
+        val (clicks, purchases) = asofSides(s, dir)
         asofJoin(clicks, purchases, "user_id", "ts",
             Seq("purchase_id", "purchase_value"))
           .select("click_id", "user_id", "purchase_id", "purchase_value")
@@ -108,18 +115,68 @@ object ExtQueries {
         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |WHERE c.ts - p.ts <= INTERVAL 30 MINUTE""".stripMargin))(
       (s, dir) => {
-        val ev = Tables(s, dir).events
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
-        val purchases = ev.where(col("event_type") === "purchase")
-          .groupBy("user_id", "ts")
-          .agg(max(struct(col("event_id"), col("value"))).as("m"))
-          .select(col("user_id"), col("ts"),
-            col("m.event_id").as("purchase_id"),
-            col("m.value").as("purchase_value"))
+        val (clicks, purchases) = asofSides(s, dir)
         asofJoin(clicks, purchases, "user_id", "ts",
             Seq("purchase_id", "purchase_value"),
             maxGap = Some(expr("INTERVAL 30 MINUTES")))
+          .select("click_id", "user_id", "purchase_id", "purchase_value")
+      }),
+
+    // J-asof forward: earliest purchase at or after each click (pandas
+    // merge_asof direction='forward'); oracle = DuckDB ASOF with the
+    // inequality flipped.
+    Reg("j_asof_fwd", Some(
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |             CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |       FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts,
+        |        struct_extract(max(ROW(event_id, value)), 1) AS purchase_id,
+        |        struct_extract(max(ROW(event_id, value)), 2) AS purchase_value
+        |      FROM p0 GROUP BY user_id, ts)
+        |SELECT c.click_id, c.user_id, p.purchase_id, p.purchase_value
+        |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"""
+        .stripMargin))(
+      (s, dir) => {
+        val (clicks, purchases) = asofSides(s, dir)
+        asofJoin(clicks, purchases, "user_id", "ts",
+            Seq("purchase_id", "purchase_value"), direction = "forward")
+          .select("click_id", "user_id", "purchase_id", "purchase_value")
+      }),
+
+    // J-asof nearest: closer of the backward/forward matches, ties
+    // backward (pandas merge_asof direction='nearest'). The oracle builds
+    // both DuckDB ASOF sides and replays the same tie-break CASE.
+    Reg("j_asof_nearest", Some(
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |             CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |       FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts,
+        |        struct_extract(max(ROW(event_id, value)), 1) AS purchase_id,
+        |        struct_extract(max(ROW(event_id, value)), 2) AS purchase_value
+        |      FROM p0 GROUP BY user_id, ts),
+        |b AS (SELECT c.click_id, c.user_id, c.ts, p.ts AS mts,
+        |        p.purchase_id AS pid, p.purchase_value AS pv
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (SELECT c.click_id, p.ts AS mts,
+        |        p.purchase_id AS pid, p.purchase_value AS pv
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT b.click_id, b.user_id,
+        |  CASE WHEN b.mts IS NOT NULL
+        |         AND (f.mts IS NULL OR b.ts - b.mts <= f.mts - b.ts)
+        |       THEN b.pid ELSE f.pid END AS purchase_id,
+        |  CASE WHEN b.mts IS NOT NULL
+        |         AND (f.mts IS NULL OR b.ts - b.mts <= f.mts - b.ts)
+        |       THEN b.pv ELSE f.pv END AS purchase_value
+        |FROM b JOIN f USING (click_id)
+        |WHERE b.mts IS NOT NULL OR f.mts IS NOT NULL""".stripMargin))(
+      (s, dir) => {
+        val (clicks, purchases) = asofSides(s, dir)
+        asofJoin(clicks, purchases, "user_id", "ts",
+            Seq("purchase_id", "purchase_value"), direction = "nearest")
           .select("click_id", "user_id", "purchase_id", "purchase_value")
       }),
 

@@ -133,6 +133,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asofJoin forward/nearest equal the brute-force references") {
+    for (trial <- 1 to 3) {
+      val rights = Seq.fill(70)((rnd.nextInt(4).toLong, rnd.nextInt(150).toLong))
+        .distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toDouble) }
+      val lefts = Seq.tabulate(50)(i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(150).toLong))
+      val lDf = lefts.toDF("lid", "k", "ts")
+      val rDf = rights.toDF("k", "ts", "payload")
+      def got(dir: String) =
+        asofJoin(lDf, rDf, "k", "ts", Seq("payload"), direction = dir)
+          .select("lid", "payload").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val wantF = lefts.flatMap { case (lid, k, ts) =>
+        rights.filter(r => r._1 == k && r._2 >= ts)
+          .sortBy(_._2).headOption.map(lid -> _._3)
+      }.toMap
+      assert(got("forward") == wantF, s"trial $trial forward")
+      val wantN = lefts.flatMap { case (lid, k, ts) =>
+        val cands = rights.filter(_._1 == k)
+        // nearest; exact-distance ties prefer the backward (earlier) row
+        if (cands.isEmpty) None
+        else Some(lid -> cands.minBy(r =>
+          (math.abs(r._2 - ts), if (r._2 <= ts) 0 else 1))._3)
+      }.toMap
+      assert(got("nearest") == wantN, s"trial $trial nearest")
+    }
+  }
+
   test("property: rangeJoin equals the brute-force containment reference at any binSize") {
     for (binSize <- Seq(1.0, 7.0, 100.0)) {
       val points = Seq.tabulate(50)(i => (i.toLong, rnd.nextInt(200).toDouble))
