@@ -239,8 +239,9 @@ object Dedup {
     var round = 0
     while (!converged && round < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // exact stability check: two anti-joins over the (small) edge lists
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // exact stability check as ONE job: both set differences unioned
+      // (both sides are distinct, so empty symmetric difference == equal)
+      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
       edges = next
       round += 1
     }

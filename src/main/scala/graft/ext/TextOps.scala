@@ -57,6 +57,33 @@ object TextOps {
       sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
       i => c.substr(i, lit(k))))
 
+  /** ALL word n-gram occurrences in order — NOT deduplicated ([[shingles]]
+    * is the distinct-set variant): language-model counts need multiplicity.
+    * Docs shorter than n words yield none. Same zipped-shifts shape as
+    * [[shingles]] (each shift evaluated once per row; never the
+    * re-split-per-index interpreted-HOF trap). */
+  def ngramTokens(c: Column, n: Int): Column = {
+    val w = words(c)
+    val shifted = (0 until n).map {
+      case 0 => w
+      case i => slice(w, lit(i + 1), size(w))
+    }
+    val zipped = arrays_zip(shifted: _*)
+    transform(
+      filter(zipped, t => t.getField(s"${n - 1}").isNotNull),
+      t => concat_ws(" ", (0 until n).map(i => t.getField(s"$i")): _*))
+  }
+
+  /** Deterministic content-hash bucket in [0, buckets): md5 of the text,
+    * top 15 hex digits (60 bits — fits a signed long exactly on both
+    * engines). THE property that makes it the train/dev/test assignment of
+    * choice for a corpus pipeline: stable across engines, runs, cluster
+    * sizes and partitionings — a doc's split never changes when the corpus
+    * around it does, and the DuckDB oracle can PROVE the engine-neutrality
+    * (unlike xxhash64/rand splits, which are engine-specific). */
+  def hashBucket(c: Column, buckets: Int): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % buckets
+
   /** Exact Jaccard similarity of two (already-distinct) shingle arrays.
     * Integer set sizes + one double division — bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column = {

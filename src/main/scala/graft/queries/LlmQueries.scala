@@ -235,6 +235,42 @@ object LlmQueries {
         |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin))(
       (s, dir) => TextOps.tfIdf(Tables(s, dir).documents, minTf = 2)),
 
+    // Bigram language-model counts per lang — every occurrence, not the
+    // distinct shingle set; the count table an n-gram LM / contamination
+    // checker consumes. One shuffle on (lang, bigram).
+    Reg("text_bigrams", Some(
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT lang,
+        |        unnest(list_transform(generate_series(1, len(w) - 1),
+        |                              i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |      FROM t)
+        |SELECT lang, bigram, COUNT(*) AS n FROM b
+        |GROUP BY lang, bigram HAVING COUNT(*) >= 5""".stripMargin))(
+      (s, dir) => Tables(s, dir).documents
+        .select(col("lang"), explode(TextOps.ngramTokens(col("text"), 2)).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)),
+
+    // Deterministic content-hash train/dev/test split (md5 top 60 bits) —
+    // engine-neutral BY CONSTRUCTION, and the oracle hash-match proves it:
+    // the same doc lands in the same split on Spark, DuckDB, or anything
+    // else that can compute md5. 80/10/10.
+    Reg("text_split", Some(
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 < 8
+        |         THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 8
+        |         THEN 'dev'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin))(
+      (s, dir) => Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextOps.hashBucket(col("text"), 10).as("bucket"),
+        when(TextOps.hashBucket(col("text"), 10) < 8, "train")
+          .when(TextOps.hashBucket(col("text"), 10) === 8, "dev")
+          .otherwise("test").as("split"))),
+
     // BPE-ish token counting (GPT-2-style pre-tokenizer regex; Java and RE2
     // regex engines agree on this pattern over the corpus — oracled).
     Reg("text_tokens_bpe", Some(

@@ -79,6 +79,26 @@ class TextOpsSpec extends SparkSpec {
     assert(n((1L, 2L)) > n.getOrElse((1L, 3L), 0L))
   }
 
+  test("ngramTokens keeps multiplicity and order; short docs yield none") {
+    val out = Seq("a b a b c", "x").toDF("t")
+      .select(ngramTokens(col("t"), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b", "b a", "a b", "b c")) // "a b" twice — no dedup
+    assert(out(1) == Seq.empty)
+  }
+
+  test("hashBucket is stable, in-range, and content-determined") {
+    val df = Seq("alpha", "beta", "alpha").toDF("t")
+      .select(col("t"), hashBucket(col("t"), 10).as("b"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.forall { case (_, b) => b >= 0 && b < 10 })
+    assert(rows(0)._2 == rows(2)._2) // same content, same bucket
+    // repartitioning cannot move a bucket (pure content function)
+    val again = Seq("alpha").toDF("t").repartition(3)
+      .select(hashBucket(col("t"), 10)).head.getLong(0)
+    assert(again == rows(0)._2)
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val out = Seq("Hello  World", "hello world").toDF("t")
       .select(fingerprint(col("t")).as("f")).collect().map(_.getLong(0))
