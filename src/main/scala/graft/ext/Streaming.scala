@@ -103,10 +103,9 @@ object Streaming {
     * count). State is the running session count + last ts — O(1) per user.
     * Batch-equivalence only: with NoTimeout, each batch emits the
     * still-open final session, which a later batch would re-emit with a
-    * higher count if more events arrived — a true incremental stream must
-    * hold the open session in state and finalize it via an event-time
-    * timeout instead. Over the bounded AvailableNow source used here (all
-    * events in one batch) the output equals the batch sessionization. */
+    * higher count if more events arrived. [[sessionRowsAppend]] is the true
+    * incremental form (event-time timeout, exactly-once emission); this one
+    * exists to mirror the batch oracle 1:1 over the bounded source. */
   def sessionRows(spark: SparkSession, events: DataFrame,
                   gapMinutes: Int): DataFrame = {
     import spark.implicits._
@@ -133,6 +132,86 @@ object Streaming {
           if (n > 0) out += ((user, sIdx, n))
           state.update((sIdx, last))
           out.iterator
+      }
+      .toDF("user_id", "session_idx", "n_events")
+  }
+
+  /** State for [[sessionRowsAppend]]: sessions close in event-time order,
+    * so unconfirmed-but-closed ones queue in `pending` until the watermark
+    * passes their gap boundary; `openN`/`openLast` track the live session.
+    * `nextIdx` numbers sessions 1-based per user in start order. */
+  case class PendSess(idx: Long, n: Long, endMicros: Long)
+  case class SessAppendState(nextIdx: Long, pending: Seq[PendSess],
+                             openN: Long, openLast: Long)
+
+  /** TRUE append-mode sessionization: a session row is emitted EXACTLY ONCE,
+    * and only after the event-time watermark passes its gap boundary
+    * (EventTimeTimeout) — the correct incremental form ([[sessionRows]] is
+    * the batch-equivalence variant; it re-emits the open session per batch).
+    * Sessions closed by a later event still wait for watermark confirmation
+    * (a late event inside the allowed lateness could otherwise have joined
+    * them); trailing sessions whose boundary the final watermark never
+    * passes are held in state — over a bounded AvailableNow run the final
+    * no-data microbatch advances the watermark to the global max event
+    * time, so exactly the sessions ending more than `gapMinutes` before
+    * that max are emitted (the oracle replays that rule in SQL). */
+  def sessionRowsAppend(spark: SparkSession, events: DataFrame,
+                        gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    def confirm(st: SessAppendState, wmMicros: Long,
+                closeOpen: Boolean): (Seq[PendSess], SessAppendState) = {
+      val withOpen =
+        if (closeOpen && st.openN > 0 && st.openLast + gapMicros <= wmMicros)
+          SessAppendState(st.nextIdx + 1,
+            st.pending :+ PendSess(st.nextIdx, st.openN, st.openLast),
+            0L, Long.MinValue)
+        else st
+      val (done, rest) = withOpen.pending.partition(_.endMicros + gapMicros <= wmMicros)
+      (done, withOpen.copy(pending = rest))
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      // the watermarked ts column itself must reach the stateful operator
+      // (the event-time-timeout checker requires it in the child output);
+      // the micros long the state logic uses rides alongside
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessAppendState, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[SessAppendState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(
+            SessAppendState(1L, Nil, 0L, Long.MinValue))
+          if (!state.hasTimedOut) {
+            var (nextIdx, pending, n, last) =
+              (st.nextIdx, st.pending, st.openN, st.openLast)
+            it.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+              if (last != Long.MinValue && r._2 - last > gapMicros) {
+                pending = pending :+ PendSess(nextIdx, n, last)
+                nextIdx += 1; n = 0L
+              }
+              n += 1; last = r._2
+            }
+            st = SessAppendState(nextIdx, pending, n, last)
+          }
+          val (done, kept) = confirm(st, wmMicros, closeOpen = state.hasTimedOut)
+          if (kept.pending.isEmpty && kept.openN == 0) state.remove()
+          else {
+            state.update(kept)
+            // next confirmation boundary; EventTimeTimeout requires a
+            // timestamp beyond the current watermark
+            val boundaries = kept.pending.map(_.endMicros) ++
+              (if (kept.openN > 0) Seq(kept.openLast) else Nil)
+            val nextMs = (boundaries.min + gapMicros) / 1000L
+            state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+          }
+          done.iterator.map(p => (user, p.idx, p.n))
       }
       .toDF("user_id", "session_idx", "n_events")
   }

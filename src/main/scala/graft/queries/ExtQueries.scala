@@ -515,6 +515,44 @@ object ExtQueries {
       (s, dir) => graft.ext.Streaming.sessionRows(
         s, Tables(s, dir).events, gapMinutes = 30)),
 
+    // ST: TRUE append-mode sessionization — sessions emit exactly once,
+    // only after the event-time watermark passes their gap boundary
+    // (flatMapGroupsWithState + EventTimeTimeout). Over the bounded
+    // AvailableNow run the final watermark is the ms-floored global max
+    // event time, so the oracle is the batch sessionization filtered to
+    // sessions ending more than 30 min before it — the hash match also
+    // proves no session was emitted twice.
+    Reg("sessionize_append", Some(
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), y AS (
+        |  SELECT user_id, tsu,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM x
+        |), s AS (
+        |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |    COUNT(*) AS n_events, max(tsu) AS end_ts
+        |  FROM y GROUP BY user_id, session_idx
+        |)
+        |SELECT user_id, session_idx, n_events FROM s
+        |WHERE epoch_us(end_ts) + 1800000000 <=
+        |  epoch_ms((SELECT max(CAST(ts AS TIMESTAMP)) FROM events)) * 1000"""
+        .stripMargin))(
+      (s, dir) => {
+        val name = s"sessionize_append_${streamRunCounter.incrementAndGet()}"
+        graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.sessionRowsAppend(s,
+            graft.ext.Streaming.readEvents(s, dir), gapMinutes = 30),
+          name, outputMode = "append")
+      }),
+
     Reg("stream_window", Some(
       s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -91,6 +91,19 @@ class PlanSpec extends SparkSpec {
     assert(ragged.isNullAt(0), s"ragged vec_dot on non-nullable inputs: $ragged")
   }
 
+  test("asofJoin nearest computes both frames in ONE Window node over one shuffle") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 5L)).toDF("lid", "k", "ts")
+    val r = Seq((1L, 3L, 1.0)).toDF("k", "ts", "p")
+    val plan = physical(graft.ops.Relational.asofJoin(
+      l, r, "k", "ts", Seq("p"), direction = "nearest"))
+    // both window frames share partitioning+ordering, so Catalyst must fuse
+    // them — a second Window (or Exchange) would double the sort cost
+    assert(plan.split("Window").length - 1 == 1, s"expected one Window:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected one key shuffle:\n$plan")
+  }
+
   test("co-bucketed tables join without a shuffle (Exchange-free)") {
     import graft.io.Sinks
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

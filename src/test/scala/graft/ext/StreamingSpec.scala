@@ -48,6 +48,37 @@ class StreamingSpec extends SparkSpec {
     assert(gaps == 0)
   }
 
+  test("sessionRowsAppend emits exactly the watermark-confirmed sessions, each once") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Streaming.runToTable(spark,
+        Streaming.sessionRowsAppend(spark, Streaming.readEvents(spark, dir), 30),
+        "sess_append_spec", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.distinct.length, "a session was emitted twice")
+    // brute-force reference: batch sessions whose end + gap <= the
+    // ms-floored global max event time (= the final watermark)
+    val gap = 30L * 60 * 1000000
+    val evs = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wm = (evs.map(_._2).max / 1000L) * 1000L
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (n, end)
+      var n = 0L; var last = Long.MinValue
+      sorted.foreach { r =>
+        if (last != Long.MinValue && r._2 - last > gap) { sessions += ((n, last)); n = 0 }
+        n += 1; last = r._2
+      }
+      sessions += ((n, last))
+      sessions.zipWithIndex.collect {
+        case ((cnt, end), i) if end + gap <= wm => (user, (i + 1).toLong, cnt)
+      }
+    }
+    assert(got.toSet == want.toSet)
+    assert(got.nonEmpty)
+  }
+
   test("runToTable drops its memory-sink view: catalog table count is stable across runs") {
     val dir = "/root/testdata/sf0.001"
     def run(n: String) = Streaming.runToTable(spark,
