@@ -43,9 +43,15 @@ object Sinks {
     * repeatedly-joined fact tables; requires a session catalog
     * (saveAsTable), works with the in-memory catalog + warehouse dir. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+                    numBuckets: Int, sortCol: Option[String] = None,
+                    path: Option[String] = None): Unit = {
+    // an explicit path makes the table EXTERNAL — callers that outlive the
+    // in-memory catalog (fresh JVM, same warehouse dir) must use it: a
+    // managed location surviving a forgotten catalog entry is unwritable
+    // (LOCATION_ALREADY_EXISTS)
+    val w0 = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCol)
+    val w = path.fold(w0)(p => w0.option("path", p))
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 

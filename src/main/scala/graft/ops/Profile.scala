@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the `describe`/data-quality pass every metadata-driven
+  * ETL runs before trusting a new source (the reference eyeballs dtypes and
+  * nulls ad hoc; here it is one distributed pass).
+  *
+  * ONE aggregation job computes every column's stats simultaneously (a
+  * per-column loop would scan the table N times); the single wide row is
+  * then unpivoted to one row per column with `stack`. min/max stringify so
+  * the long format has one uniform schema across column types.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")))
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val arms = cols.map(c =>
+      s"'$c', __n, `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $arms) AS (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
+  }
+}

@@ -223,6 +223,49 @@ object CoreQueries {
           .select("c_custkey", "n_name")
       }),
 
+    // J-bucketed: the pre-shuffled co-located join — facts written once
+    // through the S8 bucketed sink (16 buckets on the join key), then the
+    // repeat-join workload reads them back Exchange-free on the join
+    // (PlanSpec pins the no-shuffle property; this query hash-checks that
+    // the bucketed round trip changes NOTHING about the result).
+    Reg("j_bucketed", Some(
+      s"""SELECT o_orderpriority, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin))(
+      (s, dir) => {
+        val sfx = Integer.toHexString(dir.hashCode)
+        val (tl, to) = (s"bkt_lineitem_$sfx", s"bkt_orders_$sfx")
+        // external tables at a fresh per-JVM temp path: a managed location
+        // would outlive the in-memory catalog and block the next JVM's write
+        stageOnce("bucketed", dir) { p =>
+          val t = Tables(s, dir)
+          s.sql(s"DROP TABLE IF EXISTS $tl")
+          s.sql(s"DROP TABLE IF EXISTS $to")
+          graft.io.Sinks.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"),
+            tl, "l_orderkey", 16, sortCol = Some("l_orderkey"), path = Some(s"$p/$tl"))
+          graft.io.Sinks.writeBucketed(t.orders.select("o_orderkey", "o_orderpriority"),
+            to, "o_orderkey", 16, sortCol = Some("o_orderkey"), path = Some(s"$p/$to"))
+        }
+        s.table(tl).join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      }),
+
+    // Column profiling — the describe/data-quality pass, one distributed
+    // aggregation for ALL columns, unpivoted to a row per column.
+    Reg("profile_orders", Some {
+      def arm(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val,
+           |  CAST(MAX($c) AS VARCHAR) AS max_val FROM orders""".stripMargin
+      Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+        .map(arm).mkString("\nUNION ALL\n")
+    })(
+      (s, dir) => graft.ops.Profile.profile(Tables(s, dir).orders,
+        Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
+
     // F1: dictionary recode, unmapped values pass through (etl_io.py:151).
     Reg("f1_recode", Some(
       """SELECT o_orderkey,
