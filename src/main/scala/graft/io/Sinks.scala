@@ -55,6 +55,22 @@ object Sinks {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** JSON-lines sink — one shard per partition, the hand-off format for
+    * downstream tooling that doesn't speak parquet. Text + per-row field
+    * names ≈ 3–5× parquet bytes: an interchange sink, not a storage one. */
+  def jsonl(df: DataFrame, path: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** ORC sink — columnar alternative to [[parquet]] for ORC-native
+    * consumers (Hive/Trino installs); same partitionBy semantics. */
+  def orc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+          mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
   /** JDBC sink (SQLite/Postgres/...): the direct `to_sql` analog. The
     * `numPartitions` cap bounds concurrent connections against the target. */
   def jdbc(df: DataFrame, url: String, table: String,

@@ -61,6 +61,19 @@ object Sources {
     schema.fold(r.option("inferSchema", inferSchema.toString))(r.schema).csv(path)
   }
 
+  /** JSON-lines scan — the interchange format web-scraped corpora arrive
+    * in. The schema is REQUIRED: inference costs a full extra pass over the
+    * text and cannot tell int from long or recover timestamps reliably;
+    * at 100 TB of .jsonl.gz shards either failure mode is expensive. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC scan — the other columnar interchange; schema travels with the
+    * files, so unlike text formats no caller-side schema is needed. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S1: JDBC scan with full query pushdown (reference pushes templated SQL
     * over ODBC, etl_io.py:185-198; Spark pushes the query to the source). */
   def jdbc(spark: SparkSession, url: String, query: String): DataFrame =

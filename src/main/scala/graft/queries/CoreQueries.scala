@@ -78,6 +78,53 @@ object CoreQueries {
         graft.io.Sources.csv(s, path, schema = Some(customer.schema))
       }),
 
+    // S-ext: JSONL scan, oracle-checked — orders staged as JSON-lines (the
+    // format web-scraped corpora arrive in), read back with an explicit
+    // schema: longs, doubles and a millisecond timestamp all survive the
+    // text round trip exactly.
+    Reg("jsonl_scan", Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin))(
+      (s, dir) => {
+        val orders = Tables(s, dir).orders
+        val path = stageOnce("jsonl", dir) { p =>
+          graft.io.Sinks.jsonl(orders, p)
+        }
+        graft.io.Sources.jsonl(s, path, orders.schema)
+      }),
+
+    // S-ext: ORC round trip, oracle-checked — the S8-family columnar sink
+    // beyond parquet; schema (incl. int32 p_size) travels with the files,
+    // so the read back needs no caller-side schema.
+    Reg("orc_roundtrip", Some(
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part"))(
+      (s, dir) => {
+        val path = stageOnce("orc", dir) { p =>
+          graft.io.Sinks.orc(Tables(s, dir).part, p)
+        }
+        graft.io.Sources.orc(s, path)
+      }),
+
+    // S8/scale: partitioned write + partition-PRUNED read — orders written
+    // once as directory partitions on o_orderpriority, read back filtered
+    // to one priority. The filter becomes a PartitionFilter (PlanSpec pins
+    // it): the scan lists one directory and never opens the other
+    // partitions' files — the 100 TB lever for time/category-partitioned
+    // fact tables.
+    Reg("parquet_pruned", Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin))(
+      (s, dir) => {
+        val path = stageOnce("part_parquet", dir) { p =>
+          graft.io.Sinks.parquet(
+            Tables(s, dir).orders
+              .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+            p, partitionCols = Seq("o_orderpriority"))
+        }
+        s.read.parquet(path).where(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      }),
+
     // P1/P3: filter + projection; predicate + pruning reach the parquet scan.
     Reg("p1_filter_project", Some(
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -104,6 +104,23 @@ class PlanSpec extends SparkSpec {
       s"expected one key shuffle:\n$plan")
   }
 
+  test("directory-partitioned parquet prunes at the scan (PartitionFilters, not data filters)") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_prune")
+      .resolve("d").toString
+    val df = (1 to 100).map(i => (i.toLong, s"cat${i % 4}")).toDF("id", "cat")
+    graft.io.Sinks.parquet(df, p, partitionCols = Seq("cat"))
+    val rd = spark.read.parquet(p).where(col("cat") === "cat1")
+    val scan = rd.queryExecution.executedPlan.collectLeaves().head.toString
+    // the predicate must land in PartitionFilters (directory pruning) —
+    // as a row-level PushedFilter it would still open every file
+    assert(scan.contains("PartitionFilters") && scan.contains("= cat1"),
+      s"partition filter missing:\n$scan")
+    assert(!scan.replaceAll(".*PushedFilters", "").contains("cat1"),
+      s"partition predicate leaked into data filters:\n$scan")
+    assert(rd.count() == 25)
+  }
+
   test("co-bucketed tables join without a shuffle (Exchange-free)") {
     import graft.io.Sinks
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
