@@ -299,6 +299,84 @@ object CoreQueries {
           .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
       }),
 
+    // CDC MERGE: apply an upsert/delete change log to a base table — the
+    // batch core of MERGE INTO. The change log is synthesized
+    // deterministically from orders (keys %10∈{0,1,2} get a seq-1 update,
+    // %10∈{1,2,3} a seq-2 update-or-delete, so latest-wins, pure-insert,
+    // pure-delete and no-change paths are all exercised); the oracle
+    // replays the same merge as window + NOT EXISTS + union.
+    Reg("cdc_merge", Some(
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |), c1 AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_custkey,
+        |    o_totalprice + 1000 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+        |), c2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END AS op,
+        |    2 AS seq, o_custkey,
+        |    o_totalprice * 2 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |                                 ORDER BY seq DESC) AS rn
+        |    FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+        |  ) WHERE rn = 1
+        |)
+        |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus
+        |FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |                  WHERE l.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM latest WHERE op = 'U'""".stripMargin))(
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        val base = o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val c1 = o.where((col("o_orderkey") % 10).isin(0, 1, 2))
+          .select(col("o_orderkey"), lit("U").as("op"), lit(1).as("seq"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice"),
+            col("o_orderstatus"))
+        val c2 = o.where((col("o_orderkey") % 10).isin(1, 2, 3))
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 10 === 3, "D").otherwise("U").as("op"),
+            lit(2).as("seq"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"), col("o_orderstatus"))
+        graft.ops.Cdc.applyChanges(base, c1.unionByName(c2), "o_orderkey")
+      }),
+
+    // SCD2: type-2 dimension build from a change log — one window pass
+    // turns (key, ts, state) into effective-dated rows. (user_id, ts)
+    // collisions are pre-aggregated away (MAX state) so the log meets the
+    // operator's uniqueness contract; timestamps leave as strings per the
+    // registry parity rules.
+    Reg("scd2_dim", Some(
+      """WITH log AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    MAX(event_type) AS state
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, state,
+        |  strftime(tsu, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu),
+        |           '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+        |    AS is_current
+        |FROM log""".stripMargin))(
+      (s, dir) => {
+        val log = Tables(s, dir).events
+          .groupBy("user_id", "ts").agg(max("event_type").as("state"))
+        graft.ops.Cdc.scd2(log, "user_id", "ts")
+          .select(col("user_id"), col("state"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("valid_to"),
+            col("is_current"))
+      }),
+
     // Column profiling — the describe/data-quality pass, one distributed
     // aggregation for ALL columns, unpivoted to a row per column.
     Reg("profile_orders", Some {

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyChanges: latest seq wins, deletes drop, inserts land, absent-key delete is a no-op") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "U", 1, "a1"), (1L, "U", 2, "a2"), // two updates: seq 2 wins
+      (2L, "D", 1, null),                     // delete an existing key
+      (4L, "U", 1, "d"),                      // insert a new key
+      (5L, "D", 1, null)                      // delete an absent key: no-op
+    ).toDF("k", "op", "seq", "v")
+    val out = Cdc.applyChanges(base, changes, "k")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("applyChanges: a delete at the latest seq beats an earlier update") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "U", 1, "a1"), (1L, "D", 2, null)).toDF("k", "op", "seq", "v")
+    assert(Cdc.applyChanges(base, changes, "k").count() == 0)
+  }
+
+  test("scd2: abutting intervals per key, open current row, single-state key") {
+    val log = Seq((1L, 10L, "x"), (1L, 20L, "y"), (1L, 30L, "z"), (2L, 5L, "q"))
+      .toDF("k", "ts", "state")
+    val rows = Cdc.scd2(log, "k", "ts")
+      .select("k", "state", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(rows == Set(
+      (1L, "x", 10L, Some(20L), false),
+      (1L, "y", 20L, Some(30L), false),
+      (1L, "z", 30L, None, true),
+      (2L, "q", 5L, None, true)))
+  }
+}
