@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Packing, Similarity, TextOps}
 import graft.io.Tables
 
 /** Registry entries for the LLM-data-pipeline layer (SURVEY.md §2.11) over
@@ -560,6 +560,59 @@ object LlmQueries {
         TextOps.qualityColumns(deduped, "text")
           .where(col("q_score") >= 0.5)
           .select("doc_id", "lang", "n_tokens", "q_score")
-      })
+      }),
+
+    // Sequence packing: concat-and-chunk on the global token axis — the
+    // step between "clean corpus" and "training batches". One row per
+    // (doc, overlapped chunk) with the doc's token sub-range; docs crossing
+    // a chunk boundary split (GPT-style packing). The oracle replays the
+    // single-window formulation; the Spark plan is the two-level
+    // distributed prefix sum (see Packing.scala scaladoc).
+    Reg("pack_chunks", Some(
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS len FROM documents
+        |  WHERE length(text) > 0
+        |), c AS (
+        |  SELECT doc_id, len,
+        |    CAST(COALESCE(SUM(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS s
+        |  FROM d
+        |)
+        |SELECT doc_id, u AS chunk_id,
+        |  GREATEST(s, u * 2048) AS tok_start,
+        |  LEAST(s + len, (u + 1) * 2048) AS tok_end
+        |FROM c, UNNEST(range(s // 2048, (s + len - 1) // 2048 + 1)) AS t(u)"""
+        .stripMargin))(
+      (s, dir) => Packing.packChunks(Tables(s, dir).documents,
+        "doc_id", length(col("text")), capacity = 2048)),
+
+    // Packing utilization: every chunk but the last is exactly full — the
+    // invariant that makes packed batches waste zero context. fill_ratio
+    // divides by the power-of-two capacity exactly, so no rounding.
+    Reg("pack_stats", Some(
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS len FROM documents
+        |  WHERE length(text) > 0
+        |), c AS (
+        |  SELECT doc_id, len,
+        |    CAST(COALESCE(SUM(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS s
+        |  FROM d
+        |), ch AS (
+        |  SELECT u AS chunk_id,
+        |    GREATEST(s, u * 2048) AS tok_start,
+        |    LEAST(s + len, (u + 1) * 2048) AS tok_end
+        |  FROM c, UNNEST(range(s // 2048, (s + len - 1) // 2048 + 1)) AS t(u)
+        |)
+        |SELECT chunk_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tok_end - tok_start) AS BIGINT) / 2048.0 AS fill_ratio
+        |FROM ch GROUP BY chunk_id""".stripMargin))(
+      (s, dir) => Packing.chunkStats(
+        Packing.packChunks(Tables(s, dir).documents,
+          "doc_id", length(col("text")), capacity = 2048),
+        capacity = 2048))
   )
 }
