@@ -159,6 +159,39 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Fuzzy (approximate-string) self-join: every pair within edit distance
+    * 1, found by a deletion-neighborhood equality join (SymSpell's candidate
+    * rule) — never the quadratic cross join with a levenshtein predicate.
+    * Each string emits its deletion variants (itself, plus one char deleted
+    * at each position); two strings within distance 1 always share a
+    * variant (substitution at i → both drop i; insert/delete → the longer
+    * drops the extra char and equals the shorter), so variant equality is a
+    * COMPLETE candidate set and the exact levenshtein over candidates only
+    * confirms. FuzzyJoinSpec proves completeness against the brute force.
+    *
+    * Scale: fan-out is len+1 rows per string; the candidate join is a
+    * shuffled equality join on short variant strings. Variant groups stay
+    * small unless the corpus truly clusters — the same property MinHash
+    * banding relies on. Distance budgets >1 need recursive deletes
+    * (SymSpell proper); at corpus scale d=1 is the useful regime — beyond
+    * it, switch to n-gram Jaccard ([[graft.ext.Dedup.ngramJaccardPairs]]). */
+  def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("__fid"), col(strCol).as("__fs"))
+      .withColumn("__i", explode(sequence(lit(0), length(col("__fs")))))
+      .select(col("__fid"), col("__fs"),
+        when(col("__i") === 0, col("__fs"))
+          .otherwise(concat(
+            expr("substring(__fs, 1, __i - 1)"),
+            expr("substring(__fs, __i + 1, length(__fs))"))).as("__v"))
+    val a = v.select(col("__fid").as("a_id"), col("__fs").as("a_s"), col("__v"))
+    val b = v.select(col("__fid").as("b_id"), col("__fs").as("b_s"), col("__v"))
+    a.join(b, Seq("__v"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "a_s", "b_id", "b_s").distinct()
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+      .where(col("dist") <= 1)
+  }
+
   /** Exact decimal SUM surfaced as double.
     *
     * The corpus measures are 2-decimal doubles; a parallel double sum is

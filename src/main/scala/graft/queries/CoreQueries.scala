@@ -299,6 +299,20 @@ object CoreQueries {
           .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
       }),
 
+    // J-fuzzy: approximate-string self-join, edit distance <= 1 via the
+    // deletion-neighborhood candidate join. The oracle is the BRUTE-FORCE
+    // cross join with a levenshtein predicate — hash-matching it proves the
+    // blocking loses no pair.
+    Reg("fuzzy_join", Some(
+      """SELECT a.s_suppkey AS a_id, a.s_name AS a_s,
+        |  b.s_suppkey AS b_id, b.s_name AS b_s,
+        |  levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a, supplier b
+        |WHERE a.s_suppkey < b.s_suppkey
+        |  AND levenshtein(a.s_name, b.s_name) <= 1""".stripMargin))(
+      (s, dir) => graft.ops.Relational.fuzzySelfPairs(
+        Tables(s, dir).supplier, "s_suppkey", "s_name")),
+
     // CDC MERGE: apply an upsert/delete change log to a base table — the
     // batch core of MERGE INTO. The change log is synthesized
     // deterministically from orders (keys %10∈{0,1,2} get a seq-1 update,
