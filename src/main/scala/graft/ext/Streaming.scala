@@ -237,6 +237,37 @@ object Streaming {
     out
   }
 
+  /** STREAM-STREAM interval join (attribution): purchases joined to the
+    * clicks they follow within `windowMinutes`, per user — the canonical
+    * two-stream correlation. Both sides are event-time streams (here a
+    * self-split of one source; Kafka topics in production); the join
+    * condition carries the time-range bound Structured Streaming requires
+    * to size join state, and the watermarks bound how long an unmatched
+    * row is retained. `lateness` must cover the source's disorder: state
+    * for rows older than (watermark − lateness) is dropped, and a match
+    * arriving later is LOST — that is the streaming contract, not a bug.
+    * Over the bounded AvailableNow source a `lateness` ≥ the corpus time
+    * span makes the result exactly the batch join (the oracle). */
+  def attributionJoin(events: DataFrame, windowMinutes: Int,
+                      lateness: String = "30 days"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("__puid"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    clicks.join(purchases,
+        col("user_id") === col("__puid") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   /** Streaming dedup within watermark (§2.9): first event per
     * (user_id, event_type); the 1-day watermark bounds dedup state. */
   def dedupedPairs(events: DataFrame): DataFrame =

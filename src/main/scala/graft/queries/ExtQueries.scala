@@ -476,6 +476,29 @@ object ExtQueries {
         graft.ext.Streaming.runToTable(s, joined, name, outputMode = "append")
       }),
 
+    // ST: STREAM-STREAM interval join — purchases attributed to clicks
+    // within the preceding hour, per user; self-split of the event stream
+    // with the time-range bound + watermarks stream-stream joins require.
+    // Over the bounded source it equals the batch interval join — the
+    // oracle below.
+    Reg("stream_joined", Some(
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
+        |       - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP)
+        |      <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin))(
+      (s, dir) => {
+        val name = s"stream_joined_${streamRunCounter.incrementAndGet()}"
+        graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.attributionJoin(
+            graft.ext.Streaming.readEvents(s, dir), windowMinutes = 60),
+          name, outputMode = "append")
+      }),
+
     // ST: custom-state sessionization (mapGroupsWithState) — gap-based
     // session counting per user, oracled against a lag-window SQL rewrite.
     Reg("sessionize", Some(

@@ -79,6 +79,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream attribution join equals the batch interval join (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.runToTable(spark,
+      Streaming.attributionJoin(Streaming.readEvents(spark, dir), 60),
+      "attr_test", outputMode = "append")
+      .orderBy("click_id", "purchase_id").collect()
+    val e = Tables(spark, dir).events
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
+      .orderBy("click_id", "purchase_id").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch))
+  }
+
   test("runToTable drops its memory-sink view: catalog table count is stable across runs") {
     val dir = "/root/testdata/sf0.001"
     def run(n: String) = Streaming.runToTable(spark,
