@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis: how many users reach each step of a
+  * required event sequence, where step i+1 counts only if it happens at or
+  * after the user's step-i completion (earliest-completion semantics, the
+  * standard product-analytics funnel).
+  *
+  * Each step is a filter + equi-join against the previous step's
+  * (user, ts) frame + a min aggregation — all shuffled on the user key, no
+  * windows over the full event stream and no per-user event collection, so
+  * the plan is |steps| hash joins regardless of events-per-user. At 100 TB
+  * the step frames shrink monotonically (funnels narrow), which AQE
+  * exploits by broadcasting the later, smaller sides.
+  */
+object Funnel {
+
+  /** Per-step reach counts for `steps` (event-type values, in funnel
+    * order): (step, event_type, n_users). A user reaches step i+1 iff they
+    * have a qualifying event at ts >= their earliest step-i completion. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached: DataFrame = null
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      val evs = events.where(col(typeCol) === st)
+        .select(col(userCol).as("u"), col(tsCol).as("t"))
+      reached =
+        if (reached == null) evs.groupBy("u").agg(min("t").as("t"))
+        else evs.join(reached.select(col("u"), col("t").as("tp")), Seq("u"))
+          .where(col("t") >= col("tp"))
+          .groupBy("u").agg(min("t").as("t"))
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    counts.reduce(_.unionByName(_))
+  }
+}

@@ -265,4 +265,36 @@ object TextOps {
       .select(col(idCol), col("token"),
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
   }
+
+  /** Per-document bigram cross-entropy against the corpus's own add-one-
+    * smoothed bigram LM — the KenLM-style quality filter LLM pipelines run
+    * (a doc whose word transitions are improbable under the corpus LM is
+    * boilerplate, spam, or the wrong language). p(w2|w1) = (c(w1 w2)+1) /
+    * (c(w1)+V) within each lang; the score is −avg ln p over the doc's
+    * bigrams (exp of it is perplexity). Docs under 2 tokens have no
+    * bigrams and drop out.
+    *
+    * Plan: three count aggregations over the exploded token stream
+    * (bigram, unigram, vocab) joined back to the per-doc bigrams — all
+    * shuffled equality joins on (lang, gram); the vocab side is one row
+    * per lang (broadcast). No driver materialization, so the same plan
+    * holds when the LM table has 10^9 rows. Rounded to 6 decimals: avg's
+    * accumulation order and libm-vs-Math.log differ across engines in the
+    * last ulp only. */
+  def crossEntropyScores(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val db = docs.select(col(idCol), col("lang"),
+        explode(ngramTokens(col("text"), 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val uni = docs.select(col("lang"), explode(words(col("text"))).as("w1"))
+      .groupBy("lang", "w1").agg(count(lit(1)).as("cu"))
+    val vocab = uni.groupBy("lang").agg(count(lit(1)).as("v"))
+    val bi = db.groupBy("lang", "bigram").agg(count(lit(1)).as("cb"))
+    db.join(bi, Seq("lang", "bigram"))
+      .join(uni, Seq("lang", "w1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("cb") + lit(1)).cast("double") /
+          (col("cu") + col("v")).cast("double"))), 6).as("cross_entropy"))
+  }
 }

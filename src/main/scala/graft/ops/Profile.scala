@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the `describe`/data-quality pass every metadata-driven
@@ -26,5 +26,24 @@ object Profile {
       s"'$c', __n, `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
     wide.select(expr(
       s"stack(${cols.size}, $arms) AS (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
+  }
+
+  /** Fixed-width histogram of `c` over [lo, hi): `bins` equal bins, the
+    * top edge clamped into the last bin. One aggregation (shuffle on the
+    * computed bin id, at most `bins` groups after map-side combine — the
+    * reduce stage is O(bins) however large the input). Rows outside
+    * [lo, hi] are excluded. Bin arithmetic is plain IEEE division/floor,
+    * identical on any engine. */
+  def histogram(df: DataFrame, c: Column, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, "hi must exceed lo")
+    val width = (hi - lo) / bins
+    val bin = least(floor((c - lo) / width), lit(bins - 1)).cast("long")
+    df.where(c >= lo && c <= hi)
+      .select(bin.as("bin_id"))
+      .groupBy("bin_id").agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", col("bin_id") * width + lo)
+      .withColumn("bin_hi", (col("bin_id") + 1) * width + lo)
   }
 }

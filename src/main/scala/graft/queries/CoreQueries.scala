@@ -405,6 +405,22 @@ object CoreQueries {
       (s, dir) => graft.ops.Profile.profile(Tables(s, dir).orders,
         Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
 
+    // Histogram: fixed-width bins over o_totalprice, counts + bin bounds
+    // in one O(bins)-group aggregation. 20 × 25000-wide bins over
+    // [0, 500000); exact IEEE bin arithmetic on both engines.
+    Reg("histogram_price", Some(
+      """WITH b AS (
+        |  SELECT CAST(LEAST(FLOOR((o_totalprice - 0.0) / 25000.0), 19)
+        |              AS BIGINT) AS bin_id
+        |  FROM orders WHERE o_totalprice >= 0.0 AND o_totalprice <= 500000.0
+        |)
+        |SELECT bin_id, COUNT(*) AS n,
+        |  bin_id * 25000.0 + 0.0 AS bin_lo,
+        |  (bin_id + 1) * 25000.0 + 0.0 AS bin_hi
+        |FROM b GROUP BY bin_id""".stripMargin))(
+      (s, dir) => graft.ops.Profile.histogram(Tables(s, dir).orders,
+        col("o_totalprice"), lo = 0.0, hi = 500000.0, bins = 20)),
+
     // F1: dictionary recode, unmapped values pass through (etl_io.py:151).
     Reg("f1_recode", Some(
       """SELECT o_orderkey,

@@ -63,6 +63,63 @@ object ExtQueries {
           .na.drop("any", Seq("dv"))
       }),
 
+    // W-ext: rolling time-series features — mean/min/max/count over the
+    // previous 5 events per user (4 preceding + current), the ML
+    // feature-engineering staple. The rolling sum runs in DECIMAL so the
+    // sliding-frame accumulation order (segment trees in DuckDB, running
+    // state in Spark) cannot differ in the low double bits; the mean is
+    // one exact-double division at the end.
+    Reg("w4_rolling", Some(
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE) AS roll_sum,
+        |  COUNT(*) OVER w AS n_win,
+        |  MIN(value) OVER w AS roll_min,
+        |  MAX(value) OVER w AS roll_max,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE)
+        |    / (COUNT(*) OVER w) AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
+        .stripMargin))(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+        Tables(s, dir).events.select(
+            col("user_id"), col("event_id"),
+            sum(col("value").cast(DecimalType(25, 2))).over(w)
+              .cast("double").as("roll_sum"),
+            count(lit(1)).over(w).as("n_win"),
+            min(col("value")).over(w).as("roll_min"),
+            max(col("value")).over(w).as("roll_max"))
+          .withColumn("roll_mean", col("roll_sum") / col("n_win"))
+      }),
+
+    // Funnel: ordered-step reach counts (signup → click → purchase, each
+    // step at or after the user's earliest previous-step completion).
+    Reg("funnel", Some(
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) >= s1.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) >= s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3""".stripMargin))(
+      (s, dir) => graft.ext.Funnel.funnel(Tables(s, dir).events,
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))),
+
     // W: global top-k — orderBy + limit with a unique tiebreak.
     Reg("w3_global_topk", Some(
       """SELECT o_orderkey, o_totalprice FROM orders

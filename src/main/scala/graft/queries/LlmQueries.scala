@@ -562,6 +562,39 @@ object LlmQueries {
           .select("doc_id", "lang", "n_tokens", "q_score")
       }),
 
+    // Bigram-LM cross-entropy per doc (the KenLM-style quality filter):
+    // each doc scored by −avg ln p(w2|w1) under the corpus's own add-one-
+    // smoothed per-lang bigram LM. The oracle replays the identical LM.
+    Reg("text_perplexity", Some(
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        |), toks AS (
+        |  SELECT lang, unnest(ws) AS w1 FROM w
+        |), uni AS (
+        |  SELECT lang, w1, COUNT(*) AS cu FROM toks GROUP BY lang, w1
+        |), vocab AS (
+        |  SELECT lang, COUNT(*) AS v FROM uni GROUP BY lang
+        |), db AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |                          i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM w
+        |), db2 AS (
+        |  SELECT doc_id, lang, bigram, string_split(bigram, ' ')[1] AS w1
+        |  FROM db
+        |), bi AS (
+        |  SELECT lang, bigram, COUNT(*) AS cb FROM db2 GROUP BY lang, bigram
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(-ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE))), 6)
+        |    AS cross_entropy
+        |FROM db2
+        |JOIN bi USING (lang, bigram)
+        |JOIN uni USING (lang, w1)
+        |JOIN vocab USING (lang)
+        |GROUP BY doc_id""".stripMargin))(
+      (s, dir) => TextOps.crossEntropyScores(Tables(s, dir).documents)),
+
     // Sequence packing: concat-and-chunk on the global token axis — the
     // step between "clean corpus" and "training batches". One row per
     // (doc, overlapped chunk) with the doc's token sub-range; docs crossing

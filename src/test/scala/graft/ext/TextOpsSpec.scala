@@ -125,4 +125,19 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(2))).toMap
     assert(tf == Map("a" -> 3L))
   }
+
+  test("crossEntropyScores: common transitions score lower than rare ones; short docs drop") {
+    val docs = Seq(
+      (1L, "en", "a b a b a b"),
+      (2L, "en", "a b a b"),
+      (3L, "en", "x q"),   // transition seen once in the corpus
+      (4L, "en", "solo")   // no bigrams → absent from output
+    ).toDF("doc_id", "lang", "text")
+    val out = crossEntropyScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 == 5 && out(2L)._1 == 3 && out(3L)._1 == 1)
+    // docs made of the corpus's dominant transitions beat the one-off
+    assert(out(1L)._2 < out(3L)._2 && out(2L)._2 < out(3L)._2)
+  }
 }

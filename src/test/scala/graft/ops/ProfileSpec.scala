@@ -21,4 +21,16 @@ class ProfileSpec extends SparkSpec {
       Profile.profile(Seq(1).toDF("x"), Seq.empty)
     }
   }
+
+  test("histogram bins values, clamps the top edge into the last bin, excludes out-of-range") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(0.0, 5.0, 9.99, 10.0, 19.0, 20.0, -1.0, 20.01).toDF("x")
+    val out = Profile.histogram(df, col("x"), lo = 0.0, hi = 20.0, bins = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // -1.0 and 20.01 excluded; 20.0 (== hi) clamps into bin 1
+    assert(out == Map(
+      0L -> ((3L, 0.0, 10.0)),   // 0.0, 5.0, 9.99
+      1L -> ((3L, 10.0, 20.0)))) // 10.0, 19.0, 20.0
+  }
 }
