@@ -380,7 +380,11 @@ object CoreQueries {
         |    AS is_current
         |FROM log""".stripMargin))(
       (s, dir) => {
-        val log = Tables(s, dir).events
+        // ONE shuffle, not two: hash-partitioning on user_id alone satisfies
+        // both the (user_id, ts) aggregation's clustering requirement AND
+        // the scd2 window's partitioning, so the explicit repartition is
+        // reused by both downstream operators (PLANS.md shows the tree)
+        val log = Tables(s, dir).events.repartition(col("user_id"))
           .groupBy("user_id", "ts").agg(max("event_type").as("state"))
         graft.ops.Cdc.scd2(log, "user_id", "ts")
           .select(col("user_id"), col("state"),
