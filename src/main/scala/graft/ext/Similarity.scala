@@ -163,4 +163,26 @@ object Similarity {
           roundTo).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Per-vector scalar quantization to int8-range codes — the 4× memory
+    * lever for serving/searching embeddings at corpus scale (float32 → one
+    * byte per dim, with (mn, mx) per vector to dequantize). code =
+    * floor((x−mn)/(mx−mn)·255) ∈ [0,255]; a constant vector (mx = mn)
+    * quantizes to all zeros.
+    *
+    * The min/max are computed ONCE per row as standalone columns and only
+    * then referenced inside the `transform` lambda — nesting `array_min`
+    * in the lambda body would re-evaluate it per ELEMENT (the O(d²)
+    * interpreted-HOF recompute trap this repo's dedup code documents).
+    * Arithmetic is double on both engines (float32 inputs cast up), so
+    * code boundaries are engine-identical IEEE ops. */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.withColumn("__dd", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("mn", array_min(col("__dd")))
+      .withColumn("mx", array_max(col("__dd")))
+      .select(col(idCol), col("mn"), col("mx"),
+        transform(col("__dd"), x =>
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(floor((x - col("mn")) / (col("mx") - col("mn")) * 255)
+              .cast("long"))).as("codes"))
 }

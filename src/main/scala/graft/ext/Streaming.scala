@@ -28,6 +28,21 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Session for streaming runs: stateful-operator parallelism is a
+    * CAPACITY knob — state volume per partition and per-partition state
+    * store commit cost — not the analytic shuffle width, so it deserves
+    * its own setting (each stream partition pays store open/commit/snapshot
+    * per microbatch; a stream-stream join keeps four stores per partition).
+    * `newSession` shares the SparkContext and catalog but carries an
+    * independent SQLConf, so the override never leaks into concurrently
+    * running batch queries. Everything built from the returned session
+    * (readEvents → transforms → runToTable) inherits the setting. */
+  def streamingSession(spark: SparkSession, partitions: Int = 8): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ss
+  }
+
   /** File-source stream over the events parquet. The corpus ships
     * events.parquet as a single FILE, but Spark's file-stream source only
     * reads directories — stage a hardlink/copy into a temp dir once (cheap,
@@ -222,6 +237,10 @@ object Streaming {
     * streaming plan against the batch oracle. */
   def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
                  outputMode: String = "complete"): DataFrame = {
+    // the memory sink registers its table in the session that OWNS the
+    // streaming frame (which may be a streamingSession child) — resolve
+    // everything there, not in the caller's session
+    val own = streamed.sparkSession
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
@@ -232,8 +251,8 @@ object Streaming {
     // snapshot the sink (results here are bounded: aggregates / verify-size
     // frames), then drop the memory-sink temp view — otherwise a long-lived
     // session running the bench repeatedly accretes stream_* tables
-    val out = spark.table(name).localCheckpoint()
-    spark.catalog.dropTempView(name)
+    val out = own.table(name).localCheckpoint()
+    own.catalog.dropTempView(name)
     out
   }
 

@@ -505,8 +505,9 @@ object ExtQueries {
         |FROM events GROUP BY event_type""".stripMargin))(
       (s, dir) => {
         val name = s"stream_dedup_${streamRunCounter.incrementAndGet()}"
+        val ss = graft.ext.Streaming.streamingSession(s)
         val deduped = graft.ext.Streaming.runToTable(s,
-          graft.ext.Streaming.dedupedPairs(graft.ext.Streaming.readEvents(s, dir)),
+          graft.ext.Streaming.dedupedPairs(graft.ext.Streaming.readEvents(ss, dir)),
           name, outputMode = "append")
         deduped.groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
       }),
@@ -552,7 +553,8 @@ object ExtQueries {
         val name = s"stream_joined_${streamRunCounter.incrementAndGet()}"
         graft.ext.Streaming.runToTable(s,
           graft.ext.Streaming.attributionJoin(
-            graft.ext.Streaming.readEvents(s, dir), windowMinutes = 60),
+            graft.ext.Streaming.readEvents(
+              graft.ext.Streaming.streamingSession(s), dir), windowMinutes = 60),
           name, outputMode = "append")
       }),
 
@@ -629,7 +631,8 @@ object ExtQueries {
         val name = s"sessionize_append_${streamRunCounter.incrementAndGet()}"
         graft.ext.Streaming.runToTable(s,
           graft.ext.Streaming.sessionRowsAppend(s,
-            graft.ext.Streaming.readEvents(s, dir), gapMinutes = 30),
+            graft.ext.Streaming.readEvents(
+              graft.ext.Streaming.streamingSession(s), dir), gapMinutes = 30),
           name, outputMode = "append")
       }),
 
@@ -640,7 +643,8 @@ object ExtQueries {
       (s, dir) => {
         val name = s"stream_window_${streamRunCounter.incrementAndGet()}"
         graft.ext.Streaming.runToTable(s,
-          graft.ext.Streaming.windowedAgg(graft.ext.Streaming.readEvents(s, dir)),
+          graft.ext.Streaming.windowedAgg(graft.ext.Streaming.readEvents(
+            graft.ext.Streaming.streamingSession(s), dir)),
           name)
       })
   )

@@ -562,6 +562,29 @@ object LlmQueries {
           .select("doc_id", "lang", "n_tokens", "q_score")
       }),
 
+    // Scalar quantization of embeddings to int8-range codes (float32 →
+    // 1 byte/dim + per-vector (mn,mx)): the memory lever that makes a
+    // 10^11-vector ANN index fit. Codes stringify for the oracle compare
+    // (list columns don't hash portably); boundaries are exact IEEE
+    // double arithmetic on both engines.
+    Reg("eq_quantize", Some(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dd FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, dd, list_min(dd) AS mn, list_max(dd) AS mx FROM e
+        |)
+        |SELECT vec_id, mn, mx,
+        |  array_to_string(list_transform(dd, x ->
+        |    CAST(CAST(CASE WHEN mx = mn THEN 0
+        |                   ELSE FLOOR((x - mn) / (mx - mn) * 255)
+        |              END AS BIGINT) AS VARCHAR)), ',') AS codes
+        |FROM m""".stripMargin))(
+      (s, dir) => Similarity.quantize(Tables(s, dir).embeddings,
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("mn"), col("mx"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes"))),
+
     // Bigram-LM cross-entropy per doc (the KenLM-style quality filter):
     // each doc scored by −avg ln p(w2|w1) under the corpus's own add-one-
     // smoothed per-lang bigram LM. The oracle replays the identical LM.

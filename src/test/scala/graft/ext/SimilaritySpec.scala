@@ -103,4 +103,21 @@ class SimilaritySpec extends SparkSpec {
     // with 2 planes the bucket is coarse; near-identical vectors share it
     assert(out.toSeq == Seq((0L, 1L)))
   }
+
+  test("quantize maps [mn,mx] to [0,255] codes; constant vectors to zeros; dequant error bounded") {
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.5f, 1.0f)),
+      (1L, Seq(2.0f, 2.0f, 2.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.quantize(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getSeq[Long](3)))).toMap
+    assert(rows(0L) == ((0.0, 1.0, Seq(0L, 127L, 255L)))) // 0.5*255 floors to 127
+    assert(rows(1L) == ((2.0, 2.0, Seq(0L, 0L, 0L))))
+    // dequantization error bound: |x - (mn + code/255*(mx-mn))| <= (mx-mn)/255
+    val (mn, mx, codes) = rows(0L)
+    val orig = Seq(0.0, 0.5, 1.0)
+    codes.zip(orig).foreach { case (c, x) =>
+      assert(math.abs(x - (mn + c.toDouble / 255 * (mx - mn))) <= (mx - mn) / 255)
+    }
+  }
 }
