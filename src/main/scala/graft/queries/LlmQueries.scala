@@ -562,6 +562,91 @@ object LlmQueries {
           .select("doc_id", "lang", "n_tokens", "q_score")
       }),
 
+    // Vocabulary build: top-1000 tokens by corpus frequency with dense ids
+    // — the tokenizer-training precursor. Global top-k plans as per-
+    // partition top-k + merge (TakeOrderedAndProject), never a full sort;
+    // the row_number runs over the already-limited 1000 rows.
+    Reg("vocab_topk", Some(
+      """WITH tf AS (
+        |  SELECT t.token AS token, COUNT(*) AS tf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents) t
+        |  GROUP BY t.token
+        |), top AS (
+        |  SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT 1000
+        |)
+        |SELECT token, tf,
+        |  ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS vocab_id
+        |FROM top""".stripMargin))(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables(s, dir).documents
+          .select(explode(TextOps.words(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token")).limit(1000)
+          .withColumn("vocab_id", row_number()
+            .over(Window.orderBy(col("tf").desc, col("token"))).cast("long"))
+      }),
+
+    // Train/test contamination: fraction of each TEST doc's distinct
+    // 3-shingles that appear anywhere in the TRAIN split (the md5
+    // content-hash split of text_split) — the decontamination report every
+    // eval pipeline needs. Shuffled equality join on the shingle; the
+    // train side dedupes first so the join never fans out.
+    Reg("contamination", Some(
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 AS bucket
+         |  FROM documents
+         |), tr AS (
+         |  SELECT DISTINCT unnest($duckShingles) AS sh
+         |  FROM b WHERE bucket < 8
+         |), te AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM b WHERE bucket = 9
+         |)
+         |SELECT te.doc_id, COUNT(*) AS n_shingles, COUNT(tr.sh) AS n_hit,
+         |  CAST(COUNT(tr.sh) AS DOUBLE) / COUNT(*) AS contamination
+         |FROM te LEFT JOIN tr ON te.sh = tr.sh
+         |GROUP BY te.doc_id""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .withColumn("bucket", TextOps.hashBucket(col("text"), 10))
+        val tr = docs.where(col("bucket") < 8)
+          .select(explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
+        val te = docs.where(col("bucket") === 9)
+          .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
+        te.join(tr.withColumn("hit", lit(1)), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+          .withColumn("contamination",
+            col("n_hit").cast("double") / col("n_shingles"))
+      }),
+
+    // Within-doc repetition (Gopher-style quality rule): duplicated-trigram
+    // fraction per doc — high values flag boilerplate/spam. Occurrence
+    // (not distinct) trigrams feed one grouped count + count-distinct.
+    Reg("text_repetition", Some(
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i + 1] || ' ' ||
+        |           string_split(text, ' ')[i + 2])) AS tg
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  COUNT(DISTINCT tg) AS n_distinct,
+        |  1.0 - CAST(COUNT(DISTINCT tg) AS DOUBLE) / COUNT(*) AS rep_frac
+        |FROM g GROUP BY doc_id""".stripMargin))(
+      (s, dir) => Tables(s, dir).documents
+        .select(col("doc_id"), explode(TextOps.ngramTokens(col("text"), 3)).as("tg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          countDistinct(col("tg")).as("n_distinct"))
+        .withColumn("rep_frac",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams"))),
+
     // Scalar quantization of embeddings to int8-range codes (float32 →
     // 1 byte/dim + per-vector (mn,mx)): the memory lever that makes a
     // 10^11-vector ANN index fit. Codes stringify for the oracle compare
