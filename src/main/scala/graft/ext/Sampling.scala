@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling — the reproducible alternative to
+  * seeded RNG sampling (`df.stat.sampleBy`) for corpus work. A row's
+  * keep/drop decision is a pure function of its CONTENT, so the sample is
+  * identical across runs, engines, partitionings and cluster sizes, needs
+  * no seed coordination, and composes with dedup/splits that use the same
+  * md5 machinery ([[TextOps.hashBucket]]). The price: sampling the same
+  * corpus twice gives the SAME rows (that is usually the point), and exact
+  * duplicates sample together (dedup first — the pipeline order is
+  * dedup → sample anyway).
+  */
+object Sampling {
+
+  /** Uniform-looking deterministic fraction in [0, 1): md5's top 13 hex
+    * digits (52 bits — exactly representable in a double) scaled by 2^-52.
+    * Both the int→double cast and the power-of-two division are exact, so
+    * `hashFrac(x) < p` decides identically on every engine. */
+  def hashFrac(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long").cast("double") /
+      lit(4503599627370496.0) // 2^52
+
+  /** Keep each row with probability `weight` (a per-row Column in [0,1]),
+    * decided by the row's own content hash: quality-weighted subsampling,
+    * length-balanced sampling, any importance scheme. Plans as one
+    * filter — fully pushed, no shuffle, no state. */
+  def weightedBy(df: DataFrame, contentCol: Column, weight: Column): DataFrame =
+    df.where(hashFrac(contentCol) < weight)
+
+  /** Domain mixing: subsample each source to its target rate — the
+    * data-mixture control every pre-training corpus build ends with.
+    * `rates` maps source → keep-rate; absent sources keep `default`.
+    * The rate lookup is a literal map (broadcast-free, pure expression). */
+  def mixSources(df: DataFrame, contentCol: Column, sourceCol: Column,
+                 rates: Map[String, Double], default: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(default)) { case (acc, (src, r)) =>
+      when(sourceCol === src, lit(r)).otherwise(acc)
+    }
+    df.where(hashFrac(contentCol) < rate)
+  }
+}

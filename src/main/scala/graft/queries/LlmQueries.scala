@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Packing, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 import graft.io.Tables
 
 /** Registry entries for the LLM-data-pipeline layer (SURVEY.md §2.11) over
@@ -284,6 +284,31 @@ object LlmQueries {
         size(regexp_extract_all(col("text"),
           lit("'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"), lit(0)))
           .cast("long").as("n_bpe"))),
+
+    // Deterministic weighted sampling: keep probability ∝ doc length
+    // (capped at 1), decided by the content hash — reproducible across
+    // engines/runs/partitionings, which the oracle hash-match PROVES.
+    Reg("sample_weighted", Some(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) AS DOUBLE)
+        |        / 4503599627370496.0
+        |      < LEAST(n_chars / 500.0, 1.0)""".stripMargin))(
+      (s, dir) => Sampling.weightedBy(Tables(s, dir).documents,
+          col("text"), least(col("n_chars") / 500.0, lit(1.0)))
+        .select("doc_id", "lang", "source")),
+
+    // Domain mixing: per-source keep rates (the pre-training data-mixture
+    // knob), same deterministic hash decision.
+    Reg("mix_sources", Some(
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) AS DOUBLE)
+        |        / 4503599627370496.0
+        |      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin))(
+      (s, dir) => Sampling.mixSources(Tables(s, dir).documents,
+          col("text"), col("source"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
+        .select("doc_id", "source")),
 
     // Stratified sampling for train/dev splits (seeded per-partition RNG is
     // engine-specific → rows-only).

@@ -1,0 +1,37 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashFrac is in [0,1), content-determined, and partition-independent") {
+    val df = (1 to 500).map(i => s"doc $i").toDF("t")
+    val fracs = df.select(Sampling.hashFrac(col("t")).as("f")).collect().map(_.getDouble(0))
+    assert(fracs.forall(f => f >= 0.0 && f < 1.0))
+    // repartitioning cannot move a decision (pure content function)
+    val a = df.where(Sampling.hashFrac(col("t")) < 0.3).orderBy("t").collect()
+    val b = df.repartition(13).where(Sampling.hashFrac(col("t")) < 0.3)
+      .orderBy("t").collect()
+    assert(a.sameElements(b))
+    // and the keep rate lands near the target on uniform-ish hashes
+    assert(math.abs(a.length / 500.0 - 0.3) < 0.08)
+  }
+
+  test("weightedBy keeps weight-1 rows always and weight-0 rows never") {
+    val df = Seq(("keep me", 1.0), ("drop me", 0.0)).toDF("t", "w")
+    val kept = Sampling.weightedBy(df, col("t"), col("w")).select("t")
+      .as[String].collect().toSeq
+    assert(kept == Seq("keep me"))
+  }
+
+  test("mixSources applies per-source rates with a default") {
+    val df = (1 to 300).map(i => (s"doc $i", if (i % 3 == 0) "a" else "b"))
+      .toDF("t", "src")
+    val out = Sampling.mixSources(df, col("t"), col("src"),
+      Map("a" -> 1.0), default = 0.0)
+    val srcs = out.select("src").distinct().as[String].collect().toSeq
+    assert(srcs == Seq("a") && out.count() == 100)
+  }
+}
