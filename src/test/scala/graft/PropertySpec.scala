@@ -180,6 +180,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Cdc.applyChanges equals the sequential replay reference") {
+    for (trial <- 1 to 5) {
+      val baseRows = (0 until 40).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, s"b$k"))
+      // random change log: several ops per key, unique (key, seq)
+      val changeRows = (0 until 40).flatMap { k =>
+        val n = rnd.nextInt(4)
+        (1 to n).map(seq => (k.toLong,
+          if (rnd.nextBoolean()) "U" else "D", seq, s"c$k-$seq"))
+      }
+      val got = graft.ops.Cdc.applyChanges(
+          baseRows.toDF("k", "v"), changeRows.toDF("k", "op", "seq", "v"), "k")
+        .as[(Long, String)].collect().toMap
+      // reference: replay each key's changes in seq order over the base map
+      val want = (0 until 40).map(_.toLong).flatMap { k =>
+        val end = changeRows.filter(_._1 == k).sortBy(_._3).lastOption
+        end match {
+          case Some((_, "U", seq, _)) => Some(k -> s"c$k-$seq")
+          case Some((_, "D", _, _))   => None
+          case _ => baseRows.toMap.get(k).map(k -> _)
+        }
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("property: pivot∘melt round-trips for complete matrices") {
     val long = (for { s <- 1 to 4; e <- Seq("x", "y", "z") }
       yield (s"s$s", e, rnd.nextInt(100).toDouble)).toDF("soc", "elem", "v")
