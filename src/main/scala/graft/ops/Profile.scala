@@ -28,6 +28,26 @@ object Profile {
       s"stack(${cols.size}, $arms) AS (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
   }
 
+  /** [[profile]] with `approx_count_distinct` (HLL) in place of the exact
+    * distinct counts — the 100 TB profiling path. Exact multi-column
+    * distincts plan as an Expand (input × columns rows through the
+    * shuffle); the sketch keeps the pass at one row per partition per
+    * column. `rsd` is the HLL relative standard error (default 5%). */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")))
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val arms = cols.map(c =>
+      s"'$c', __n, `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $arms) AS (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
+  }
+
   /** Fixed-width histogram of `c` over [lo, hi): `bins` equal bins, the
     * top edge clamped into the last bin. One aggregation (shuffle on the
     * computed bin id, at most `bins` groups after map-side combine — the

@@ -425,6 +425,13 @@ object CoreQueries {
       (s, dir) => graft.ops.Profile.histogram(Tables(s, dir).orders,
         col("o_totalprice"), lo = 0.0, hi = 500000.0, bins = 20)),
 
+    // Approx profiling — the 100 TB path: HLL sketches replace the exact
+    // distinct counts (whose Expand multiplies shuffle rows by column
+    // count). Sketch estimates are engine-specific → rows-only.
+    Reg("profile_orders_approx", None)(
+      (s, dir) => graft.ops.Profile.profileApprox(Tables(s, dir).orders,
+        Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
+
     // F1: dictionary recode, unmapped values pass through (etl_io.py:151).
     Reg("f1_recode", Some(
       """SELECT o_orderkey,

@@ -121,6 +121,19 @@ class PlanSpec extends SparkSpec {
     assert(rd.count() == 25)
   }
 
+  test("packChunks touches one partition only for bucket totals — full data stays hash-partitioned") {
+    import spark.implicits._
+    val docs = (0 until 2000).map(i => (i.toLong, 1 + i % 50)).toDF("doc_id", "len")
+    val plan = physical(graft.ext.Packing.packChunks(
+      docs, "doc_id", col("len"), capacity = 256, bucketWidth = 64))
+    // exactly ONE SinglePartition exchange (the |corpus|/bucketWidth bucket
+    // totals); a second would mean the global-window shape crept back in
+    assert(plan.split("Exchange SinglePartition").length - 1 == 1,
+      s"expected exactly one single-partition stage:\n$plan")
+    // the full-data window is partitioned on the bucket, not global
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("co-bucketed tables join without a shuffle (Exchange-free)") {
     import graft.io.Sinks
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
