@@ -262,15 +262,19 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
-  /** SimHash near-dup pairs: band the simhash into `bands` chunks (two
-    * simhashes within hamming distance d share a chunk when d < bands),
-    * bucket-join on any equal chunk, verify with bit_count(xor) ≤ maxDist. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, bits: Int = 32, bands: Int = 4): DataFrame = {
+  /** Banded near-dup join over ANY bit-signature frame `(id, sim)` —
+    * SimHash, perceptual hash, any Hamming-space sketch. Two signatures
+    * within hamming distance d share at least one of `bands` equal chunks
+    * whenever d < bands (pigeonhole), so the candidate join is an EQUALITY
+    * join on (band, chunk) — never all-pairs — and bit_count(xor) verifies
+    * exactly. The input is persisted for the self-join and released once
+    * the (small) verified pair set is materialized. */
+  def signaturePairs(withSimIn: DataFrame, maxDist: Int, bits: Int,
+                     bands: Int): DataFrame = {
+    require(maxDist < bands,
+      s"banding is complete only for maxDist < bands (got $maxDist >= $bands)")
     val chunk = bits / bands
-    // persisted for the self-join below; released after the (small) verified
-    // pair set is materialized — same hygiene as [[nearDupCandidates]]
-    val withSim = simhashes(df, idCol, textCol, bits).persist()
+    val withSim = withSimIn.persist()
     // chunk j = (sim >> (j*chunk)) & ((1<<chunk)-1); column-valued shifts
     // need the SQL parser:
     val mask = (1L << chunk) - 1
@@ -290,4 +294,9 @@ object Dedup {
     withSim.unpersist()
     pairs
   }
+
+  /** SimHash near-dup pairs: [[simhashes]] piped through [[signaturePairs]]. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3, bits: Int = 32, bands: Int = 4): DataFrame =
+    signaturePairs(simhashes(df, idCol, textCol, bits), maxDist, bits, bands)
 }

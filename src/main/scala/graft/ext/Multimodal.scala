@@ -112,6 +112,42 @@ object Multimodal {
       }
   }
 
+  /** Average-hash perceptual signature (STUB sampler): 64 payload bytes at
+    * fixed stride stand in for the 8×8 downsampled luma grid; bit i is set
+    * when sample i exceeds the sample mean (strictly — equal-to-mean is 0).
+    * Near-identical payloads differ in few bits, so Hamming distance is the
+    * duplicate metric. A real pHash swaps the sampler for decoded-pixel
+    * DCT; the 64-bit signature and everything downstream stay. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "mime", "n_bytes").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val len = rec.payload.length
+          val stride = math.max(len / 64, 1)
+          val v = Array.tabulate(64) { i =>
+            val p = i * stride
+            if (p < len) rec.payload(p) & 0xff else 0
+          }
+          val total = v.sum
+          var sig = 0L
+          var i = 0
+          while (i < 64) {
+            if (v(i).toLong * 64 > total) sig |= 1L << i
+            i += 1
+          }
+          (rec.doc_id, sig)
+        }
+      }.toDF("id", "sim")
+  }
+
+  /** Media near-dup pairs: banded join on the perceptual hash + exact
+    * Hamming verify ([[graft.ext.Dedup.signaturePairs]] — the same
+    * machinery as SimHash text dedup, over the media signature). */
+  def phashPairs(spark: SparkSession, media: DataFrame,
+                 maxDist: Int = 3, bands: Int = 8): DataFrame =
+    Dedup.signaturePairs(perceptualHashes(spark, media), maxDist, 64, bands)
+
   /** Frame-sampling stage: the payload viewed as fixed-`frameBytes` frames,
     * keeping every `every`-th frame — the video-keyframe shape (one output
     * row per kept frame, row growth bounded by len/frameBytes/every).

@@ -587,6 +587,38 @@ object LlmQueries {
           .select("doc_id", "lang", "n_tokens", "q_score")
       }),
 
+    // Media near-dup via perceptual hash: 64-bit average-hash over the
+    // (stub-sampled) payload, banded candidate join + exact Hamming verify
+    // — SimHash's machinery pointed at the multimodal column. The oracle
+    // is the BRUTE-FORCE all-pairs Hamming over the same signatures
+    // (computed bitwise from the sample lists), so the banding is proven
+    // complete, not just plausible.
+    Reg("mm_phash_pairs", Some(
+      """WITH b AS (
+        |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN i * GREATEST(len // 64, 1) < len
+        |           THEN ord(substr(text, i * GREATEST(len // 64, 1) + 1, 1))
+        |           ELSE 0 END) AS v
+        |  FROM b
+        |), s AS (
+        |  SELECT doc_id, v, list_aggregate(v, 'sum') AS sv FROM h
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_filter(generate_series(1, 64), i ->
+        |    (a.v[i] * 64 > a.sv) <> (b.v[i] * 64 > b.sv))) AS BIGINT)
+        |    AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(generate_series(1, 64), i ->
+        |    (a.v[i] * 64 > a.sv) <> (b.v[i] * 64 > b.sv))) <= 3"""
+        .stripMargin))(
+      (s, dir) => Multimodal.phashPairs(s,
+          Multimodal.mediaTable(Tables(s, dir).documents))
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long"))),
+
     // Vocabulary build: top-1000 tokens by corpus frequency with dense ids
     // — the tokenizer-training precursor. Global top-k plans as per-
     // partition top-k + merge (TakeOrderedAndProject), never a full sort;
