@@ -433,8 +433,18 @@ object LlmQueries {
           k = 8, iters = 2)
         val ivf = graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
           "vec_id", "embedding", "cell", k = 5, nprobe = 6)
+        // asymmetric quantized search: full-precision queries against the
+        // int8-dequantized corpus — measures what the 4× memory saving
+        // costs in recall (the production question for Similarity.quantize)
+        val codes = Similarity.quantize(e, "vec_id", "embedding")
+        val deq = codes.select(col("vec_id"),
+          transform(col("codes"), c =>
+            col("mn") + c.cast("double") / 255.0 * (col("mx") - col("mn")))
+            .as("embedding"))
+        val q8 = Similarity.bruteForceTopK(deq, q, "vec_id", "embedding", k = 5)
         Similarity.overlapStats(exact, lsh, "lsh")
           .union(Similarity.overlapStats(exact, ivf, "ivf_kmeans"))
+          .union(Similarity.overlapStats(exact, q8, "bf_int8"))
       }),
 
     // Multimodal metadata projection (payload stays opaque).

@@ -38,6 +38,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.9, s"IVF recall@5 = $r < 0.9")
   }
 
+  test("int8-quantized corpus search recall@5 >= 0.95 (asymmetric: exact queries)") {
+    val codes = Similarity.quantize(e, "vec_id", "embedding")
+    val deq = codes.select(col("vec_id"),
+      transform(col("codes"), c =>
+        col("mn") + c.cast("double") / 255.0 * (col("mx") - col("mn")))
+        .as("embedding"))
+    val r = recallOf(Similarity.bruteForceTopK(deq, q, "vec_id", "embedding", k = 5))
+    assert(r >= 0.95, s"int8 recall@5 = $r < 0.95")
+  }
+
   test("overlapStats of exact vs itself is 1.0 with n_hits = n_exact") {
     val row = Similarity.overlapStats(exact, exact, "self").collect().head
     assert(row.getAs[Double]("recall") == 1.0)
