@@ -391,6 +391,37 @@ object ExtQueries {
         .agg(round(stddev_samp(col("l_quantity")), 6).as("sd"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c"))),
 
+    // A-ext: explicit GROUPING SETS (the general form cube/rollup derive
+    // from) — one aggregation pass emitting both groupings; the identical
+    // ANSI text runs on both engines via the temp-view SQL path.
+    Reg("a15_grouping_sets", Some(
+      s"""SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+        .stripMargin))(
+      (s, dir) => {
+        graft.io.Sources.registerViews(s, dir)
+        s.sql(
+          s"""SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+            .stripMargin)
+      }),
+
+    // W-ext: ntile deciles over a GLOBAL ordering — inherently one
+    // partition for the final numbering (ntile needs the total order), so
+    // this exists for API completeness on bounded outputs; the scalable
+    // path for quantile bucketing at corpus size is a11_quantiles'
+    // approx_percentile cuts + a histogram-style bin join.
+    Reg("w5_ntile", Some(
+      """SELECT o_orderkey,
+        |  CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        |    AS decile
+        |FROM orders""".stripMargin))(
+      (s, dir) => Tables(s, dir).orders.select(col("o_orderkey"),
+        ntile(10).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast("long").as("decile"))),
+
     // A-ext: deterministic argmax via struct max (field-by-field compare in
     // both engines; the id tiebreak makes ties impossible).
     Reg("a13_argmax", Some(

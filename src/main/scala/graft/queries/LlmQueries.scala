@@ -285,6 +285,22 @@ object LlmQueries {
           lit("'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"), lit(0)))
           .cast("long").as("n_bpe"))),
 
+    // PII-style redaction: mask email-shaped tokens and long digit runs —
+    // the scrub pass before corpus release. Pure regexp_replace (codegen,
+    // no UDF); the patterns avoid constructs where Java and RE2 regex
+    // dialects could diverge (no backrefs, no lookaround).
+    Reg("text_redact", Some(
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{6,}', '[NUM]', 'g') AS redacted
+        |FROM documents""".stripMargin))(
+      (s, dir) => Tables(s, dir).documents.select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+          "[0-9]{6,}", "[NUM]").as("redacted"))),
+
     // Deterministic weighted sampling: keep probability ∝ doc length
     // (capped at 1), decided by the content hash — reproducible across
     // engines/runs/partitionings, which the oracle hash-match PROVES.
