@@ -53,7 +53,71 @@ object LlmQueries {
        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
        |         FROM reach GROUP BY u)""".stripMargin
 
+  /** DuckDB fragment: the bounded linear quality score of
+    * [[graft.ext.TextOps.qualityColumns]] over a column named `text`. */
+  private val duckQScore =
+    s"""least(CAST(len(string_split(text,' ')) AS BIGINT) / 100.0, 1.0) * 0.5
+       |    + (1.0 - least((CAST(len(list_filter(string_split(text,' '), w -> w IN $duckStop)) AS DOUBLE)
+       |                    / len(string_split(text,' '))) * 2.0, 1.0)) * 0.3
+       |    + least((CAST(length(replace(text,' ','')) AS DOUBLE)
+       |             / len(string_split(text,' '))) / 8.0, 1.0) * 0.2""".stripMargin
+
   val all: Seq[Reg] = Seq(
+
+    // FLAGSHIP COMPOSITION — the corpus RELEASE pipeline, one lazy plan:
+    // exact dedup (keep min id per content) → near-dup group
+    // canonicalization (MinHash candidates → exact-Jaccard verify →
+    // connected components, keep component min) → quality threshold →
+    // deterministic content-hash split assignment → PII redaction. The
+    // oracle replays every stage in SQL (recursive-CTE closure for the
+    // groups), so the whole five-stage composition is hash-checked
+    // end-to-end, not just stage-by-stage.
+    Reg("pipeline_release", Some(
+      s"""WITH RECURSIVE kept AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+         |), d1 AS (
+         |  SELECT d.* FROM documents d JOIN kept USING (doc_id)
+         |), s AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM d1
+         |), pairs AS ($duckPairs),
+         |$duckComponents,
+         |d2 AS (
+         |  SELECT d1.* FROM d1
+         |  WHERE NOT EXISTS (SELECT 1 FROM comp c
+         |                    WHERE c.doc_id = d1.doc_id
+         |                      AND c.component <> d1.doc_id)
+         |)
+         |SELECT doc_id, lang,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |  $duckQScore AS q_score,
+         |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 < 8
+         |         THEN 'train'
+         |       WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 8
+         |         THEN 'dev'
+         |       ELSE 'test' END AS split,
+         |  regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |    '[0-9]{6,}', '[NUM]', 'g') AS redacted
+         |FROM d2
+         |WHERE $duckQScore >= 0.5""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val kept = Dedup.exactDedupGroups(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val d1 = docs.join(kept, Seq("doc_id"), "left_semi")
+        val pairs = Dedup.nearDupPairs(d1, "doc_id", "text", threshold = 0.7)
+        val d2 = Dedup.dropNearDupGroups(d1, pairs, "doc_id")
+        val bucket = TextOps.hashBucket(col("text"), 10)
+        TextOps.qualityColumns(d2, "text")
+          .where(col("q_score") >= 0.5)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("q_score"),
+            when(bucket < 8, "train").when(bucket === 8, "dev")
+              .otherwise("test").as("split"),
+            regexp_replace(
+              regexp_replace(col("text"),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+              "[0-9]{6,}", "[NUM]").as("redacted"))
+      }),
 
     // Exact dedup: one row per distinct content, kept id + copy count.
     // The oracle groups by the text itself — identical up to sha2 collision.
