@@ -391,6 +391,45 @@ object ExtQueries {
         .agg(round(stddev_samp(col("l_quantity")), 6).as("sd"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c"))),
 
+    // F-ext: time-series gap fill — the resample step reporting pipelines
+    // need: the full (day × event_type) grid over the corpus span, absent
+    // combinations as explicit zeros. The grid derives from a 1-row span
+    // aggregate exploded through sequence() (broadcast; never a driver
+    // collect), so the shape holds for a 10-year × 10^4-key grid.
+    Reg("f_gapfill", Some(
+      """WITH daily AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS d0,
+        |         date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS d1
+        |  FROM events
+        |), days AS (
+        |  SELECT strftime(u, '%Y-%m-%d') AS day
+        |  FROM span, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(u)
+        |), types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT day, event_type, COALESCE(n, 0) AS n
+        |FROM days CROSS JOIN types
+        |LEFT JOIN daily USING (day, event_type)""".stripMargin))(
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val daily = e.groupBy(
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val span = e.agg(date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+        val days = span.select(explode(
+            sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("d"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+        val types = e.select("event_type").distinct()
+        days.crossJoin(types)
+          .join(daily, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+      }),
+
     // A-ext: explicit GROUPING SETS (the general form cube/rollup derive
     // from) — one aggregation pass emitting both groupings; the identical
     // ANSI text runs on both engines via the temp-view SQL path.
