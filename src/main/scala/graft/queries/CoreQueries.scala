@@ -93,6 +93,45 @@ object CoreQueries {
         graft.io.Sources.jsonl(s, path, orders.schema)
       }),
 
+    // S-ext: QUARANTINE ingestion — real corpora arrive with broken lines;
+    // the reader must count + segregate them, not die or silently drop.
+    // Every 10th orders row is staged as deliberately-invalid JSON; the
+    // PERMISSIVE read routes those to _corrupt_record and the aggregate
+    // proves good rows parse exactly (decimal-exact price sum) while bad
+    // rows are all accounted for.
+    Reg("jsonl_quarantine", Some(
+      s"""SELECT
+         |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 <> 0) AS BIGINT)
+         |    AS n_good,
+         |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT)
+         |    AS n_bad,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+         |       FILTER (WHERE o_orderkey % 10 <> 0) AS DOUBLE) AS sum_price
+         |FROM orders""".stripMargin))(
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val path = stageOnce("jsonl_bad", dir) { p =>
+          Tables(s, dir).orders
+            .select(when(col("o_orderkey") % 10 === 0, lit("{broken"))
+              .otherwise(to_json(struct(col("o_orderkey"), col("o_totalprice"))))
+              .as("value"))
+            .write.mode("overwrite").text(p)
+        }
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path)
+          .agg(
+            count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+            count(col("_corrupt_record")).as("n_bad"),
+            dsum(when(col("_corrupt_record").isNull, col("o_totalprice")))
+              .as("sum_price"))
+      }),
+
     // S-ext: ORC round trip, oracle-checked — the S8-family columnar sink
     // beyond parquet; schema (incl. int32 p_size) travels with the files,
     // so the read back needs no caller-side schema.
