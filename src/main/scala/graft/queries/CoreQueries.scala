@@ -448,6 +448,31 @@ object CoreQueries {
       (s, dir) => graft.ops.Profile.profile(Tables(s, dir).orders,
         Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
 
+    // Incremental aggregate maintenance (the lambda-architecture merge):
+    // partial aggregates of a BASE partition and a DELTA batch merged by
+    // re-aggregating the partials — the oracle is the FULL recompute, so
+    // the hash match proves merge(partials) ≡ full for the decimal-sum
+    // algebra (exactly why dsum uses decimals: double partials would
+    // diverge in the low bits and the maintenance would drift).
+    Reg("incr_agg", Some(
+      s"""SELECT o_orderpriority, ${sqlDsum("o_totalprice")} AS sum_price,
+         |  COUNT(*) AS n_rows
+         |FROM orders GROUP BY o_orderpriority""".stripMargin))(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val o = Tables(s, dir).orders
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_orderpriority")
+            .agg(sum(col("o_totalprice").cast(DecimalType(25, 2))).as("s"),
+              count(lit(1)).as("n"))
+        val base = partial(o.where(col("o_orderkey") % 7 =!= 0))
+        val delta = partial(o.where(col("o_orderkey") % 7 === 0))
+        base.unionByName(delta)
+          .groupBy("o_orderpriority")
+          .agg(sum(col("s")).cast("double").as("sum_price"),
+            sum(col("n")).as("n_rows"))
+      }),
+
     // Histogram: fixed-width bins over o_totalprice, counts + bin bounds
     // in one O(bins)-group aggregation. 20 × 25000-wide bins over
     // [0, 500000); exact IEEE bin arithmetic on both engines.
