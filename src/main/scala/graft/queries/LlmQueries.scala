@@ -71,7 +71,10 @@ object LlmQueries {
     // deterministic content-hash split assignment → PII redaction. The
     // oracle replays every stage in SQL (recursive-CTE closure for the
     // groups), so the whole five-stage composition is hash-checked
-    // end-to-end, not just stage-by-stage.
+    // end-to-end, not just stage-by-stage. At 100 TB, persist() the
+    // exact-deduped frame `d1` — three stages consume it and the lazy
+    // plan otherwise re-derives it per consumer; the bench deliberately
+    // measures the cold un-persisted plan.
     Reg("pipeline_release", Some(
       s"""WITH RECURSIVE kept AS (
          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
