@@ -257,6 +257,21 @@ object LlmQueries {
       (s, dir) => Similarity.embeddingNearDup(Tables(s, dir).embeddings,
         "vec_id", "embedding", "label", threshold = 0.4)),
 
+    // The SCALE path for embedding near-dup: buckets from sign-LSH (2
+    // planes → 4 buckets here; more planes → finer buckets at corpus
+    // scale) instead of the fixed label partition, so bucket size — and
+    // the quadratic in-bucket pair cost — is CONTROLLED by a parameter
+    // rather than dictated by label cardinality. Seeded planes are
+    // engine-specific → rows-only; SimilaritySpec pins that high-cosine
+    // pairs land in one bucket and are found.
+    Reg("dedup_embed_lsh", None)(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings.withColumn("lsh_bucket",
+          Similarity.lshBucket(col("embedding"), nPlanes = 2, dim = 64))
+        Similarity.embeddingNearDup(e, "vec_id", "embedding", "lsh_bucket",
+          threshold = 0.4)
+      }),
+
     // Grouped corpus statistics.
     Reg("text_stats", Some(
       """SELECT lang, source, COUNT(*) AS n_docs,

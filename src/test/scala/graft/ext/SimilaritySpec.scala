@@ -104,6 +104,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  test("LSH-bucketed near-dup finds planted high-cosine pairs (same sign pattern → same bucket)") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.02f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),   // near-dup of 1
+      (3L, Seq(-1.0f, -0.02f, 0.0f, 0.0f))   // antipode: different bucket
+    ).toDF("vec_id", "embedding")
+      .withColumn("b", Similarity.lshBucket(col("embedding"), 2, 4))
+    val pairs = Similarity.embeddingNearDup(vecs, "vec_id", "embedding", "b",
+        threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("quantize maps [mn,mx] to [0,255] codes; constant vectors to zeros; dequant error bounded") {
     val vecs = Seq(
       (0L, Seq(0.0f, 0.5f, 1.0f)),
