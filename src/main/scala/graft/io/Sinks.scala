@@ -55,6 +55,22 @@ object Sinks {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Range-partitioned SORTED parquet write: rows globally ordered on
+    * `sortCols` across files (repartitionByRange) and within files
+    * (sortWithinPartitions), so every parquet row group carries tight
+    * min/max stats on the sort key — downstream range predicates skip
+    * whole row groups and whole FILES at the footer level. The layout
+    * lever for time-keyed fact tables (Z-order's 1-D special case); costs
+    * one range-exchange (sampled bounds) at write time. */
+  def parquetSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(sortCols.nonEmpty, "parquetSorted needs at least one sort column")
+    val cols = sortCols.map(df.col)
+    df.repartitionByRange(cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(mode).parquet(path)
+  }
+
   /** JSON-lines sink — one shard per partition, the hand-off format for
     * downstream tooling that doesn't speak parquet. Text + per-row field
     * names ≈ 3–5× parquet bytes: an interchange sink, not a storage one. */

@@ -93,6 +93,34 @@ object CoreQueries {
         graft.io.Sources.jsonl(s, path, orders.schema)
       }),
 
+    // S-ext: SORTED (range-partitioned) parquet layout — lineitem written
+    // ordered on l_shipdate, read back with a date-range predicate. The
+    // result oracles against the unsorted table (layout must not change
+    // answers); the WIN is in the scan stats: sorted row groups carry
+    // tight l_shipdate min/max, so the pushed range predicate skips
+    // non-matching groups/files at footer level — the lever for
+    // time-keyed facts at 100 TB.
+    Reg("parquet_sorted_scan", Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_shipdate < TIMESTAMP '1995-09-01'""".stripMargin))(
+      (s, dir) => {
+        val path = stageOnce("sorted_parquet", dir) { p =>
+          graft.io.Sinks.parquetSorted(
+            Tables(s, dir).lineitem
+              .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
+            p, Seq("l_shipdate"))
+        }
+        s.read.parquet(path)
+          .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+            col("l_quantity"))
+      }),
+
     // S-ext: QUARANTINE ingestion — real corpora arrive with broken lines;
     // the reader must count + segregate them, not die or silently drop.
     // Every 10th orders row is staged as deliberately-invalid JSON; the
