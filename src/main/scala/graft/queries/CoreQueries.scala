@@ -476,6 +476,45 @@ object CoreQueries {
       (s, dir) => graft.ops.Profile.profile(Tables(s, dir).orders,
         Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
 
+    // J-full-outer: table DIFF / reconciliation — two snapshots full-outer
+    // joined on the key, every row classified added/removed/changed/same,
+    // then counted. The snapshots derive deterministically from orders
+    // (drop %3 keys from old, %5 from new, perturb %7 prices) so all four
+    // statuses occur. One shuffle per side + the join; the status CASE is
+    // a projection.
+    Reg("j_full_outer_diff", Some(
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+        |), new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |)
+        |SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |            WHEN b.o_orderkey IS NULL THEN 'removed'
+        |            WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+        |            ELSE 'same' END AS status,
+        |  COUNT(*) AS n
+        |FROM old a FULL OUTER JOIN new b ON a.o_orderkey = b.o_orderkey
+        |GROUP BY 1""".stripMargin))(
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        val old = o.where(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").as("a_key"), col("o_totalprice").as("a_price"))
+        val neu = o.where(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey").as("b_key"),
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("b_price"))
+        old.join(neu, col("a_key") === col("b_key"), "full_outer")
+          .select(
+            when(col("a_key").isNull, "added")
+              .when(col("b_key").isNull, "removed")
+              .when(col("a_price") =!= col("b_price"), "changed")
+              .otherwise("same").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+      }),
+
     // Incremental aggregate maintenance (the lambda-architecture merge):
     // partial aggregates of a BASE partition and a DELTA batch merged by
     // re-aggregating the partials — the oracle is the FULL recompute, so
