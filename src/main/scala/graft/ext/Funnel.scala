@@ -23,15 +23,24 @@ object Funnel {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // with equal consecutive types, ts >= prev-ts would let ONE event
+    // satisfy both steps (it is its own >= match) — reject rather than
+    // silently over-count
+    require(steps.sliding(2).forall(p => p.length < 2 || p(0) != p(1)),
+      "consecutive funnel steps must differ (one event would satisfy both)")
     var reached: DataFrame = null
     val counts = steps.zipWithIndex.map { case (st, i) =>
       val evs = events.where(col(typeCol) === st)
         .select(col(userCol).as("u"), col(tsCol).as("t"))
+      // localCheckpoint per step: each step frame is tiny (≤ one row per
+      // user) and is consumed TWICE (next step's join + this step's count);
+      // without it every union branch re-derives the whole prior join
+      // chain — O(steps²) scans of the event table instead of O(steps)
       reached =
-        if (reached == null) evs.groupBy("u").agg(min("t").as("t"))
-        else evs.join(reached.select(col("u"), col("t").as("tp")), Seq("u"))
-          .where(col("t") >= col("tp"))
-          .groupBy("u").agg(min("t").as("t"))
+        (if (reached == null) evs.groupBy("u").agg(min("t").as("t"))
+         else evs.join(reached.select(col("u"), col("t").as("tp")), Seq("u"))
+           .where(col("t") >= col("tp"))
+           .groupBy("u").agg(min("t").as("t"))).localCheckpoint()
       reached.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
           col("n_users"))

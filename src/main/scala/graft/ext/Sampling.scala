@@ -18,7 +18,13 @@ object Sampling {
   /** Uniform-looking deterministic fraction in [0, 1): md5's top 13 hex
     * digits (52 bits — exactly representable in a double) scaled by 2^-52.
     * Both the int→double cast and the power-of-two division are exact, so
-    * `hashFrac(x) < p` decides identically on every engine. */
+    * `hashFrac(x) < p` decides identically on every engine.
+    *
+    * NULL content hashes to NULL, and a NULL fraction fails every `< p`
+    * filter — [[weightedBy]]/[[mixSources]] therefore DROP null-content
+    * rows even at rate 1.0. That is the contract (a corpus row with no
+    * content has no stable identity to sample on); coalesce upstream if
+    * null must mean something. */
   def hashFrac(c: Column): Column =
     conv(substring(md5(c), 1, 13), 16, 10).cast("long").cast("double") /
       lit(4503599627370496.0) // 2^52

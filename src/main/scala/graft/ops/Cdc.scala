@@ -39,7 +39,11 @@ object Cdc {
     val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
     val latest = changes.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    val survivors = base.join(latest.select(key), Seq(key), "left_anti")
+    // null-SAFE anti-join: a plain equi-anti never matches a null key, so a
+    // "U" on key=null would duplicate instead of replace and a "D" would
+    // never delete (the window above already groups nulls as one key)
+    val survivors = base.join(latest.select(col(key).as("__ck")),
+      base(key) <=> col("__ck"), "left_anti")
     val upserts = latest.where(col(opCol) === "U")
       .select(base.columns.map(col).toIndexedSeq: _*)
     survivors.unionByName(upserts)

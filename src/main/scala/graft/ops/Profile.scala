@@ -14,19 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}__nn"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__mn"),
-      max(col(c)).cast("string").as(s"${c}__mx")))
-    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val arms = cols.map(c =>
-      s"'$c', __n, `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
-    wide.select(expr(
-      s"stack(${cols.size}, $arms) AS (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
-  }
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, countDistinct(_))
 
   /** [[profile]] with `approx_count_distinct` (HLL) in place of the exact
     * distinct counts — the 100 TB profiling path. Exact multi-column
@@ -34,16 +23,26 @@ object Profile {
     * shuffle); the sketch keeps the pass at one row per partition per
     * column. `rsd` is the HLL relative standard error (default 5%). */
   def profileApprox(df: DataFrame, cols: Seq[String],
-                    rsd: Double = 0.05): DataFrame = {
+                    rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, approx_count_distinct(_, rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctAgg: Column => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // the stack() arms are built as SQL text: escape the column name both
+    // as a string literal ('' doubling) and inside backtick identifiers
+    // (`` doubling) so names with quotes/backticks can't break the parse
+    def lq(c: String) = c.replace("'", "''")
+    def bq(c: String) = c.replace("`", "``")
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__nn"),
-      approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+      distinctAgg(col(c)).as(s"${c}__nd"),
       min(col(c)).cast("string").as(s"${c}__mn"),
       max(col(c)).cast("string").as(s"${c}__mx")))
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val arms = cols.map(c =>
-      s"'$c', __n, `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
+      s"'${lq(c)}', __n, `${bq(c)}__nn`, `${bq(c)}__nd`, `${bq(c)}__mn`, `${bq(c)}__mx`")
+      .mkString(", ")
     wide.select(expr(
       s"stack(${cols.size}, $arms) AS (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
   }

@@ -27,4 +27,11 @@ class FunnelSpec extends SparkSpec {
       (3L, "purchase", 1L)  // user 1 only
     ))
   }
+
+  test("funnel rejects equal consecutive steps (one event would satisfy both)") {
+    val events = Seq((1L, 10L, "click")).toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(events, "user_id", "ts", "event_type", Seq("click", "click"))
+    }
+  }
 }

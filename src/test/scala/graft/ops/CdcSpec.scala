@@ -25,6 +25,17 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.applyChanges(base, changes, "k").count() == 0)
   }
 
+  test("applyChanges handles NULL keys: a null-key update replaces, a null-key delete deletes") {
+    val base = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("k", "v")
+    val upd = Seq((Option.empty[Long], "U", 1, "n2")).toDF("k", "op", "seq", "v")
+    val afterU = Cdc.applyChanges(base, upd, "k")
+      .as[(Option[Long], String)].collect().toSet
+    assert(afterU == Set((Some(1L), "a"), (None, "n2")))
+    val del = Seq((Option.empty[Long], "D", 1, null)).toDF("k", "op", "seq", "v")
+    assert(Cdc.applyChanges(base, del, "k")
+      .as[(Option[Long], String)].collect().toSet == Set((Some(1L), "a")))
+  }
+
   test("scd2: abutting intervals per key, open current row, single-state key") {
     val log = Seq((1L, 10L, "x"), (1L, 20L, "y"), (1L, 30L, "z"), (2L, 5L, "q"))
       .toDF("k", "ts", "state")
