@@ -61,11 +61,20 @@ object Similarity {
       nrm(col(vecCol)).as("q_norm")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       nrm(col(vecCol)).as("n_norm"))
-    val scored = c.crossJoin(q)
-      .where(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
-        round(d(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
-          roundTo).as("sim"))
+    scoreRankTopK(c.crossJoin(q).where(col("n_id") =!= col("q_id")),
+      d, k, roundTo)
+  }
+
+  /** The shared scoring/ranking contract of every top-k path: cosine from
+    * the precomputed norms, ROUNDED before ranking, neighbor-id tiebreak,
+    * rank ≤ k. One implementation so the stability promise (same rounding,
+    * same tiebreak) cannot drift between the exact and approximate paths. */
+  private def scoreRankTopK(pairs: DataFrame,
+                            dotFn: (Column, Column) => Column,
+                            k: Int, roundTo: Int): DataFrame = {
+    val scored = pairs.select(col("q_id"), col("n_id"),
+      round(dotFn(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
+        roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.select(col("q_id"), col("n_id"), col("sim"),
@@ -116,14 +125,7 @@ object Similarity {
     val cands = bc.join(bq, Seq("tbl", "bucket"))
       .where(col("n_id") =!= col("q_id"))
       .dropDuplicates("q_id", "n_id")
-    val scored = cands.select(col("q_id"), col("n_id"),
-      round(d(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
-        roundTo).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    scored.select(col("q_id"), col("n_id"), col("sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .where(col("rank") <= k)
+    scoreRankTopK(cands, d, k, roundTo)
   }
 
   /** Recall-style overlap of an approximate top-k result against the exact

@@ -53,13 +53,20 @@ object Streaming {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     val streamDir =
       if (java.nio.file.Files.isDirectory(src)) src.toString
-      else stagedDirs.computeIfAbsent(src.toString, { _ =>
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
-        val dst = d.resolve("events.parquet")
-        try java.nio.file.Files.createLink(dst, src)
-        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
-        d.toString
-      })
+      else {
+        // cache key carries mtime+size: a REGENERATED events.parquet at the
+        // same path must re-stage, or the stream would silently read the
+        // old inode through the stale hardlink
+        val sig = s"$src:${java.nio.file.Files.getLastModifiedTime(src)}" +
+          s":${java.nio.file.Files.size(src)}"
+        stagedDirs.computeIfAbsent(sig, { _ =>
+          val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+          val dst = d.resolve("events.parquet")
+          try java.nio.file.Files.createLink(dst, src)
+          catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+          d.toString
+        })
+      }
     spark.readStream
       .schema(eventsSchema)
       .parquet(streamDir)

@@ -34,16 +34,11 @@ object TextOps {
     * difference between milliseconds and minutes per partition. */
   def shingles(c: Column, k: Int = 3): Column = {
     val w = words(c)
-    val shifted = (0 until k).map {
-      case 0 => w
-      case i => slice(w, lit(i + 1), size(w))
-    }
-    val zipped = arrays_zip(shifted: _*)
-    val full = transform(
-      filter(zipped, t => t.getField(s"${k - 1}").isNotNull),
-      t => concat_ws(" ", (0 until k).map(i => t.getField(s"$i")): _*))
+    // the occurrence stream comes from ngramTokens — ONE copy of the
+    // zipped-shifts construction, so a fix to that HOF shape (this file's
+    // documented pitfall area) cannot drift between the two
     array_distinct(
-      when(size(w) < k, array(array_join(w, " "))).otherwise(full))
+      when(size(w) < k, array(array_join(w, " "))).otherwise(ngramTokens(c, k)))
   }
 
   /** Distinct character k-grams of `text` (the n-gram-Jaccard dedup

@@ -25,7 +25,13 @@ object Sinks {
 
   /** S8 analog: copy every catalog table under `srcDir` to `destDir` —
     * the reference's full-DB copy loop (etl_io.py:203-219), one distributed
-    * write per table instead of a driver-side row pump. */
+    * write per table instead of a driver-side row pump.
+    *
+    * The copy reads through [[Sources.table]], so it NORMALIZES schemas the
+    * same way every read path does — in particular a TIMESTAMP(NANOS)
+    * `ts` lands in the destination as timestamp(micros) (the engine's
+    * canonical type; DuckDB applies the same ns→µs truncation). The copy
+    * is canonical-form, not byte-identical — by design. */
   def copyAll(spark: SparkSession, srcDir: String, destDir: String,
               partitionColsFor: String => Seq[String] = _ => Nil): Seq[String] = {
     val tables = Catalog.listTables(spark, srcDir)
@@ -88,10 +94,14 @@ object Sinks {
   }
 
   /** JDBC sink (SQLite/Postgres/...): the direct `to_sql` analog. The
-    * `numPartitions` cap bounds concurrent connections against the target. */
+    * `numPartitions` cap bounds concurrent connections against the target —
+    * via `repartition`, NOT `coalesce`: coalesce fuses into the upstream
+    * stage and would throttle the whole computation of `df` to
+    * `numPartitions` tasks; repartition pays one small shuffle of the final
+    * output and leaves upstream parallelism intact. */
   def jdbc(df: DataFrame, url: String, table: String,
            mode: SaveMode = SaveMode.Overwrite, numPartitions: Int = 8): Unit =
-    df.coalesce(numPartitions).write.mode(mode)
+    df.repartition(numPartitions).write.mode(mode)
       .format("jdbc").option("url", url).option("dbtable", table)
       .save()
 }

@@ -90,12 +90,16 @@ object Sources {
   def registerViews(spark: SparkSession, dir: String): Seq[String] =
     viewState.synchronized {
       val st = viewState.get(spark)
-      // cache hit must still be VALID: other code can drop or shadow a temp
-      // view (any createOrReplaceTempView on a colliding name), and the dir
-      // can gain/lose tables. tableExists per cached name is a catalog map
-      // probe — cheap next to re-reading parquet footers.
+      // cache hit must still be VALID: dropped views are caught by
+      // tableExists (a catalog map probe), and a dir that gained or lost
+      // tables is caught by re-listing it (one FS listing — cheap next to
+      // the parquet footer reads registration costs). NOT detectable: a
+      // createOrReplaceTempView that SHADOWS a cached name with different
+      // data — the catalog can't distinguish it; callers owning colliding
+      // names must re-register via a fresh dir or drop the view first.
       if (st != null && st.dir == dir &&
-          st.tables.forall(spark.catalog.tableExists)) st.tables
+          st.tables.forall(spark.catalog.tableExists) &&
+          Catalog.listTables(spark, dir) == st.tables) st.tables
       else {
         val present = Catalog.listTables(spark, dir)
         present.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))

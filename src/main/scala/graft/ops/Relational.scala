@@ -100,7 +100,10 @@ object Relational {
     val r = right.withColumn("__side", lit(1 - leftSide))
       .withColumn("__carry",
         struct(carryCols.map(col) :+ col(tsCol).as("__rts"): _*))
-      .drop(carryCols: _*)
+      // ONLY key/ts/side/carry survive from the right: any other right
+      // column would union in via allowMissingColumns and leak into the
+      // output as an unexpected always-null column
+      .select(col(key), col(tsCol), col("__side"), col("__carry"))
     val u = l.unionByName(r, allowMissingColumns = true)
     val ord = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
     val back = last(col("__carry"), ignoreNulls = true)
