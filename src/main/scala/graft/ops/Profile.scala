@@ -29,16 +29,18 @@ object Profile {
   private def profileWith(df: DataFrame, cols: Seq[String],
                           distinctAgg: Column => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    // the stack() arms are built as SQL text: escape the column name both
-    // as a string literal ('' doubling) and inside backtick identifiers
-    // (`` doubling) so names with quotes/backticks can't break the parse
+    // every reference to a user-supplied name is escaped: as a SQL string
+    // literal ('' doubling), inside backtick identifiers (`` doubling) —
+    // including the functions.col() lookups, whose attribute parser treats
+    // a lone backtick as a syntax error
     def lq(c: String) = c.replace("'", "''")
     def bq(c: String) = c.replace("`", "``")
+    def ref(c: String) = col(s"`${bq(c)}`")
     val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}__nn"),
-      distinctAgg(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__mn"),
-      max(col(c)).cast("string").as(s"${c}__mx")))
+      count(ref(c)).as(s"${c}__nn"),
+      distinctAgg(ref(c)).as(s"${c}__nd"),
+      min(ref(c)).cast("string").as(s"${c}__mn"),
+      max(ref(c)).cast("string").as(s"${c}__mx")))
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val arms = cols.map(c =>
       s"'${lq(c)}', __n, `${bq(c)}__nn`, `${bq(c)}__nd`, `${bq(c)}__mn`, `${bq(c)}__mx`")

@@ -22,6 +22,13 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("profile survives hostile column names (quote / backtick)") {
+    val df = Seq((1, 2)).toDF("o'clock", "we`ird")
+    val out = Profile.profile(df, Seq("o'clock", "we`ird"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out == Map("o'clock" -> 1L, "we`ird" -> 1L))
+  }
+
   test("histogram bins values, clamps the top edge into the last bin, excludes out-of-range") {
     import org.apache.spark.sql.functions.col
     val df = Seq(0.0, 5.0, 9.99, 10.0, 19.0, 20.0, -1.0, 20.01).toDF("x")
