@@ -46,7 +46,12 @@ object Bench {
         try {
           def once(): Double = {
             val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
+            // noop sink, NOT count(): count() lets Catalyst prune every
+            // output column, so a query whose cost lives in its final
+            // projections (string building, regex, HOF transforms) would
+            // time as a bare scan. The noop sink consumes all columns —
+            // the same work Verify's parquet dump pays — without write I/O.
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
             (System.nanoTime() - t0) / 1e9
           }
           val base = (1 to runs).map(_ => once())
@@ -68,7 +73,9 @@ object Bench {
     // the single-thread pandas baseline
     val floor = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(1).count()
+      // same sink as the query timings, so the floor is the true per-query
+      // constant of this harness
+      spark.range(1).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }.min
 

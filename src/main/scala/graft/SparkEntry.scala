@@ -13,8 +13,14 @@ import graft.queries.{ApiQueries, CoreQueries, ExtQueries, LlmQueries, Reg}
   */
 object SparkEntry {
 
-  private[graft] def registry: Seq[Reg] =
-    CoreQueries.all ++ ApiQueries.all ++ ExtQueries.all ++ LlmQueries.all
+  private[graft] def registry: Seq[Reg] = {
+    val all = CoreQueries.all ++ ApiQueries.all ++ ExtQueries.all ++ LlmQueries.all
+    // a duplicated name would silently shadow a query in the toMap below —
+    // the shadowed one would vanish from Verify/Bench with no error
+    val dups = all.groupBy(_.name).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full `awards` pipeline (etl_io.py:390-479 analog): geography

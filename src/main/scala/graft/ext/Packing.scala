@@ -32,7 +32,10 @@ object Packing {
   /** (doc → chunk) spans: one row per (document, overlapped chunk) with the
     * document's token sub-range `[tok_start, tok_end)` inside that chunk.
     * Zero-length documents carry no tokens and are dropped. `lenCol` is any
-    * per-doc token count — char length, whitespace tokens, or a BPE count. */
+    * per-doc token count — char length, whitespace tokens, or a BPE count.
+    * `idCol` MUST be unique: it is the global order, and duplicate ids
+    * would make their relative placement (hence chunk assignment)
+    * partition-order-dependent. */
   def packChunks(docs: DataFrame, idCol: String, lenCol: Column,
                  capacity: Long, bucketWidth: Long = 65536): DataFrame = {
     require(capacity > 0, "capacity must be positive")

@@ -37,7 +37,11 @@ object Cdc {
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
                    opCol: String = "op", seqCol: String = "seq"): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
-    val latest = changes.withColumn("__rn", row_number().over(w))
+    // malformed ops are dropped BEFORE latest-per-key: an unknown op (e.g.
+    // lowercase 'u', null) must not claim a key — it would suppress the
+    // base row via the anti-join while inserting nothing: silent data loss
+    val latest = changes.where(col(opCol).isin("U", "D"))
+      .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     // null-SAFE anti-join: a plain equi-anti never matches a null key, so a
     // "U" on key=null would duplicate instead of replace and a "D" would

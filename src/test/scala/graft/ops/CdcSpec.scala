@@ -25,6 +25,13 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.applyChanges(base, changes, "k").count() == 0)
   }
 
+  test("applyChanges ignores malformed ops — the base row survives instead of vanishing") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((1L, "u", 1, "x"), (1L, null, 2, "y")).toDF("k", "op", "seq", "v")
+    assert(Cdc.applyChanges(base, bad, "k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("applyChanges handles NULL keys: a null-key update replaces, a null-key delete deletes") {
     val base = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("k", "v")
     val upd = Seq((Option.empty[Long], "U", 1, "n2")).toDF("k", "op", "seq", "v")
