@@ -97,13 +97,21 @@ object Dedup {
                    threshold: Double = 0.7, numHashes: Int = 64,
                    bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val cands = nearDupCandidates(df, idCol, textCol, numHashes, bands, shingleK)
+    // persisted: BOTH verification join sides read this frame — without the
+    // persist each side re-runs shingles() over the full corpus (the same
+    // hygiene ngramJaccardPairs applies); released once the (small) verified
+    // pair set is materialized
     val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-    cands
+      .persist()
+    val pairs = cands
       .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+      .localCheckpoint()
+    sets.unpersist()
+    pairs
   }
 
   /** Character-n-gram Jaccard near-dup pairs within a blocking key: exact
@@ -273,6 +281,13 @@ object Dedup {
                      bands: Int): DataFrame = {
     require(maxDist < bands,
       s"banding is complete only for maxDist < bands (got $maxDist >= $bands)")
+    // chunk width must be in [1, 63]: bands > bits gives chunk 0 and
+    // bands = 1 over 64 bits gives a 64-bit mask — both make every chunk
+    // value 0, silently degrading the candidate join to ALL-PAIRS
+    require(bands > 0 && bands <= bits,
+      s"bands must be in [1, bits] (got $bands for $bits bits)")
+    require(bits / bands < 64,
+      s"chunk width ${bits / bands} would overflow the 64-bit mask")
     val chunk = bits / bands
     val withSim = withSimIn.persist()
     // chunk j = (sim >> (j*chunk)) & ((1<<chunk)-1); column-valued shifts

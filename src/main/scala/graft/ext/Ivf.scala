@@ -18,6 +18,8 @@ object VectorCentroid extends Aggregator[Array[Float], CentroidBuf, Array[Double
   override def zero: CentroidBuf = CentroidBuf(Array.emptyDoubleArray, 0L)
 
   override def reduce(b: CentroidBuf, a: Array[Float]): CentroidBuf = {
+    require(a != null,
+      "null embedding reached VectorCentroid — filter null vectors upstream")
     if (b.sum.isEmpty) b.sum = new Array[Double](a.length)
     require(a.length == b.sum.length,
       s"embedding dimension mismatch: ${a.length} vs ${b.sum.length} — " +
@@ -157,15 +159,10 @@ object Ivf {
     val c = corpus.select(col(cellCol).cast("int").as("cell"),
       col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       nrm(col(vecCol)).as("n_norm"))
-    val scored = c.join(probed, Seq("cell"))
-      .where(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
-        round(d(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
-          roundTo).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    scored.select(col("q_id"), col("n_id"), col("sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .where(col("rank") <= k)
+    // scoring/ranking (incl. the zero-norm NaN guard) is the SAME contract
+    // as the brute-force and LSH paths — one shared implementation
+    Similarity.scoreRankTopK(
+      c.join(probed, Seq("cell")).where(col("n_id") =!= col("q_id")),
+      d, k, roundTo)
   }
 }

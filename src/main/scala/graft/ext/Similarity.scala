@@ -69,12 +69,17 @@ object Similarity {
     * the precomputed norms, ROUNDED before ranking, neighbor-id tiebreak,
     * rank ≤ k. One implementation so the stability promise (same rounding,
     * same tiebreak) cannot drift between the exact and approximate paths. */
-  private def scoreRankTopK(pairs: DataFrame,
-                            dotFn: (Column, Column) => Column,
-                            k: Int, roundTo: Int): DataFrame = {
-    val scored = pairs.select(col("q_id"), col("n_id"),
-      round(dotFn(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
-        roundTo).as("sim"))
+  private[ext] def scoreRankTopK(pairs: DataFrame,
+                                 dotFn: (Column, Column) => Column,
+                                 k: Int, roundTo: Int): DataFrame = {
+    // zero-norm (all-zero) vectors have no direction: without this guard
+    // the cosine is 0/0 = NaN, and NaN sorts ABOVE every real score in the
+    // descending rank — a zero vector would become everyone's rank-1 hit
+    val scored = pairs
+      .where(col("q_norm") > 0 && col("n_norm") > 0)
+      .select(col("q_id"), col("n_id"),
+        round(dotFn(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
+          roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.select(col("q_id"), col("n_id"), col("sim"),

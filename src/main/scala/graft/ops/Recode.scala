@@ -23,7 +23,12 @@ object Recode {
     * (code, label). Keeps unmapped codes (left join + coalesce). */
   def recodeJoin(df: DataFrame, dataCol: String, book: DataFrame,
                  codeCol: String, labelCol: String): DataFrame = {
-    val b = broadcast(book.select(col(codeCol).as("__code"), col(labelCol).as("__label")))
+    // the book must be one label per code or the left join would FAN OUT
+    // data rows; dedupe deterministically (max label — the same policy
+    // Catalog.nestedMap applies) rather than trust the input
+    val b = broadcast(book
+      .select(col(codeCol).as("__code"), col(labelCol).as("__label"))
+      .groupBy("__code").agg(max("__label").as("__label")))
     df.join(b, df(dataCol) === b("__code"), "left")
       .withColumn(dataCol, coalesce(col("__label"), col(dataCol)))
       .drop("__code", "__label")

@@ -42,13 +42,18 @@ object Reshape {
     * Generated columns are referenced with backticks so pivot values
     * containing dots (e.g. O*NET Element IDs like "1.A.1.a") are treated
     * literally, not as nested-field paths. */
+  /** Backtick-quoted reference to a generated pivot column: dots must read
+    * literally (not as field paths) and embedded backticks must be doubled
+    * or the attribute parser rejects the name. */
+  private def pivotRef(v: String) = col(s"`${v.replace("`", "``")}`")
+
   def pivotCount(df: DataFrame, index: Seq[String], pivotCol: String,
                  values: Seq[String]): DataFrame = {
     val counted = df.groupBy(index.map(col): _*)
       .pivot(pivotCol, values)
       .agg(count(lit(1)))
     values.foldLeft(counted)((d, v) =>
-      d.withColumn(v, coalesce(col(s"`$v`"), lit(0L))))
+      d.withColumn(v, coalesce(pivotRef(v), lit(0L))))
   }
 
   /** R2: one-hot membership pivot — `bool=True` column, pivot, fillna(False)
@@ -56,7 +61,7 @@ object Reshape {
   def oneHot(df: DataFrame, index: Seq[String], pivotCol: String,
              values: Seq[String]): DataFrame = {
     val counted = pivotCount(df, index, pivotCol, values)
-    values.foldLeft(counted)((d, v) => d.withColumn(v, col(s"`$v`") > 0))
+    values.foldLeft(counted)((d, v) => d.withColumn(v, pivotRef(v) > 0))
   }
 
   /** R3: explode a Python-repr list cell ("['11.0101', '11.02']") into one
@@ -67,10 +72,19 @@ object Reshape {
     * parsed with `from_json` + `explode` — a codegen'd generator that runs
     * where the data lives. Elements containing quote characters are out of
     * scope (the reference's `literal_eval` call would accept them; the
-    * crosswalk domain — dotted numeric codes — never produces them). */
-  def explodePyList(df: DataFrame, listCol: String): DataFrame =
-    df.withColumn(listCol,
-      explode(from_json(regexp_replace(col(listCol), "'", "\""), ArrayType(StringType))))
+    * crosswalk domain — dotted numeric codes — never produces them).
+    * A NULL or unparseable cell FAILS LOUDLY (raise_error), matching the
+    * reference's literal_eval exception — a plain `explode(from_json(...))`
+    * would silently drop the whole row instead. */
+  def explodePyList(df: DataFrame, listCol: String): DataFrame = {
+    val parsed =
+      from_json(regexp_replace(col(listCol), "'", "\""), ArrayType(StringType))
+    df.withColumn(listCol, explode(
+      when(parsed.isNull, raise_error(concat(
+          lit(s"explodePyList: unparseable list cell in '$listCol': "),
+          coalesce(col(listCol), lit("NULL")))))
+        .otherwise(parsed)))
+  }
 
   /** R4: long passthrough projection (etl_io.py:820-821). */
   def longView(df: DataFrame, cols: Seq[String]): DataFrame =

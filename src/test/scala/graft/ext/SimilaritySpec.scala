@@ -117,6 +117,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("zero-norm vectors never rank (NaN guard): a zero corpus vector is excluded, not rank 1") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f))   // zero vector: cosine undefined
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2)
+      .select("n_id").as[Long].collect().toSet
+    assert(out == Set(1L)) // NOT 2L at rank 1 via NaN
+  }
+
   test("quantize maps [mn,mx] to [0,255] codes; constant vectors to zeros; dequant error bounded") {
     val vecs = Seq(
       (0L, Seq(0.0f, 0.5f, 1.0f)),

@@ -60,4 +60,12 @@ class RecodeSpec extends SparkSpec {
       .select(label2(col("n"), col("r")).as("l"))
     assert(out.collect().head.getString(0) == "Kenya, AFRICA")
   }
+
+  test("recodeJoin does not fan out rows on a duplicate-code book (max label wins)") {
+    val df = Seq((1, "A"), (2, "B")).toDF("id", "c")
+    val book = Seq(("A", "old"), ("A", "revised")).toDF("code", "label")
+    val out = recodeJoin(df, "c", book, "code", "label")
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "revised"), (2, "B")))
+  }
 }

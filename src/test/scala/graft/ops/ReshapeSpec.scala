@@ -50,13 +50,20 @@ class ReshapeSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "11.0101"), (1, "11.02"), (2, "22.03")))
   }
 
-  test("explodePyList documented failure mode: apostrophes inside elements corrupt parsing") {
-    // The quote-normalization rewrite cannot represent embedded apostrophes;
-    // the crosswalk domain (dotted numeric codes) never produces them. This
-    // test pins the behavior so a domain change surfaces loudly.
-    val df = Seq((1, "['o'brien', 'x']")).toDF("id", "vals")
-    val out = explodePyList(df, "vals").collect()
-    assert(out.isEmpty || out.forall(_.getString(1) != "o'brien"))
+  test("explodePyList FAILS LOUDLY on unparseable and NULL cells (reference raises too)") {
+    // apostrophes inside elements corrupt the quote-normalization rewrite;
+    // the cell becomes unparseable and must raise, not silently drop the row
+    val bad = Seq((1, "['o'brien', 'x']")).toDF("id", "vals")
+    intercept[Exception] { explodePyList(bad, "vals").collect() }
+    val nul = Seq((1, null.asInstanceOf[String])).toDF("id", "vals")
+    intercept[Exception] { explodePyList(nul, "vals").collect() }
+  }
+
+  test("pivotCount survives pivot values containing backticks") {
+    val df = Seq(("a", "x`y"), ("a", "x`y"), ("b", "plain")).toDF("k", "v")
+    val out = pivotCount(df, Seq("k"), "v", Seq("x`y", "plain"))
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 0L)) // x`y column
   }
 
   test("meltView unpivots wide back to long (inverse of pivotWide)") {
