@@ -14,18 +14,30 @@ import graft.functions.{CosineSimilarity, DotProduct, VectorNorm}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Arity-checked builder: without the guard, extra SQL arguments would be
+    * SILENTLY dropped (`vec_dot(a, b, c)` computing dot(a, b)) and missing
+    * ones would surface as a raw IndexOutOfBoundsException instead of an
+    * analysis error. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${children.size}")
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      arity("vec_dot", 2)(c => DotProduct(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      arity("cosine_sim", 2)(c => CosineSimilarity(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
-      (children: Seq[Expression]) => VectorNorm(children(0))))
+      arity("vec_norm", 1)(c => VectorNorm(c(0)))))
   }
 }

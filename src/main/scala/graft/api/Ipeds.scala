@@ -48,19 +48,26 @@ object Ipeds {
       s"how must be total|detail, got '$other'")
   }
 
-  /** The geography dimension: one row per unit (customer) with its nation /
-    * region attributes. Dims are broadcast — nation and region are tiny at
-    * any scale factor. */
-  def geography(t: Tables): DataFrame =
+  /** Shared enriched-unit frame: customer ⋈ nation ⋈ region (dims
+    * broadcast — tiny at any scale factor), source columns retained plus
+    * the derived geography names. ONE implementation of the dim join so
+    * [[geography]] and [[getUnitIds]] cannot drift. */
+  private def unitGeo(t: Tables): DataFrame =
     t.customer
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-      .select(
-        col("c_custkey").as("unit_id"),
-        col("c_name").as("unit_name"),
-        col("c_mktsegment").as("mktsegment"),
-        col("n_name").as("nation_name"),
-        col("r_name").as("region_name"))
+      .withColumn("region_name", col("r_name"))
+      .withColumn("nation_name", col("n_name"))
+      .withColumn("mktsegment", col("c_mktsegment"))
+      .withColumn("nation_label", label2(col("n_name"), col("r_name")))
+
+  /** The geography dimension: one row per unit (customer) with its nation /
+    * region attributes. */
+  def geography(t: Tables): DataFrame =
+    unitGeo(t).select(
+      col("c_custkey").as("unit_id"),
+      col("c_name").as("unit_name"),
+      col("mktsegment"), col("nation_name"), col("region_name"))
 
   /** Q1 `get_unitid` analog (etl_io.py:221-276): units matching a geography
     * filter; optionally keeps one geography column, with the county-label
@@ -71,14 +78,7 @@ object Ipeds {
       Option(geo.nationKeys).filter(_.nonEmpty).map(v => inList(col("n_nationkey"), v)),
       Option(geo.mktSegments).filter(_.nonEmpty).map(v => inList(col("mktsegment"), v))
     ).flatten
-    val g = t.customer
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-      .withColumn("region_name", col("r_name"))
-      .withColumn("nation_name", col("n_name"))
-      .withColumn("mktsegment", col("c_mktsegment"))
-      .withColumn("nation_label", label2(col("n_name"), col("r_name")))
-      .where(conj(preds))
+    val g = unitGeo(t).where(conj(preds))
     keepGeography match {
       case Some(c) => g.select(col("c_custkey").as("unit_id"), col(c))
       case None    => g.select(col("c_custkey").as("unit_id"))

@@ -48,14 +48,17 @@ object Onet {
     * stabilize float product order-dependence across partitionings. */
   def quantProduct(df: DataFrame, c: OnetCols, socs: Seq[Any],
                    combine: Column => Column = identity, roundTo: Int = 6): DataFrame = {
-    val base = if (socs.nonEmpty) df.where(inList(col(c.soc), socs)) else df
+    // same null/empty contract as quantLong: null or empty socs = no filter
+    val base = Option(socs).filter(_.nonEmpty)
+      .map(v => df.where(inList(col(c.soc), v))).getOrElse(df)
     base.groupBy(col(c.soc), col(c.element))
       .agg(round(product(combine(col(c.value))), roundTo).as("combined_value"))
   }
 
   /** Q7 long form. */
   def qualLong(df: DataFrame, c: OnetCols, socs: Seq[Any]): DataFrame = {
-    val base = if (socs.nonEmpty) df.where(inList(col(c.soc), socs)) else df
+    val base = Option(socs).filter(_.nonEmpty)
+      .map(v => df.where(inList(col(c.soc), v))).getOrElse(df)
     base.select(col(c.soc), col(c.element))
   }
 

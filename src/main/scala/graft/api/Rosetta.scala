@@ -36,8 +36,13 @@ object Rosetta {
     require(Seq("inner", "left", "right", "outer").contains(how),
       s"how must be inner|left|right|outer, got '$how'")
     val pairs0 = dedupPairs(stone, left, right)
-    val pairs = Seq(left, right).filter(listCols.contains)
+    val exploded = Seq(left, right).filter(listCols.contains)
       .foldLeft(pairs0)((d, c) => explodePyList(d, c))
+    // overlapping list cells reintroduce duplicate (left, right) pairs
+    // AFTER the explode (['a','b'] and ['b','c'] on the same left code both
+    // emit 'b') — re-dedup so the J5 no-fan-out guarantee holds for the
+    // EXPANDED pairs, not just the raw cells
+    val pairs = if (listCols.isEmpty) exploded else exploded.dropDuplicates()
     // Broadcast the (bounded, code-book-sized) crosswalk only for join modes
     // that can actually use a broadcast-hash join: for `right`/`outer` the
     // crosswalk is a preserved side, Spark would silently ignore the hint and

@@ -47,12 +47,17 @@ trait VectorFoldExpression extends BinaryExpression {
   protected def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** element types resolved ONCE, not re-dispatched per element in the
+    * interpreted loop */
+  @transient protected lazy val leftIsFloat: Boolean = elemIsFloat(left)
+  @transient protected lazy val rightIsFloat: Boolean = elemIsFloat(right)
+
   /** java accessor for one element of the given child. */
   protected def getter(e: Expression, arr: String, i: String): String =
     if (elemIsFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
 
-  protected def readElem(e: Expression, arr: ArrayData, i: Int): Double =
-    if (elemIsFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
+  protected def readElem(isFloat: Boolean, arr: ArrayData, i: Int): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
 }
 
 /** vec_dot(a, b): Σ a_i·b_i; null if the lengths differ or any element is
@@ -71,7 +76,7 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      dot += readElem(left, x, i) * readElem(right, y, i)
+      dot += readElem(leftIsFloat, x, i) * readElem(rightIsFloat, y, i)
       i += 1
     }
     dot
@@ -159,7 +164,10 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
 }
 
 /** cosine_sim(a, b): vec_dot(a,b) / (sqrt(vec_dot(a,a)) · sqrt(vec_dot(b,b))),
-  * computed in one pass per array. */
+  * all three accumulators in ONE fused pass over the pair. Each accumulator
+  * still adds its terms in element order, so the result is IEEE-identical
+  * to the separate-loop form — fusing moves no bits, it only drops two
+  * array traversals and their redundant null re-checks. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorFoldExpression {
 
@@ -171,23 +179,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
     var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      dot += readElem(left, x, i) * readElem(right, y, i)
+      val xv = readElem(leftIsFloat, x, i)
+      val yv = readElem(rightIsFloat, y, i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
-    }
-    var na = 0.0
-    i = 0
-    while (i < x.numElements()) {
-      if (x.isNullAt(i)) return null
-      val v = readElem(left, x, i); na += v * v; i += 1
-    }
-    var nb = 0.0
-    i = 0
-    while (i < y.numElements()) {
-      if (y.isNullAt(i)) return null
-      val v = readElem(right, y, i); nb += v * v; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -199,22 +199,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
-      val v = ctx.freshName("v")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
-         |  else { $dot += (${getter(left, a, i)}) * (${getter(right, b, i)}); }
-         |}
-         |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; }
-         |  else { double $v = ${getter(left, a, i)}; $na += $v * $v; }
-         |}
-         |for (int $i = 0; $i < $b.numElements() && !${ev.isNull}; $i++) {
-         |  if ($b.isNullAt($i)) { ${ev.isNull} = true; }
-         |  else { double $v = ${getter(right, b, i)}; $nb += $v * $v; }
+         |  else {
+         |    double $xv = ${getter(left, a, i)};
+         |    double $yv = ${getter(right, b, i)};
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -33,9 +33,9 @@ object CheckProps extends Properties("graft") {
       front.length == math.max(2, orig.length) && front.endsWith(orig)
     }
 
-  property("parseVersion round-trips db_MAJOR_MINOR names") =
-    forAll(Gen.chooseNum(0, 99), Gen.chooseNum(0, 9)) { (maj, min) =>
-      Ingest.parseVersion(s"db_${maj}_${min}_text").contains(s"$maj.$min".toDouble)
+  property("parseVersion round-trips db_MAJOR_MINOR names (incl. minor >= 10)") =
+    forAll(Gen.chooseNum(0, 99), Gen.chooseNum(0, 99)) { (maj, min) =>
+      Ingest.parseVersion(s"db_${maj}_${min}_text").contains((maj, min))
     }
 
   property("parseVersion rejects non-versioned names") =

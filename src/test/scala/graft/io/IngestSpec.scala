@@ -31,8 +31,8 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("parseVersion parses db_MAJOR_MINOR names (etl_io.py:672)") {
-    assert(Ingest.parseVersion("db_25_1_text") == Some(25.1))
-    assert(Ingest.parseVersion("db_10_0") == Some(10.0))
+    assert(Ingest.parseVersion("db_25_1_text") == Some((25, 1)))
+    assert(Ingest.parseVersion("db_10_0") == Some((10, 0)))
     assert(Ingest.parseVersion("not_a_db") == None)
   }
 
@@ -45,8 +45,8 @@ class IngestSpec extends AnyFunSuite {
         |<a href="/other/readme.html">readme</a>
         |</body></html>""".stripMargin
     val found = Ingest.discoverPublishedVersions(html)
-    assert(found.map(_._2) == Seq(25.1, 25.0, 9.9)) // newest first, deduped
-    assert(Ingest.newestPublishedVersion(html) == Some(25.1))
+    assert(found.map(_._2) == Seq((25, 1), (25, 0), (9, 9))) // newest first
+    assert(Ingest.newestPublishedVersion(html) == Some((25, 1)))
     assert(Ingest.newestPublishedVersion("<html>no links</html>") == None)
     // end-to-end with the local stage: published 25.1 vs staged 10.0
     val root = Files.createTempDirectory("pubversions")
@@ -59,8 +59,17 @@ class IngestSpec extends AnyFunSuite {
     Files.createDirectory(root.resolve("db_9_9_text"))
     Files.createDirectory(root.resolve("db_10_0_text"))
     val newest = Ingest.newestLocalVersion(root)
-    assert(newest.map(_._2) == Some(10.0))
-    assert(Ingest.needsUpdate(root, 10.1))
-    assert(!Ingest.needsUpdate(root, 10.0))
+    assert(newest.map(_._2) == Some((10, 0)))
+    assert(Ingest.needsUpdate(root, (10, 1)))
+    assert(!Ingest.needsUpdate(root, (10, 0)))
+  }
+
+  test("version ordering is numeric per component: minor 10 beats minor 2 (float parse would invert)") {
+    val root = Files.createTempDirectory("versions10")
+    Files.createDirectory(root.resolve("db_9_2_text"))
+    Files.createDirectory(root.resolve("db_9_10_text"))
+    assert(Ingest.newestLocalVersion(root).map(_._2) == Some((9, 10)))
+    assert(!Ingest.needsUpdate(root, (9, 10)))
+    assert(Ingest.needsUpdate(root, (9, 11)))
   }
 }
