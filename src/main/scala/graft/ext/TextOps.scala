@@ -95,6 +95,24 @@ object TextOps {
       lit("'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
       .cast("long")
 
+  /** PII-style redaction: email-shaped tokens → [EMAIL], runs of 6+ digits
+    * → [NUM]. Pure codegen regexp_replace, no UDF; the patterns avoid
+    * constructs where Java and RE2 dialects could diverge (no backrefs, no
+    * lookaround). ONE definition — the standalone query and the release
+    * pipeline both call it. */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "[0-9]{6,}", "[NUM]")
+
+  /** Deterministic train/dev/test label (80/10/10) from the content hash —
+    * the [[hashBucket]] split every pipeline stage shares. */
+  def splitLabel(c: Column): Column = {
+    val b = hashBucket(c, 10)
+    when(b < 8, "train").when(b === 8, "dev").otherwise("test")
+  }
+
   /** Normalized-text fingerprint: xxhash64 over lowercased,
     * whitespace-collapsed text. Two docs differing only in case/spacing get
     * the same fingerprint. */

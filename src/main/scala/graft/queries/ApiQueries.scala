@@ -35,7 +35,7 @@ object ApiQueries {
       when(col("event_id") % 2 === 0, lit("IM")).otherwise(lit("LV")))
 
   private val onetCols = OnetCols("user_id", "event_type", "scale", "value")
-  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val eventTypes = CoreQueries.eventTypes
 
   val all: Seq[Reg] = Seq(
 

@@ -15,18 +15,55 @@ object CoreQueries {
   def sqlDsum(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(25,2))) AS DOUBLE)"
 
-  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  /** Corpus event types — the SINGLE source of truth for every pivot /
+    * one-hot / unpivot column list (a stale copy would silently produce
+    * all-null columns that still hash-match). */
+  private[queries] val eventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
 
-  /** Staged inputs for the source-scan queries (S1/S4/S5): one per
-    * (kind, corpus dir) per JVM — Bench's two timed runs and parallel test
-    * suites re-use the same staged copy instead of re-writing it. */
+  /** Staged inputs for the source-scan queries (S1/S4/S5): resolved once
+    * per (kind, corpus dir) per JVM, at a path STABLE across JVMs — a
+    * fresh temp dir per JVM would accrete full-table copies in /tmp on
+    * every bench/verify/test run until staging writes start failing. A
+    * `_graft_ok` marker gates cross-JVM reuse: staging that died
+    * half-written is wiped and rebuilt, never silently consumed. */
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stableStageBase(kind: String, dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stage_${kind}_${Integer.toHexString(dir.hashCode)}")
+
   private def stageOnce(kind: String, dir: String)(create: String => Unit): String =
     stageCache.computeIfAbsent(s"$kind:$dir", { _ =>
-      val p = java.nio.file.Files.createTempDirectory(s"graft_stage_$kind")
-        .resolve("data").toString
-      create(p)
-      p
+      import java.nio.file.Files
+      val base = stableStageBase(kind, dir)
+      val data = base.resolve("data")
+      val ok = base.resolve("_graft_ok")
+      if (!Files.exists(ok)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(base.toFile)
+        Files.createDirectories(base)
+        create(data.toString)
+        Files.createFile(ok)
+        ()
+      }
+      data.toString
+    })
+
+  /** Like [[stageOnce]] but the staging RUNS each JVM (still once per JVM,
+    * still at the stable path): for stagings that register in-memory
+    * catalog state — the bucketed tables — which the files alone cannot
+    * restore in a fresh session. Overwrite-mode writes keep the path from
+    * accreting. */
+  private def stageEachJvm(kind: String, dir: String)(create: String => Unit): String =
+    stageCache.computeIfAbsent(s"$kind:$dir", { _ =>
+      val base = stableStageBase(kind, dir)
+      java.nio.file.Files.createDirectories(base)
+      val data = base.resolve("data").toString
+      create(data)
+      data
     })
 
   val all: Seq[Reg] = Seq(
@@ -352,7 +389,7 @@ object CoreQueries {
         val (tl, to) = (s"bkt_lineitem_$sfx", s"bkt_orders_$sfx")
         // external tables at a fresh per-JVM temp path: a managed location
         // would outlive the in-memory catalog and block the next JVM's write
-        stageOnce("bucketed", dir) { p =>
+        stageEachJvm("bucketed", dir) { p =>
           val t = Tables(s, dir)
           s.sql(s"DROP TABLE IF EXISTS $tl")
           s.sql(s"DROP TABLE IF EXISTS $to")

@@ -28,6 +28,20 @@ object ExtQueries {
     (clicks, purchases)
   }
 
+  /** DuckDB fragment: the asof oracle sides (clicks; purchases deduped
+    * per (user, ts) by struct-max) — ONE copy for all four j_asof*
+    * oracles, mirroring how the Spark side shares [[asofSides]]. */
+  private val duckAsofSides =
+    """c AS (SELECT event_id AS click_id, user_id,
+      |             CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'click'),
+      |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |       FROM events WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, ts,
+      |        struct_extract(max(ROW(event_id, value)), 1) AS purchase_id,
+      |        struct_extract(max(ROW(event_id, value)), 2) AS purchase_value
+      |      FROM p0 GROUP BY user_id, ts)""".stripMargin
+
   val all: Seq[Reg] = Seq(
 
     // W: top-k per group via row_number (the reference has no windows;
@@ -135,15 +149,7 @@ object ExtQueries {
     // per (user, ts) with the same struct-max policy. Timestamps stay out
     // of the output per the parity rules.
     Reg("j_asof", Some(
-      """WITH c AS (SELECT event_id AS click_id, user_id,
-        |             CAST(ts AS TIMESTAMP) AS ts
-        |           FROM events WHERE event_type = 'click'),
-        |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
-        |       FROM events WHERE event_type = 'purchase'),
-        |p AS (SELECT user_id, ts,
-        |        struct_extract(max(ROW(event_id, value)), 1) AS purchase_id,
-        |        struct_extract(max(ROW(event_id, value)), 2) AS purchase_value
-        |      FROM p0 GROUP BY user_id, ts)
+      s"""WITH $duckAsofSides
         |SELECT c.click_id, c.user_id, p.purchase_id, p.purchase_value
         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
         .stripMargin))(
@@ -159,15 +165,7 @@ object ExtQueries {
     // oracle is DuckDB's native ASOF JOIN with the gap filtered after —
     // identical semantics for how='inner'.
     Reg("j_asof_gap", Some(
-      """WITH c AS (SELECT event_id AS click_id, user_id,
-        |             CAST(ts AS TIMESTAMP) AS ts
-        |           FROM events WHERE event_type = 'click'),
-        |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
-        |       FROM events WHERE event_type = 'purchase'),
-        |p AS (SELECT user_id, ts,
-        |        struct_extract(max(ROW(event_id, value)), 1) AS purchase_id,
-        |        struct_extract(max(ROW(event_id, value)), 2) AS purchase_value
-        |      FROM p0 GROUP BY user_id, ts)
+      s"""WITH $duckAsofSides
         |SELECT c.click_id, c.user_id, p.purchase_id, p.purchase_value
         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |WHERE c.ts - p.ts <= INTERVAL 30 MINUTE""".stripMargin))(
@@ -183,15 +181,7 @@ object ExtQueries {
     // merge_asof direction='forward'); oracle = DuckDB ASOF with the
     // inequality flipped.
     Reg("j_asof_fwd", Some(
-      """WITH c AS (SELECT event_id AS click_id, user_id,
-        |             CAST(ts AS TIMESTAMP) AS ts
-        |           FROM events WHERE event_type = 'click'),
-        |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
-        |       FROM events WHERE event_type = 'purchase'),
-        |p AS (SELECT user_id, ts,
-        |        struct_extract(max(ROW(event_id, value)), 1) AS purchase_id,
-        |        struct_extract(max(ROW(event_id, value)), 2) AS purchase_value
-        |      FROM p0 GROUP BY user_id, ts)
+      s"""WITH $duckAsofSides
         |SELECT c.click_id, c.user_id, p.purchase_id, p.purchase_value
         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"""
         .stripMargin))(
@@ -206,15 +196,7 @@ object ExtQueries {
     // backward (pandas merge_asof direction='nearest'). The oracle builds
     // both DuckDB ASOF sides and replays the same tie-break CASE.
     Reg("j_asof_nearest", Some(
-      """WITH c AS (SELECT event_id AS click_id, user_id,
-        |             CAST(ts AS TIMESTAMP) AS ts
-        |           FROM events WHERE event_type = 'click'),
-        |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
-        |       FROM events WHERE event_type = 'purchase'),
-        |p AS (SELECT user_id, ts,
-        |        struct_extract(max(ROW(event_id, value)), 1) AS purchase_id,
-        |        struct_extract(max(ROW(event_id, value)), 2) AS purchase_value
-        |      FROM p0 GROUP BY user_id, ts),
+      s"""WITH $duckAsofSides,
         |b AS (SELECT c.click_id, c.user_id, c.ts, p.ts AS mts,
         |        p.purchase_id AS pid, p.purchase_value AS pv
         |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
@@ -360,7 +342,7 @@ object ExtQueries {
     // R5: unpivot (wide->long), the inverse of R1 — pivot events wide, melt
     // back; nulls (absent cells) dropped on both sides.
     Reg("r5_unpivot", Some {
-      val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+      val eventTypes = CoreQueries.eventTypes
       val wideSql = eventTypes
         .map(t => s"  max(CASE WHEN event_type = '$t' THEN value END) AS $t")
         .mkString(",\n")
@@ -371,7 +353,7 @@ object ExtQueries {
          |$arms""".stripMargin
     })(
       (s, dir) => {
-        val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+        val eventTypes = CoreQueries.eventTypes
         val wide = graft.ops.Reshape.pivotWide(Tables(s, dir).events,
           Seq("user_id"), "event_type", eventTypes, "value")
         graft.ops.Reshape.meltView(wide, Seq("user_id"), eventTypes,

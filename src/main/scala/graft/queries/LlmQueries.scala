@@ -62,6 +62,21 @@ object LlmQueries {
        |    + least((CAST(length(replace(text,' ','')) AS DOUBLE)
        |             / len(string_split(text,' '))) / 8.0, 1.0) * 0.2""".stripMargin
 
+  /** DuckDB fragments shared by the standalone split/redact queries and the
+    * release pipeline — ONE copy per pattern so the flagship cannot drift
+    * from the ops it composes (Scala side: TextOps.splitLabel/redact). */
+  private val duckSplitCase =
+    """CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 < 8
+      |         THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 8
+      |         THEN 'dev'
+      |       ELSE 'test' END""".stripMargin
+
+  private val duckRedact =
+    """regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '[0-9]{6,}', '[NUM]', 'g')""".stripMargin
+
   val all: Seq[Reg] = Seq(
 
     // FLAGSHIP COMPOSITION — the corpus RELEASE pipeline, one lazy plan:
@@ -93,14 +108,8 @@ object LlmQueries {
          |SELECT doc_id, lang,
          |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
          |  $duckQScore AS q_score,
-         |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 < 8
-         |         THEN 'train'
-         |       WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 8
-         |         THEN 'dev'
-         |       ELSE 'test' END AS split,
-         |  regexp_replace(regexp_replace(text,
-         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-         |    '[0-9]{6,}', '[NUM]', 'g') AS redacted
+         |  $duckSplitCase AS split,
+         |  $duckRedact AS redacted
          |FROM d2
          |WHERE $duckQScore >= 0.5""".stripMargin))(
       (s, dir) => {
@@ -110,16 +119,11 @@ object LlmQueries {
         val d1 = docs.join(kept, Seq("doc_id"), "left_semi")
         val pairs = Dedup.nearDupPairs(d1, "doc_id", "text", threshold = 0.7)
         val d2 = Dedup.dropNearDupGroups(d1, pairs, "doc_id")
-        val bucket = TextOps.hashBucket(col("text"), 10)
         TextOps.qualityColumns(d2, "text")
           .where(col("q_score") >= 0.5)
           .select(col("doc_id"), col("lang"), col("n_tokens"), col("q_score"),
-            when(bucket < 8, "train").when(bucket === 8, "dev")
-              .otherwise("test").as("split"),
-            regexp_replace(
-              regexp_replace(col("text"),
-                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-              "[0-9]{6,}", "[NUM]").as("redacted"))
+            TextOps.splitLabel(col("text")).as("split"),
+            TextOps.redact(col("text")).as("redacted"))
       }),
 
     // Exact dedup: one row per distinct content, kept id + copy count.
@@ -338,50 +342,38 @@ object LlmQueries {
     // the same doc lands in the same split on Spark, DuckDB, or anything
     // else that can compute md5. 80/10/10.
     Reg("text_split", Some(
-      """SELECT doc_id,
-        |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 AS bucket,
-        |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 < 8
-        |         THEN 'train'
-        |       WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 8
-        |         THEN 'dev'
-        |       ELSE 'test' END AS split
-        |FROM documents""".stripMargin))(
+      s"""SELECT doc_id,
+         |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 AS bucket,
+         |  $duckSplitCase AS split
+         |FROM documents""".stripMargin))(
       (s, dir) => Tables(s, dir).documents.select(
         col("doc_id"),
         TextOps.hashBucket(col("text"), 10).as("bucket"),
-        when(TextOps.hashBucket(col("text"), 10) < 8, "train")
-          .when(TextOps.hashBucket(col("text"), 10) === 8, "dev")
-          .otherwise("test").as("split"))),
+        TextOps.splitLabel(col("text")).as("split"))),
 
-    // BPE-ish token counting (GPT-2-style pre-tokenizer regex; Java and RE2
-    // regex engines agree on this pattern over the corpus — oracled).
+    // BPE-ish token counting — the REGISTERED query calls the library
+    // helper (TextOps.bpeTokenCount, Unicode classes), and the oracle runs
+    // the same \p{L}/\p{N} pattern: Java regex and DuckDB's RE2 agree on
+    // these classes, so the helper users consume is exactly what the
+    // oracle certifies (an inline ASCII copy here once diverged silently).
     Reg("text_tokens_bpe", Some(
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
-        |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'))
+        |    '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
         |    AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin))(
       (s, dir) => Tables(s, dir).documents.select(
-        col("doc_id"),
-        size(regexp_extract_all(col("text"),
-          lit("'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"), lit(0)))
-          .cast("long").as("n_bpe"))),
+        col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
 
     // PII-style redaction: mask email-shaped tokens and long digit runs —
     // the scrub pass before corpus release. Pure regexp_replace (codegen,
     // no UDF); the patterns avoid constructs where Java and RE2 regex
     // dialects could diverge (no backrefs, no lookaround).
     Reg("text_redact", Some(
-      """SELECT doc_id,
-        |  regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '[0-9]{6,}', '[NUM]', 'g') AS redacted
-        |FROM documents""".stripMargin))(
+      s"""SELECT doc_id, $duckRedact AS redacted
+         |FROM documents""".stripMargin))(
       (s, dir) => Tables(s, dir).documents.select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(col("text"),
-            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-          "[0-9]{6,}", "[NUM]").as("redacted"))),
+        TextOps.redact(col("text")).as("redacted"))),
 
     // Deterministic weighted sampling: keep probability ∝ doc length
     // (capped at 1), decided by the content hash — reproducible across
