@@ -57,15 +57,27 @@ object Streaming {
         // cache key carries mtime+size: a REGENERATED events.parquet at the
         // same path must re-stage, or the stream would silently read the
         // old inode through the stale hardlink
-        val sig = s"$src:${java.nio.file.Files.getLastModifiedTime(src)}" +
+        val sig = s"${java.nio.file.Files.getLastModifiedTime(src)}" +
           s":${java.nio.file.Files.size(src)}"
-        stagedDirs.computeIfAbsent(sig, { _ =>
-          val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
-          val dst = d.resolve("events.parquet")
-          try java.nio.file.Files.createLink(dst, src)
-          catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
-          d.toString
-        })
+        // keyed path -> (sig, dir): a regenerated source file REPLACES its
+        // staged copy (the superseded dir is deleted) instead of accreting
+        // one staged copy per regeneration within the JVM
+        stagedDirs.compute(src.toString, { (_, prev) =>
+          if (prev != null && prev._1 == sig) prev
+          else {
+            if (prev != null) {
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+              }
+              rm(new java.io.File(prev._2))
+            }
+            val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+            val dst = d.resolve("events.parquet")
+            try java.nio.file.Files.createLink(dst, src)
+            catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+            (sig, d.toString)
+          }
+        })._2
       }
     spark.readStream
       .schema(eventsSchema)
@@ -73,9 +85,11 @@ object Streaming {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** One staged dir per source file per JVM — repeated bench/test runs
-    * reuse it instead of accreting temp dirs. */
-  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One staged dir per source PATH per JVM (value = (mtime+size signature,
+    * staged dir)) — repeated bench/test runs reuse it, and a regenerated
+    * source evicts the stale stage instead of accreting. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Tumbling-window A1/A2: per (day, event_type) exact sums + counts,
     * 1-day watermark bounds state. */

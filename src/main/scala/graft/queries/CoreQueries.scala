@@ -29,40 +29,62 @@ object CoreQueries {
     * half-written is wiped and rebuilt, never silently consumed. */
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Collision-proof stage key: a truncated SHA-256 of kind+dir.
+    * `String.hashCode` is 32-bit — two different corpus dirs could land on
+    * one stage path and silently serve each other's data. */
+  private[queries] def stageDigest(kind: String, dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$kind:$dir".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
   private def stableStageBase(kind: String, dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stage_${kind}_${Integer.toHexString(dir.hashCode)}")
+      s"graft_stage_${kind}_${stageDigest(kind, dir)}")
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
 
   private def stageOnce(kind: String, dir: String)(create: String => Unit): String =
     stageCache.computeIfAbsent(s"$kind:$dir", { _ =>
-      import java.nio.file.Files
+      import java.nio.file.{Files, StandardCopyOption}
       val base = stableStageBase(kind, dir)
-      val data = base.resolve("data")
       val ok = base.resolve("_graft_ok")
       if (!Files.exists(ok)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        // Stage into a FRESH private dir, then atomically rename into the
+        // stable location: a concurrent JVM never observes a half-written
+        // stage, and two racing JVMs each build privately — the rename loser
+        // discards its copy. The marker lives INSIDE the renamed dir, so
+        // base existing without it can only be a pre-rename-era crash.
+        val tmp = Files.createTempDirectory(
+          base.getParent, base.getFileName.toString + ".build.")
+        create(tmp.resolve("data").toString)
+        Files.createFile(tmp.resolve("_graft_ok"))
+        if (Files.exists(base) && !Files.exists(ok)) rmTree(base.toFile)
+        try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          rmTree(tmp.toFile) // another JVM won the rename; use its stage
         }
-        rm(base.toFile)
-        Files.createDirectories(base)
-        create(data.toString)
-        Files.createFile(ok)
-        ()
       }
-      data.toString
+      base.resolve("data").toString
     })
 
   /** Like [[stageOnce]] but the staging RUNS each JVM (still once per JVM,
     * still at the stable path): for stagings that register in-memory
     * catalog state — the bucketed tables — which the files alone cannot
     * restore in a fresh session. Overwrite-mode writes keep the path from
-    * accreting. */
+    * accreting; an OS file lock serializes concurrent JVMs so two sessions
+    * never interleave writes into the same stage. */
   private def stageEachJvm(kind: String, dir: String)(create: String => Unit): String =
     stageCache.computeIfAbsent(s"$kind:$dir", { _ =>
+      import java.nio.file.{Files, StandardOpenOption}
       val base = stableStageBase(kind, dir)
-      java.nio.file.Files.createDirectories(base)
+      Files.createDirectories(base)
       val data = base.resolve("data").toString
-      create(data)
+      val ch = java.nio.channels.FileChannel.open(base.resolve("_graft_lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try { val lk = ch.lock(); try create(data) finally lk.release() }
+      finally ch.close()
       data
     })
 
@@ -81,6 +103,11 @@ object CoreQueries {
         val db = stageOnce("derby", dir) { p =>
           graft.io.Sinks.jdbc(Tables(s, dir).nation,
             s"jdbc:derby:$p;create=true", "graft_nation", numPartitions = 1)
+          // release Derby's file locks BEFORE stageOnce renames the dir —
+          // the booted instance pins the moved inode and the post-move
+          // boot would see a live lock ("already booted")
+          try java.sql.DriverManager.getConnection(s"jdbc:derby:$p;shutdown=true")
+          catch { case _: java.sql.SQLException => () } // shutdown SIGNALS via exception
         }
         graft.io.Sources.jdbc(s, s"jdbc:derby:$db",
           """SELECT "n_nationkey", "n_name", "n_regionkey" FROM graft_nation
@@ -385,7 +412,7 @@ object CoreQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin))(
       (s, dir) => {
-        val sfx = Integer.toHexString(dir.hashCode)
+        val sfx = stageDigest("bucketed", dir)
         val (tl, to) = (s"bkt_lineitem_$sfx", s"bkt_orders_$sfx")
         // external tables at a fresh per-JVM temp path: a managed location
         // would outlive the in-memory catalog and block the next JVM's write

@@ -692,16 +692,22 @@ object LlmQueries {
     // — SimHash's machinery pointed at the multimodal column. The oracle
     // is the BRUTE-FORCE all-pairs Hamming over the same signatures
     // (computed bitwise from the sample lists), so the banding is proven
-    // complete, not just plausible.
+    // complete, not just plausible. The sampler reads UTF-8 payload BYTES,
+    // so the oracle indexes bytes too — via the hex encoding, since DuckDB
+    // has no direct blob subscript ('0x'||hex pair i -> unsigned byte i,
+    // matching the Spark side's `payload(p) & 0xff` on any input, not just
+    // ASCII).
     Reg("mm_phash_pairs", Some(
       """WITH b AS (
-        |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len
         |  FROM documents
         |), h AS (
         |  SELECT doc_id,
         |    list_transform(generate_series(0, 63), i ->
         |      CASE WHEN i * GREATEST(len // 64, 1) < len
-        |           THEN ord(substr(text, i * GREATEST(len // 64, 1) + 1, 1))
+        |           THEN CAST('0x' ||
+        |             substr(hx, 2 * i * GREATEST(len // 64, 1) + 1, 2) AS INT)
         |           ELSE 0 END) AS v
         |  FROM b
         |), s AS (
