@@ -39,5 +39,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
       arity("vec_norm", 1)(c => VectorNorm(c(0)))))
+    // Spark ships bloom build/probe expressions for its own runtime join
+    // filters but does not register them as SQL functions; exposing them
+    // makes the pre-shuffle join pruning in Relational.bloomPrunedJoin (and
+    // ad-hoc SQL) expressible without UDFs. bloom_agg(xxhash64(k), items,
+    // bits) -> binary; bloom_might_contain(filter, xxhash64(k)) -> boolean
+    // (no false negatives, so a post-probe equi-join stays exact).
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      arity("bloom_agg", 3)(c =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          c(0), c(1), c(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      arity("bloom_might_contain", 2)(c =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1)))))
   }
 }

@@ -279,6 +279,34 @@ object TextOps {
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
   }
 
+  /** Inverted index: (token, doc_id, tf) postings — the search-side twin of
+    * [[termFrequencies]], and the precursor every keyword-level corpus
+    * operation (search, contamination lookup, boolean filtering) builds on.
+    * One explode + one shuffle on (token, doc_id); at scale this is the
+    * write-once artifact you persist bucketed by token so term lookups
+    * become single-bucket scans. */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Conjunctive (AND) keyword search over an inverted index: documents
+    * containing ALL of `terms`, ranked by summed term frequency (ties to
+    * the smaller doc_id). The token IN-list prunes the index scan to the
+    * query's postings; the group-count-equals-arity trick implements AND
+    * without |terms| self-joins; top-k plans as per-partition limits +
+    * merge, never a global sort. */
+  def searchAnd(index: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val distinctTerms = terms.distinct
+    index.where(col("token").isin(distinctTerms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("token")).as("__hits"), sum(col("tf")).as("score"))
+      .where(col("__hits") === distinctTerms.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document bigram cross-entropy against the corpus's own add-one-
     * smoothed bigram LM — the KenLM-style quality filter LLM pipelines run
     * (a doc whose word transitions are improbable under the corpus LM is

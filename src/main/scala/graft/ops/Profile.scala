@@ -67,4 +67,29 @@ object Profile {
       .withColumn("bin_lo", col("bin_id") * width + lo)
       .withColumn("bin_hi", (col("bin_id") + 1) * width + lo)
   }
+
+  /** Join-key skew diagnostic: the `topN` heaviest values of `keyCol` with
+    * their row counts and the ratio to the mean per-key count — the number
+    * that tells you whether a join on this key needs salting
+    * ([[graft.ops.Relational.saltedJoin]]) or AQE skew handling before it
+    * ties up one reducer for hours at 100 TB.
+    *
+    * Shape at scale: one groupBy(key) with map-side partial counts, a
+    * 1-row global stat joined back as a broadcast (never a window over the
+    * whole key set, which would single-partition it), and a top-N that
+    * plans as per-partition limits + merge, not a full sort. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key_value"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("__nkeys"),
+      sum(col("cnt")).as("__nrows"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("key_value"), col("cnt"),
+        // ratio to mean = cnt / (nrows/nkeys); multiplied form keeps the
+        // float ops in an order the DuckDB oracle can reproduce exactly
+        (col("cnt").cast("double") * col("__nkeys") / col("__nrows"))
+          .as("skew_ratio"))
+      .orderBy(col("cnt").desc, col("key_value"))
+      .limit(topN)
+  }
 }

@@ -195,6 +195,56 @@ object Relational {
       .where(col("dist") <= 1)
   }
 
+  /** Bloom-pruned equi-join: probe-side rows whose key cannot be in the
+    * build side are dropped BEFORE the join's shuffle. This is the middle
+    * regime between broadcast (build side fits in every executor) and a
+    * bare shuffle join (nothing known about the build side): the build
+    * side's keys are summarized into a bloom filter of `numBits` bits —
+    * kilobytes, whatever the build side's size — and the probe side scans
+    * through a codegen membership test. No false negatives, so with the
+    * equi-join still applied afterwards the result is EXACTLY
+    * `probe.join(build, ...)`; false positives only cost shuffled bytes
+    * (fpp ≈ 0.03 at the default sizing of ~10 bits/key). Spark's own AQE
+    * runtime filter does this opportunistically; this operator makes it
+    * deterministic and available in any plan.
+    *
+    * The built filter is collected to the driver and inlined as a binary
+    * literal — bounded by `numBits` (default 1 MiB), same posture as
+    * broadcast dims and k-means centroids, NOT by the build side's row
+    * count. Build/probe hashes must agree: both sides use xxhash64(key). */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame,
+                      probeKey: String, buildKey: String,
+                      expectedItems: Long = 1000000L,
+                      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    val bf = build.agg(call_function("bloom_agg",
+        xxhash64(col(buildKey)), lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // empty build side -> null filter -> might_contain is null -> all probe
+    // rows drop, which IS the empty join result
+    val bfLit = if (bf == null) lit(null).cast("binary") else lit(bf)
+    probe
+      .where(call_function("bloom_might_contain", bfLit, xxhash64(col(probeKey))))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+
+  /** Debounce (time-window event dedup): keep an event only when more than
+    * `gapSeconds` passed since the key's PREVIOUS event — the "repeated
+    * click / duplicate webhook" cleaner. One window function over the
+    * key-partitioned, ts-ordered stream (`idCol` breaks ts ties so the
+    * result is deterministic); no self-join, no state beyond one lag. */
+  def debounce(events: DataFrame, keyCols: Seq[String], tsCol: String,
+               idCol: String, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    events
+      .withColumn("__prev", prev)
+      .where(col("__prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapSeconds * 1000000L)
+      .drop("__prev")
+  }
+
   /** Exact decimal SUM surfaced as double.
     *
     * The corpus measures are 2-decimal doubles; a parallel double sum is

@@ -430,6 +430,60 @@ object CoreQueries {
           .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
       }),
 
+    // J-bloom: bloom-pruned join — probe rows are membership-tested against
+    // a kilobytes-sized summary of the build side's keys BEFORE the join
+    // shuffle (the regime where the build side is too big to broadcast but
+    // its key set still fits a sketch). The oracle is the PLAIN join: a
+    // hash match proves the bloom pruning loses no row (no false
+    // negatives) and the join removes every false positive.
+    Reg("j_bloom", Some(
+      s"""SELECT p_type, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#4'
+         |GROUP BY p_type""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.Relational.bloomPrunedJoin(
+            t.lineitem.select("l_partkey", "l_quantity"),
+            t.part.where(col("p_brand") === "Brand#4").select("p_partkey", "p_type"),
+            "l_partkey", "p_partkey")
+          .groupBy("p_type")
+          .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      }),
+
+    // S-layout: Z-ordered (Morton-curve) parquet layout — lineitem written
+    // once clustered on interleave(l_partkey, l_suppkey), then a 2-D range
+    // query reads it back. Row groups are rectangles in (partkey, suppkey)
+    // space, so parquet min/max stats prune on EITHER predicate — the
+    // layout answer to "my 100 TB table is filtered two ways". The result
+    // hash-matches the same filter over the ORIGINAL table (layout changes
+    // nothing), and sum_z certifies the bit-interleave arithmetic itself
+    // against DuckDB's replay of it.
+    Reg("zorder_scan", Some(
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(list_sum(list_transform(generate_series(0, 19), i ->
+        |    (((l_partkey >> i) & 1) << (2 * i)) +
+        |    (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT)) AS BIGINT) AS sum_z
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 200 AND 400 AND l_suppkey BETWEEN 10 AND 40"""
+        .stripMargin))(
+      (s, dir) => {
+        val path = stageOnce("zorder", dir) { p =>
+          graft.ops.Layout.writeZOrdered(
+            Tables(s, dir).lineitem.select("l_partkey", "l_suppkey", "l_extendedprice"),
+            p, "l_partkey", "l_suppkey", numFiles = 4, bits = 20)
+        }
+        s.read.parquet(path)
+          .where(col("l_partkey").between(200, 400) &&
+            col("l_suppkey").between(10, 40))
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            sum(graft.ops.Layout.zorder2(
+              col("l_partkey"), col("l_suppkey"), bits = 20)).as("sum_z"))
+      }),
+
     // J-fuzzy: approximate-string self-join, edit distance <= 1 via the
     // deletion-neighborhood candidate join. The oracle is the BRUTE-FORCE
     // cross join with a levenshtein predicate — hash-matching it proves the

@@ -698,6 +698,101 @@ object ExtQueries {
           graft.ext.Streaming.windowedAgg(graft.ext.Streaming.readEvents(
             graft.ext.Streaming.streamingSession(s), dir)),
           name)
+      }),
+
+    // Skew diagnostic: the heaviest join-key values and their ratio to the
+    // mean per-key count — the measurement that decides between a plain
+    // join, AQE skew splitting, and Relational.saltedJoin. The global mean
+    // joins back as a broadcast 1-row frame; a window over the key set
+    // would single-partition it.
+    Reg("skew_report", Some(
+      """WITH c AS (
+        |  SELECT user_id AS key_value, COUNT(*) AS cnt FROM events GROUP BY 1
+        |), s AS (
+        |  SELECT COUNT(*) AS nkeys, CAST(SUM(cnt) AS BIGINT) AS nrows FROM c
+        |)
+        |SELECT key_value, cnt,
+        |  CAST(cnt AS DOUBLE) * nkeys / nrows AS skew_ratio
+        |FROM c, s ORDER BY cnt DESC, key_value LIMIT 10""".stripMargin))(
+      (s, dir) => graft.ops.Profile.skewReport(
+        Tables(s, dir).events, "user_id", topN = 10)),
+
+    // Debounce dedup: drop an event when the same (user, type) fired within
+    // the last 5 minutes — one lag over the key-partitioned ordered stream,
+    // the log-cleaning twin of the content dedups in ext/Dedup.
+    Reg("dedup_debounce", Some(
+      """WITH o AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    LAG(CAST(ts AS TIMESTAMP)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, epoch_us(t) AS tsu
+        |FROM o
+        |WHERE prev IS NULL OR epoch_us(t) - epoch_us(prev) > 300000000"""
+        .stripMargin))(
+      (s, dir) => graft.ops.Relational.debounce(
+          Tables(s, dir).events, Seq("user_id", "event_type"), "ts",
+          "event_id", gapSeconds = 300)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))),
+
+    // Data-quality expectation report: uniqueness, not-null, range,
+    // accepted-values, and referential integrity as ONE uniform report —
+    // the publish gate of any ETL load. Predicate checks per table fuse
+    // into a single scan; RI is an anti-join count.
+    Reg("dq_report", Some(
+      """SELECT 'orders.o_orderkey.unique' AS check_name,
+        |  COUNT(*) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_bad,
+        |  COUNT(*) = COUNT(DISTINCT o_orderkey) AS pass FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_custkey.not_null', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_totalprice.positive', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_orderstatus.accepted', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem.l_quantity.range', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey.ref_orders',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE l.l_orderkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey)),
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE l.l_orderkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey)) = 0"""
+        .stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.Quality.report(Seq(
+          graft.ops.Quality.checkUnique(t.orders,
+            "orders.o_orderkey.unique", Seq("o_orderkey")),
+          graft.ops.Quality.checkPredicates(t.orders, Seq(
+            "orders.o_custkey.not_null" -> col("o_custkey").isNull,
+            "orders.o_totalprice.positive" -> (col("o_totalprice") <= 0),
+            "orders.o_orderstatus.accepted" ->
+              !col("o_orderstatus").isin("O", "F", "P"))),
+          graft.ops.Quality.checkPredicates(t.lineitem, Seq(
+            "lineitem.l_quantity.range" ->
+              (col("l_quantity") < 1 || col("l_quantity") > 50))),
+          graft.ops.Quality.checkRef(t.lineitem, t.orders,
+            "l_orderkey", "o_orderkey", "lineitem.l_orderkey.ref_orders")))
+          .withColumnRenamed("check", "check_name")
       })
   )
 

@@ -917,6 +917,48 @@ object LlmQueries {
       (s, dir) => Packing.chunkStats(
         Packing.packChunks(Tables(s, dir).documents,
           "doc_id", length(col("text")), capacity = 2048),
-        capacity = 2048))
+        capacity = 2048)),
+
+    // Keyword search: conjunctive (AND) lookup over the inverted index,
+    // ranked by summed term frequency — the grep of a curated corpus, and
+    // the retrieval twin of `contamination`'s shingle lookup. The
+    // group-count-equals-arity trick gets AND semantics from ONE shuffle
+    // instead of |terms| self-joins.
+    Reg("text_search", Some(
+      """WITH idx AS (
+        |  SELECT t.token AS token, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) t
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT doc_id, COUNT(DISTINCT token) AS hits,
+        |    CAST(SUM(tf) AS BIGINT) AS score
+        |  FROM idx WHERE token IN ('spark', 'merge', 'window') GROUP BY 1
+        |)
+        |SELECT doc_id, score FROM m WHERE hits = 3
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))(
+      (s, dir) => TextOps.searchAnd(
+        TextOps.invertedIndex(Tables(s, dir).documents),
+        Seq("spark", "merge", "window"), k = 20)),
+
+    // Per-domain cap: keep at most 5 docs per source, preferring longer
+    // ones — the Common-Crawl-style guard against one domain dominating
+    // the training mix. Plans as WindowGroupLimit (per-partition rank
+    // short-circuit), not a full per-group sort + filter.
+    Reg("domain_cap", Some(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin))(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables(s, dir).documents
+          .withColumn("rk", row_number().over(Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+          .where(col("rk") <= 5)
+          .select("doc_id", "source")
+      })
   )
 }

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkPredicates: one row per check, violations counted, null predicate = not bad") {
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(-1.0)), (3L, None)
+    ).toDF("id", "price")
+    val r = Quality.checkPredicates(df, Seq(
+      "price.positive" -> (col("price") <= 0), // null price -> null pred -> not counted
+      "id.small" -> (col("id") > 100)))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSet == Set(
+      ("price.positive", 3L, 1L, false),
+      ("id.small", 3L, 0L, true)))
+  }
+
+  test("checkUnique counts rows in excess of one per key tuple") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a")).toDF("k", "s")
+    val r1 = Quality.checkUnique(df, "pair", Seq("k", "s")).head()
+    assert((r1.getLong(1), r1.getLong(2), r1.getBoolean(3)) == (4L, 1L, false))
+    val r2 = Quality.checkUnique(df.dropDuplicates(), "pair", Seq("k", "s")).head()
+    assert((r2.getLong(2), r2.getBoolean(3)) == (0L, true))
+  }
+
+  test("checkRef: orphans counted, null FKs are not RI violations") {
+    val child = Seq(Some(1), Some(2), Some(9), None).toDF("fk")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val r = Quality.checkRef(child, parent, "fk", "pk", "ri").head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)) ==
+      ("ri", 4L, 1L, false))
+  }
+
+  test("report unions parts with the uniform schema") {
+    val df = Seq(1).toDF("x")
+    val r = Quality.report(Seq(
+      Quality.checkUnique(df, "u", Seq("x")),
+      Quality.checkPredicates(df, Seq("p" -> (col("x") < 0)))))
+    assert(r.columns.toSeq == Seq("check", "n_rows", "n_bad", "pass"))
+    assert(r.count() == 2)
+  }
+}

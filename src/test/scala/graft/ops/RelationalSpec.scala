@@ -75,4 +75,45 @@ class RelationalSpec extends SparkSpec {
     val df = Seq("a", "b", "c").toDF("x")
     assert(df.where(inList(col("x"), Seq("a", "c"))).count() == 2)
   }
+
+  test("bloomPrunedJoin equals the plain join (no false negatives survive the final join)") {
+    val probe = (1L to 500L).map(i => (i % 97, i)).toDF("pk", "pv")
+    val build = Seq((3L, "x"), (10L, "y"), (96L, "z")).toDF("bk", "bv")
+    val got = bloomPrunedJoin(probe, build, "pk", "bk",
+        expectedItems = 100, numBits = 4096)
+      .select("pk", "pv", "bv").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = probe.join(build, col("pk") === col("bk"))
+      .select("pk", "pv", "bv").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("bloomPrunedJoin with an empty build side returns the empty join, not a crash") {
+    val probe = Seq((1L, "a")).toDF("pk", "pv")
+    val build = Seq((1L, "b")).toDF("bk", "bv").where(lit(false))
+    assert(bloomPrunedJoin(probe, build, "pk", "bk").count() == 0)
+  }
+
+  test("debounce keeps an event only when > gap after the key's PREVIOUS event (not previous kept)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    // one user: events at 0s, 200s, 400s with gap=300 — 200s is within 300
+    // of 0s (drop); 400s is within 300 of the previous EVENT at 200s (drop
+    // too, even though 200s itself was dropped): the lag rule, exactly what
+    // the dedup_debounce oracle computes
+    val ev = Seq(
+      (1L, "u", at(0)), (2L, "u", at(200)), (3L, "u", at(400)),
+      (4L, "v", at(0)), (5L, "v", at(400))
+    ).toDF("event_id", "k", "ts")
+    val kept = debounce(ev, Seq("k"), "ts", "event_id", gapSeconds = 300)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
+  test("debounce breaks equal-ts ties by id deterministically") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((2L, "u", ts), (1L, "u", ts)).toDF("event_id", "k", "ts")
+    val kept = debounce(ev, Seq("k"), "ts", "event_id", gapSeconds = 300)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L)) // id 1 sorts first; id 2 is 0s after it -> dropped
+  }
 }
