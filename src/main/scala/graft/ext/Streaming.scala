@@ -65,12 +65,12 @@ object Streaming {
         stagedDirs.compute(src.toString, { (_, prev) =>
           if (prev != null && prev._1 == sig) prev
           else {
-            if (prev != null) {
-              def rm(f: java.io.File): Unit = {
-                Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-              }
-              rm(new java.io.File(prev._2))
-            }
+            // Deletion of the superseded stage is DEFERRED to JVM exit: a
+            // streaming query started against it before the source was
+            // regenerated may still be mid-run, and deleting under it would
+            // fail that query on file-not-found. Retired dirs are bounded by
+            // the number of regenerations in one JVM — test-scale only.
+            if (prev != null) retiredDirs.add(prev._2)
             val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
             val dst = d.resolve("events.parquet")
             try java.nio.file.Files.createLink(dst, src)
@@ -90,6 +90,16 @@ object Streaming {
     * source evicts the stale stage instead of accreting. */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Superseded stages awaiting JVM-exit cleanup (see eviction note above). */
+  private val retiredDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    retiredDirs.forEach(d => rm(new java.io.File(d)))
+  }))
 
   /** Tumbling-window A1/A2: per (day, event_type) exact sums + counts,
     * 1-day watermark bounds state. */

@@ -8,55 +8,70 @@ import org.apache.spark.sql.functions._
   * any production deployment of it would need exactly this gate before the
   * full-DB copy at etl_io.py:203-219).
   *
-  * Design for scale: every predicate expectation against one table compiles
-  * into ONE aggregation pass (conditional sums side by side — a per-check
-  * loop would scan the table N times), and the wide single-row result is
-  * unpivoted to the uniform (check, n_rows, n_bad, pass) report shape.
-  * Referential checks are anti-join counts; uniqueness is count-vs-distinct
-  * in the same single pass. Nothing here collects data rows to the driver —
-  * the report is O(#checks) however big the table.
+  * Design for scale: ALL expectations against one table — predicate checks
+  * AND uniqueness checks — compile into ONE aggregation pass (conditional
+  * sums and count-distincts side by side; a per-check loop would scan the
+  * table N times), and the wide single-row result is exploded to the uniform
+  * (check, n_rows, n_bad, pass) report shape. Referential checks fold the
+  * child row count into the same scan that finds orphans (left join against
+  * de-duplicated parent keys + conditional count — not a separate anti-join
+  * pass plus a second count scan). Nothing here collects data rows to the
+  * driver — the report is O(#checks) however big the table.
+  *
+  * The report rows are built with Column APIs (struct/explode), not a
+  * `stack(...)` SQL string, so check names containing quotes or backslashes
+  * pass through literally instead of being re-parsed by the SQL lexer.
   */
 object Quality {
 
-  /** Predicate expectations over one table: `checks` maps check name to a
-    * VIOLATION predicate (true = bad row). One scan for all of them. */
-  def checkPredicates(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
-    require(checks.nonEmpty, "checkPredicates needs at least one check")
-    val aggs = count(lit(1)).as("__n") +:
+  /** Expectations over one table in a single scan. `checks` maps check name
+    * to a VIOLATION predicate (true = bad row); `uniques` maps check name to
+    * a column tuple expected to be a key (`n_bad` = rows in excess of one
+    * per distinct tuple). On an empty table every check passes with
+    * n_bad = 0 (sums coalesced — SUM over zero rows is NULL in SQL). */
+  def checkPredicates(df: DataFrame, checks: Seq[(String, Column)],
+                      uniques: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniques.nonEmpty,
+      "checkPredicates needs at least one check")
+    val aggs = count(lit(1)).as("__n") +: (
       checks.zipWithIndex.map { case ((_, bad), i) =>
-        sum(when(bad, 1L).otherwise(0L)).as(s"__b$i")
-      }
+        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(s"__b$i")
+      } ++ uniques.zipWithIndex.map { case ((_, cols), i) =>
+        countDistinct(col(cols.head), cols.tail.map(col): _*).as(s"__u$i")
+      })
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = checks.zipWithIndex.map { case ((name, _), i) =>
-      s"'${name.replace("'", "''")}', __b$i"
-    }.mkString(", ")
-    wide.select(
-      expr(s"stack(${checks.size}, $stacked) AS (check, n_bad)"),
-      col("__n").as("n_rows"))
-      .select(col("check"), col("n_rows"), col("n_bad"),
-        (col("n_bad") === 0L).as("pass"))
+    val entries =
+      uniques.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check"),
+          (col("__n") - col(s"__u$i")).as("n_bad"))
+      } ++ checks.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check"), col(s"__b$i").as("n_bad"))
+      }
+    wide.select(col("__n").as("n_rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.check").as("check"), col("n_rows"),
+        col("e.n_bad").as("n_bad"), (col("e.n_bad") === 0L).as("pass"))
   }
 
-  /** Uniqueness expectation: `n_bad` = rows in excess of one per distinct
-    * key tuple (0 = the columns form a key). */
+  /** Uniqueness expectation standalone — same single-pass shape, kept as a
+    * convenience; prefer folding into a table's `checkPredicates` call so
+    * the table is scanned once for everything. */
   def checkUnique(df: DataFrame, name: String, cols: Seq[String]): DataFrame =
-    df.agg(count(lit(1)).as("n_rows"),
-        countDistinct(cols.head, cols.tail: _*).as("__d"))
-      .select(lit(name).as("check"), col("n_rows"),
-        (col("n_rows") - col("__d")).as("n_bad"),
-        (col("n_rows") === col("__d")).as("pass"))
+    checkPredicates(df, Nil, Seq(name -> cols))
 
   /** Referential-integrity expectation: `n_bad` = child rows whose non-null
     * key has no parent (null FKs are a not-null check's business, not RI's).
-    * Plans as a left-anti join — broadcast or shuffled as the parent's size
-    * dictates, never a driver-side key list. */
+    * Plans as ONE scan of the child: left join against the parent's
+    * de-duplicated keys (broadcast or shuffled as the parent's size
+    * dictates, never a driver-side key list), then count(*) and the orphan
+    * count in the same aggregation. The distinct keeps the join
+    * row-preserving, so n_rows is exact even with duplicate parent keys. */
   def checkRef(child: DataFrame, parent: DataFrame,
                childKey: String, parentKey: String, name: String): DataFrame = {
-    val orphans = child.where(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey),
-        "left_anti")
-    child.agg(count(lit(1)).as("n_rows"))
-      .crossJoin(orphans.agg(count(lit(1)).as("n_bad")))
+    val pk = parent.select(col(parentKey).as("__pk")).distinct()
+    child.join(pk, col(childKey) === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col(childKey).isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_bad"))
       .select(lit(name).as("check"), col("n_rows"), col("n_bad"),
         (col("n_bad") === 0L).as("pass"))
   }

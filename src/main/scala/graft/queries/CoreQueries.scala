@@ -62,8 +62,11 @@ object CoreQueries {
         Files.createFile(tmp.resolve("_graft_ok"))
         if (Files.exists(base) && !Files.exists(ok)) rmTree(base.toFile)
         try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          rmTree(tmp.toFile) // another JVM won the rename; use its stage
+        catch { case e: java.nio.file.FileSystemException =>
+          // Only a race loss is recoverable: the winner's marker must be in
+          // place. Any other move failure (AtomicMoveNotSupported, perms)
+          // would leave the returned path nonexistent — surface it.
+          if (Files.exists(ok)) rmTree(tmp.toFile) else throw e
         }
       }
       base.resolve("data").toString

@@ -780,13 +780,13 @@ object ExtQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         graft.ops.Quality.report(Seq(
-          graft.ops.Quality.checkUnique(t.orders,
-            "orders.o_orderkey.unique", Seq("o_orderkey")),
+          // uniqueness rides the same single scan as the predicate checks
           graft.ops.Quality.checkPredicates(t.orders, Seq(
             "orders.o_custkey.not_null" -> col("o_custkey").isNull,
             "orders.o_totalprice.positive" -> (col("o_totalprice") <= 0),
             "orders.o_orderstatus.accepted" ->
-              !col("o_orderstatus").isin("O", "F", "P"))),
+              !col("o_orderstatus").isin("O", "F", "P")),
+            uniques = Seq("orders.o_orderkey.unique" -> Seq("o_orderkey"))),
           graft.ops.Quality.checkPredicates(t.lineitem, Seq(
             "lineitem.l_quantity.range" ->
               (col("l_quantity") < 1 || col("l_quantity") > 50))),

@@ -134,6 +134,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("dq_report scans orders once and lineitem twice — fused expectation passes") {
+    // uniqueness + 3 predicate checks ride ONE orders scan; lineitem pays
+    // its predicate pass plus the RI join input (n_rows folded into the
+    // same scan, not a third count pass). At 100 TB each avoided scan is
+    // a full-table read.
+    val df = SparkEntry.queries("dq_report")(spark, "/root/testdata/sf0.001")
+    val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    def scansOf(table: String) = leaves.count(_.contains(s"$table.parquet"))
+    assert(scansOf("orders") <= 2, // 1 predicate+unique pass + 1 RI parent-key side
+      s"orders scanned ${scansOf("orders")}x:\n${leaves.mkString("\n")}")
+    assert(scansOf("lineitem") <= 2, // predicate pass + RI child (n_rows fused)
+      s"lineitem scanned ${scansOf("lineitem")}x:\n${leaves.mkString("\n")}")
+  }
+
   test("co-bucketed tables join without a shuffle (Exchange-free)") {
     import graft.io.Sinks
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -35,6 +35,51 @@ class QualitySpec extends SparkSpec {
       ("ri", 4L, 1L, false))
   }
 
+  test("empty table: every check passes with n_bad = 0, not NULL") {
+    val df = Seq((1L, 1.0)).toDF("id", "price").where(lit(false))
+    val r = Quality.checkPredicates(df,
+      Seq("price.positive" -> (col("price") <= 0)),
+      uniques = Seq("id.unique" -> Seq("id")))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSet == Set(
+      ("price.positive", 0L, 0L, true), ("id.unique", 0L, 0L, true)))
+  }
+
+  test("check names with quotes/backslashes pass through literally") {
+    val df = Seq(1).toDF("x")
+    val names = Quality.checkPredicates(df, Seq(
+      "it's a 'test'" -> (col("x") < 0),
+      """back\slash""" -> (col("x") < 0)))
+      .select("check").as[String].collect().toSet
+    assert(names == Set("it's a 'test'", """back\slash"""))
+  }
+
+  test("uniques fused into checkPredicates: one scan, correct counts") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "s")
+    val r = Quality.checkPredicates(df,
+      Seq("s.not_null" -> col("s").isNull),
+      uniques = Seq("k.unique" -> Seq("k"), "pair.unique" -> Seq("k", "s")))
+      .collect().map(x => (x.getString(0), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSet == Set(
+      ("k.unique", 1L, false), ("pair.unique", 1L, false),
+      ("s.not_null", 0L, true)))
+    // single scan: exactly one Aggregate over the table in the plan
+    val scans = Quality.checkPredicates(df,
+      Seq("s.not_null" -> col("s").isNull),
+      uniques = Seq("k.unique" -> Seq("k")))
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }
+    assert(scans.size == 1)
+  }
+
+  test("checkRef: duplicate parent keys do not inflate n_rows") {
+    val child = Seq(Some(1), Some(2), None).toDF("fk")
+    val parent = Seq(1, 1, 1, 2).toDF("pk")
+    val r = Quality.checkRef(child, parent, "fk", "pk", "ri").head()
+    assert((r.getLong(1), r.getLong(2), r.getBoolean(3)) == (3L, 0L, true))
+  }
+
   test("report unions parts with the uniform schema") {
     val df = Seq(1).toDF("x")
     val r = Quality.report(Seq(
