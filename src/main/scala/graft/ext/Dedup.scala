@@ -66,22 +66,46 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH buckets: equality self-join on (band,
-    * band_hash), ordered ids, distinct. Never all-pairs. */
+    * band_hash), ordered ids, distinct. Never all-pairs.
+    *
+    * Over-full buckets are the quadratic hole of every LSH join: ONE
+    * boilerplate band shared by 10 M docs at 100 TB would emit ~10¹³ pairs
+    * from that bucket alone. Buckets above `maxBucket` therefore collapse
+    * to a STAR around the bucket's minimum id — k-1 pairs instead of
+    * k(k-1)/2 — rather than being dropped: every member stays connected
+    * (an over-full bucket means the docs are near-identical anyway, so the
+    * downstream transitive closure still groups them), nothing is silently
+    * truncated, and downstream exact verification still sees each pair.
+    * The trade is recall WITHIN an over-cap bucket for members whose only
+    * qualifying partner is a non-representative — acceptable exactly
+    * because such buckets are boilerplate clusters. */
   def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleK: Int = 3): DataFrame = {
+                        shingleK: Int = 3, maxBucket: Int = 10000): DataFrame = {
     // persist: both self-join sides read the bands; without it the whole
     // shingle→hash→min pipeline runs twice (the broadcast side cannot
     // reuse the other side's exchange). The candidate set — far smaller
     // than the bands — is eagerly localCheckpoint'ed so the bands cache can
     // be released immediately instead of living for the session (checkpoint
     // blocks are reference-tracked and GC-cleaned by the ContextCleaner).
-    val b = minhashBands(df, idCol, textCol, numHashes, bands, shingleK).persist()
-    val x = b.select(col("band"), col("band_hash"), col("id").as("a_id"))
-    val y = b.select(col("band"), col("band_hash"), col("id").as("b_id"))
-    val cands = x.join(y, Seq("band", "band_hash"))
+    // Bucket size + representative come from ONE window over the same
+    // (band, band_hash) shuffle the self-join needs anyway.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "band_hash")
+    val b = minhashBands(df, idCol, textCol, numHashes, bands, shingleK)
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__rep", min(col("id")).over(w))
+      .persist()
+    val small = b.where(col("__bsz") <= maxBucket)
+    val x = small.select(col("band"), col("band_hash"), col("id").as("a_id"))
+    val y = small.select(col("band"), col("band_hash"), col("id").as("b_id"))
+    val smallPairs = x.join(y, Seq("band", "band_hash"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
+    val starPairs = b
+      .where(col("__bsz") > maxBucket && col("id") =!= col("__rep"))
+      .select(col("__rep").as("a_id"), col("id").as("b_id"))
+    val cands = smallPairs.union(starPairs)
       .distinct()
       .localCheckpoint()
     b.unpersist()
@@ -95,8 +119,10 @@ object Dedup {
     * bucket-join cost. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, numHashes: Int = 64,
-                   bands: Int = 16, shingleK: Int = 3): DataFrame = {
-    val cands = nearDupCandidates(df, idCol, textCol, numHashes, bands, shingleK)
+                   bands: Int = 16, shingleK: Int = 3,
+                   maxBucket: Int = 10000): DataFrame = {
+    val cands = nearDupCandidates(df, idCol, textCol, numHashes, bands,
+      shingleK, maxBucket)
     // persisted: BOTH verification join sides read this frame — without the
     // persist each side re-runs shingles() over the full corpus (the same
     // hygiene ngramJaccardPairs applies); released once the (small) verified
@@ -276,9 +302,15 @@ object Dedup {
     * whenever d < bands (pigeonhole), so the candidate join is an EQUALITY
     * join on (band, chunk) — never all-pairs — and bit_count(xor) verifies
     * exactly. The input is persisted for the self-join and released once
-    * the (small) verified pair set is materialized. */
+    * the (small) verified pair set is materialized.
+    *
+    * Buckets above `maxBucket` collapse to a star around the bucket-minimum
+    * id (same quadratic-hole guard as [[nearDupCandidates]]): connectivity
+    * survives, pair count is k-1 not k²/2, and the Hamming verification
+    * still gates each emitted pair. Recall trade: a member of an over-cap
+    * bucket is only tested against the representative. */
   def signaturePairs(withSimIn: DataFrame, maxDist: Int, bits: Int,
-                     bands: Int): DataFrame = {
+                     bands: Int, maxBucket: Int = 10000): DataFrame = {
     require(maxDist < bands,
       s"banding is complete only for maxDist < bands (got $maxDist >= $bands)")
     // chunk width must be in [1, 63]: bands > bits gives chunk 0 and
@@ -293,16 +325,29 @@ object Dedup {
     // chunk j = (sim >> (j*chunk)) & ((1<<chunk)-1); column-valued shifts
     // need the SQL parser:
     val mask = (1L << chunk) - 1
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "chunk_val")
     val banded2 = withSim.select(col("id"), col("sim"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> shiftright(sim, j * $chunk) & ${mask}L)"))
         .as(Seq("band", "chunk_val")))
-    val x = banded2.select(col("band"), col("chunk_val"), col("id").as("a_id"), col("sim").as("a_sim"))
-    val y = banded2.select(col("band"), col("chunk_val"), col("id").as("b_id"), col("sim").as("b_sim"))
-    val pairs = x.join(y, Seq("band", "chunk_val"))
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__rep", min(col("id")).over(w))
+      .withColumn("__repsim", first(col("sim")).over(
+        w.orderBy(col("id").asc).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val small = banded2.where(col("__bsz") <= maxBucket)
+    val x = small.select(col("band"), col("chunk_val"), col("id").as("a_id"), col("sim").as("a_sim"))
+    val y = small.select(col("band"), col("chunk_val"), col("id").as("b_id"), col("sim").as("b_sim"))
+    val smallPairs = x.join(y, Seq("band", "chunk_val"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+    val starPairs = banded2
+      .where(col("__bsz") > maxBucket && col("id") =!= col("__rep"))
+      .select(col("__rep").as("a_id"), col("id").as("b_id"),
+        bit_count(col("__repsim").bitwiseXOR(col("sim"))).as("hamming"))
+    val pairs = smallPairs.union(starPairs)
       .where(col("hamming") <= maxDist)
       .distinct()
       .localCheckpoint()
@@ -312,6 +357,8 @@ object Dedup {
 
   /** SimHash near-dup pairs: [[simhashes]] piped through [[signaturePairs]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, bits: Int = 32, bands: Int = 4): DataFrame =
-    signaturePairs(simhashes(df, idCol, textCol, bits), maxDist, bits, bands)
+                   maxDist: Int = 3, bits: Int = 32, bands: Int = 4,
+                   maxBucket: Int = 10000): DataFrame =
+    signaturePairs(simhashes(df, idCol, textCol, bits), maxDist, bits, bands,
+      maxBucket)
 }
