@@ -269,14 +269,22 @@ object Dedup {
 
     var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     var round = 0
     while (!converged && round < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // exact stability check as ONE job: both set differences unioned
-      // (both sides are distinct, so empty symmetric difference == equal)
-      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      // a changed edge COUNT proves instability for free (both frames are
+      // already checkpointed, so count() is a local scan — no shuffle);
+      // only equal counts pay the exact set compare, which remains
+      // necessary because equal counts do not imply equal sets. The exact
+      // check is ONE job: both set differences unioned (both sides are
+      // distinct, so empty symmetric difference == equal).
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

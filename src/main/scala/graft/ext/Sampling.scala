@@ -47,4 +47,16 @@ object Sampling {
     }
     df.where(hashFrac(contentCol) < rate)
   }
+
+  /** Stratified sampling with per-stratum keep rates — the deterministic
+    * replacement for `df.stat.sampleBy` (whose seeded per-partition RNG
+    * ties the sample to the engine AND the physical partitioning, so the
+    * "same" split differs across runs and engines). Here the decision is
+    * the row's content hash against the stratum's rate: exactly
+    * reproducible everywhere, which makes train/dev splits auditable.
+    * Strata absent from `rates` keep nothing (sampleBy's contract).
+    * Same plan shape as [[mixSources]]: one pushed filter, no shuffle. */
+  def stratifiedBy(df: DataFrame, contentCol: Column, stratumCol: Column,
+                   rates: Map[String, Double]): DataFrame =
+    mixSources(df, contentCol, stratumCol, rates, default = 0.0)
 }

@@ -307,6 +307,48 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25-ranked disjunctive (OR) keyword search — the scoring twin of
+    * [[searchAnd]] and the ranking every retrieval stack defaults to:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) (the Robertson/Sparck-Jones
+    * plus-one form, always positive).
+    *
+    * Plan: the exploded token stream filters to the query terms BEFORE the
+    * (token, doc_id) aggregation, so the only full-width shuffle carries
+    * query-term postings, not the corpus. df arrives as a broadcast
+    * (|terms| rows); N and avgdl as a broadcast 1-row frame; per-doc
+    * length is a scan-level `size(split(...))` — no second explode.
+    * avgdl is sum(long)/count (exact, associative) rather than avg(double)
+    * (accumulation-order-dependent), so the score is engine-identical;
+    * the final per-doc sum is rounded to 6 decimals to absorb ulp order.
+    * Top-k plans as TakeOrderedAndProject (per-partition limits + merge),
+    * never a global sort. */
+  def searchBM25(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+                 k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ts = terms.distinct
+    val post = docs
+      .select(col(idCol).as("doc_id"), explode(words(col("text"))).as("token"))
+      .where(col("token").isin(ts: _*))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col(idCol).as("doc_id"), tokenCount(col("text")).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(tokenCount(col("text"))).cast("double") /
+        count(lit(1))).as("avgdl"))
+    post.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))),
+        6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document bigram cross-entropy against the corpus's own add-one-
     * smoothed bigram LM — the KenLM-style quality filter LLM pipelines run
     * (a doc whose word transitions are improbable under the corpus LM is

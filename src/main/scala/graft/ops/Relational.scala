@@ -215,8 +215,18 @@ object Relational {
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame,
                       probeKey: String, buildKey: String,
                       expectedItems: Long = 1000000L,
-                      numBits: Long = 8L * 1024 * 1024): DataFrame = {
-    val bf = build.agg(call_function("bloom_agg",
+                      numBits: Long = 8L * 1024 * 1024,
+                      reuseBuild: Boolean = true): DataFrame = {
+    // The technique reads the build side twice (once for the sketch, once
+    // in the join). With reuseBuild the build side is materialized ONCE via
+    // an eager localCheckpoint — the sketch aggregation and the join both
+    // read the stored blocks, halving the build cost when it is a filtered
+    // scan (checkpoint blocks are reference-tracked and GC-cleaned by the
+    // ContextCleaner, so no explicit unpersist hand-off is needed). Pass
+    // reuseBuild = false when the build side is too large to store but its
+    // KEYS still fit a sketch — then recomputing beats materializing.
+    val b = if (reuseBuild) build.localCheckpoint() else build
+    val bf = b.agg(call_function("bloom_agg",
         xxhash64(col(buildKey)), lit(expectedItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     // empty build side -> null filter -> might_contain is null -> all probe
@@ -224,7 +234,7 @@ object Relational {
     val bfLit = if (bf == null) lit(null).cast("binary") else lit(bf)
     probe
       .where(call_function("bloom_might_contain", bfLit, xxhash64(col(probeKey))))
-      .join(build, col(probeKey) === col(buildKey))
+      .join(b, col(probeKey) === col(buildKey))
   }
 
   /** Debounce (time-window event dedup): keep an event only when more than

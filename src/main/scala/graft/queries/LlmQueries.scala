@@ -400,13 +400,21 @@ object LlmQueries {
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
         .select("doc_id", "source")),
 
-    // Stratified sampling for train/dev splits (seeded per-partition RNG is
-    // engine-specific → rows-only).
-    Reg("sample_stratified", None)(
-      (s, dir) => Tables(s, dir).documents
-        .stat.sampleBy("lang",
-          Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1),
-          seed = 42L)
+    // Stratified sampling for train/dev splits: per-language keep rates
+    // decided by the content hash (NOT `sampleBy`'s seeded per-partition
+    // RNG, which ties the split to engine + physical partitioning) — fully
+    // reproducible, which the oracle hash-match PROVES. Strata outside the
+    // rate map keep nothing, matching sampleBy's contract.
+    Reg("sample_stratified", Some(
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) AS DOUBLE)
+        |        / 4503599627370496.0
+        |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.5
+        |                  WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2
+        |                  WHEN 'zh' THEN 0.1 ELSE 0.0 END""".stripMargin))(
+      (s, dir) => Sampling.stratifiedBy(Tables(s, dir).documents,
+          col("text"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
         .select("doc_id", "lang")),
 
     // Language-ID heuristic: the marker-argmax is deterministic CASE logic,
@@ -939,6 +947,38 @@ object LlmQueries {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))(
       (s, dir) => TextOps.searchAnd(
         TextOps.invertedIndex(Tables(s, dir).documents),
+        Seq("spark", "merge", "window"), k = 20)),
+
+    // BM25-ranked (OR) search: the scoring twin of `text_search`. The SQL
+    // mirrors the Spark arithmetic EXPRESSION-FOR-EXPRESSION (same literal
+    // spellings, avgdl as exact sum/count, ln of the +1 idf form, round 6)
+    // so the hash compare proves the ranking formula, not just row counts.
+    Reg("text_search_bm25", Some(
+      """WITH post AS (
+        |  SELECT token, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) t
+        |  WHERE token IN ('spark', 'merge', 'window')
+        |  GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df FROM post GROUP BY 1
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+        |           AS avgdl
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |    * (tf * (1.2 + 1.0))
+        |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |FROM post JOIN dfreq USING (token) JOIN dl USING (doc_id), stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))(
+      (s, dir) => TextOps.searchBM25(Tables(s, dir).documents,
         Seq("spark", "merge", "window"), k = 20)),
 
     // Per-domain cap: keep at most 5 docs per source, preferring longer
