@@ -94,6 +94,14 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The seeded hyperplanes behind [[lshBucket]], public so an oracle (or
+    * any second engine) can replay the EXACT bucket function: the
+    * components format via Double.toString — the shortest decimal that
+    * round-trips — so a correct parser on the other side reconstructs the
+    * identical doubles and the sign-of-dot decisions cannot diverge. */
+  def lshPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    planes(nPlanes, dim, seed)
+
   /** Sign-LSH bucket id: one bit per hyperplane (sign of v·plane), packed
     * into a long. Vectors close in cosine land in the same bucket with
     * probability 1 - θ/π per bit. `dotFn` lets callers pass the native

@@ -77,6 +77,24 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** CSV sink — the symmetric twin of [[Sources.csv]] (reads existed since
+    * round 1; this closes the write side). Header on by default so the
+    * files are self-describing for spreadsheet/pandas consumers; numeric
+    * round trips are exact because Spark formats doubles as the shortest
+    * decimal that parses back to the same value. Like [[jsonl]], an
+    * interchange sink, not a storage one — no column stats, no pruning. */
+  def csv(df: DataFrame, path: String, sep: String = ",",
+          header: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("sep", sep).option("header", header.toString)
+      .csv(path)
+
+  /** TSV sink — [[csv]] with a tab separator, the format the reference's
+    * O*NET corpus ships in (etl_io.py:738-768); symmetric with
+    * [[Sources.tsv]]. */
+  def tsv(df: DataFrame, path: String, header: Boolean = true,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    csv(df, path, sep = "\t", header = header, mode = mode)
+
   /** JSON-lines sink — one shard per partition, the hand-off format for
     * downstream tooling that doesn't speak parquet. Text + per-row field
     * names ≈ 3–5× parquet bytes: an interchange sink, not a storage one. */

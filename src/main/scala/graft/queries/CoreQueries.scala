@@ -125,8 +125,7 @@ object CoreQueries {
       (s, dir) => {
         val nation = Tables(s, dir).nation
         val path = stageOnce("tsv", dir) { p =>
-          nation.coalesce(1).write.option("sep", "\t").option("header", "true")
-            .mode("overwrite").csv(p)
+          graft.io.Sinks.tsv(nation.coalesce(1), p)
         }
         graft.io.Sources.tsv(s, path, schema = Some(nation.schema))
       }),
@@ -139,8 +138,7 @@ object CoreQueries {
       (s, dir) => {
         val customer = Tables(s, dir).customer
         val path = stageOnce("csv", dir) { p =>
-          customer.coalesce(1).write.option("header", "true")
-            .mode("overwrite").csv(p)
+          graft.io.Sinks.csv(customer.coalesce(1), p)
         }
         graft.io.Sources.csv(s, path, schema = Some(customer.schema))
       }),
@@ -237,6 +235,22 @@ object CoreQueries {
           graft.io.Sinks.orc(Tables(s, dir).part, p)
         }
         graft.io.Sources.orc(s, path)
+      }),
+
+    // S-ext: CSV round trip through the PROPER sink, multi-shard (no
+    // coalesce — one file per partition, the shape a distributed write
+    // actually produces): supplier strings + int32 nationkey + double
+    // acctbal exercise the type round trip. Read back with the writer's
+    // schema, oracled against the parquet source — the text format must
+    // be lossless.
+    Reg("csv_roundtrip", Some(
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"))(
+      (s, dir) => {
+        val supplier = Tables(s, dir).supplier
+        val path = stageOnce("csv_rt", dir) { p =>
+          graft.io.Sinks.csv(supplier, p)
+        }
+        graft.io.Sources.csv(s, path, schema = Some(supplier.schema))
       }),
 
     // S8/scale: partitioned write + partition-PRUNED read — orders written

@@ -245,12 +245,46 @@ object LlmQueries {
       (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
         maxDist = 3, bits = 64, bands = 4)),
 
-    // Embedding near-dup within label buckets (cosine ≥ 0.4 — this corpus
-    // has no high-cosine duplicates; max in-label cosine ≈ 0.47).
-    // DOUBLE[] cast: DuckDB's list_cosine_similarity computes in float32 on
-    // FLOAT[] inputs; the double-cast path is bit-identical to Spark's
+    // Embedding near-dup — the headline is the SCALE path: sign-LSH
+    // buckets (2 planes → 4 buckets here; more planes → finer buckets at
+    // corpus scale) bound the quadratic in-bucket pair cost by a PARAMETER
+    // instead of label cardinality. Fully hash-oracled even though the
+    // planes are seeded: the plane components embed into the SQL via
+    // Double.toString (shortest round-trip decimal — DuckDB reconstructs
+    // the identical doubles), list_dot_product on DOUBLE[] is the same
+    // sequential double fold as Spark's HOF/vec_dot, so bucket assignment
+    // AND pair scores replay exactly.
+    Reg("dedup_embed", Some {
+      val planeSql = Similarity.lshPlanes(nPlanes = 2, dim = 64).zipWithIndex
+        .map { case (p, i) =>
+          s"(CASE WHEN list_dot_product(emb, [${p.mkString(", ")}]) >= 0" +
+            s" THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, emb, $planeSql AS bucket FROM e)
+         |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         |  ROUND(list_cosine_similarity(x.emb, y.emb), 4) AS sim
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ROUND(list_cosine_similarity(x.emb, y.emb), 4) >= 0.4"""
+        .stripMargin
+    })(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings.withColumn("lsh_bucket",
+          Similarity.lshBucket(col("embedding"), nPlanes = 2, dim = 64))
+        Similarity.embeddingNearDup(e, "vec_id", "embedding", "lsh_bucket",
+          threshold = 0.4)
+      }),
+
+    // Label-bucketed variant (cosine ≥ 0.4 — this corpus has no
+    // high-cosine duplicates; max in-label cosine ≈ 0.47): the fixed
+    // partition key is fine when labels are known to be bounded, but
+    // bucket size follows label cardinality, which went 10× superlinear
+    // sf0.1→sf1 (BASELINE.md) — hence demoted from the headline name.
+    // DOUBLE[] cast: DuckDB's list_cosine_similarity computes in float32
+    // on FLOAT[] inputs; the double-cast path is bit-identical to Spark's
     // double HOF fold.
-    Reg("dedup_embed", Some(
+    Reg("dedup_embed_label", Some(
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -260,21 +294,6 @@ object LlmQueries {
         .stripMargin))(
       (s, dir) => Similarity.embeddingNearDup(Tables(s, dir).embeddings,
         "vec_id", "embedding", "label", threshold = 0.4)),
-
-    // The SCALE path for embedding near-dup: buckets from sign-LSH (2
-    // planes → 4 buckets here; more planes → finer buckets at corpus
-    // scale) instead of the fixed label partition, so bucket size — and
-    // the quadratic in-bucket pair cost — is CONTROLLED by a parameter
-    // rather than dictated by label cardinality. Seeded planes are
-    // engine-specific → rows-only; SimilaritySpec pins that high-cosine
-    // pairs land in one bucket and are found.
-    Reg("dedup_embed_lsh", None)(
-      (s, dir) => {
-        val e = Tables(s, dir).embeddings.withColumn("lsh_bucket",
-          Similarity.lshBucket(col("embedding"), nPlanes = 2, dim = 64))
-        Similarity.embeddingNearDup(e, "vec_id", "embedding", "lsh_bucket",
-          threshold = 0.4)
-      }),
 
     // Grouped corpus statistics.
     Reg("text_stats", Some(

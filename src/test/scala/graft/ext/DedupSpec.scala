@@ -119,4 +119,42 @@ class DedupSpec extends SparkSpec {
       (4L, "spark flink trino duck presto hive impala drill")).toDF("doc_id", "text")
     assert(Dedup.nearDupCandidates(df, "doc_id", "text").count() == 0)
   }
+
+  test("nearDupCandidates: over-cap bucket collapses to a star; small buckets stay all-pairs") {
+    // planted boilerplate cluster: 8 identical docs share EVERY band bucket
+    val boiler = (1L to 8L).map(i =>
+      (i, "copyright footer all rights reserved terms of service apply here"))
+    val normalPair = Seq((100L, base), (101L, near)) // small-bucket near-dups
+    val df = (boiler ++ normalPair).toDF("doc_id", "text")
+    // uncapped: the boilerplate bucket emits C(8,2)=28 pairs + the near pair
+    val uncapped = Dedup.nearDupCandidates(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(p => p._1 <= 8 && p._2 <= 8) == 28)
+    assert(uncapped.contains((100L, 101L)))
+    // capped at 4: the over-full bucket collapses to a STAR around doc 1 —
+    // k-1 = 7 pairs, every member still connected — while the small bucket
+    // keeps its all-pairs path untouched
+    val capped = Dedup.nearDupCandidates(df, "doc_id", "text", maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.filter(p => p._1 <= 8 && p._2 <= 8) ==
+      (2L to 8L).map(i => (1L, i)).toSet, s"got $capped")
+    assert(capped.contains((100L, 101L)))
+    // connectivity survives the cap: the whole cluster is still ONE group
+    val comp = Dedup.connectedComponents(
+        Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.7, maxBucket = 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(comp(_) == 1L))
+  }
+
+  test("signaturePairs: over-cap bucket stars around the representative, hamming still gates") {
+    // 6 identical texts -> identical simhash -> every band bucket has 6 ids
+    val df = ((1L to 6L).map(i => (i, base)) :+ (9L, far)).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(df, "doc_id", "text",
+        maxDist = 0, bits = 64, bands = 4, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == (2L to 6L).map(i => (1L, i, 0)).toSet, s"got $capped")
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text",
+      maxDist = 0, bits = 64, bands = 4).count()
+    assert(uncapped == 15) // C(6,2)
+  }
 }

@@ -52,4 +52,70 @@ class LayoutSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  /** Per-row-group (a, b) min/max boxes straight from the parquet footers —
+    * the same statistics a reader's predicate pushdown consults, so
+    * counting boxes that overlap a query rectangle IS the row groups a
+    * 2-D range scan must read. */
+  private def rowGroupBoxes(dir: String, ca: String, cb: String)
+      : Seq[((Long, Long), (Long, Long))] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val files = new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    files.flatMap { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val rdr = ParquetFileReader.open(in)
+      try rdr.getFooter.getBlocks.asScala.toSeq.map { blk =>
+        def mm(name: String): (Long, Long) = {
+          val st = blk.getColumns.asScala
+            .find(_.getPath.toDotString == name).get.getStatistics
+          (st.genericGetMin.asInstanceOf[Number].longValue,
+            st.genericGetMax.asInstanceOf[Number].longValue)
+        }
+        (mm(ca), mm(cb))
+      } finally rdr.close()
+    }
+  }
+
+  test("Z-order layout SKIPS: 2-D box predicate prunes >=75% of row groups; unsorted prunes none") {
+    // 64x64 grid, 4096 rows; query box = the 16x16 corner (1/16 of space)
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    val (aLo, aHi, bLo, bHi) = (0L, 15L, 0L, 15L)
+    def overlapping(boxes: Seq[((Long, Long), (Long, Long))]): Int =
+      boxes.count { case ((amin, amax), (bmin, bmax)) =>
+        amax >= aLo && amin <= aHi && bmax >= bLo && bmin <= bHi }
+
+    val dirZ = java.nio.file.Files.createTempDirectory("graft_zskip_z").toString
+    val dirU = java.nio.file.Files.createTempDirectory("graft_zskip_u").toString
+    Layout.writeZOrdered(df, dirZ, "a", "b", numFiles = 8, bits = 8)
+    // round-robin layout: every file spans the full (a, b) range
+    df.repartition(8).write.mode("overwrite").parquet(dirU)
+
+    val zBoxes = rowGroupBoxes(dirZ, "a", "b")
+    val uBoxes = rowGroupBoxes(dirU, "a", "b")
+    assert(zBoxes.size >= 8 && uBoxes.size >= 8)
+    // unsorted: no row group can be skipped — the layout's min/max are vacuous
+    assert(overlapping(uBoxes) == uBoxes.size)
+    // Z-ordered: the box predicate's z-range is contiguous, so at most a
+    // quarter of the row groups overlap it (measured: 1 of 8 here). This
+    // is the pruning benefit zorder_scan's answer-invariance check cannot
+    // see — pinned against regression the way PlanSpec pins Exchange-free
+    // bucketed joins.
+    val zOverlap = overlapping(zBoxes)
+    assert(zOverlap * 4 <= zBoxes.size,
+      s"z-order skipped too little: $zOverlap of ${zBoxes.size} row groups overlap")
+    // layout must not change answers: both scans return the same row count
+    val n = 16L * 16L
+    assert(spark.read.parquet(dirZ)
+      .where(col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+      .count() == n)
+    assert(spark.read.parquet(dirU)
+      .where(col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+      .count() == n)
+  }
 }
