@@ -307,6 +307,40 @@ object TextOps {
       .limit(k)
   }
 
+  /** Sliding-window document chunking — the context-window splitter every
+    * RAG / pretraining pipeline runs between cleaning and embedding:
+    * each doc becomes overlapping windows of `chunkTokens` tokens whose
+    * starts step by `stride` (overlap = chunkTokens − stride). Distinct
+    * from [[Packing.packChunks]], which CONCATENATES docs into fixed
+    * budgets; this splits WITHIN docs.
+    *
+    * A window whose tokens are all contained in the previous window (the
+    * tail of a short doc) is dropped — every emitted chunk contributes at
+    * least one new token, and a doc shorter than `chunkTokens` emits
+    * exactly one chunk (start 0). Plan: tokenize once, explode the start
+    * sequence, slice per row — pure map-side work, zero shuffles, so the
+    * operator scales with input bytes alone. */
+  def chunkDocs(docs: DataFrame, idCol: String = "doc_id",
+                chunkTokens: Int = 128, stride: Int = 96): DataFrame = {
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens] (got $stride for $chunkTokens)")
+    docs
+      .select(col(idCol).as("doc_id"), words(col("text")).as("__w"),
+        tokenCount(col("text")).as("__n"))
+      .select(col("doc_id"), col("__w"), col("__n"),
+        explode(sequence(lit(0L), col("__n") - 1, lit(stride.toLong)))
+          .as("tok_start"))
+      .where(col("tok_start") === 0 ||
+        col("tok_start") + lit((chunkTokens - stride).toLong) < col("__n"))
+      .select(col("doc_id"),
+        (col("tok_start") / stride).cast("long").as("chunk_id"),
+        col("tok_start"),
+        size(slice(col("__w"), col("tok_start") + 1, lit(chunkTokens)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__w"), col("tok_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** BM25-ranked disjunctive (OR) keyword search — the scoring twin of
     * [[searchAnd]] and the ranking every retrieval stack defaults to:
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with

@@ -502,8 +502,37 @@ object LlmQueries {
           "vec_id", "embedding", k = 5)
       }),
 
-    // Approximate top-k via sign-LSH buckets (seeded planes → rows-only).
-    Reg("topk_sim_lsh", None)(
+    // Approximate top-k via multi-table sign-LSH — hash-oracled despite
+    // the seeded planes: all 4 tables' plane literals embed into the SQL
+    // (same shortest-round-trip replay as dedup_embed), so the oracle
+    // reproduces bucket assignment, the OR-construction candidate set,
+    // and the rounded-cosine/row_number ranking exactly.
+    Reg("topk_sim_lsh", Some {
+      val buckets = (0 until 4).map { t =>
+        val bucketExpr = Similarity.lshPlanes(nPlanes = 6, dim = 64,
+          seed = 42L + t).zipWithIndex.map { case (p, i) =>
+            s"(CASE WHEN list_dot_product(emb, [${p.mkString(", ")}]) >= 0" +
+              s" THEN ${1L << i} ELSE 0 END)"
+          }.mkString(" + ")
+        s"WHEN $t THEN $bucketExpr"
+      }.mkString(" ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, emb, t.tbl AS tbl, CASE t.tbl $buckets END AS bucket
+         |      FROM e, (VALUES (0), (1), (2), (3)) t(tbl)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         q.emb AS q_emb, c.emb AS n_emb
+         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         |SELECT q_id, n_id, sim, rank FROM (
+         |  SELECT q_id, n_id,
+         |    ROUND(list_cosine_similarity(q_emb, n_emb), 4) AS sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ROUND(list_cosine_similarity(q_emb, n_emb), 4) DESC,
+         |        n_id) AS rank
+         |  FROM cand) WHERE rank <= 5""".stripMargin
+    })(
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         Similarity.lshTopK(e, e.where(col("vec_id") < 20),
@@ -967,6 +996,27 @@ object LlmQueries {
       (s, dir) => TextOps.searchAnd(
         TextOps.invertedIndex(Tables(s, dir).documents),
         Seq("spark", "merge", "window"), k = 20)),
+
+    // Sliding-window chunking (chunk 32, stride 24 — small enough that
+    // sf0.01 docs emit multiple windows): every chunk must contribute a
+    // new token; a short doc emits exactly its start-0 window. DuckDB's
+    // 1-based inclusive list_slice replays Spark's (start, length) slice
+    // exactly; range() excludes the end like sequence(0, n-1) includes it.
+    Reg("text_chunks", Some(
+      """SELECT doc_id, CAST(tok_start // 24 AS BIGINT) AS chunk_id,
+        |  tok_start,
+        |  CAST(len(list_slice(w, tok_start + 1, tok_start + 32)) AS BIGINT)
+        |    AS n_tokens,
+        |  array_to_string(list_slice(w, tok_start + 1, tok_start + 32), ' ')
+        |    AS chunk_text
+        |FROM (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |  UNNEST(range(0, n, 24)) AS t(tok_start)
+        |WHERE tok_start = 0 OR tok_start + 8 < n""".stripMargin))(
+      (s, dir) => TextOps.chunkDocs(Tables(s, dir).documents,
+        chunkTokens = 32, stride = 24)),
 
     // BM25-ranked (OR) search: the scoring twin of `text_search`. The SQL
     // mirrors the Spark arithmetic EXPRESSION-FOR-EXPRESSION (same literal

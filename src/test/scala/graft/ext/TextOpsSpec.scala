@@ -140,4 +140,21 @@ class TextOpsSpec extends SparkSpec {
     // docs made of the corpus's dominant transitions beat the one-off
     assert(out(1L)._2 < out(3L)._2 && out(2L)._2 < out(3L)._2)
   }
+
+  test("chunkDocs: sliding windows step by stride; redundant tails drop; short docs emit one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")                                   // shorter than a chunk
+    ).toDF("doc_id", "text")
+    val out = chunkDocs(docs, chunkTokens = 6, stride = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    // doc 1: starts 0 and 4; start 8 would cover tokens 9..10, already
+    // inside the start-4 window (5..10) -> dropped
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0L, 4L))
+    assert(d1.map(_._3).toSeq == Seq(6L, 6L))
+    assert(d1.head._4 == "t1 t2 t3 t4 t5 t6" && d1.last._4 == "t5 t6 t7 t8 t9 t10")
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, 3L, "a b c")))
+  }
 }
