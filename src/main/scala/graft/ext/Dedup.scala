@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextOps.{jaccard, shingles}
@@ -203,10 +203,11 @@ object Dedup {
     * re-hashes per bit in the interpreted path (observed 8 s on 500 docs;
     * this shape is ~1 s and scales out). */
   def simhashes(df: DataFrame, idCol: String, textCol: String,
-                bits: Int = 32): DataFrame = {
+                bits: Int = 32,
+                hash: Column => Column = xxhash64(_)): DataFrame = {
     val hashed = df
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
+      .select(col("id"), hash(col("w")).as("h"))
     val bitSums = (0 until bits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
     val agg = hashed.groupBy("id")
@@ -363,10 +364,14 @@ object Dedup {
     pairs
   }
 
-  /** SimHash near-dup pairs: [[simhashes]] piped through [[signaturePairs]]. */
+  /** SimHash near-dup pairs: [[simhashes]] piped through [[signaturePairs]].
+    * `hash` (word-level) defaults to xxhash64; [[TextOps.md5Hash60]] gives
+    * an engine-neutral variant (use bits ≤ 60 with it — only the low 60
+    * hash bits carry entropy). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, bits: Int = 32, bands: Int = 4,
-                   maxBucket: Int = 10000): DataFrame =
-    signaturePairs(simhashes(df, idCol, textCol, bits), maxDist, bits, bands,
-      maxBucket)
+                   maxBucket: Int = 10000,
+                   hash: Column => Column = xxhash64(_)): DataFrame =
+    signaturePairs(simhashes(df, idCol, textCol, bits, hash), maxDist, bits,
+      bands, maxBucket)
 }

@@ -59,4 +59,27 @@ object Sampling {
   def stratifiedBy(df: DataFrame, contentCol: Column, stratumCol: Column,
                    rates: Map[String, Double]): DataFrame =
     mixSources(df, contentCol, stratumCol, rates, default = 0.0)
+
+  /** Deterministic shard assignment for training output: shard =
+    * content-hash mod `nShards`. A pure map — no shuffle, no global
+    * ordering, no coordination — which is the ONLY shape that holds at
+    * 100 TB: any balance-perfect striping (row_number over a global
+    * size-descending sort) needs a total order, i.e. a single-partition
+    * window or a range exchange the write then immediately un-does. Hash
+    * sharding is balanced to O(1/sqrt(docs_per_shard)) by the law of large
+    * numbers — at a million docs per shard the spread is ~0.1%, and
+    * [[shardStats]] is the cheap audit that proves it on a given corpus.
+    * Composes with [[graft.io.Sinks]] partitioned writes (`partitionBy` on
+    * this column) and stays stable when the corpus around a doc changes —
+    * the same property every other md5-keyed stage here relies on. */
+  def assignShard(contentCol: Column, nShards: Int): Column =
+    TextOps.hashBucket(contentCol, nShards)
+
+  /** Per-shard balance audit for [[assignShard]]: document count and total
+    * token weight per shard. One aggregation — at any scale this is a
+    * map-side-combined groupBy over nShards groups. */
+  def shardStats(df: DataFrame, contentCol: Column, weight: Column,
+                 nShards: Int): DataFrame =
+    df.groupBy(assignShard(contentCol, nShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(weight).as("n_tokens"))
 }

@@ -77,7 +77,17 @@ object TextOps {
     * around it does, and the DuckDB oracle can PROVE the engine-neutrality
     * (unlike xxhash64/rand splits, which are engine-specific). */
   def hashBucket(c: Column, buckets: Int): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % buckets
+    md5Hash60(c) % buckets
+
+  /** 60-bit md5-derived hash (top 15 hex digits — fits a signed long
+    * exactly on both engines): the ENGINE-NEUTRAL sibling of xxhash64 for
+    * every hash-valued operator that wants a DuckDB-replayable oracle
+    * (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)` reproduces it bit-for-
+    * bit). ~2-3× the per-row cost of xxhash64, so hash-parameterized
+    * operators default to xxhash64 for production and take this for
+    * oracle-verified registrations. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Exact Jaccard similarity of two (already-distinct) shingle arrays.
     * Integer set sizes + one double division — bit-identical across engines. */
@@ -113,11 +123,13 @@ object TextOps {
     when(b < 8, "train").when(b === 8, "dev").otherwise("test")
   }
 
-  /** Normalized-text fingerprint: xxhash64 over lowercased,
+  /** Normalized-text fingerprint: hash over lowercased,
     * whitespace-collapsed text. Two docs differing only in case/spacing get
-    * the same fingerprint. */
-  def fingerprint(c: Column): Column =
-    xxhash64(regexp_replace(lower(c), "\\s+", " "))
+    * the same fingerprint. `hash` defaults to xxhash64 (fastest); pass
+    * [[md5Hash60]] for an engine-neutral fingerprint a DuckDB oracle can
+    * replay — the selection logic is identical either way. */
+  def fingerprint(c: Column, hash: Column => Column = xxhash64(_)): Column =
+    hash(regexp_replace(lower(c), "\\s+", " "))
 
   /** Winnowing fingerprints (MOSS-style rolling-hash selection): hash every
     * char k-gram, slide a window of `w` consecutive hashes, keep each
@@ -132,14 +144,15 @@ object TextOps {
     * second explode. Trailing positions (no full window) are filtered
     * AFTER the frame min so short docs keep window 0 = global min. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-                         k: Int = 5, w: Int = 4): DataFrame = {
+                         k: Int = 5, w: Int = 4,
+                         hash: Column => Column = xxhash64(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = df.select(col(idCol).as("id"), col(textCol).as("t"),
         greatest(length(col(textCol)) - (k - 1), lit(1)).as("n"))
       .select(col("id"), col("n"),
         explode(sequence(lit(1), col("n"))).as("pos"), col("t"))
       .select(col("id"), col("n"), col("pos"),
-        xxhash64(col("t").substr(col("pos"), lit(k))).as("h"))
+        hash(col("t").substr(col("pos"), lit(k))).as("h"))
     val frame = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     grams.withColumn("fp", min(col("h")).over(frame))
@@ -163,8 +176,9 @@ object TextOps {
     * materializes. */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, w: Int = 4, minShared: Long = 2,
-                         maxDf: Long = 100, minOverlap: Double = 0.0): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+                         maxDf: Long = 100, minOverlap: Double = 0.0,
+                         hash: Column => Column = xxhash64(_)): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w, hash)
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("fp")
     // persist the RARE fp table: read by both self-join sides AND the

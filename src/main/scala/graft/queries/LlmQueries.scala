@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Packing, Paragraphs, Sampling, Similarity, TextOps}
 import graft.io.Tables
 
 /** Registry entries for the LLM-data-pipeline layer (SURVEY.md §2.11) over
@@ -237,13 +237,41 @@ object LlmQueries {
           k = 5, threshold = 0.4)
       }),
 
-    // SimHash near-dup pairs (hash-specific → rows-only check). 64-bit
-    // hashes: with a shared vocabulary, 32 bits cannot separate true
-    // near-dups (hamming ≤3 of 64 keeps precision; 32-bit/≤6 flagged 7.6%
-    // of all pairs on this corpus).
-    Reg("dedup_simhash", None)(
+    // SimHash near-dup pairs. 60-bit signatures over the md5-60-bit word
+    // hash (with a shared vocabulary, 32 bits cannot separate true
+    // near-dups; 60 keeps hamming <= 3 precise like 64 did). Hash-oracled
+    // AND property-proving: the SQL computes per-word hashes, per-bit
+    // majorities and the packed signature exactly, then takes BRUTE-FORCE
+    // pairwise hamming — with maxDist(3) < bands(4) and no over-cap bucket
+    // on this corpus, the engine's banded-LSH candidate join + exact verify
+    // must equal brute force by pigeonhole, so a hash match certifies the
+    // banding completeness, not just the hash arithmetic.
+    Reg("dedup_simhash", Some {
+      val bits = 60
+      val bitSums = (0 until bits)
+        .map(b => s"SUM((h >> $b) & 1) AS b$b").mkString(",\n    ")
+      val packed = (0 until bits)
+        .map(b => s"CASE WHEN b$b * 2 > n THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH wds AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM documents
+         |), agg AS (
+         |  SELECT doc_id, COUNT(*) AS n,
+         |    $bitSums
+         |  FROM wds GROUP BY doc_id
+         |), sim AS (
+         |  SELECT doc_id, $packed AS sim FROM agg
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+    })(
       (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
-        maxDist = 3, bits = 64, bands = 4)),
+        maxDist = 3, bits = 60, bands = 4, hash = TextOps.md5Hash60)),
 
     // Embedding near-dup — the headline is the SCALE path: sign-LSH
     // buckets (2 planes → 4 buckets here; more planes → finer buckets at
@@ -460,27 +488,89 @@ object LlmQueries {
         TextOps.langId(col("text")).as("lang_pred"),
         round(TextOps.langScore(col("text")), 6).as("lang_score"))),
 
-    // Normalized-content fingerprint (xxhash64 → rows-only).
-    Reg("text_fingerprint", None)(
+    // Normalized-content fingerprint — hash-oracled via the md5-60-bit
+    // engine-neutral hash (production callers keep the xxhash64 default;
+    // the normalization + hashing SHAPE is what the oracle certifies).
+    // Spark regexp_replace is replace-ALL by default; DuckDB needs 'g'.
+    Reg("text_fingerprint", Some(
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |       1, 15) AS BIGINT) AS fp
+        |FROM documents""".stripMargin))(
       (s, dir) => Tables(s, dir).documents.select(
-        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+        col("doc_id"),
+        TextOps.fingerprint(col("text"), TextOps.md5Hash60).as("fp"))),
 
     // Winnowing (rolling-hash) fingerprints — any shared substring of
-    // length >= k+w-1 yields a shared fp (TextOpsSpec pins the guarantee);
-    // hash values are engine-specific → rows-only.
-    Reg("text_winnow", None)(
+    // length >= k+w-1 yields a shared fp (TextOpsSpec pins the guarantee).
+    // Hash-oracled with the md5-60-bit hash: the oracle replays gram
+    // hashing, the w-window frame minimum, the trailing-window filter and
+    // the distinct — the full winnowing selection, not just row counts.
+    Reg("text_winnow", Some(
+      """WITH g AS (
+        |  SELECT doc_id, greatest(length(text) - 4, 1) AS n, text,
+        |    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS pos
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, n, pos,
+        |    CAST('0x' || substr(md5(substr(text, pos, 5)), 1, 15) AS BIGINT) AS hv
+        |  FROM g
+        |), m AS (
+        |  SELECT doc_id, pos, n,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM h
+        |)
+        |SELECT DISTINCT doc_id AS id, fp FROM m
+        |WHERE pos - 1 <= greatest(n - 4, 0)""".stripMargin))(
       (s, dir) => TextOps.winnowFingerprints(Tables(s, dir).documents,
-        "doc_id", "text", k = 5, w = 4)),
+        "doc_id", "text", k = 5, w = 4, hash = TextOps.md5Hash60)),
 
     // Winnowing APPLIED — document-overlap candidate pairs (the MOSS use
     // case): pairs whose shared rare fingerprints cover >= half the smaller
-    // doc's fingerprint set (containment >= 0.5). xxhash64-derived fp
-    // values -> rows-only; the pair-level guarantee (shared substring of
-    // length >= k+w-1 => paired at minShared=1) is pinned in TextOpsSpec.
-    Reg("text_winnow_pairs", None)(
+    // doc's fingerprint set (containment >= 0.5). Hash-oracled end to end:
+    // the SQL replays selection (same CTE as text_winnow), the df <= 100
+    // rarity gate, the fp self-join, the >= 2 shared floor and the
+    // containment ratio. The pair-level guarantee (shared substring of
+    // length >= k+w-1 => paired at minShared=1) stays pinned in TextOpsSpec.
+    Reg("text_winnow_pairs", Some(
+      """WITH g AS (
+        |  SELECT doc_id, greatest(length(text) - 4, 1) AS n, text,
+        |    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS pos
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, n, pos,
+        |    CAST('0x' || substr(md5(substr(text, pos, 5)), 1, 15) AS BIGINT) AS hv
+        |  FROM g
+        |), m AS (
+        |  SELECT doc_id, pos, n,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM h
+        |), fps AS (
+        |  SELECT DISTINCT doc_id AS id, fp FROM m
+        |  WHERE pos - 1 <= greatest(n - 4, 0)
+        |), rfps AS (
+        |  SELECT id, fp FROM fps
+        |  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100)
+        |), sizes AS (
+        |  SELECT id, COUNT(*) AS n_fps FROM rfps GROUP BY id
+        |), p AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS n_shared
+        |  FROM rfps a JOIN rfps b ON a.fp = b.fp AND a.id < b.id
+        |  GROUP BY a.id, b.id HAVING COUNT(*) >= 2
+        |)
+        |SELECT a_id, b_id, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) / least(sa.n_fps, sb.n_fps), 6)
+        |    AS overlap
+        |FROM p
+        |JOIN sizes sa ON p.a_id = sa.id
+        |JOIN sizes sb ON p.b_id = sb.id
+        |WHERE ROUND(CAST(n_shared AS DOUBLE) / least(sa.n_fps, sb.n_fps), 6)
+        |  >= 0.5""".stripMargin))(
       (s, dir) => TextOps.winnowOverlapPairs(Tables(s, dir).documents,
         "doc_id", "text", k = 5, w = 4, minShared = 2, maxDf = 100,
-        minOverlap = 0.5)),
+        minOverlap = 0.5, hash = TextOps.md5Hash60)),
 
     // Exact brute-force top-5 cosine neighbors for a bounded query set.
     Reg("topk_sim", Some(
@@ -539,9 +629,50 @@ object LlmQueries {
           "vec_id", "embedding", k = 5, nPlanes = 6)
       }),
 
-    // Approximate top-k via IVF cells (typed-Aggregator centroids, probe
-    // the nearest nprobe cells → rows-only).
-    Reg("topk_sim_ivf", None)(
+    // Approximate top-k via IVF cells — hash-oracled: with the LABEL column
+    // as the cell assignment, the centroid is a per-dimension mean DuckDB
+    // can replay (AVG per (label, dim) → ordered list), unitization divides
+    // by sqrt(self-dot), probe ranking replays Spark's
+    // reverse(array_sort(struct(score, cell))) as ORDER BY score DESC, cell
+    // DESC, and candidate scoring/ranking is the same rounded-cosine /
+    // row_number contract as topk_sim. Row-summation order differs between
+    // engines (typed-Aggregator partials vs DuckDB AVG), but centroid dots
+    // of distinct cells are separated by far more than accumulation ulps,
+    // so the probe SET matches; candidate sims are rounded to 4 before
+    // ranking. (The kmeans variant stays rows-only: Lloyd iterations are
+    // not SQL-expressible.)
+    Reg("topk_sim_ivf", Some(
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |), dimavg AS (
+        |  SELECT label AS cell, i, AVG(emb[i]) AS v
+        |  FROM e, unnest(generate_series(1, 64)) AS t(i)
+        |  GROUP BY label, i
+        |), cent AS (
+        |  SELECT cell, list(v ORDER BY i) AS c FROM dimavg GROUP BY cell
+        |), centu AS (
+        |  SELECT cell,
+        |    list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS cu
+        |  FROM cent
+        |), probes AS (
+        |  SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.emb, c.cu) DESC, c.cell DESC) AS pr
+        |  FROM e q, centu c
+        |  WHERE q.vec_id < 20
+        |), cand AS (
+        |  SELECT p.q_id, p.q_emb, n.vec_id AS n_id, n.emb AS n_emb
+        |  FROM probes p JOIN e n ON n.label = p.cell
+        |  WHERE p.pr <= 3 AND n.vec_id <> p.q_id
+        |)
+        |SELECT q_id, n_id, sim, rank FROM (
+        |  SELECT q_id, n_id,
+        |    ROUND(list_cosine_similarity(q_emb, n_emb), 4) AS sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY ROUND(list_cosine_similarity(q_emb, n_emb), 4) DESC,
+        |        n_id) AS rank
+        |  FROM cand) WHERE rank <= 5""".stripMargin))(
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         graft.ext.Ivf.ivfTopK(e, e.where(col("vec_id") < 20),
@@ -1068,6 +1199,70 @@ object LlmQueries {
             .orderBy(col("n_chars").desc, col("doc_id"))))
           .where(col("rk") <= 5)
           .select("doc_id", "source")
-      })
+      }),
+
+    // Paragraph-level dedup (the CCNet/RefinedWeb preprocessing step):
+    // 12-token windows stand in for paragraphs on this separator-free
+    // corpus ([[Paragraphs.explodeParagraphs]] is the structural-separator
+    // path); every repeat of a paragraph after its first corpus-order
+    // occurrence is dropped, docs reassembled in order. Oracled end to end
+    // — split, window grouping, global keep-first, ordered reassembly.
+    // (On this corpus: ~110 of ~2.5k paragraphs drop at sf0.01, from the
+    // planted near-dup docs.)
+    Reg("para_dedup", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    unnest(generate_series(0, len(l) - 1)) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |), paras AS (
+        |  SELECT doc_id, pos // 12 AS para_idx,
+        |    string_agg(tok, ' ' ORDER BY pos) AS para
+        |  FROM toks GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT doc_id, para_idx, para,
+        |    row_number() OVER (PARTITION BY para
+        |      ORDER BY doc_id, para_idx) AS rn
+        |  FROM paras
+        |)
+        |SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS text_clean,
+        |  COUNT(*) AS n_paras
+        |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin))(
+      (s, dir) => Paragraphs.reassemble(
+          Paragraphs.dropRepeatedParagraphs(
+            Paragraphs.tokenWindowParagraphs(Tables(s, dir).documents,
+              "doc_id", "text", tokensPerPara = 12)))
+        .withColumnRenamed("id", "doc_id")),
+
+    // Boilerplate triage report: paragraphs recurring across >= 2 distinct
+    // docs with doc-frequency and occurrence counts — what a pipeline
+    // owner reads before choosing a dropBoilerplate threshold.
+    Reg("para_boilerplate", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    unnest(generate_series(0, len(l) - 1)) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |), paras AS (
+        |  SELECT doc_id, pos // 12 AS para_idx,
+        |    string_agg(tok, ' ' ORDER BY pos) AS para
+        |  FROM toks GROUP BY 1, 2
+        |)
+        |SELECT para, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_occurrences
+        |FROM paras GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2"""
+        .stripMargin))(
+      (s, dir) => Paragraphs.boilerplateReport(
+        Paragraphs.tokenWindowParagraphs(Tables(s, dir).documents,
+          "doc_id", "text", tokensPerPara = 12), minDocs = 2)),
+
+    // Deterministic hash sharding + balance audit: the shard column is a
+    // pure content-hash map (the only 100 TB-shaped assignment — see
+    // Sampling.assignShard scaladoc), the stats the proof of balance.
+    Reg("shard_stats", Some(
+      """SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
+        |  COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' '))) AS n_tokens
+        |FROM documents GROUP BY 1""".stripMargin))(
+      (s, dir) => Sampling.shardStats(Tables(s, dir).documents,
+        col("text"), TextOps.tokenCount(col("text")), nShards = 8))
   )
 }
