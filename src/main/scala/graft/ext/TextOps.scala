@@ -428,4 +428,54 @@ object TextOps {
         round(avg(-log((col("cb") + lit(1)).cast("double") /
           (col("cu") + col("v")).cast("double"))), 6).as("cross_entropy"))
   }
+
+  /** Aggressive text normalization — the canonical first pass of corpus
+    * cleaning (lowercase, strip non-alphanumerics, collapse whitespace
+    * runs, trim), the step that makes exact dedup catch case/punctuation
+    * variants of one document. Pure codegen regexp work, zero shuffles;
+    * the patterns stick to literal classes (`[^a-z0-9 ]`, `' +'`) that the
+    * Java and RE2 regex dialects read identically, so a DuckDB oracle
+    * replays the transform byte-for-byte. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Per-occurrence positional postings (doc_id, pos, token), zero-based —
+    * the positional twin of [[invertedIndex]] that phrase and proximity
+    * search need. Pure explode, no shuffle; at scale this is the artifact
+    * you persist bucketed by token so term lookups are single-bucket scans. */
+  def positionalIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(words(col("text")))).toDF("doc_id", "pos", "token")
+
+  /** Exact consecutive-token phrase search, ranked by occurrence count
+    * (ties to the smaller doc_id).
+    *
+    * One explode + two shuffles instead of |phrase| positional self-joins:
+    * an occurrence of phrase token i at position p votes for anchor p − i,
+    * and an anchor that collects ALL |phrase| distinct offsets is a phrase
+    * occurrence. A phrase with repeated tokens stays correct because one
+    * posting votes once per offset at which its token appears. The token
+    * IN-list prunes the postings before any shuffle, so cost tracks the
+    * query terms' postings, not the corpus; top-k plans as
+    * TakeOrderedAndProject (per-partition limit + merge), never a global
+    * sort. */
+  def searchPhrase(docs: DataFrame, phrase: Seq[String], k: Int = 20,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val offsets = phrase.zipWithIndex.groupMap(_._1)(_._2)
+    val offMap = map(offsets.toSeq.flatMap { case (t, os) =>
+      Seq(lit(t), array(os.map(lit(_)): _*))
+    }: _*)
+    positionalIndex(docs, idCol)
+      .where(col("token").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("pos"),
+        explode(element_at(offMap, col("token"))).as("off"))
+      .where(col("pos") >= col("off"))
+      .groupBy(col("doc_id"), (col("pos") - col("off")).as("anchor"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .where(col("n_off") === phrase.length)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
 }

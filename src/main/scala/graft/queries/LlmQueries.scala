@@ -1263,6 +1263,80 @@ object LlmQueries {
         |  SUM(len(string_split(text, ' '))) AS n_tokens
         |FROM documents GROUP BY 1""".stripMargin))(
       (s, dir) => Sampling.shardStats(Tables(s, dir).documents,
-        col("text"), TextOps.tokenCount(col("text")), nShards = 8))
+        col("text"), TextOps.tokenCount(col("text")), nShards = 8)),
+
+    // Text normalization (lowercase, strip non-alphanumerics, collapse
+    // whitespace, trim) — the canonical cleaning first pass. This corpus is
+    // already lowercase/space-clean, so the query mutates each doc
+    // deterministically (upper-case / punctuation+padding / whitespace
+    // inflation by doc_id residue) and normalization must recover the
+    // original bytes; both engines replay mutation AND normalization, so
+    // the hash compare proves the transform, not a no-op.
+    Reg("text_normalize", Some(
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(CASE
+        |      WHEN doc_id % 3 = 0 THEN upper(text)
+        |      WHEN doc_id % 3 = 1 THEN '  ' || text || '!!'
+        |      ELSE replace(text, ' ', '   ') END),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM documents""".stripMargin))(
+      (s, dir) => {
+        val mutated = when(col("doc_id") % 3 === 0, upper(col("text")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("  "), col("text"), lit("!!")))
+          .otherwise(regexp_replace(col("text"), " ", "   "))
+        Tables(s, dir).documents
+          .select(col("doc_id"), TextOps.normalizeText(mutated).as("norm"))
+      }),
+
+    // Normalization-aware exact dedup: union the corpus with a mutated copy
+    // of itself (case/punct/whitespace variants, ids offset by 1e6),
+    // normalize, group by the 60-bit hash of the normalized text, keep
+    // first. Every group must collapse to exactly its (original, variant)
+    // pair — n_docs = 2 across the board — which the oracle verifies
+    // per-group. Shuffle key is the 8-byte hash, never the document bytes
+    // (same scale posture as para_dedup).
+    Reg("dedup_normalized", Some(
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '  ' || upper(text) || '!!' FROM documents
+        |), n AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(
+        |      trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15) AS BIGINT)
+        |    AS norm_hash
+        |  FROM u)
+        |SELECT norm_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM n GROUP BY 1""".stripMargin))(
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val variant = d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
+        d.select(col("doc_id"), col("text")).unionByName(variant)
+          .select(col("doc_id"),
+            TextOps.md5Hash60(TextOps.normalizeText(col("text")))
+              .as("norm_hash"))
+          .groupBy("norm_hash")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      }),
+
+    // Exact phrase search over the positional index ([[TextOps
+    // .searchPhrase]]): consecutive-token match via the anchor-vote trick
+    // (one explode + two shuffles, no positional self-joins). The oracle
+    // replays position-by-position adjacency with a list scan, so the hash
+    // compare certifies consecutiveness, counts, and the ranked top-k.
+    Reg("text_search_phrase", Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |      generate_series(1, len(w) - 1),
+        |      i -> w[i] = 'table' AND w[i+1] = 'hash')) AS BIGINT) AS n_hits
+        |  FROM t)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin))(
+      (s, dir) => TextOps.searchPhrase(Tables(s, dir).documents,
+        Seq("table", "hash"), k = 20))
   )
 }

@@ -157,4 +157,34 @@ class TextOpsSpec extends SparkSpec {
     val d2 = out.filter(_._1 == 2L)
     assert(d2.toSeq == Seq((2L, 0L, 3L, "a b c")))
   }
+
+  test("normalizeText lowercases, strips punctuation, collapses whitespace, trims") {
+    val out = Seq("  Hello,  WORLD!! 42  ", "already clean", "")
+      .toDF("t").select(normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("hello world 42", "already clean", ""))
+  }
+
+  test("searchPhrase finds consecutive tokens only, counts occurrences, ranks by count") {
+    val docs = Seq(
+      (1L, "x table hash y table hash z"), // 2 hits
+      (2L, "table y hash"),                // tokens present, not adjacent
+      (3L, "table hash"),                  // 1 hit
+      (4L, "hash table")                   // reversed — no hit
+    ).toDF("doc_id", "text")
+    val out = searchPhrase(docs, Seq("table", "hash"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("searchPhrase handles repeated tokens in the phrase") {
+    val docs = Seq(
+      (1L, "a b a c"),  // contains "a b a"
+      (2L, "a b c a"),  // a and b present, pattern absent
+      (3L, "b a b a")   // contains "a b a" at pos 1
+    ).toDF("doc_id", "text")
+    val out = searchPhrase(docs, Seq("a", "b", "a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (3L, 1L)))
+  }
 }
