@@ -82,4 +82,33 @@ object Sampling {
                  nShards: Int): DataFrame =
     df.groupBy(assignShard(contentCol, nShards).as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(weight).as("n_tokens"))
+
+  /** Deterministic global training order: every row gets a dense 1-based
+    * position in the order of its id's md5 — the reproducible "shuffle the
+    * corpus before training" step (hash order is uniform, so consecutive
+    * positions are an unbiased mix of sources/domains).
+    *
+    * The order is GLOBAL but the plan never global-sorts: the md5 hex
+    * prefix (2 hex digits → 256 shards) pre-partitions the order, because
+    * sorting by (prefix, full-hash) IS sorting by full-hash. Per-shard
+    * dense ranks come from a 256-way parallel window; shard base offsets
+    * are a prefix sum over the 256-row shard-count table (the same
+    * two-level trick as [[Packing]]'s chunk offsets — the single-partition
+    * stage is O(#shards), never O(rows)). position = shard offset +
+    * within-shard rank. */
+  def trainOrder(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__shard", substring(col("__h"), 1, 2))
+    val offsets = hashed.groupBy("__shard").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(
+        Window.orderBy("__shard").rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__shard", "__off")
+    hashed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__shard").orderBy(col("__h"), col(idCol))))
+      .join(broadcast(offsets), "__shard")
+      .select(col(idCol), (col("__off") + col("__rn")).as("pos"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical data-cleaning operators: per-group z-score outlier flagging
+  * and winsorization (percentile clipping) — the numeric siblings of the
+  * text-quality filters, run over telemetry/measure columns before a table
+  * feeds model training or reporting (the reference's recode/filter layer,
+  * etl_io.py:553-599, stops at categorical cleanup; these are the
+  * continuous-column counterpart).
+  *
+  * Scale posture: group stats are one aggregation over the table, broadcast
+  * back (a handful of rows per group key), so flagging/clipping is a
+  * map-side join — the table is scanned twice, shuffled never. Winsorize's
+  * exact-rank cut finding is the one per-group sort (window over the group
+  * partition); at 100 TB swap the cut finder for approx_percentile bounds
+  * and keep the identical clip pass.
+  */
+object Clean {
+
+  /** Rows whose `valueCol` sits more than `threshold` group standard
+    * deviations from the group mean. The z-score is rounded to 6 decimals
+    * BEFORE the threshold compare so the flagged set is reproducible across
+    * engines/accumulation orders (the same parity trick as a12_stats —
+    * avg/stddev low-bit differences cannot flip membership unless a value
+    * sits within 1e-6 of the boundary). Emits `keyCols`, the value, and the
+    * rounded z. */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                     keyCols: Seq[String], threshold: Double): DataFrame = {
+    val st = df.groupBy(col(groupCol).as("__g"))
+      .agg(avg(valueCol).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
+    df.join(broadcast(st), col(groupCol) === col("__g"))
+      .withColumn("z", round((col(valueCol) - col("__mu")) / col("__sd"), 6))
+      .where(abs(col("z")) > threshold)
+      .select(keyCols.map(col) :+ col(valueCol) :+ col("z"): _*)
+  }
+
+  /** Per-group winsorization summary: clip `valueCol` to the [pLo, pHi]
+    * DISCRETE percentile bounds (the actual group element at rank
+    * ceil(p·n) — never an interpolated value, so both engines pick the
+    * identical bound and the clip comparisons are exact, no float-boundary
+    * flakes). Returns one row per group: exact-decimal sum of the clipped
+    * values, clip counts both sides, and the bounds. */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+                tiebreak: Seq[String], pLo: Double = 0.05,
+                pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo,$pHi]")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__x") +: tiebreak.map(col): _*)
+    val ranked = df
+      .select(col(groupCol) +: col(valueCol).as("__x") +: tiebreak.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val cuts = ranked.groupBy(col(groupCol).as("__g"))
+      .agg(
+        max(when(col("__rn") === greatest(lit(1L),
+          ceil(lit(pLo) * col("__n")).cast("long")), col("__x"))).as("lo"),
+        max(when(col("__rn") === ceil(lit(pHi) * col("__n")).cast("long"),
+          col("__x"))).as("hi"))
+    df.join(broadcast(cuts), col(groupCol) === col("__g"))
+      .groupBy(groupCol)
+      .agg(
+        sum(least(greatest(col(valueCol), col("lo")), col("hi"))
+          .cast(DecimalType(25, 2))).cast("double").as("wsum"),
+        sum(when(col(valueCol) < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col(valueCol) > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        count(lit(1)).as("n"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+  }
+}

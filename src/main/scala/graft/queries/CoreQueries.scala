@@ -253,6 +253,31 @@ object CoreQueries {
         graft.io.Sources.csv(s, path, schema = Some(supplier.schema))
       }),
 
+    // S-ext: schema-evolution read — two parquet generations of one
+    // logical table (v1 carries text, v2 added lang and dropped text),
+    // unified by a mergeSchema scan: columns a generation lacks surface as
+    // NULL, the exact posture a long-lived 100 TB table needs when
+    // producers add columns without rewriting history. The oracle replays
+    // the generation split + unification with NULL-padded UNION ALL.
+    Reg("schema_evolution", Some(
+      """SELECT doc_id, text, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, NULL AS text, lang FROM documents
+        |WHERE doc_id % 2 = 1""".stripMargin))(
+      (s, dir) => {
+        val path = stageOnce("schema_evo", dir) { p =>
+          val d = Tables(s, dir).documents
+          graft.io.Sinks.parquet(
+            d.where(col("doc_id") % 2 === 0).select("doc_id", "text"),
+            s"$p/gen=1")
+          graft.io.Sinks.parquet(
+            d.where(col("doc_id") % 2 === 1).select("doc_id", "lang"),
+            s"$p/gen=2")
+        }
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$path/gen=1", s"$path/gen=2")
+      }),
+
     // S8/scale: partitioned write + partition-PRUNED read — orders written
     // once as directory partitions on o_orderpriority, read back filtered
     // to one priority. The filter becomes a PartitionFilter (PlanSpec pins

@@ -793,7 +793,97 @@ object ExtQueries {
           graft.ops.Quality.checkRef(t.lineitem, t.orders,
             "l_orderkey", "o_orderkey", "lineitem.l_orderkey.ref_orders")))
           .withColumnRenamed("check", "check_name")
-      })
+      }),
+
+    // Cohort retention over orders (customers cohorted by first-order
+    // month, counted in every month they reorder): 51 cohorts × offsets on
+    // this corpus. The oracle replays cohort assignment, the distinct
+    // activity matrix, and exact month arithmetic.
+    Reg("cohort_retention", Some(
+      """WITH firsts AS (
+        |  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cm
+        |  FROM orders GROUP BY 1
+        |), acts AS (
+        |  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS am
+        |  FROM orders
+        |)
+        |SELECT strftime(f.cm, '%Y-%m-%d') AS cohort_month,
+        |  CAST((extract(year FROM a.am) - extract(year FROM f.cm)) * 12
+        |     + (extract(month FROM a.am) - extract(month FROM f.cm))
+        |    AS BIGINT) AS month_offset,
+        |  COUNT(*) AS n_active
+        |FROM firsts f JOIN acts a USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin))(
+      (s, dir) => graft.ext.Retention.cohortRetention(
+        Tables(s, dir).orders, "o_custkey", "o_orderdate")),
+
+    // Trailing-7-day distinct active users per observed day (the WAU
+    // series) via the explode-contribution trick — each deduplicated
+    // (user, day) votes into the 7 days it counts toward; no sliding
+    // count-distinct window, no day×activity range join. The oracle
+    // replays the contribution expansion with generate_series.
+    Reg("active_users_7d", Some(
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+        |  FROM events
+        |), days AS (SELECT DISTINCT d FROM ud),
+        |contrib AS (
+        |  SELECT u.user_id,
+        |    unnest(generate_series(u.d, u.d + INTERVAL 6 DAY,
+        |                           INTERVAL 1 DAY)) AS day
+        |  FROM ud u)
+        |SELECT strftime(c.day, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT c.user_id) AS n_active
+        |FROM contrib c JOIN days ON days.d = c.day
+        |GROUP BY 1""".stripMargin))(
+      (s, dir) => graft.ext.Retention.rollingActive(
+        Tables(s, dir).events, "user_id", "ts", windowDays = 7)),
+
+    // Per-group z-score outlier flagging over events.value (the one column
+    // with a genuine tail on this corpus: max |z| ≈ 8.7). The z is rounded
+    // to 6 decimals BEFORE the threshold compare on both engines, so
+    // avg/stddev accumulation-order differences cannot flip membership.
+    Reg("outlier_zscore", Some(
+      """WITH st AS (
+        |  SELECT event_type AS g, avg(value) AS mu,
+        |    stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, value, ROUND((value - mu) / sd, 6) AS z
+        |FROM events e JOIN st ON e.event_type = st.g
+        |WHERE abs(ROUND((value - mu) / sd, 6)) > 3""".stripMargin))(
+      (s, dir) => graft.ops.Clean.zscoreOutliers(Tables(s, dir).events,
+        "value", "event_type", Seq("event_id"), threshold = 3.0)),
+
+    // Per-group winsorization (clip to the [p05, p95] DISCRETE percentile
+    // bounds — actual group elements at rank ceil(p·n), so both engines
+    // pick the identical bound and the clip comparisons are exact).
+    // Summary row per group: exact-decimal clipped sum + clip counts.
+    Reg("winsorize", Some(
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS x,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), cuts AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |             THEN x END) AS lo,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |             THEN x END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(SUM(CAST(least(greatest(l.l_extendedprice, c.lo), c.hi)
+        |    AS DECIMAL(25,2))) AS DOUBLE) AS wsum,
+        |  SUM(CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END) AS n_lo,
+        |  SUM(CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END) AS n_hi,
+        |  COUNT(*) AS n, MIN(c.lo) AS lo, MIN(c.hi) AS hi
+        |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.g
+        |GROUP BY 1""".stripMargin))(
+      (s, dir) => graft.ops.Clean.winsorize(Tables(s, dir).lineitem,
+        "l_extendedprice", "l_returnflag",
+        tiebreak = Seq("l_orderkey", "l_linenumber")))
   )
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)

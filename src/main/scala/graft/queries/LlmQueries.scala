@@ -1337,6 +1337,19 @@ object LlmQueries {
         |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin))(
       (s, dir) => TextOps.searchPhrase(Tables(s, dir).documents,
-        Seq("table", "hash"), k = 20))
+        Seq("table", "hash"), k = 20)),
+
+    // Deterministic global training order ([[Sampling.trainOrder]]): dense
+    // 1-based positions in md5-of-id order WITHOUT a global sort — the
+    // hex-prefix shards the order (sorting by (prefix, hash) IS sorting by
+    // hash), per-shard ranks run 256-way parallel, shard offsets are a
+    // prefix sum over the 256-row count table. The oracle replays the
+    // SAME order with one global window, so the hash compare proves the
+    // sharded construction equals the total order.
+    Reg("train_order", Some(
+      """SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |FROM documents""".stripMargin))(
+      (s, dir) => Sampling.trainOrder(Tables(s, dir).documents, "doc_id"))
   )
 }

@@ -34,4 +34,14 @@ class SamplingSpec extends SparkSpec {
     val srcs = out.select("src").distinct().as[String].collect().toSeq
     assert(srcs == Seq("a") && out.count() == 100)
   }
+
+  test("trainOrder: dense 1..n positions equal to the global md5 order") {
+    val df = (1L to 300L).toDF("id")
+    val out = Sampling.trainOrder(df, "id")
+      .orderBy("pos").as[(Long, Long)].collect()
+    assert(out.map(_._2).toSeq == (1L to 300L).toSeq)
+    val expect = df.orderBy(md5(col("id").cast("string")), col("id"))
+      .as[Long].collect().toSeq
+    assert(out.map(_._1).toSeq == expect)
+  }
 }

@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscoreOutliers flags exactly the planted extreme, per group") {
+    // group a: 10 values at 1.0 plus one at 100 -> only 100 flags;
+    // group b: tight cluster, nothing flags
+    val rows = (1L to 10L).map(i => (i, "a", 1.0)) ++ Seq((11L, "a", 100.0)) ++
+      (12L to 20L).map(i => (i, "b", 5.0 + (i % 3) * 0.1))
+    val df = rows.toDF("id", "g", "v")
+    val out = Clean.zscoreOutliers(df, "v", "g", Seq("id"), threshold = 2.0)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(11L))
+  }
+
+  test("winsorize clips planted extremes and reports exact discrete bounds") {
+    // 1..20 in one group: p05 cut = element at rank 1 (=1), p95 at rank 19
+    val df = (1L to 20L).map(i => (i, "g", i.toDouble)).toDF("id", "g", "v")
+    val r = Clean.winsorize(df, "v", "g", tiebreak = Seq("id"),
+      pLo = 0.05, pHi = 0.95).collect().head
+    assert(r.getAs[Double]("lo") == 1.0 && r.getAs[Double]("hi") == 19.0)
+    assert(r.getAs[Long]("n_lo") == 0 && r.getAs[Long]("n_hi") == 1)
+    // clipped sum: 1..19 plus 20->19
+    assert(r.getAs[Double]("wsum") == ((1 to 19).sum + 19).toDouble)
+    assert(r.getAs[Long]("n") == 20)
+  }
+}
