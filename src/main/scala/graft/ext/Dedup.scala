@@ -30,6 +30,30 @@ object Dedup {
       .dropDuplicates("__h")
       .drop("__h")
 
+  /** Incremental exact dedup: the daily-crawl shape — dedup a NEW batch
+    * both within itself (keep-first by id) and against the standing corpus
+    * (drop anything whose content already exists), without ever re-scanning
+    * corpus content twice or shuffling document bytes.
+    *
+    * Returns the surviving batch rows as (doc_id, content_hash). Both
+    * sides reduce to their 8-byte content hashes first; the cross-corpus
+    * check is a LEFT ANTI join on the hash — at 100 TB the corpus side is
+    * the persisted hash column (or a bloom pre-filter feeding this exact
+    * anti-join), never the text. Hash is parameterized like the other
+    * dedup ops: [[TextOps.md5Hash60]] gives the engine-neutral oracle
+    * form; xxhash64 is the cheaper production default. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String,
+                       hash: Column => Column = xxhash64(_)): DataFrame = {
+    val batchKept = batch
+      .select(col(idCol), hash(col(textCol)).as("content_hash"))
+      .groupBy("content_hash").agg(min(col(idCol)).as(idCol))
+    val corpusHashes = corpus
+      .select(hash(col(textCol)).as("content_hash")).distinct()
+    batchKept.join(corpusHashes, Seq("content_hash"), "left_anti")
+      .select(col(idCol), col("content_hash"))
+  }
+
   /** MinHash signature table: (id, h0..h{numHashes-1}) — explode the shingle
     * set, hash each shingle once per seed, take per-seed minima with a
     * map-side-partial groupBy.

@@ -47,4 +47,37 @@ object Funnel {
     }
     counts.reduce(_.unionByName(_))
   }
+
+  /** Batch gap-sessionization — the offline twin of
+    * [[Streaming.sessionSummaries]]: events more than `gapMinutes` apart
+    * start a new session; one summary row per (user, session) with start,
+    * end, duration and event count. Session boundaries come from one lag +
+    * running-sum window over the user partition (state = one previous
+    * timestamp, exactly the streaming version's state), then a (user,
+    * session_seq) aggregation. Two shuffles total — the window's user
+    * partition and the summary aggregation; nothing collects events per
+    * user into memory, so a 10^6-event user costs the same per row as
+    * anyone else. Timestamps leave as formatted strings (oracle-parity
+    * contract, Reg.scala). */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+                      tiebreak: Seq[String], gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsCol) +: tiebreak.map(col): _*)
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("__new",
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long")
+            > gapSec, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+          .as("duration_sec"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -429,6 +429,21 @@ object TextOps {
           (col("cu") + col("v")).cast("double"))), 6).as("cross_entropy"))
   }
 
+  /** Apply a trained linear classifier (logistic regression — the
+    * fastText-style quality-classifier shape) to per-row features:
+    * sigmoid(bias + Σ wᵢ·fᵢ), rounded to 6 decimals (exp differs across
+    * libm implementations in the last ulp only). The weights arrive as
+    * literals — model application is a pure projection, zero shuffles,
+    * fully codegen'd; at 100 TB this is exactly how a quality-classifier
+    * sweep should run, with the model broadcast as constants rather than
+    * a per-row UDF closure. */
+  def scoreLinear(features: Seq[(Column, Double)], bias: Double): Column = {
+    val z = features.foldLeft(lit(bias)) { case (acc, (f, w)) =>
+      acc + f * lit(w)
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   /** Aggressive text normalization — the canonical first pass of corpus
     * cleaning (lowercase, strip non-alphanumerics, collapse whitespace
     * runs, trim), the step that makes exact dedup catch case/punctuation
@@ -461,19 +476,25 @@ object TextOps {
     * sort. */
   def searchPhrase(docs: DataFrame, phrase: Seq[String], k: Int = 20,
                    idCol: String = "doc_id"): DataFrame = {
-    require(phrase.nonEmpty, "phrase must have at least one token")
+    require(phrase.nonEmpty && phrase.length <= 63,
+      s"phrase must have 1..63 tokens (got ${phrase.length})")
     val offsets = phrase.zipWithIndex.groupMap(_._1)(_._2)
     val offMap = map(offsets.toSeq.flatMap { case (t, os) =>
       Seq(lit(t), array(os.map(lit(_)): _*))
     }: _*)
+    // offsets-seen as a bitmask: bit_or is a plain single-pass aggregate,
+    // where countDistinct(off) would plan as an Expand + two aggregate
+    // levels per shuffle — same semantics (offsets are < 63), one fewer
+    // aggregation pass
+    val fullMask = (1L << phrase.length) - 1
     positionalIndex(docs, idCol)
       .where(col("token").isin(phrase.distinct: _*))
       .select(col("doc_id"), col("pos"),
         explode(element_at(offMap, col("token"))).as("off"))
       .where(col("pos") >= col("off"))
       .groupBy(col("doc_id"), (col("pos") - col("off")).as("anchor"))
-      .agg(countDistinct(col("off")).as("n_off"))
-      .where(col("n_off") === phrase.length)
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), off)")).as("mask"))
+      .where(col("mask") === fullMask)
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy(col("n_hits").desc, col("doc_id"))
       .limit(k)

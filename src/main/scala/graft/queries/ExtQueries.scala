@@ -883,7 +883,57 @@ object ExtQueries {
         |GROUP BY 1""".stripMargin))(
       (s, dir) => graft.ops.Clean.winsorize(Tables(s, dir).lineitem,
         "l_extendedprice", "l_returnflag",
-        tiebreak = Seq("l_orderkey", "l_linenumber")))
+        tiebreak = Seq("l_orderkey", "l_linenumber"))),
+
+    // Batch gap-sessionization ([[Funnel.sessionizeBatch]]) — the offline
+    // twin of the streaming sessionize family: per-(user, session) summary
+    // rows from one lag + running-sum window. Oracled against the same
+    // window rewrite the streaming variants verify with.
+    Reg("sessionize_batch", Some(
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM x
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+        |    AS session_start,
+        |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+        |    - CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+        |    AS duration_sec,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin))(
+      (s, dir) => graft.ext.Funnel.sessionizeBatch(Tables(s, dir).events,
+        "user_id", "ts", tiebreak = Seq("event_id"), gapMinutes = 30)),
+
+    // W-ext: percent_rank / cume_dist (relative standing within a group —
+    // the rank-normalization every score-calibration step uses). Rounded
+    // to 6: both are exact rationals, but the division is float.
+    Reg("w6_pct_rank", Some(
+      """SELECT o_orderkey,
+        |  ROUND(percent_rank() OVER w, 6) AS pr,
+        |  ROUND(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin))(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, dir).orders.select(col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+      })
   )
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)

@@ -1351,5 +1351,65 @@ object LlmQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
         |FROM documents""".stripMargin))(
       (s, dir) => Sampling.trainOrder(Tables(s, dir).documents, "doc_id"))
+,
+    // Incremental exact dedup (the daily-crawl shape): corpus = src0-9,
+    // incoming batch = src10-19 PLUS 25 planted resubmissions of corpus
+    // docs under fresh ids (doc_id+2e6) — the batch survivors must be
+    // exactly the 250 genuinely-new docs. Anti-join on the 8-byte content
+    // hash; document bytes never shuffle.
+    Reg("dedup_incremental", Some(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CAST(substr(source, 4) AS INT) < 10
+        |), batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CAST(substr(source, 4) AS INT) >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents
+        |  WHERE CAST(substr(source, 4) AS INT) < 10 AND doc_id % 10 = 0
+        |), bh AS (
+        |  SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |    AS content_hash, MIN(doc_id) AS doc_id
+        |  FROM batch GROUP BY 1)
+        |SELECT doc_id, content_hash FROM bh
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus c
+        |  WHERE CAST('0x' || substr(md5(c.text), 1, 15) AS BIGINT)
+        |    = bh.content_hash)""".stripMargin))(
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+          .withColumn("__srcnum", substring(col("source"), 4, 10).cast("int"))
+        val corpus = d.where(col("__srcnum") < 10)
+        val batch = d.where(col("__srcnum") >= 10)
+          .select(col("doc_id"), col("text"))
+          .unionByName(d.where(col("__srcnum") < 10 && col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+          hash = TextOps.md5Hash60)
+      }),
+
+    // Trained-model scoring at corpus scale ([[TextOps.scoreLinear]]):
+    // logistic quality classifier over the standard cheap features
+    // (token count, stopword ratio, mean token length), weights as plan
+    // literals — pure projection, no UDF, no shuffle. Oracle replays
+    // feature extraction AND the sigmoid.
+    Reg("quality_score_lr", Some(
+      s"""SELECT doc_id,
+         |  ROUND(1.0 / (1.0 + exp(-(
+         |    -1.0
+         |    + 0.02  * CAST(len(string_split(text,' ')) AS BIGINT)
+         |    + (-3.0) * (CAST(len(list_filter(string_split(text,' '),
+         |                 w -> w IN $duckStop)) AS DOUBLE)
+         |               / len(string_split(text,' ')))
+         |    + 0.5   * (CAST(length(replace(text,' ','')) AS DOUBLE)
+         |               / len(string_split(text,' ')))))), 6) AS p_good
+         |FROM documents""".stripMargin))(
+      (s, dir) => {
+        val feats = TextOps.qualityColumns(Tables(s, dir).documents, "text")
+        feats.select(col("doc_id"), TextOps.scoreLinear(Seq(
+          col("n_tokens").cast("double") -> 0.02,
+          col("stop_ratio") -> -3.0,
+          col("mean_tok_len") -> 0.5), bias = -1.0).as("p_good"))
+      })
   )
 }

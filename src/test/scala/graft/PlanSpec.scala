@@ -169,4 +169,44 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("trainOrder never single-partition-sorts the data — only the 256-row offset table") {
+    val df = graft.ext.Sampling.trainOrder(t.documents, "doc_id")
+    val plan = physical(df)
+    // the data-side window partitions by the hash-prefix shard; a global
+    // Window (empty partition spec over the full table) would appear as a
+    // SinglePartition exchange feeding a Sort over the document rows
+    assert(plan.contains("hashpartitioning(__shard"),
+      s"per-shard window lost its shard partitioning:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"shard offsets must broadcast, not shuffle the data side:\n$plan")
+  }
+
+  test("rollingActive broadcasts the observed-day dimension (semi join, no shuffle of contributions)") {
+    val df = graft.ext.Retention.rollingActive(t.events, "user_id", "ts", 7)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"observed-day filter should be a broadcast semi join:\n$plan")
+  }
+
+  test("winsorize and zscoreOutliers broadcast group stats back to the fact table") {
+    val w = graft.ops.Clean.winsorize(t.lineitem, "l_extendedprice",
+      "l_returnflag", tiebreak = Seq("l_orderkey", "l_linenumber"))
+    assert(physical(w).contains("BroadcastHashJoin"), physical(w))
+    val z = graft.ops.Clean.zscoreOutliers(t.events, "value", "event_type",
+      Seq("event_id"), 3.0)
+    assert(physical(z).contains("BroadcastHashJoin"), physical(z))
+  }
+
+  test("searchPhrase prunes postings to the query terms before any shuffle") {
+    val df = graft.ext.TextOps.searchPhrase(t.documents,
+      Seq("table", "hash"), k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the IN-list must sit under the first Generate/explode output — i.e.
+    // the filter appears, and the final top-k is a TakeOrderedAndProject
+    assert(plan.contains("token#") && plan.contains("TakeOrderedAndProject"),
+      plan)
+    assert(plan.contains("INSET") || plan.contains(" IN "),
+      s"token IN-list prune missing:\n$plan")
+  }
 }

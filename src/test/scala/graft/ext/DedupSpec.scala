@@ -157,4 +157,16 @@ class DedupSpec extends SparkSpec {
       maxDist = 0, bits = 64, bands = 4).count()
     assert(uncapped == 15) // C(6,2)
   }
+
+  test("incrementalDedup drops within-batch copies (keep-first) and corpus resubmissions") {
+    val corpus = Seq((1L, "old doc"), (2L, "other old doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh doc"),   // genuinely new -> kept
+      (11L, "fresh doc"),   // within-batch dup -> folded into 10
+      (12L, "old doc")      // corpus resubmission -> dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(10L))
+  }
 }
