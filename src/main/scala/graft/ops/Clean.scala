@@ -43,22 +43,30 @@ object Clean {
     * ceil(p·n) — never an interpolated value, so both engines pick the
     * identical bound and the clip comparisons are exact, no float-boundary
     * flakes). Returns one row per group: exact-decimal sum of the clipped
-    * values, clip counts both sides, and the bounds. */
+    * values, clip counts both sides, and the bounds.
+    *
+    * The cut finder works on the per-group VALUE HISTOGRAM, not the rows:
+    * the rank-k element equals min{x : cumulative count(≤x) ≥ k}, so the
+    * heavy pass is a fully-parallel groupBy(group, value) count and the
+    * per-group sort touches only distinct values (corpus-size-independent
+    * for fixed-precision measures — a row-level row_number window would
+    * serialize each group through one task, measured 9.5× sf0.1→sf1 on a
+    * 3-group column before this rewrite). */
   def winsorize(df: DataFrame, valueCol: String, groupCol: String,
-                tiebreak: Seq[String], pLo: Double = 0.05,
-                pHi: Double = 0.95): DataFrame = {
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo,$pHi]")
-    val w = Window.partitionBy(groupCol)
-      .orderBy(col("__x") +: tiebreak.map(col): _*)
-    val ranked = df
-      .select(col(groupCol) +: col(valueCol).as("__x") +: tiebreak.map(col): _*)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
-    val cuts = ranked.groupBy(col(groupCol).as("__g"))
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(Window.partitionBy(groupCol)
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+    val cuts = cum.groupBy(col(groupCol).as("__g"))
       .agg(
-        max(when(col("__rn") === greatest(lit(1L),
+        min(when(col("__cum") >= greatest(lit(1L),
           ceil(lit(pLo) * col("__n")).cast("long")), col("__x"))).as("lo"),
-        max(when(col("__rn") === ceil(lit(pHi) * col("__n")).cast("long"),
+        min(when(col("__cum") >= ceil(lit(pHi) * col("__n")).cast("long"),
           col("__x"))).as("hi"))
     df.join(broadcast(cuts), col(groupCol) === col("__g"))
       .groupBy(groupCol)

@@ -882,8 +882,7 @@ object ExtQueries {
         |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.g
         |GROUP BY 1""".stripMargin))(
       (s, dir) => graft.ops.Clean.winsorize(Tables(s, dir).lineitem,
-        "l_extendedprice", "l_returnflag",
-        tiebreak = Seq("l_orderkey", "l_linenumber"))),
+        "l_extendedprice", "l_returnflag")),
 
     // Batch gap-sessionization ([[Funnel.sessionizeBatch]]) — the offline
     // twin of the streaming sessionize family: per-(user, session) summary

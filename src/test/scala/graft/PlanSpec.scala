@@ -191,7 +191,7 @@ class PlanSpec extends SparkSpec {
 
   test("winsorize and zscoreOutliers broadcast group stats back to the fact table") {
     val w = graft.ops.Clean.winsorize(t.lineitem, "l_extendedprice",
-      "l_returnflag", tiebreak = Seq("l_orderkey", "l_linenumber"))
+      "l_returnflag")
     assert(physical(w).contains("BroadcastHashJoin"), physical(w))
     val z = graft.ops.Clean.zscoreOutliers(t.events, "value", "event_type",
       Seq("event_id"), 3.0)

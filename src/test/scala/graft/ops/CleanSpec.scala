@@ -20,8 +20,8 @@ class CleanSpec extends SparkSpec {
   test("winsorize clips planted extremes and reports exact discrete bounds") {
     // 1..20 in one group: p05 cut = element at rank 1 (=1), p95 at rank 19
     val df = (1L to 20L).map(i => (i, "g", i.toDouble)).toDF("id", "g", "v")
-    val r = Clean.winsorize(df, "v", "g", tiebreak = Seq("id"),
-      pLo = 0.05, pHi = 0.95).collect().head
+    val r = Clean.winsorize(df, "v", "g", pLo = 0.05, pHi = 0.95)
+      .collect().head
     assert(r.getAs[Double]("lo") == 1.0 && r.getAs[Double]("hi") == 19.0)
     assert(r.getAs[Long]("n_lo") == 0 && r.getAs[Long]("n_hi") == 1)
     // clipped sum: 1..19 plus 20->19
