@@ -162,6 +162,31 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Interval-OVERLAP join (both sides carry intervals — the temporal
+    * sibling of [[rangeJoin]]'s point-in-interval): pairs whose half-open
+    * [lo, hi) intervals intersect, via the same binned equi rewrite. Both
+    * sides explode onto the bins they span; candidates meet on bin
+    * equality; the exact predicate (aLo < bHi ∧ bLo < aHi) confirms. A
+    * pair spanning several shared bins is emitted ONCE by keeping only the
+    * bin that contains the overlap's start, greatest(aLo, bLo) — a pure
+    * arithmetic dedup, no distinct pass over the candidate set. The theta
+    * formulation (JOIN ON a.lo < b.hi AND b.lo < a.hi) plans as a
+    * nested-loop — quadratic per partition pair; this is one equality
+    * shuffle with fan-out = interval-width / binSize. */
+  def intervalJoin(a: DataFrame, b: DataFrame, aLo: String, aHi: String,
+                   bLo: String, bHi: String, binSize: Double): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo) / binSize).cast("long"),
+        floor(col(hi) / binSize).cast("long"))))
+    binned(a, aLo, aHi).join(binned(b, bLo, bHi), Seq("__bin"))
+      .where(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .where(col("__bin") ===
+        floor(greatest(col(aLo), col(bLo)) / binSize).cast("long"))
+      .drop("__bin")
+  }
+
   /** Fuzzy (approximate-string) self-join: every pair within edit distance
     * 1, found by a deletion-neighborhood equality join (SymSpell's candidate
     * rule) — never the quadratic cross join with a levenshtein predicate.

@@ -916,6 +916,43 @@ object ExtQueries {
       (s, dir) => graft.ext.Funnel.sessionizeBatch(Tables(s, dir).events,
         "user_id", "ts", tiebreak = Seq("event_id"), gapMinutes = 30)),
 
+    // Interval-overlap join ([[Relational.intervalJoin]]): per-(user, day)
+    // activity spans, paired where two USERS' spans intersect, summarized
+    // per smaller-id user (pair count + exact overlapping seconds). The
+    // oracle is the plain theta join — the binned rewrite must reproduce
+    // it exactly, including the one-bin-per-pair dedup.
+    Reg("j_interval", Some(
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS lo,
+        |    CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) + 1
+        |      AS hi
+        |  FROM events
+        |  GROUP BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |)
+        |SELECT a.user_id AS user_id, COUNT(*) AS n_overlap,
+        |  SUM(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS overlap_sec
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.lo < b.hi AND b.lo < a.hi
+        |GROUP BY 1""".stripMargin))(
+      (s, dir) => {
+        val iv = Tables(s, dir).events
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("__day"))
+          .agg(min(col("ts")).cast("long").as("lo"),
+            (max(col("ts")).cast("long") + 1L).as("hi"))
+          .drop("__day")
+        val a = iv.select(col("user_id").as("a_user"),
+          col("lo").as("a_lo"), col("hi").as("a_hi"))
+        val b = iv.select(col("user_id").as("b_user"),
+          col("lo").as("b_lo"), col("hi").as("b_hi"))
+        intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", binSize = 3600.0)
+          .where(col("a_user") < col("b_user"))
+          .groupBy(col("a_user").as("user_id"))
+          .agg(count(lit(1)).as("n_overlap"),
+            sum(least(col("a_hi"), col("b_hi"))
+              - greatest(col("a_lo"), col("b_lo"))).as("overlap_sec"))
+      }),
+
     // W-ext: percent_rank / cume_dist (relative standing within a group —
     // the rank-normalization every score-calibration step uses). Rounded
     // to 6: both are exact rationals, but the division is float.

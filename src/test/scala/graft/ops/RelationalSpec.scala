@@ -116,4 +116,17 @@ class RelationalSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(1L)) // id 1 sorts first; id 2 is 0s after it -> dropped
   }
+
+  test("intervalJoin emits each overlapping pair exactly once; touching endpoints excluded") {
+    val a = Seq((1L, 0.0, 25.0), (2L, 30.0, 35.0)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 5.0, 50.0),  // overlaps a1 across bins 0,1,2 and a2
+      (11L, 25.0, 28.0), // touches a1 at 25 (half-open -> NO overlap)
+      (12L, 60.0, 70.0)  // disjoint
+    ).toDF("bid", "b_lo", "b_hi")
+    val out = intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", binSize = 10.0)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    // (1,10) must appear ONCE despite sharing 3 bins
+    assert(out == Seq((1L, 10L), (2L, 10L)))
+  }
 }
