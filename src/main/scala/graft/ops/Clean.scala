@@ -33,7 +33,12 @@ object Clean {
     val st = df.groupBy(col(groupCol).as("__g"))
       .agg(avg(valueCol).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
     df.join(broadcast(st), col(groupCol) === col("__g"))
-      .withColumn("z", round((col(valueCol) - col("__mu")) / col("__sd"), 6))
+      // nullif guard: a constant-valued group has sd = 0, and ANSI mode
+      // (Spark 4 default) turns the division into a job-killing
+      // DIVIDE_BY_ZERO; null z rows fail the threshold filter instead
+      // (a constant group has no outliers by definition)
+      .withColumn("z", round(
+        (col(valueCol) - col("__mu")) / nullif(col("__sd"), lit(0.0)), 6))
       .where(abs(col("z")) > threshold)
       .select(keyCols.map(col) :+ col(valueCol) :+ col("z"): _*)
   }

@@ -38,4 +38,10 @@ class RetentionSpec extends SparkSpec {
       .orderBy("day").as[(String, Long)].collect().toSeq
     assert(dau == Seq(("2024-01-01", 2L), ("2024-01-03", 1L)))
   }
+
+  test("empty stream yields empty retention matrix and active series") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("u", "t")
+    assert(Retention.cohortRetention(empty, "u", "t").count() == 0)
+    assert(Retention.rollingActive(empty, "u", "t").count() == 0)
+  }
 }

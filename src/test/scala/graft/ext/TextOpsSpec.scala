@@ -187,4 +187,12 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 1L), (3L, 1L)))
   }
+
+  test("searchPhrase: absent tokens and single-token phrases behave") {
+    val docs = Seq((1L, "x y z x")).toDF("doc_id", "text")
+    assert(searchPhrase(docs, Seq("nope", "y"), k = 5).count() == 0)
+    val single = searchPhrase(docs, Seq("x"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(single.toSeq == Seq((1L, 2L)))
+  }
 }

@@ -28,4 +28,19 @@ class CleanSpec extends SparkSpec {
     assert(r.getAs[Double]("wsum") == ((1 to 19).sum + 19).toDouble)
     assert(r.getAs[Long]("n") == 20)
   }
+
+  test("empty input yields empty output (no null-stat rows) for both cleaners") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "g", "v")
+    assert(Clean.zscoreOutliers(empty, "v", "g", Seq("id"), 2.0).count() == 0)
+    assert(Clean.winsorize(empty, "v", "g").count() == 0)
+  }
+
+  test("single-value group: sd=0 -> no outliers (null z filtered); winsorize degenerates to identity") {
+    val df = Seq((1L, "g", 5.0), (2L, "g", 5.0)).toDF("id", "g", "v")
+    // sd = 0 -> z is null -> abs(z) > t is null -> filtered, not crashed
+    assert(Clean.zscoreOutliers(df, "v", "g", Seq("id"), 2.0).count() == 0)
+    val r = Clean.winsorize(df, "v", "g").collect().head
+    assert(r.getAs[Double]("lo") == 5.0 && r.getAs[Double]("hi") == 5.0)
+    assert(r.getAs[Long]("n_lo") == 0 && r.getAs[Long]("n_hi") == 0)
+  }
 }
