@@ -21,9 +21,10 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity = dot / (|a| · |b|). */
+  /** Cosine similarity = dot / (|a| · |b|). NULL (not an ANSI
+    * divide-by-zero error) when either vector is all-zero. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / nullif(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(0.0))
 
   /** Dot product that prefers the native codegen expression (`vec_dot`,
     * registered by [[graft.GraftExtensions]]) and falls back to the HOF
@@ -174,7 +175,10 @@ object Similarity {
     x.join(y, Seq("bucket"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(d(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")),
+        // nullif: an all-zero vector would be an ANSI divide-by-zero JOB
+        // failure; null sim fails the threshold filter instead
+        round(d(col("a_vec"), col("b_vec"))
+          / nullif(col("a_norm") * col("b_norm"), lit(0.0)),
           roundTo).as("sim"))
       .where(col("sim") >= threshold)
   }

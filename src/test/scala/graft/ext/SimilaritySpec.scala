@@ -15,6 +15,12 @@ class SimilaritySpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, -1.0))
   }
 
+  test("cosine with an all-zero vector is NULL, not an ANSI divide-by-zero failure") {
+    val r = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).head
+    assert(r.isNullAt(0))
+  }
+
   test("bruteForceTopK ranks nearest first with deterministic tiebreaks") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)),
