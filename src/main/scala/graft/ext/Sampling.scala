@@ -60,6 +60,33 @@ object Sampling {
                    rates: Map[String, Double]): DataFrame =
     mixSources(df, contentCol, stratumCol, rates, default = 0.0)
 
+  /** Temperature-based source rebalancing — the multilingual-pretraining
+    * mixing rule (target share ∝ natural share^tau; tau < 1 flattens the
+    * distribution toward the tail). A filter can only DOWN-sample, so the
+    * per-source keep rate is r_s = (n_s / n_min)^(tau-1): the smallest
+    * source keeps everything (rate 1) and every larger source is cut to
+    * its tau-flattened share. Rates derive from the data itself with one
+    * count aggregation, broadcast back, and applied as the same
+    * content-hash filter as [[mixSources]] — no shuffle of the corpus.
+    * Rates are rounded to 6 decimals BEFORE the hashFrac compare so
+    * pow()'s last-ulp libm differences cannot flip a row across engines.
+    * Deterministic end to end: same corpus → same kept set, any cluster
+    * shape. */
+  def temperatureMix(df: DataFrame, contentCol: Column, sourceCol: Column,
+                     tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1] (got $tau)")
+    val counts = df.groupBy(sourceCol.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .select(col("__src"),
+        round(pow(col("__n").cast("double") / col("__nmin"), tau - 1.0), 6)
+          .as("__rate"))
+    df.join(broadcast(rates), sourceCol === col("__src"))
+      .where(hashFrac(contentCol) < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
   /** Deterministic shard assignment for training output: shard =
     * content-hash mod `nShards`. A pure map — no shuffle, no global
     * ordering, no coordination — which is the ONLY shape that holds at

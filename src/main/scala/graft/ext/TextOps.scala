@@ -110,11 +110,31 @@ object TextOps {
     * constructs where Java and RE2 dialects could diverge (no backrefs, no
     * lookaround). ONE definition — the standalone query and the release
     * pipeline both call it. */
+  /** The PII patterns [[redact]] and [[piiSpanCounts]] share (report and
+    * scrub must agree on what counts as PII). Dialect-portable: no
+    * backrefs, no lookaround. */
+  private val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val longNumPattern = "[0-9]{6,}"
+
   def redact(c: Column): Column =
     regexp_replace(
-      regexp_replace(c,
-        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-      "[0-9]{6,}", "[NUM]")
+      regexp_replace(c, emailPattern, "[EMAIL]"),
+      longNumPattern, "[NUM]")
+
+  /** PII-span inventory — the REPORT side of [[redact]] (same patterns by
+    * construction): per-row counts of email-shaped spans and 6+-digit
+    * runs, plus a needs-redaction flag. The compliance-dashboard /
+    * routing step that decides which slice of a corpus pays the redaction
+    * rewrite. Pure codegen regexp counts, zero shuffles. */
+  def piiSpanCounts(df: DataFrame, idCol: String,
+                    textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col(textCol), lit(longNumPattern), lit(0)))
+        .cast("long").as("n_longnum"))
+      .withColumn("needs_redaction",
+        col("n_email") > 0 || col("n_longnum") > 0)
 
   /** Deterministic train/dev/test label (80/10/10) from the content hash —
     * the [[hashBucket]] split every pipeline stage shares. */

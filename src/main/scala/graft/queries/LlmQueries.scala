@@ -1410,6 +1410,60 @@ object LlmQueries {
           col("n_tokens").cast("double") -> 0.02,
           col("stop_ratio") -> -3.0,
           col("mean_tok_len") -> 0.5), bias = -1.0).as("p_good"))
+      }),
+
+    // Temperature-based language rebalancing ([[Sampling.temperatureMix]],
+    // tau = 0.7 over the skewed lang distribution: en 218 … fr 64 at
+    // sf0.01): the smallest lang keeps rate 1, en is cut to its
+    // tau-flattened share. The oracle replays count → rate → content-hash
+    // filter, so the hash match proves the derived rates AND the kept set.
+    Reg("mix_temperature", Some(
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT lang, ROUND(pow(CAST(n AS DOUBLE)
+        |    / (SELECT MIN(n) FROM c), 0.7 - 1.0), 6) AS rate
+        |  FROM c)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(CAST('0x' || substr(md5(d.text), 1, 13) AS BIGINT)
+        |        AS DOUBLE) / 4503599627370496.0 < r.rate""".stripMargin))(
+      (s, dir) => Sampling.temperatureMix(Tables(s, dir).documents,
+          col("text"), col("lang"), tau = 0.7)
+        .select("doc_id", "lang")),
+
+    // PII-span inventory ([[TextOps.piiSpanCounts]] — the REPORT side of
+    // redact, same patterns by construction): the corpus is PII-free, so
+    // the query plants deterministic emails / long account numbers by
+    // doc_id residue on BOTH engines; the hash match proves span counting
+    // and the routing flag.
+    Reg("text_pii_spans", Some(
+      """WITH m AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0
+        |      THEN text || ' user' || doc_id || '@mail.example.com ok'
+        |    WHEN doc_id % 4 = 1
+        |      THEN text || ' acct 00' || doc_id || '1234 end'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
+        |    AS n_longnum,
+        |  (len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |   OR len(regexp_extract_all(text, '[0-9]{6,}')) > 0)
+        |    AS needs_redaction
+        |FROM m""".stripMargin))(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val planted = Tables(s, dir).documents.select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" user"), id, lit("@mail.example.com ok")))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit(" acct 00"), id, lit("1234 end")))
+          .otherwise(col("text")).as("text"))
+        TextOps.piiSpanCounts(planted, "doc_id")
       })
   )
 }

@@ -35,6 +35,19 @@ class SamplingSpec extends SparkSpec {
     assert(srcs == Seq("a") && out.count() == 100)
   }
 
+  test("temperatureMix keeps the smallest source whole and flattens the head") {
+    val df = ((1 to 800).map(i => (s"head doc $i", "big")) ++
+      (1 to 100).map(i => (s"tail doc $i", "small"))).toDF("t", "src")
+    val kept = Sampling.temperatureMix(df, col("t"), col("src"), tau = 0.5)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 100) // rate 1: nothing dropped from the tail
+    // head rate = (800/100)^-0.5 ~ 0.354 -> expect ~283 of 800
+    assert(kept("big") > 200 && kept("big") < 370, s"got ${kept("big")}")
+    // flattened: head share shrinks from 8:1 toward sqrt(8):1
+    assert(kept("big").toDouble / kept("small") < 4.0)
+  }
+
   test("trainOrder: dense 1..n positions equal to the global md5 order") {
     val df = (1L to 300L).toDF("id")
     val out = Sampling.trainOrder(df, "id")

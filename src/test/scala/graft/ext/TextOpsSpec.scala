@@ -188,6 +188,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L), (3L, 1L)))
   }
 
+  test("piiSpanCounts counts the same spans redact scrubs") {
+    val docs = Seq(
+      (1L, "mail me at a.b@x.co and c@y.org ref 1234567"),
+      (2L, "short num 12345 is not pii"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val out = piiSpanCounts(docs, "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((2L, 1L, true), (0L, 0L, false), (0L, 0L, false)))
+  }
+
   test("searchPhrase: absent tokens and single-token phrases behave") {
     val docs = Seq((1L, "x y z x")).toDF("doc_id", "text")
     assert(searchPhrase(docs, Seq("nope", "y"), k = 5).count() == 0)
