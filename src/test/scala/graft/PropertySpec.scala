@@ -216,4 +216,43 @@ class PropertySpec extends SparkSpec {
     val b = back.orderBy("soc", "elem").collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     assert(a.sameElements(b))
   }
+
+  test("property: intervalJoin equals the brute-force overlap theta join at any binSize") {
+    for (trial <- 1 to 3; binSize <- Seq(3.0, 10.0, 1000.0)) {
+      val iv = Seq.tabulate(60) { i =>
+        val lo = rnd.nextInt(100).toDouble
+        (i.toLong, lo, lo + 1 + rnd.nextInt(30))
+      }
+      val a = iv.toDF("aid", "a_lo", "a_hi")
+      val b = iv.map { case (i, l, h) => (i + 1000L, l, h) }
+        .toDF("bid", "b_lo", "b_hi")
+      val got = intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", binSize)
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (i, al, ah) <- iv; (j, bl, bh) <- iv
+        if al < bh && bl < ah
+      } yield (i, j + 1000L)).toSet
+      assert(got == want, s"trial $trial binSize $binSize")
+    }
+  }
+
+  test("property: batch sessionizeBatch agrees with the streaming session summaries") {
+    // cross-implementation coherence: per-user session count and total
+    // event count must match between the batch window formulation and the
+    // mapGroupsWithState streaming one, for random event sets
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Seq.tabulate(300) { i =>
+      (i.toLong, 1L + rnd.nextInt(8),
+        new java.sql.Timestamp(base + rnd.nextInt(6 * 3600) * 1000L))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts")
+    val batch = graft.ext.Funnel
+      .sessionizeBatch(df, "user_id", "ts", Seq("event_id"), gapMinutes = 30)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val stream = graft.ext.Streaming.sessionSummaries(spark, df, gapMinutes = 30)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == stream)
+  }
 }
