@@ -78,6 +78,45 @@ object Profile {
     * 1-row global stat joined back as a broadcast (never a window over the
     * whole key set, which would single-partition it), and a top-N that
     * plans as per-partition limits + merge, not a full sort. */
+  /** Equal-FREQUENCY histogram: per-group quantile buckets via discrete
+    * percentile cuts — the 100 TB replacement for `ntile` that the
+    * w5_ntile scaladoc promises. ntile needs a total order (one task owns
+    * each group's full sort); here the cut for p = i/nBuckets is the
+    * rank-⌈p·n⌉ element computed from the per-group VALUE HISTOGRAM
+    * (min{x : cum count ≥ k} — the [[graft.ops.Clean.winsorize]] cut
+    * machinery generalized to k cuts), so the heavy pass is a fully
+    * parallel groupBy(group, value) and bucket assignment is a broadcast
+    * join + comparisons. Ties land in ONE bucket (value-determined, unlike
+    * ntile's arbitrary tie split) — that is the semantic a distributed
+    * bucketing wants: reproducible under any partitioning. Returns one row
+    * per (group, bucket): count + value range. */
+  def quantileHistogram(df: DataFrame, valueCol: String, groupCol: String,
+                        nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(Window.partitionBy(groupCol)
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+    val cutCols = (1 until nBuckets).map { i =>
+      min(when(col("__cum") >=
+        ceil(lit(i.toDouble / nBuckets) * col("__n")).cast("long"),
+        col("__x"))).as(s"__cut$i")
+    }
+    val cuts = cum.groupBy(col(groupCol).as("__g"))
+      .agg(cutCols.head, cutCols.tail: _*)
+    val bucket = (1 until nBuckets).foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col(valueCol) > col(s"__cut$i"), 1L).otherwise(0L)
+    }
+    df.join(broadcast(cuts), col(groupCol) === col("__g"))
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
   def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key_value"))
       .agg(count(lit(1)).as("cnt"))

@@ -953,6 +953,41 @@ object ExtQueries {
               - greatest(col("a_lo"), col("b_lo"))).as("overlap_sec"))
       }),
 
+    // Equal-frequency histogram ([[Profile.quantileHistogram]]) — the
+    // scalable quantile bucketing w5_ntile's scaladoc points to: discrete
+    // percentile cuts from the value histogram, bucket assignment by
+    // comparison (ties value-determined, reproducible under any
+    // partitioning). The oracle replays cuts, assignment, and ranges.
+    Reg("histogram_quantile", Some(
+      """WITH h AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS x, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, x, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM h
+        |), cuts AS (
+        |  SELECT g,
+        |    MIN(CASE WHEN cum >= CAST(ceil(0.25 * n) AS BIGINT) THEN x END)
+        |      AS c1,
+        |    MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN x END)
+        |      AS c2,
+        |    MIN(CASE WHEN cum >= CAST(ceil(0.75 * n) AS BIGINT) THEN x END)
+        |      AS c3
+        |  FROM cum GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(1 + (CASE WHEN l_extendedprice > c1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN l_extendedprice > c2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN l_extendedprice > c3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM lineitem l JOIN cuts ON l.l_returnflag = cuts.g
+        |GROUP BY 1, 2""".stripMargin))(
+      (s, dir) => graft.ops.Profile.quantileHistogram(
+        Tables(s, dir).lineitem, "l_extendedprice", "l_returnflag",
+        nBuckets = 4)),
+
     // W-ext: percent_rank / cume_dist (relative standing within a group —
     // the rank-normalization every score-calibration step uses). Rounded
     // to 6: both are exact rationals, but the division is float.

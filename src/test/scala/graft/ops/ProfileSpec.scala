@@ -40,4 +40,18 @@ class ProfileSpec extends SparkSpec {
       0L -> ((3L, 0.0, 10.0)),   // 0.0, 5.0, 9.99
       1L -> ((3L, 10.0, 20.0)))) // 10.0, 19.0, 20.0
   }
+
+  test("quantileHistogram: quartiles of 1..8 are 2 per bucket; ties stay in one bucket") {
+    import spark.implicits._
+    val df = (1 to 8).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val out = Profile.quantileHistogram(df, "v", "g", nBuckets = 4)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0, 2.0), (2L, 2L, 3.0, 4.0),
+      (3L, 2L, 5.0, 6.0), (4L, 2L, 7.0, 8.0)))
+    // all-equal values collapse into ONE bucket (value-determined ties)
+    val ties = Seq.fill(6)(("g", 5.0)).toDF("g", "v")
+    val t = Profile.quantileHistogram(ties, "v", "g", nBuckets = 4).collect()
+    assert(t.length == 1 && t.head.getLong(2) == 6L)
+  }
 }
