@@ -117,6 +117,32 @@ object Sinks {
     * stage and would throttle the whole computation of `df` to
     * `numPartitions` tasks; repartition pays one small shuffle of the final
     * output and leaves upstream parallelism intact. */
+  /** Small-files compaction — the table-maintenance pass every long-lived
+    * parquet table needs (streaming sinks and fine-grained partitioned
+    * writes accrete kilobyte files; at 100 TB the scan's task-per-file
+    * scheduling and the namenode/listing cost dominate before a byte is
+    * read). Rewrites `srcDir` into `destDir` with ceil(totalBytes /
+    * targetBytes) output files via a round-robin repartition (no shuffle
+    * key — pure size rebalancing; rows within a file stay arbitrary, which
+    * is the contract of an unsorted table; compose with
+    * [[graft.ops.Layout.zorderWrite]] when downstream wants clustering).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, srcDir: String, destDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    val before = parquetFiles(new java.io.File(srcDir))
+    val total = before.map(_.length).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcDir).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(destDir)
+    (before.size, parquetFiles(new java.io.File(destDir)).size)
+  }
+
   def jdbc(df: DataFrame, url: String, table: String,
            mode: SaveMode = SaveMode.Overwrite, numPartitions: Int = 8): Unit =
     df.repartition(numPartitions).write.mode(mode)

@@ -278,6 +278,25 @@ object CoreQueries {
           .parquet(s"$path/gen=1", s"$path/gen=2")
       }),
 
+    // S8/maintenance: small-files compaction round trip — documents staged
+    // as 64 deliberately tiny files, compacted to O(1) files, read back.
+    // The oracle proves losslessness; the require proves the compaction
+    // actually collapsed the file count (the scan-scheduling lever at
+    // 100 TB — task-per-file cost dominates kilobyte files).
+    Reg("compact_scan", Some(
+      "SELECT doc_id, text, lang, source, n_chars FROM documents"))(
+      (s, dir) => {
+        val path = stageOnce("compact", dir) { p =>
+          Tables(s, dir).documents.repartition(64)
+            .write.mode("overwrite").parquet(s"$p/small")
+          val (before, after) = graft.io.Sinks.compact(
+            s, s"$p/small", s"$p/compacted")
+          require(after < before,
+            s"compaction did not reduce files ($before -> $after)")
+        }
+        s.read.parquet(s"$path/compacted")
+      }),
+
     // S8/scale: partitioned write + partition-PRUNED read — orders written
     // once as directory partitions on o_orderpriority, read back filtered
     // to one priority. The filter becomes a PartitionFilter (PlanSpec pins

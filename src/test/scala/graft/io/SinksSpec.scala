@@ -31,4 +31,18 @@ class SinksSpec extends SparkSpec {
     val back = spark.read.parquet(s"$dest/region.parquet")
     assert(back.count() == Sources.table(spark, "/root/testdata/sf0.001", "region").count())
   }
+
+  test("compact collapses many small files into few, content-lossless") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+    val src = s"$base/src"; val dst = s"$base/dst"
+    (1 to 5000).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+      .repartition(40).write.parquet(src)
+    val (before, after) = Sinks.compact(spark, src, dst,
+      targetBytes = 10L * 1024 * 1024)
+    assert(before == 40 && after < before && after >= 1)
+    val a = spark.read.parquet(src).orderBy("id").collect()
+    val b = spark.read.parquet(dst).orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
 }
