@@ -262,6 +262,37 @@ object Streaming {
       .toDF("user_id", "session_idx", "n_events")
   }
 
+  /** Streaming CDC sink: apply a change-log STREAM into a standing table
+    * via foreachBatch + [[graft.ops.Cdc.applyChangesVersioned]] — the
+    * streaming-ingestion → merged-table loop (Kafka/Debezium → MERGE INTO)
+    * every lakehouse pipeline runs. The versioned merge is associative
+    * over batch splits, so the final table is independent of how the
+    * source happened to batch the log — the property the spec pins with
+    * random splits.
+    *
+    * The evolving target lives as a localCheckpoint'ed DataFrame (each
+    * batch materializes the new target and breaks lineage — without that,
+    * plan depth grows per microbatch). Production swaps the in-memory
+    * target for a transactional table write (Delta/Iceberg MERGE) with the
+    * identical per-batch plan; state here is bounded by the TABLE size,
+    * exactly like the real sink. Returns the final table INCLUDING
+    * tombstones — read the live rows with `op = 'U'`. */
+  def mergeStream(changeStream: DataFrame, initial: DataFrame, key: String,
+                  opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    var target = initial.localCheckpoint()
+    val q = changeStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        target = graft.ops.Cdc
+          .applyChangesVersioned(target, batch, key, opCol, seqCol)
+          .localCheckpoint()
+      }
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    target
+  }
+
   /** Run a streaming DataFrame to completion over the (bounded) file source
     * with AvailableNow, collecting results via a memory sink; returns the
     * final table. Batch-equivalent by construction — used to verify the

@@ -70,4 +70,43 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tsCol)
   }
+
+  /** Seq-RESPECTING merge with TOMBSTONES: like [[applyChanges]], but the
+    * target carries its own `opCol`/`seqCol` and an incoming change only
+    * applies when its seq is strictly higher than the standing row's.
+    * Deletes are RETAINED as tombstone rows (op = "D", seq kept): without
+    * the tombstone, a late-arriving batch holding an OLDER "U" for a
+    * deleted key would re-insert it, because the table would have no seq
+    * left to compare against. With it, the merge is ASSOCIATIVE AND
+    * COMMUTATIVE over arbitrary splits and orderings of the change log —
+    * applying microbatches in any order lands on the same table as one
+    * big batch, exactly the property a STREAMING CDC sink needs (file and
+    * Kafka sources promise neither batch boundaries nor global seq order
+    * across batches). Read the live table with `op = 'U'`; production
+    * sinks compact tombstones away after a retention window, once no
+    * straggler can predate them.
+    *
+    * `target` schema: key, opCol, seqCol, payload (base rows carry
+    * op = "U"). `changes` schema: the same. One window over the batch +
+    * one full-outer join on the key — both shuffles sized by their own
+    * inputs; the target never rewrites more than (its size + batch). */
+  def applyChangesVersioned(target: DataFrame, changes: DataFrame,
+                            key: String, opCol: String = "op",
+                            seqCol: String = "seq"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val latest = changes.where(col(opCol).isin("U", "D"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val nonKey = target.columns.filterNot(_ == key)
+    val c = latest.select(col(key).as("__ck") +:
+      nonKey.map(p => col(p).as(s"__c_$p")): _*)
+    val joined = target.join(c, col(key) <=> col("__ck"), "full_outer")
+    val newer = col(key).isNull || col(s"__c_$seqCol") > col(seqCol)
+    val keepT = joined.where(col("__ck").isNull || !newer)
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    val takeC = joined.where(col("__ck").isNotNull && newer)
+      .select(col("__ck").as(key) +:
+        nonKey.map(p => col(s"__c_$p").as(p)): _*)
+    keepT.unionByName(takeC)
+  }
 }

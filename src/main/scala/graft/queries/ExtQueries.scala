@@ -586,6 +586,49 @@ object ExtQueries {
         graft.ext.Streaming.runToTable(s, joined, name, outputMode = "append")
       }),
 
+    // ST: streaming CDC sink — the change-log stream merges into a
+    // standing table via foreachBatch + the seq-respecting versioned MERGE
+    // ([[graft.ops.Cdc.applyChangesVersioned]]); associativity over batch
+    // splits makes the final table independent of source batching, so the
+    // batch latest-wins replay below is an exact oracle. Users absent from
+    // the change log (user_id % 7 = 0) survive as base rows; a last-event
+    // low-value purchase deletes its user.
+    Reg("stream_cdc", Some(
+      """WITH ch AS (
+        |  SELECT user_id, event_id AS seq,
+        |    CASE WHEN event_type = 'purchase' AND value < 10 THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    value
+        |  FROM events WHERE user_id % 7 <> 0
+        |), latest AS (
+        |  SELECT user_id, seq, op, value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                 ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1
+        |), base AS (SELECT DISTINCT user_id FROM events)
+        |SELECT b.user_id, CAST(0 AS BIGINT) AS seq, -1.0 AS value
+        |FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = b.user_id)
+        |UNION ALL
+        |SELECT user_id, seq, value FROM latest WHERE op = 'U'"""
+        .stripMargin))(
+      (s, dir) => {
+        val batchEvents = Tables(s, dir).events
+        val base = batchEvents.select("user_id").distinct()
+          .select(col("user_id"), lit("U").as("op"), lit(0L).as("seq"),
+            lit(-1.0).as("value"))
+        val changes = graft.ext.Streaming.readEvents(s, dir)
+          .where(col("user_id") % 7 =!= 0)
+          .select(col("user_id"),
+            when(col("event_type") === "purchase" && col("value") < 10, "D")
+              .otherwise("U").as("op"),
+            col("event_id").cast("long").as("seq"),
+            col("value"))
+        graft.ext.Streaming.mergeStream(changes, base, "user_id")
+          .where(col("op") === "U")
+          .select("user_id", "seq", "value")
+      }),
+
     // ST: STREAM-STREAM interval join — purchases attributed to clicks
     // within the preceding hour, per user; self-split of the event stream
     // with the time-range bound + watermarks stream-stream joins require.

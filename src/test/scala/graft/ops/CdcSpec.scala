@@ -55,4 +55,30 @@ class CdcSpec extends SparkSpec {
       (1L, "z", 30L, None, true),
       (2L, "q", 5L, None, true)))
   }
+
+  test("applyChangesVersioned is associative AND commutative over random batch splits") {
+    val rnd = new scala.util.Random(7)
+    val base = (1L to 10L).map(k => (k, "U", 0L, s"base$k"))
+      .toDF("k", "op", "seq", "v")
+    // random log: unique seqs, mixed U/D over 15 keys (5 insert-only)
+    val log = rnd.shuffle((1L to 60L).toList).map { seq =>
+      (1L + rnd.nextInt(15), if (rnd.nextInt(4) == 0) "D" else "U",
+        seq, s"v$seq")
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("op") === "U").select("k", "seq", "v")
+        .as[(Long, Long, String)].collect().toSet
+    val oneShot = snap(Cdc.applyChangesVersioned(
+      base, log.toDF("k", "op", "seq", "v"), "k"))
+    for (trial <- 1 to 3) {
+      // partition the log into 4 batches, apply in SHUFFLED order —
+      // tombstones must prevent older stragglers from resurrecting deletes
+      val batches = rnd.shuffle(log.groupBy(_ => rnd.nextInt(4)).values.toList)
+      val finalT = batches.foldLeft(base) { (t, b) =>
+        Cdc.applyChangesVersioned(t, b.toDF("k", "op", "seq", "v"), "k")
+          .localCheckpoint()
+      }
+      assert(snap(finalT) == oneShot, s"trial $trial")
+    }
+  }
 }
