@@ -482,6 +482,26 @@ object TextOps {
     docs.select(col(idCol).as("doc_id"),
       posexplode(words(col("text")))).toDF("doc_id", "pos", "token")
 
+  /** Keyword-in-context (KWIC): every occurrence of `term` with its
+    * ±`window`-token context — the snippet/context-extraction step after
+    * search ranks documents, and the targeted-curation primitive ("give me
+    * every context this token appears in") for building focused training
+    * sets. Tokenize once, explode with position, slice the SAME token
+    * array per hit — map-side only, zero shuffles; output size is the hit
+    * count × window, not the corpus. */
+  def keywordInContext(docs: DataFrame, term: String, window: Int = 3,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(window >= 0, s"window must be >= 0 (got $window)")
+    val start = greatest(col("pos") + 1 - window, lit(1))
+    val end = least(col("pos") + 1 + window, size(col("__w")))
+    docs.select(col(idCol).as("doc_id"), words(col("text")).as("__w"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(col("__w")).as(Seq("pos", "token")))
+      .where(col("token") === term)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        array_join(slice(col("__w"), start, end - start + 1), " ").as("ctx"))
+  }
+
   /** Exact consecutive-token phrase search, ranked by occurrence count
     * (ties to the smaller doc_id).
     *

@@ -1464,6 +1464,24 @@ object LlmQueries {
             concat(col("text"), lit(" acct 00"), id, lit("1234 end")))
           .otherwise(col("text")).as("text"))
         TextOps.piiSpanCounts(planted, "doc_id")
-      })
+      }),
+
+    // Keyword-in-context ([[TextOps.keywordInContext]]): every 'spark'
+    // occurrence with ±3 tokens of context — the snippet step after
+    // ranked search, and the targeted-curation primitive. The oracle
+    // replays position matching and the clamped slice.
+    Reg("text_kwic", Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), toks AS (
+        |  SELECT doc_id, w, unnest(w) AS token,
+        |    unnest(generate_series(1, len(w))) AS p
+        |  FROM t)
+        |SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+        |  array_to_string(list_slice(w, greatest(p - 3, 1),
+        |                             least(p + 3, len(w))), ' ') AS ctx
+        |FROM toks WHERE token = 'spark'""".stripMargin))(
+      (s, dir) => TextOps.keywordInContext(Tables(s, dir).documents,
+        "spark", window = 3))
   )
 }

@@ -199,6 +199,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 1L, true), (0L, 0L, false), (0L, 0L, false)))
   }
 
+  test("keywordInContext clamps windows at both document edges") {
+    val docs = Seq((1L, "spark a b c spark"), (2L, "x spark y")).toDF("doc_id", "text")
+    val out = keywordInContext(docs, "spark", window = 2)
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "spark a b"),      // left-clamped
+      (1L, 4L, "b c spark"),      // right-clamped
+      (2L, 1L, "x spark y")))     // both sides short
+  }
+
   test("searchPhrase: absent tokens and single-token phrases behave") {
     val docs = Seq((1L, "x y z x")).toDF("doc_id", "text")
     assert(searchPhrase(docs, Seq("nope", "y"), k = 5).count() == 0)
