@@ -64,12 +64,16 @@ object Funnel {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(userCol)
       .orderBy(col(tsCol) +: tiebreak.map(col): _*)
-    val gapSec = gapMinutes * 60L
+    // gap compare in MICROS, not floor-seconds: a cast-to-long truncates
+    // each endpoint, so a true gap of 1800.05 s could read as exactly 1800
+    // and silently merge two sessions the exact-precision oracle (and the
+    // streaming twin, which compares micros) would split
+    val gapMicros = gapMinutes * 60L * 1000000L
     events
       .withColumn("__new",
         when(lag(col(tsCol), 1).over(w).isNull ||
-          col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long")
-            > gapSec, 1L).otherwise(0L))
+          unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w))
+            > gapMicros, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(userCol), col("session_seq"))

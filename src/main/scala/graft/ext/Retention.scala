@@ -56,12 +56,15 @@ object Retention {
   def rollingActive(df: DataFrame, entityCol: String, tsCol: String,
                     windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+    // DATE arithmetic, not `+ INTERVAL n DAY` on midnight timestamps: a
+    // DayTimeInterval step is exactly 24 h, so in a DST session timezone
+    // the expanded "days" drift to 01:00/23:00 after a transition and the
+    // day-equality semi-join silently drops those contributions
     val ud = df.select(col(entityCol).as("e"),
-      date_trunc("day", col(tsCol)).as("d")).distinct()
+      to_date(col(tsCol)).as("d")).distinct()
     val days = ud.select(col("d").as("day")).distinct()
     ud.select(col("e"), explode(sequence(col("d"),
-        col("d") + expr(s"INTERVAL ${windowDays - 1} DAY"),
-        expr("INTERVAL 1 DAY"))).as("day"))
+        date_add(col("d"), windowDays - 1))).as("day"))
       .join(broadcast(days), Seq("day"), "left_semi")
       .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
       .agg(countDistinct(col("e")).as("n_active"))

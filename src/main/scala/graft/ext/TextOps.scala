@@ -105,17 +105,15 @@ object TextOps {
       lit("'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
       .cast("long")
 
-  /** PII-style redaction: email-shaped tokens → [EMAIL], runs of 6+ digits
-    * → [NUM]. Pure codegen regexp_replace, no UDF; the patterns avoid
-    * constructs where Java and RE2 dialects could diverge (no backrefs, no
-    * lookaround). ONE definition — the standalone query and the release
-    * pipeline both call it. */
   /** The PII patterns [[redact]] and [[piiSpanCounts]] share (report and
     * scrub must agree on what counts as PII). Dialect-portable: no
     * backrefs, no lookaround. */
   private val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val longNumPattern = "[0-9]{6,}"
 
+  /** PII-style redaction: email-shaped tokens → [EMAIL], runs of 6+ digits
+    * → [NUM]. Pure codegen regexp_replace, no UDF. ONE definition — the
+    * standalone query and the release pipeline both call it. */
   def redact(c: Column): Column =
     regexp_replace(
       regexp_replace(c, emailPattern, "[EMAIL]"),

@@ -117,6 +117,12 @@ object Sinks {
     * stage and would throttle the whole computation of `df` to
     * `numPartitions` tasks; repartition pays one small shuffle of the final
     * output and leaves upstream parallelism intact. */
+  def jdbc(df: DataFrame, url: String, table: String,
+           mode: SaveMode = SaveMode.Overwrite, numPartitions: Int = 8): Unit =
+    df.repartition(numPartitions).write.mode(mode)
+      .format("jdbc").option("url", url).option("dbtable", table)
+      .save()
+
   /** Small-files compaction — the table-maintenance pass every long-lived
     * parquet table needs (streaming sinks and fine-grained partitioned
     * writes accrete kilobyte files; at 100 TB the scan's task-per-file
@@ -143,9 +149,4 @@ object Sinks {
     (before.size, parquetFiles(new java.io.File(destDir)).size)
   }
 
-  def jdbc(df: DataFrame, url: String, table: String,
-           mode: SaveMode = SaveMode.Overwrite, numPartitions: Int = 8): Unit =
-    df.repartition(numPartitions).write.mode(mode)
-      .format("jdbc").option("url", url).option("dbtable", table)
-      .save()
 }

@@ -101,7 +101,11 @@ object Cdc {
     val c = latest.select(col(key).as("__ck") +:
       nonKey.map(p => col(p).as(s"__c_$p")): _*)
     val joined = target.join(c, col(key) <=> col("__ck"), "full_outer")
-    val newer = col(key).isNull || col(s"__c_$seqCol") > col(seqCol)
+    // target-absence test: the target-side OP column (never null on a real
+    // target row). Testing the key would misread a MATCHED null-key pair
+    // as "no target row" — the null-safe join makes null keys match, and
+    // an older change would then clobber a newer null-key target row.
+    val newer = col(opCol).isNull || col(s"__c_$seqCol") > col(seqCol)
     val keepT = joined.where(col("__ck").isNull || !newer)
       .select(target.columns.map(col).toIndexedSeq: _*)
     val takeC = joined.where(col("__ck").isNotNull && newer)

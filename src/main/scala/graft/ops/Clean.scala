@@ -60,19 +60,8 @@ object Clean {
   def winsorize(df: DataFrame, valueCol: String, groupCol: String,
                 pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo,$pHi]")
-    val hist = df.groupBy(col(groupCol), col(valueCol).as("__x"))
-      .agg(count(lit(1)).as("__c"))
-    val cum = hist
-      .withColumn("__cum", sum("__c").over(Window.partitionBy(groupCol)
-        .orderBy("__x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
-    val cuts = cum.groupBy(col(groupCol).as("__g"))
-      .agg(
-        min(when(col("__cum") >= greatest(lit(1L),
-          ceil(lit(pLo) * col("__n")).cast("long")), col("__x"))).as("lo"),
-        min(when(col("__cum") >= ceil(lit(pHi) * col("__n")).cast("long"),
-          col("__x"))).as("hi"))
+    val cuts = percentileCuts(df, valueCol, groupCol,
+      Seq("lo" -> pLo, "hi" -> pHi))
     df.join(broadcast(cuts), col(groupCol) === col("__g"))
       .groupBy(groupCol)
       .agg(
@@ -82,5 +71,35 @@ object Clean {
         sum(when(col(valueCol) > col("hi"), 1L).otherwise(0L)).as("n_hi"),
         count(lit(1)).as("n"),
         first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+  }
+
+  /** Discrete per-group percentile cuts from the VALUE HISTOGRAM — the one
+    * shared cut finder behind [[winsorize]] and
+    * [[graft.ops.Profile.quantileHistogram]]. For each (name, p) the cut
+    * is the actual group element at rank max(1, ⌈p·n⌉) — equivalently
+    * min{x : cumulative count(≤x) ≥ k} — never an interpolated value, so
+    * any engine picks the identical bound and comparisons against it are
+    * exact. The heavy pass is a fully parallel groupBy(group, value)
+    * count; the per-group cumulative window touches DISTINCT values only
+    * (corpus-size-independent for fixed-precision measures; a row-level
+    * row_number formulation serialized each group through one task —
+    * measured 9.5× sf0.1→sf1 on a 3-group column). Returns one row per
+    * group: `__g` plus one column per requested cut. */
+  def percentileCuts(df: DataFrame, valueCol: String, groupCol: String,
+                     ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 },
+      s"percentiles must be in (0, 1]: $ps")
+    val cum = df.groupBy(col(groupCol), col(valueCol).as("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(Window.partitionBy(groupCol)
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+    val cutCols = ps.map { case (name, p) =>
+      min(when(col("__cum") >= greatest(lit(1L),
+        ceil(lit(p) * col("__n")).cast("long")), col("__x"))).as(name)
+    }
+    cum.groupBy(col(groupCol).as("__g"))
+      .agg(cutCols.head, cutCols.tail: _*)
   }
 }

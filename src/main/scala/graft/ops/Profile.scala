@@ -68,16 +68,6 @@ object Profile {
       .withColumn("bin_hi", (col("bin_id") + 1) * width + lo)
   }
 
-  /** Join-key skew diagnostic: the `topN` heaviest values of `keyCol` with
-    * their row counts and the ratio to the mean per-key count — the number
-    * that tells you whether a join on this key needs salting
-    * ([[graft.ops.Relational.saltedJoin]]) or AQE skew handling before it
-    * ties up one reducer for hours at 100 TB.
-    *
-    * Shape at scale: one groupBy(key) with map-side partial counts, a
-    * 1-row global stat joined back as a broadcast (never a window over the
-    * whole key set, which would single-partition it), and a top-N that
-    * plans as per-partition limits + merge, not a full sort. */
   /** Equal-FREQUENCY histogram: per-group quantile buckets via discrete
     * percentile cuts — the 100 TB replacement for `ntile` that the
     * w5_ntile scaladoc promises. ntile needs a total order (one task owns
@@ -92,22 +82,9 @@ object Profile {
     * per (group, bucket): count + value range. */
   def quantileHistogram(df: DataFrame, valueCol: String, groupCol: String,
                         nBuckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
-    val hist = df.groupBy(col(groupCol), col(valueCol).as("__x"))
-      .agg(count(lit(1)).as("__c"))
-    val cum = hist
-      .withColumn("__cum", sum("__c").over(Window.partitionBy(groupCol)
-        .orderBy("__x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
-    val cutCols = (1 until nBuckets).map { i =>
-      min(when(col("__cum") >=
-        ceil(lit(i.toDouble / nBuckets) * col("__n")).cast("long"),
-        col("__x"))).as(s"__cut$i")
-    }
-    val cuts = cum.groupBy(col(groupCol).as("__g"))
-      .agg(cutCols.head, cutCols.tail: _*)
+    val cuts = Clean.percentileCuts(df, valueCol, groupCol,
+      (1 until nBuckets).map(i => s"__cut$i" -> i.toDouble / nBuckets))
     val bucket = (1 until nBuckets).foldLeft(lit(1L)) { (acc, i) =>
       acc + when(col(valueCol) > col(s"__cut$i"), 1L).otherwise(0L)
     }
@@ -117,6 +94,16 @@ object Profile {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
+  /** Join-key skew diagnostic: the `topN` heaviest values of `keyCol` with
+    * their row counts and the ratio to the mean per-key count — the number
+    * that tells you whether a join on this key needs salting
+    * ([[graft.ops.Relational.saltedJoin]]) or AQE skew handling before it
+    * ties up one reducer for hours at 100 TB.
+    *
+    * Shape at scale: one groupBy(key) with map-side partial counts, a
+    * 1-row global stat joined back as a broadcast (never a window over the
+    * whole key set, which would single-partition it), and a top-N that
+    * plans as per-partition limits + merge, not a full sort. */
   def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key_value"))
       .agg(count(lit(1)).as("cnt"))

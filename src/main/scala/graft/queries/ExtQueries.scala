@@ -606,7 +606,7 @@ object ExtQueries {
         |                                 ORDER BY seq DESC) AS rn
         |    FROM ch) WHERE rn = 1
         |), base AS (SELECT DISTINCT user_id FROM events)
-        |SELECT b.user_id, CAST(0 AS BIGINT) AS seq, -1.0 AS value
+        |SELECT b.user_id, CAST(-1 AS BIGINT) AS seq, -1.0 AS value
         |FROM base b
         |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = b.user_id)
         |UNION ALL
@@ -615,7 +615,7 @@ object ExtQueries {
       (s, dir) => {
         val batchEvents = Tables(s, dir).events
         val base = batchEvents.select("user_id").distinct()
-          .select(col("user_id"), lit("U").as("op"), lit(0L).as("seq"),
+          .select(col("user_id"), lit("U").as("op"), lit(-1L).as("seq"),
             lit(-1.0).as("value"))
         val changes = graft.ext.Streaming.readEvents(s, dir)
           .where(col("user_id") % 7 =!= 0)

@@ -34,4 +34,22 @@ class FunnelSpec extends SparkSpec {
       Funnel.funnel(events, "user_id", "ts", "event_type", Seq("click", "click"))
     }
   }
+
+  test("sessionizeBatch compares gaps at sub-second precision (no floor-seconds merge)") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    // gap of exactly 1800 s -> same session; gap of 1800.000050 s -> split.
+    // Floor-to-seconds arithmetic would read BOTH as 1800 and merge them.
+    val df = Seq(
+      (1L, 1L, base), (2L, 1L, base + 1800L * 1000000),
+      (3L, 2L, base), (4L, 2L, base + 1800L * 1000000 + 50)
+    ).toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = Funnel.sessionizeBatch(df, "user_id", "ts",
+        Seq("event_id"), gapMinutes = 30)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
 }

@@ -81,4 +81,14 @@ class CdcSpec extends SparkSpec {
       assert(snap(finalT) == oneShot, s"trial $trial")
     }
   }
+
+  test("applyChangesVersioned: an older change never clobbers a newer NULL-key target row") {
+    val target = Seq((Option.empty[Long], "U", 10L, "newer"))
+      .toDF("k", "op", "seq", "v")
+    val change = Seq((Option.empty[Long], "U", 5L, "older"))
+      .toDF("k", "op", "seq", "v")
+    val out = Cdc.applyChangesVersioned(target, change, "k")
+      .select("seq", "v").as[(Long, String)].collect().toSeq
+    assert(out == Seq((10L, "newer")))
+  }
 }
