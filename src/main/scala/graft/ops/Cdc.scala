@@ -101,14 +101,18 @@ object Cdc {
     val c = latest.select(col(key).as("__ck") +:
       nonKey.map(p => col(p).as(s"__c_$p")): _*)
     val joined = target.join(c, col(key) <=> col("__ck"), "full_outer")
-    // target-absence test: the target-side OP column (never null on a real
-    // target row). Testing the key would misread a MATCHED null-key pair
-    // as "no target row" — the null-safe join makes null keys match, and
-    // an older change would then clobber a newer null-key target row.
+    // presence tests use the OP columns, never the key: `latest` guarantees
+    // a change-side op ∈ {U, D} and a real target row always carries one,
+    // while the KEY VALUE itself may legitimately be null (and the
+    // null-safe join makes null keys match). Key-nullness tests misread a
+    // matched null-key pair as "row absent" on both sides — an older
+    // change could clobber a newer null-key target row, and a null-key
+    // change could never land at all.
+    val changePresent = col(s"__c_$opCol").isNotNull
     val newer = col(opCol).isNull || col(s"__c_$seqCol") > col(seqCol)
-    val keepT = joined.where(col("__ck").isNull || !newer)
+    val keepT = joined.where(!changePresent || !newer)
       .select(target.columns.map(col).toIndexedSeq: _*)
-    val takeC = joined.where(col("__ck").isNotNull && newer)
+    val takeC = joined.where(changePresent && newer)
       .select(col("__ck").as(key) +:
         nonKey.map(p => col(s"__c_$p").as(p)): _*)
     keepT.unionByName(takeC)

@@ -87,8 +87,8 @@ object Clean {
     * group: `__g` plus one column per requested cut. */
   def percentileCuts(df: DataFrame, valueCol: String, groupCol: String,
                      ps: Seq[(String, Double)]): DataFrame = {
-    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 },
-      s"percentiles must be in (0, 1]: $ps")
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"percentiles must be in [0, 1]: $ps")
     val cum = df.groupBy(col(groupCol), col(valueCol).as("__x"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum("__c").over(Window.partitionBy(groupCol)

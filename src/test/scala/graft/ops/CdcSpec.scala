@@ -91,4 +91,24 @@ class CdcSpec extends SparkSpec {
       .select("seq", "v").as[(Long, String)].collect().toSeq
     assert(out == Seq((10L, "newer")))
   }
+
+  test("applyChangesVersioned: a NEWER null-key change replaces the standing null-key row") {
+    val target = Seq((Option.empty[Long], "U", 10L, "old"))
+      .toDF("k", "op", "seq", "v")
+    val change = Seq((Option.empty[Long], "U", 20L, "new"))
+      .toDF("k", "op", "seq", "v")
+    val out = Cdc.applyChangesVersioned(target, change, "k")
+      .select("seq", "v").as[(Long, String)].collect().toSeq
+    assert(out == Seq((20L, "new")))
+  }
+
+  test("applyChangesVersioned: a null-key INSERT lands (no all-null garbage row)") {
+    val target = Seq((Option(1L), "U", 1L, "a")).toDF("k", "op", "seq", "v")
+    val change = Seq((Option.empty[Long], "U", 5L, "n"))
+      .toDF("k", "op", "seq", "v")
+    val out = Cdc.applyChangesVersioned(target, change, "k")
+      .select("k", "op", "seq", "v")
+      .as[(Option[Long], String, Long, String)].collect().toSet
+    assert(out == Set((Some(1L), "U", 1L, "a"), (None, "U", 5L, "n")))
+  }
 }

@@ -35,6 +35,12 @@ class CleanSpec extends SparkSpec {
     assert(Clean.winsorize(empty, "v", "g").count() == 0)
   }
 
+  test("winsorize accepts pLo = 0 (documented domain): low cut = group minimum, nothing clipped low") {
+    val df = (1 to 20).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
+    val r = Clean.winsorize(df, "v", "g", pLo = 0.0, pHi = 0.95).collect().head
+    assert(r.getAs[Double]("lo") == 1.0 && r.getAs[Long]("n_lo") == 0)
+  }
+
   test("single-value group: sd=0 -> no outliers (null z filtered); winsorize degenerates to identity") {
     val df = Seq((1L, "g", 5.0), (2L, "g", 5.0)).toDF("id", "g", "v")
     // sd = 0 -> z is null -> abs(z) > t is null -> filtered, not crashed
