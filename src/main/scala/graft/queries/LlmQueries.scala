@@ -684,8 +684,12 @@ object LlmQueries {
     Reg("topk_sim_ivf_kmeans", None)(
       (s, dir) => {
         val e = Tables(s, dir).embeddings
+        // materialize the index once — ivfTopK reads the cell assignment
+        // three times (centroid collect, corpus side, query probe side),
+        // and in production an IVF index is a persisted table, not a plan
+        // re-derived per read
         val cells = graft.ext.Ivf.kmeansCells(e, "vec_id", "embedding",
-          k = 8, iters = 2)
+          k = 8, iters = 2).localCheckpoint()
         graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
           "vec_id", "embedding", "cell", k = 5, nprobe = 3)
       }),
@@ -706,8 +710,9 @@ object LlmQueries {
           .select("q_id", "n_id").localCheckpoint()
         val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
           nPlanes = 4, tables = 16)
+        // same persisted-index shape as topk_sim_ivf_kmeans
         val cells = graft.ext.Ivf.kmeansCells(e, "vec_id", "embedding",
-          k = 8, iters = 2)
+          k = 8, iters = 2).localCheckpoint()
         val ivf = graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
           "vec_id", "embedding", "cell", k = 5, nprobe = 6)
         // asymmetric quantized search: full-precision queries against the

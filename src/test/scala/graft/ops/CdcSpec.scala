@@ -58,16 +58,20 @@ class CdcSpec extends SparkSpec {
 
   test("applyChangesVersioned is associative AND commutative over random batch splits") {
     val rnd = new scala.util.Random(7)
-    val base = (1L to 10L).map(k => (k, "U", 0L, s"base$k"))
+    val base = ((1L to 10L).map(k => (Option(k), "U", 0L, s"base$k")) :+
+      ((Option.empty[Long], "U", 0L, "baseN")))
       .toDF("k", "op", "seq", "v")
-    // random log: unique seqs, mixed U/D over 15 keys (5 insert-only)
+    // random log: unique seqs, mixed U/D over 15 keys (5 insert-only) plus
+    // a NULL key in the draw — the merge must version null-key rows like
+    // any other key (the null-safe join makes them one logical key)
     val log = rnd.shuffle((1L to 60L).toList).map { seq =>
-      (1L + rnd.nextInt(15), if (rnd.nextInt(4) == 0) "D" else "U",
-        seq, s"v$seq")
+      (if (rnd.nextInt(8) == 0) Option.empty[Long]
+       else Option(1L + rnd.nextInt(15)),
+        if (rnd.nextInt(4) == 0) "D" else "U", seq, s"v$seq")
     }
     def snap(df: org.apache.spark.sql.DataFrame) =
       df.where(col("op") === "U").select("k", "seq", "v")
-        .as[(Long, Long, String)].collect().toSet
+        .as[(Option[Long], Long, String)].collect().toSet
     val oneShot = snap(Cdc.applyChangesVersioned(
       base, log.toDF("k", "op", "seq", "v"), "k"))
     for (trial <- 1 to 3) {

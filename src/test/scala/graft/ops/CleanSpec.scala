@@ -35,6 +35,23 @@ class CleanSpec extends SparkSpec {
     assert(Clean.winsorize(empty, "v", "g").count() == 0)
   }
 
+  test("percentileCuts == brute-force rank-k over random grouped data (duplicates included)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { _ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(25).toDouble)
+    }
+    val ps = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5, "p100" -> 1.0)
+    val got = Clean.percentileCuts(rows.toDF("g", "v"), "v", "g", ps)
+      .collect().map(r => r.getString(0) ->
+        ps.map { case (n, _) => r.getAs[Double](n) }).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      g -> ps.map { case (_, p) =>
+        sorted(math.max(1, math.ceil(p * sorted.size).toInt) - 1) }
+    }
+    assert(got == want)
+  }
+
   test("winsorize accepts pLo = 0 (documented domain): low cut = group minimum, nothing clipped low") {
     val df = (1 to 20).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
     val r = Clean.winsorize(df, "v", "g", pLo = 0.0, pHi = 0.95).collect().head
