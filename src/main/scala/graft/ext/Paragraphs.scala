@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Paragraph-level deduplication (SURVEY.md §2.11 extension) — the CCNet /
@@ -52,29 +51,49 @@ object Paragraphs {
   /** Global keep-first paragraph dedup (the CCNet shape): every occurrence
     * of a paragraph after its FIRST appearance in corpus order
     * (id, para_idx ascending) is dropped. Deterministic — the survivor
-    * never depends on partitioning. One window over the paragraph hash:
-    * shuffle keys are the 60-bit [[TextOps.md5Hash60]] of the paragraph,
-    * and the rank comparison confirms identity via the hash only (sha-level
-    * collision risk at 60 bits is ~n²/2⁶¹ — pass a stronger hash column
-    * via `keyCol` if the corpus is large enough to care). */
+    * never depends on partitioning. Identity is the 60-bit
+    * [[TextOps.md5Hash60]] of the paragraph (collision risk ~n²/2⁶¹ —
+    * swap in a stronger hash if the corpus is large enough to care).
+    *
+    * Shape at scale: min-struct aggregate + semi join, NOT a row_number
+    * window over the hash. Boilerplate is BY DEFINITION the skewed-key
+    * case (one header in 10M docs), and a window partitioned by the hash
+    * buffers that whole group in one task with no AQE remedy. Here the
+    * aggregate combines map-side (hot hash → one row per task before the
+    * shuffle), and the semi join's equi keys are (hash, id, para_idx) —
+    * unique per row — so the hot paragraph's occurrences SCATTER across
+    * partitions instead of serializing through one. */
   def dropRepeatedParagraphs(paras: DataFrame): DataFrame = {
-    val w = Window.partitionBy(TextOps.md5Hash60(col("para")))
-      .orderBy(col("id"), col("para_idx"))
-    paras.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    val h = TextOps.md5Hash60(col("para"))
+    val firsts = paras
+      .groupBy(h.as("__ph"))
+      .agg(min(struct(col("id"), col("para_idx"))).as("__first"))
+    paras.join(firsts,
+      h === col("__ph") &&
+        col("id") === col("__first.id") &&
+        col("para_idx") === col("__first.para_idx"),
+      "left_semi")
   }
 
   /** Boilerplate filter: drop paragraphs whose exact content appears in
     * more than `maxDocFreq` DISTINCT documents (every occurrence goes,
-    * unlike [[dropRepeatedParagraphs]] which keeps the first). Two-pass
-    * over the paragraph table: df per hash (one groupBy), then a window
-    * join-free filter via the same shuffle key. */
+    * unlike [[dropRepeatedParagraphs]] which keeps the first).
+    *
+    * Shape at scale: doc-frequency aggregate → ANTI join against the
+    * over-frequency hash set, not a collect_set window (which buffers the
+    * hottest paragraph's whole group in one task — see
+    * [[dropRepeatedParagraphs]]). The distinct-doc count shuffles
+    * (hash, id) pairs — unique, skew-free; the offending-hash set is tiny
+    * (few DISTINCT paragraphs exceed any sane doc-frequency cap, however
+    * many rows each has), so AQE turns the anti join into a broadcast. */
   def dropBoilerplate(paras: DataFrame, maxDocFreq: Long = 1): DataFrame = {
-    val w = Window.partitionBy(TextOps.md5Hash60(col("para")))
-    paras.withColumn("__df", size(collect_set(col("id")).over(w)))
-      .where(col("__df") <= maxDocFreq)
-      .drop("__df")
+    val heavy = paras
+      .groupBy(TextOps.md5Hash60(col("para")).as("__ph"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select("__ph")
+    paras.join(heavy, TextOps.md5Hash60(col("para")) === col("__ph"),
+      "left_anti")
   }
 
   /** Corpus boilerplate report: paragraphs appearing in ≥ `minDocs`

@@ -279,18 +279,23 @@ object Streaming {
     * tombstones — read the live rows with `op = 'U'`. */
   def mergeStream(changeStream: DataFrame, initial: DataFrame, key: String,
                   opCol: String = "op", seqCol: String = "seq"): DataFrame = {
-    var target = initial.localCheckpoint()
+    // AtomicReference, not a var: batches write on the microbatch thread,
+    // the final read happens on the caller thread after awaitTermination —
+    // the handoff needs an explicit happens-before, not the accidental one
+    // inside the stream's own locks
+    val target = new java.util.concurrent.atomic.AtomicReference(
+      initial.localCheckpoint())
     val q = changeStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        target = graft.ops.Cdc
-          .applyChangesVersioned(target, batch, key, opCol, seqCol)
-          .localCheckpoint()
+        target.set(graft.ops.Cdc
+          .applyChangesVersioned(target.get(), batch, key, opCol, seqCol)
+          .localCheckpoint())
       }
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    target
+    target.get()
   }
 
   /** Run a streaming DataFrame to completion over the (bounded) file source

@@ -124,7 +124,9 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     * non-nullable — same rationale as [[VectorFoldExpression.nullable]]. */
   override def nullable: Boolean = true
 
-  private def elemIsFloat: Boolean =
+  /** resolved once, not re-dispatched per element in the interpreted loop
+    * (same rationale as [[VectorFoldExpression.leftIsFloat]]) */
+  @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(a: Any): Any = {

@@ -198,6 +198,24 @@ class PlanSpec extends SparkSpec {
     assert(physical(z).contains("BroadcastHashJoin"), physical(z))
   }
 
+  test("paragraph dedup never windows over the paragraph hash (boilerplate IS the skewed key)") {
+    val paras = graft.ext.Paragraphs.explodeParagraphs(
+      t.documents.withColumn("text",
+        regexp_replace(col("text"), " the ", "\n\n")), "doc_id", "text")
+    // keep-first: aggregate + semi join whose equi keys include (id, idx) —
+    // a hot paragraph scatters; a WindowExec would buffer it in one task
+    val dedup = graft.ext.Paragraphs.dropRepeatedParagraphs(paras)
+    assert(!physical(dedup).contains("Window"),
+      s"keep-first regressed to a window over the hash:\n${physical(dedup)}")
+    assert(physical(dedup).contains("LeftSemi"), physical(dedup))
+    // boilerplate cap: doc-frequency aggregate + ANTI join on the small
+    // offending-hash set
+    val bp = graft.ext.Paragraphs.dropBoilerplate(paras, maxDocFreq = 2)
+    assert(!physical(bp).contains("Window"),
+      s"boilerplate filter regressed to a window:\n${physical(bp)}")
+    assert(physical(bp).contains("LeftAnti"), physical(bp))
+  }
+
   test("searchPhrase prunes postings to the query terms before any shuffle") {
     val df = graft.ext.TextOps.searchPhrase(t.documents,
       Seq("table", "hash"), k = 5)
