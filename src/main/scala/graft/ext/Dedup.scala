@@ -112,14 +112,21 @@ object Dedup {
     // than the bands — is eagerly localCheckpoint'ed so the bands cache can
     // be released immediately instead of living for the session (checkpoint
     // blocks are reference-tracked and GC-cleaned by the ContextCleaner).
-    // Bucket size + representative come from ONE window over the same
-    // (band, band_hash) shuffle the self-join needs anyway.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("band", "band_hash")
-    val b = minhashBands(df, idCol, textCol, numHashes, bands, shingleK)
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .withColumn("__rep", min(col("id")).over(w))
+    // Bucket size + representative via AGGREGATE + JOIN-BACK, not a window
+    // over (band, band_hash): a degenerate mega-bucket (billions of empty/
+    // boilerplate docs sharing a band value — exactly what corpus dedup at
+    // 100 TB sees) would buffer whole inside ONE WindowExec task with no
+    // AQE remedy, while the aggregate combines map-side and the join-back
+    // is AQE-skew-splittable.
+    val bands0 = minhashBands(df, idCol, textCol, numHashes, bands, shingleK)
       .persist()
+    val stats = bands0.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__bsz"), min(col("id")).as("__rep"))
+    // the joined frame is persisted too: three consumers (both self-join
+    // sides + the star pass) would otherwise re-run the agg + join each —
+    // the same single-materialization the window formulation got from one
+    // cached window output
+    val b = bands0.join(stats, Seq("band", "band_hash")).persist()
     val small = b.where(col("__bsz") <= maxBucket)
     val x = small.select(col("band"), col("band_hash"), col("id").as("a_id"))
     val y = small.select(col("band"), col("band_hash"), col("id").as("b_id"))
@@ -133,6 +140,7 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     b.unpersist()
+    bands0.unpersist()
     cands
   }
 
@@ -358,17 +366,23 @@ object Dedup {
     // chunk j = (sim >> (j*chunk)) & ((1<<chunk)-1); column-valued shifts
     // need the SQL parser:
     val mask = (1L << chunk) - 1
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("band", "chunk_val")
-    val banded2 = withSim.select(col("id"), col("sim"),
+    val banded0 = withSim.select(col("id"), col("sim"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> shiftright(sim, j * $chunk) & ${mask}L)"))
         .as(Seq("band", "chunk_val")))
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .withColumn("__rep", min(col("id")).over(w))
-      .withColumn("__repsim", first(col("sim")).over(
-        w.orderBy(col("id").asc).rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+    // bucket size + representative (id AND its signature, via one
+    // min-struct) by aggregate + join-back, not a window over the bucket
+    // key — same mega-bucket skew armor as [[nearDupCandidates]]: the
+    // degenerate bucket (every near-blank doc shares a simhash chunk)
+    // must never serialize through one WindowExec task
+    val stats = banded0.groupBy("band", "chunk_val")
+      .agg(count(lit(1)).as("__bsz"),
+        min(struct(col("id"), col("sim"))).as("__r"))
+    // persisted for the same three-consumer reason as [[nearDupCandidates]]
+    val banded2 = banded0.join(stats, Seq("band", "chunk_val"))
+      .withColumn("__rep", col("__r.id"))
+      .withColumn("__repsim", col("__r.sim"))
+      .persist()
     val small = banded2.where(col("__bsz") <= maxBucket)
     val x = small.select(col("band"), col("chunk_val"), col("id").as("a_id"), col("sim").as("a_sim"))
     val y = small.select(col("band"), col("chunk_val"), col("id").as("b_id"), col("sim").as("b_sim"))
@@ -384,6 +398,7 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .distinct()
       .localCheckpoint()
+    banded2.unpersist()
     withSim.unpersist()
     pairs
   }
