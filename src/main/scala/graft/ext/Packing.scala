@@ -35,7 +35,14 @@ object Packing {
     * per-doc token count — char length, whitespace tokens, or a BPE count.
     * `idCol` MUST be unique: it is the global order, and duplicate ids
     * would make their relative placement (hence chunk assignment)
-    * partition-order-dependent. */
+    * partition-order-dependent.
+    *
+    * `bucketWidth` is in ID-VALUE units, so the "#buckets ≪ #docs" bound
+    * on step 2 assumes DENSE-ish ids (doc_id, or [[Sampling.trainOrder]]'s
+    * `pos` — dense 1..N by construction, the natural feed here). Sparse
+    * ids (snowflake-style, 2^63-spread) put ~one doc per bucket and
+    * degenerate step 2 toward the global window — scale `bucketWidth` to
+    * the id spacing, or rank first via trainOrder. */
   def packChunks(docs: DataFrame, idCol: String, lenCol: Column,
                  capacity: Long, bucketWidth: Long = 65536): DataFrame = {
     require(capacity > 0, "capacity must be positive")

@@ -99,7 +99,8 @@ object Ingest {
     discoverPublishedVersions(html).headOption.map(_._2)
 
   private def copyStream(in: InputStream, dest: Path, closeIn: Boolean = true): Unit = {
-    Files.createDirectories(dest.getParent)
+    // a bare relative dest ("x.zip") has a null parent — nothing to create
+    Option(dest.getParent).foreach(Files.createDirectories(_))
     val out = new FileOutputStream(dest.toFile)
     try {
       val buf = new Array[Byte](64 * 1024)
