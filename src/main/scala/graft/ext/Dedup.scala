@@ -122,10 +122,12 @@ object Dedup {
       .persist()
     val stats = bands0.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("__bsz"), min(col("id")).as("__rep"))
-    // the joined frame is persisted too: three consumers (both self-join
-    // sides + the star pass) would otherwise re-run the agg + join each —
-    // the same single-materialization the window formulation got from one
-    // cached window output
+    // the joined frame is persisted too: the FIRST consumer materializes
+    // it as a side effect of its own pass (no standalone count — measured
+    // +30% on the heavy dedup queries), the other two read the cache.
+    // Both frames stay marked until the end, but once b is materialized
+    // bands0 is never read again, so under memory pressure its blocks are
+    // evictable for free — the 2x-cache window is soft, not a hard peak.
     val b = bands0.join(stats, Seq("band", "band_hash")).persist()
     val small = b.where(col("__bsz") <= maxBucket)
     val x = small.select(col("band"), col("band_hash"), col("id").as("a_id"))
@@ -342,8 +344,8 @@ object Dedup {
     * within hamming distance d share at least one of `bands` equal chunks
     * whenever d < bands (pigeonhole), so the candidate join is an EQUALITY
     * join on (band, chunk) — never all-pairs — and bit_count(xor) verifies
-    * exactly. The input is persisted for the self-join and released once
-    * the (small) verified pair set is materialized.
+    * exactly. The exploded band table is persisted for the self-join and
+    * released once the (small) verified pair set is materialized.
     *
     * Buckets above `maxBucket` collapse to a star around the bucket-minimum
     * id (same quadratic-hole guard as [[nearDupCandidates]]): connectivity
@@ -362,14 +364,16 @@ object Dedup {
     require(bits / bands < 64,
       s"chunk width ${bits / bands} would overflow the 64-bit mask")
     val chunk = bits / bands
-    val withSim = withSimIn.persist()
     // chunk j = (sim >> (j*chunk)) & ((1<<chunk)-1); column-valued shifts
     // need the SQL parser:
     val mask = (1L << chunk) - 1
-    val banded0 = withSim.select(col("id"), col("sim"),
+    // persist the EXPLODED bands (not the input): the signature lineage
+    // runs once into this cache, and both stats and the join probe read it
+    val banded0 = withSimIn.select(col("id"), col("sim"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> shiftright(sim, j * $chunk) & ${mask}L)"))
         .as(Seq("band", "chunk_val")))
+      .persist()
     // bucket size + representative (id AND its signature, via one
     // min-struct) by aggregate + join-back, not a window over the bucket
     // key — same mega-bucket skew armor as [[nearDupCandidates]]: the
@@ -378,7 +382,9 @@ object Dedup {
     val stats = banded0.groupBy("band", "chunk_val")
       .agg(count(lit(1)).as("__bsz"),
         min(struct(col("id"), col("sim"))).as("__r"))
-    // persisted for the same three-consumer reason as [[nearDupCandidates]]
+    // persisted for the same three-consumer reason as
+    // [[nearDupCandidates]] (first consumer materializes — no standalone
+    // count; banded0 is evictable for free once banded2 is cached)
     val banded2 = banded0.join(stats, Seq("band", "chunk_val"))
       .withColumn("__rep", col("__r.id"))
       .withColumn("__repsim", col("__r.sim"))
@@ -399,7 +405,7 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     banded2.unpersist()
-    withSim.unpersist()
+    banded0.unpersist()
     pairs
   }
 

@@ -62,8 +62,14 @@ object Paragraphs {
     * aggregate combines map-side (hot hash → one row per task before the
     * shuffle), and the semi join's equi keys are (hash, id, para_idx) —
     * unique per row — so the hot paragraph's occurrences SCATTER across
-    * partitions instead of serializing through one. */
-  def dropRepeatedParagraphs(paras: DataFrame): DataFrame = {
+    * partitions instead of serializing through one.
+    *
+    * Null `para` rows are DROPPED up front (a paragraph with no content
+    * has no identity to dedup on; the splitters never emit them). Both
+    * internal passes read `paras` — persist or checkpoint it first when
+    * its lineage is expensive. */
+  def dropRepeatedParagraphs(paras0: DataFrame): DataFrame = {
+    val paras = paras0.where(col("para").isNotNull)
     val h = TextOps.md5Hash60(col("para"))
     val firsts = paras
       .groupBy(h.as("__ph"))
@@ -85,8 +91,13 @@ object Paragraphs {
     * [[dropRepeatedParagraphs]]). The distinct-doc count shuffles
     * (hash, id) pairs — unique, skew-free; the offending-hash set is tiny
     * (few DISTINCT paragraphs exceed any sane doc-frequency cap, however
-    * many rows each has), so AQE turns the anti join into a broadcast. */
-  def dropBoilerplate(paras: DataFrame, maxDocFreq: Long = 1): DataFrame = {
+    * many rows each has), so AQE turns the anti join into a broadcast.
+    *
+    * Null `para` rows are DROPPED up front (same contract as
+    * [[dropRepeatedParagraphs]]); both passes read `paras` — persist or
+    * checkpoint it first when its lineage is expensive. */
+  def dropBoilerplate(paras0: DataFrame, maxDocFreq: Long = 1): DataFrame = {
+    val paras = paras0.where(col("para").isNotNull)
     val heavy = paras
       .groupBy(TextOps.md5Hash60(col("para")).as("__ph"))
       .agg(countDistinct(col("id")).as("__df"))

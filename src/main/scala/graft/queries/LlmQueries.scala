@@ -1233,9 +1233,12 @@ object LlmQueries {
         |  COUNT(*) AS n_paras
         |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin))(
       (s, dir) => Paragraphs.reassemble(
+          // checkpointed: dropRepeatedParagraphs reads the paragraph table
+          // twice (firsts aggregate + semi-join probe) — materialize the
+          // explode+groupBy split once instead of running it per pass
           Paragraphs.dropRepeatedParagraphs(
             Paragraphs.tokenWindowParagraphs(Tables(s, dir).documents,
-              "doc_id", "text", tokensPerPara = 12)))
+              "doc_id", "text", tokensPerPara = 12).localCheckpoint()))
         .withColumnRenamed("id", "doc_id")),
 
     // Boilerplate triage report: paragraphs recurring across >= 2 distinct
