@@ -38,15 +38,15 @@ object Reshape {
       s"duplicate (${index.mkString(",")}, $pivotCol) pairs: pandas pivot would raise")
   }
 
-  /** Long→wide pivot counting occurrences per cell; absent cells are 0.
-    * Generated columns are referenced with backticks so pivot values
-    * containing dots (e.g. O*NET Element IDs like "1.A.1.a") are treated
-    * literally, not as nested-field paths. */
   /** Backtick-quoted reference to a generated pivot column: dots must read
     * literally (not as field paths) and embedded backticks must be doubled
     * or the attribute parser rejects the name. */
   private def pivotRef(v: String) = col(s"`${v.replace("`", "``")}`")
 
+  /** Long→wide pivot counting occurrences per cell; absent cells are 0.
+    * Generated columns are referenced with backticks so pivot values
+    * containing dots (e.g. O*NET Element IDs like "1.A.1.a") are treated
+    * literally, not as nested-field paths. */
   def pivotCount(df: DataFrame, index: Seq[String], pivotCol: String,
                  values: Seq[String]): DataFrame = {
     val counted = df.groupBy(index.map(col): _*)
