@@ -1053,8 +1053,64 @@ object ExtQueries {
         Tables(s, dir).orders.select(col("o_orderkey"),
           round(percent_rank().over(w), 6).as("pr"),
           round(cume_dist().over(w), 6).as("cd"))
-      })
+      }),
+
+    graphPagerankReg
   )
+
+  /** DuckDB oracle for graph_pagerank: 10 unrolled power-iteration steps
+    * over the bidirected purchase graph (see the Reg comment). */
+  private lazy val duckPagerank: String = {
+    val iters = 10
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  (1.0 - 0.85) / (SELECT nv FROM nn)
+         |    + 0.85 * COALESCE(s.c, 0) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank / d.outdeg) AS c
+         |    FROM r${i - 1} r JOIN e ON e.src = r.node
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT
+       |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+       |        FROM e GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM n),
+       |r0 AS (SELECT node, 1.0 / (SELECT nv FROM nn) AS rank FROM n),
+       |$steps
+       |SELECT node, ROUND(rank * (SELECT nv FROM nn), 6) AS rank_rel
+       |FROM r$iters""".stripMargin
+  }
+
+  // Graph: PageRank authority over the customer↔supplier purchase graph
+    // (orders ⋈ lineitem, bidirected so no node dangles) — the link-graph
+    // centrality a web-corpus pipeline weights source domains by. Ranks
+    // are reported relative to uniform (rank·N, an O(1) quantity whatever
+    // N is) and rounded to 6 so power-iteration accumulation order can't
+    // leak into the hash. Oracle: the same 10 damped iterations UNROLLED
+    // as chained CTEs — a recursive CTE can't aggregate per step, a fixed
+    // unroll can, and at oracle scale the duplication is free.
+  private def graphPagerankReg: Reg =
+    Reg("graph_pagerank", Some(duckPagerank))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e0 = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        val pr = graft.ext.Graph.pagerank(
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+          iters = 10, damping = 0.85)
+        val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
+        pr.crossJoin(nv) // 1-row side — broadcast, not a real cross product
+          .select(col("node"), round(col("rank") * col("nv"), 6).as("rank_rel"))
+      })
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
 }

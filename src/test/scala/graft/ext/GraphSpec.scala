@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)],
+                    iters: Int = 30): Map[String, Double] =
+    Graph.pagerank(edges.toDF("src", "dst"), iters = iters)
+      .as[(String, Double)].collect().toMap
+
+  test("pagerank on a symmetric pair is uniform") {
+    val r = ranks(Seq("a" -> "b", "b" -> "a"))
+    assert(r.keySet == Set("a", "b"))
+    assert(math.abs(r("a") - r("b")) < 1e-9)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("star center outranks leaves and mass is conserved on a bidirected graph") {
+    val leaves = (1 to 5).map(i => s"l$i")
+    val star = leaves.flatMap(l => Seq("hub" -> l, l -> "hub"))
+    val r = ranks(star)
+    assert(leaves.forall(l => r("hub") > r(l)))
+    // bidirected => no dangling mass lost; ranks still sum to 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    // leaves are symmetric
+    val lv = leaves.map(r)
+    assert(lv.max - lv.min < 1e-9)
+  }
+
+  test("chain converges to the known 3-node values") {
+    // a<->b<->c (bidirected path): stationary ranks are
+    // (1-d)/N + d*(...): classic result center > ends, ends equal
+    val r = ranks(Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b"), iters = 60)
+    assert(r("b") > r("a") && math.abs(r("a") - r("c")) < 1e-9)
+    // closed form for d=0.85, N=3: end = (1-d)/3 + d*center/2,
+    // center = (1-d)/3 + d*(end_a + end_c); solve: center = (1+d)/(3(1+d)) ...
+    // verify via one more hand iteration instead: applying the update to the
+    // returned fixpoint must not move it
+    // tolerance tracks the power-iteration residual: 0.85^60 ≈ 6e-5
+    val base = 0.15 / 3
+    val nextA = base + 0.85 * r("b") / 2
+    val nextB = base + 0.85 * (r("a") + r("c"))
+    assert(math.abs(nextA - r("a")) < 1e-4)
+    assert(math.abs(nextB - r("b")) < 1e-4)
+  }
+
+  test("parallel edges weight contributions") {
+    // a sends to b twice and c once: b gets 2/3 of a's damped mass
+    val r = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "c",
+      "b" -> "a", "c" -> "a"))
+    assert(r("b") > r("c"))
+  }
+
+  test("iters must be positive") {
+    intercept[IllegalArgumentException] {
+      Graph.pagerank(Seq("a" -> "b").toDF("src", "dst"), iters = 0)
+    }
+  }
+}
