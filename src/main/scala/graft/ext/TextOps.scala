@@ -447,6 +447,43 @@ object TextOps {
           (col("cu") + col("v")).cast("double"))), 6).as("cross_entropy"))
   }
 
+  /** Pointwise mutual information of adjacent word pairs per language —
+    * the collocation-mining score (Church & Hanks, "Word Association
+    * Norms, Mutual Information, and Lexicography") a pipeline uses to
+    * promote multi-word expressions ("new york", "machine learning") into
+    * single tokenizer units. pmi = ln(p(w1 w2) / (p(w1)·p(w2))) with
+    * p(w1 w2) = c(bigram)/N_bigrams and p(w) = c(w)/N_tokens, computed as
+    * ln(cb·nt² / (nb·c1·c2)) so there is exactly one rounding site.
+    * `minCount` drops rare bigrams whose PMI is noise (the classic
+    * low-frequency PMI pathology: a pair seen once scores highest).
+    *
+    * Plan: two count aggregations over the exploded token stream (bigram,
+    * unigram), per-lang totals reduced from those SAME count tables (one
+    * row per lang — broadcast), then two equality joins back on
+    * (lang, word). No driver state; the unigram join side is the
+    * vocabulary, not the corpus, so the shape holds at 10^9 tokens. */
+  def pmiScores(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val bc = docs.select(col("lang"),
+        explode(ngramTokens(col("text"), 2)).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("cb"))
+    val uc = docs.select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cu"))
+    val nb = bc.groupBy("lang").agg(sum("cb").cast("double").as("nb"))
+    val nt = uc.groupBy("lang").agg(sum("cu").cast("double").as("nt"))
+    bc.where(col("cb") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uc.select(col("lang"), col("w").as("w1"), col("cu").as("c1")),
+        Seq("lang", "w1"))
+      .join(uc.select(col("lang"), col("w").as("w2"), col("cu").as("c2")),
+        Seq("lang", "w2"))
+      .join(broadcast(nb), Seq("lang"))
+      .join(broadcast(nt), Seq("lang"))
+      .select(col("lang"), col("bigram"), col("cb").as("n"),
+        round(log(col("cb").cast("double") * col("nt") * col("nt") /
+          (col("nb") * col("c1") * col("c2"))), 6).as("pmi"))
+  }
+
   /** Apply a trained linear classifier (logistic regression — the
     * fastText-style quality-classifier shape) to per-row features:
     * sigmoid(bias + Σ wᵢ·fᵢ), rounded to 6 decimals (exp differs across

@@ -73,6 +73,43 @@ object Clean {
         first(col("lo")).as("lo"), first(col("hi")).as("hi"))
   }
 
+  /** Rows whose `valueCol` sits more than `threshold` robust z-scores from
+    * the group median, where robust z = 0.6745·(x − median)/MAD (Iglewicz &
+    * Hoaglin's modified z-score; 0.6745 rescales MAD to σ under normality,
+    * 3.5 is their recommended cut). The mean/stddev flagging of
+    * [[zscoreOutliers]] breaks down exactly when outliers are present —
+    * the outliers inflate the stddev that is supposed to expose them; the
+    * median/MAD pair has a 50% breakdown point, so this is the flagging a
+    * cleaning pipeline trusts on heavy-tailed telemetry.
+    *
+    * Both the median and the MAD are DISCRETE rank-⌈n/2⌉ elements from
+    * [[percentileCuts]]' value histogram — never interpolated — so both
+    * engines pick identical cut values; the robust z is rounded to 6
+    * decimals BEFORE the threshold compare (registry parity rule: low-bit
+    * float differences cannot flip set membership). A constant-majority
+    * group has MAD = 0 → null robust z → excluded (same nullif posture as
+    * [[zscoreOutliers]]'s sd = 0 guard).
+    *
+    * Plan: two histogram aggregations (values, then absolute deviations)
+    * each broadcast back as one row per group — the table is scanned
+    * three times but shuffled never, and no row-level window appears
+    * anywhere, so the shape is corpus-size-independent for
+    * fixed-precision measures. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  keyCols: Seq[String], threshold: Double = 3.5): DataFrame = {
+    val med = percentileCuts(df, valueCol, groupCol, Seq("med" -> 0.5))
+    val withMed = df.join(broadcast(med), col(groupCol) === col("__g"))
+      .drop("__g")
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = percentileCuts(withMed, "__dev", groupCol, Seq("mad" -> 0.5))
+    withMed.join(broadcast(mad), col(groupCol) === col("__g"))
+      .withColumn("rz", round(lit(0.6745) * (col(valueCol) - col("med")) /
+        nullif(col("mad"), lit(0.0)), 6))
+      .where(abs(col("rz")) > threshold)
+      .select(keyCols.map(col) :+ col(valueCol) :+ col("med") :+
+        col("mad") :+ col("rz"): _*)
+  }
+
   /** Discrete per-group percentile cuts from the VALUE HISTOGRAM — the one
     * shared cut finder behind [[winsorize]] and
     * [[graft.ops.Profile.quantileHistogram]]. For each (name, p) the cut

@@ -898,6 +898,41 @@ object ExtQueries {
       (s, dir) => graft.ops.Clean.zscoreOutliers(Tables(s, dir).events,
         "value", "event_type", Seq("event_id"), threshold = 3.0)),
 
+    // MAD robust outliers (modified z-score, 0.6745·(x−med)/MAD > 3.5) —
+    // median and MAD are discrete rank-⌈n/2⌉ histogram elements, so the
+    // oracle's row_number replay picks the identical cuts; the robust z is
+    // rounded to 6 before the compare (same parity posture as
+    // outlier_zscore).
+    Reg("outlier_mad", Some(
+      """WITH r AS (
+        |  SELECT event_type AS g, value AS x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), med AS (
+        |  SELECT g, MAX(CASE WHEN rn = greatest(1,
+        |      CAST(ceil(0.5 * n) AS BIGINT)) THEN x END) AS med
+        |  FROM r GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_type AS g, abs(e.value - m.med) AS dev,
+        |    row_number() OVER (PARTITION BY e.event_type
+        |      ORDER BY abs(e.value - m.med)) AS rn,
+        |    COUNT(*) OVER (PARTITION BY e.event_type) AS n
+        |  FROM events e JOIN med m ON e.event_type = m.g
+        |), mad AS (
+        |  SELECT g, MAX(CASE WHEN rn = greatest(1,
+        |      CAST(ceil(0.5 * n) AS BIGINT)) THEN dev END) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT event_id, value, m.med, a.mad,
+        |  ROUND(0.6745 * (value - m.med) / NULLIF(a.mad, 0), 6) AS rz
+        |FROM events e
+        |JOIN med m ON e.event_type = m.g
+        |JOIN mad a ON e.event_type = a.g
+        |WHERE abs(ROUND(0.6745 * (value - m.med) / NULLIF(a.mad, 0), 6))
+        |      > 3.5""".stripMargin))(
+      (s, dir) => graft.ops.Clean.madOutliers(Tables(s, dir).events,
+        "value", "event_type", Seq("event_id"), threshold = 3.5)),
+
     // Per-group winsorization (clip to the [p05, p95] DISCRETE percentile
     // bounds — actual group elements at rank ceil(p·n), so both engines
     // pick the identical bound and the clip comparisons are exact).

@@ -384,6 +384,32 @@ object LlmQueries {
         .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
         .where(col("n") >= 5)),
 
+    // PMI collocations per lang — ln(cb·nt²/(nb·c1·c2)) with one ROUND
+    // site; the oracle replays the identical factored expression so both
+    // engines round the same double. Min-count 5 kills the rare-pair
+    // pathology.
+    Reg("text_pmi", Some(
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT lang,
+        |        unnest(list_transform(generate_series(1, len(w) - 1),
+        |                              i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |      FROM t),
+        |u AS (SELECT lang, unnest(w) AS word FROM t),
+        |bc AS (SELECT lang, bigram, COUNT(*) AS cb FROM b GROUP BY lang, bigram),
+        |uc AS (SELECT lang, word, COUNT(*) AS cu FROM u GROUP BY lang, word),
+        |nb AS (SELECT lang, CAST(SUM(cb) AS DOUBLE) AS nb FROM bc GROUP BY lang),
+        |nt AS (SELECT lang, CAST(SUM(cu) AS DOUBLE) AS nt FROM uc GROUP BY lang)
+        |SELECT bc.lang, bigram, cb AS n,
+        |  ROUND(ln(CAST(cb AS DOUBLE) * nt.nt * nt.nt
+        |           / (nb.nb * c1.cu * c2.cu)), 6) AS pmi
+        |FROM bc
+        |JOIN uc c1 ON c1.lang = bc.lang AND c1.word = string_split(bigram, ' ')[1]
+        |JOIN uc c2 ON c2.lang = bc.lang AND c2.word = string_split(bigram, ' ')[2]
+        |JOIN nb ON nb.lang = bc.lang
+        |JOIN nt ON nt.lang = bc.lang
+        |WHERE cb >= 5""".stripMargin))(
+      (s, dir) => TextOps.pmiScores(Tables(s, dir).documents, minCount = 5)),
+
     // Deterministic content-hash train/dev/test split (md5 top 60 bits) —
     // engine-neutral BY CONSTRUCTION, and the oracle hash-match proves it:
     // the same doc lands in the same split on Spark, DuckDB, or anything

@@ -58,6 +58,44 @@ class CleanSpec extends SparkSpec {
     assert(r.getAs[Double]("lo") == 1.0 && r.getAs[Long]("n_lo") == 0)
   }
 
+  test("madOutliers flags the planted extreme the stddev method misses") {
+    // group a: 20 tight values + THREE extremes. The extremes inflate the
+    // sample stddev enough that z-scoring at 3.5 misses all of them
+    // (masking); median/MAD flags all three.
+    val rows = (1L to 20L).map(i => (i, "a", 10.0 + (i % 5) * 0.1)) ++
+      Seq((21L, "a", 500.0), (22L, "a", 510.0), (23L, "a", 520.0))
+    val df = rows.toDF("id", "g", "v")
+    val mad = Clean.madOutliers(df, "v", "g", Seq("id"), threshold = 3.5)
+      .select("id").as[Long].collect().toSet
+    assert(mad == Set(21L, 22L, 23L))
+    val z = Clean.zscoreOutliers(df, "v", "g", Seq("id"), threshold = 3.5)
+      .select("id").as[Long].collect().toSet
+    assert(z.isEmpty) // the masking this operator exists to fix
+  }
+
+  test("madOutliers: discrete median/MAD match brute force; rz value exact") {
+    val vs = Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "g", "v")
+    // sorted = [1,2,3,4,100], n=5, rank ceil(2.5)=3 -> med=3
+    // devs sorted = [0,1,1,2,97] -> mad=1
+    val r = Clean.madOutliers(df, "v", "g", Seq("id"), threshold = 3.5)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("med") == 3.0)
+    assert(r.head.getAs[Double]("mad") == 1.0)
+    assert(r.head.getAs[Double]("rz") ==
+      BigDecimal(0.6745 * 97).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("madOutliers: constant-majority group (MAD=0) yields no flags, not a divide error") {
+    val df = ((1L to 9L).map(i => (i, "g", 5.0)) :+ (10L, "g", 50.0))
+      .toDF("id", "g", "v")
+    // median=5, deviations = eight 0s + 45 -> MAD=0 -> null rz -> filtered
+    assert(Clean.madOutliers(df, "v", "g", Seq("id"), 3.5).count() == 0)
+  }
+
   test("single-value group: sd=0 -> no outliers (null z filtered); winsorize degenerates to identity") {
     val df = Seq((1L, "g", 5.0), (2L, "g", 5.0)).toDF("id", "g", "v")
     // sd = 0 -> z is null -> abs(z) > t is null -> filtered, not crashed
