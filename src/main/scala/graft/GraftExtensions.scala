@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, VectorNorm}
+import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler, VectorNorm}
 
 /** Session extensions: registers the native vector expressions as SQL
   * functions. Enable with
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
       arity("vec_norm", 1)(c => VectorNorm(c(0)))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      arity("jaro_winkler", 2)(c => JaroWinkler(c(0), c(1)))))
     // Spark ships bloom build/probe expressions for its own runtime join
     // filters but does not register them as SQL functions; exposing them
     // makes the pre-shuffle join pruning in Relational.bloomPrunedJoin (and

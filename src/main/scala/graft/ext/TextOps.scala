@@ -484,6 +484,36 @@ object TextOps {
           (col("nb") * col("c1") * col("c2"))), 6).as("pmi"))
   }
 
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+    * distributions — the monitor a corpus-mixing pipeline runs to spot a
+    * source whose content shifted (a crawl that started returning error
+    * pages, a dump whose language mix moved). KL = Σ_w p_s(w)·ln(p_s(w)/
+    * p_c(w)), summed over the source's words only (p_s(w) = 0 terms are 0
+    * by convention; p_c(w) > 0 whenever p_s(w) > 0 since the corpus
+    * contains the source). Each term is factored ln(cs·n/(ns·cw)) — one
+    * expression shape both engines evaluate identically before the single
+    * final rounding.
+    *
+    * Plan: one exploded-token scan feeding two count aggregations (per
+    * (source, word), per word), per-source totals reduced from the first
+    * (broadcast, one row per source) and the corpus total from the second
+    * (broadcast, one row). The join back is on the VOCABULARY, not the
+    * corpus, so the shape holds at 10^9 tokens. */
+  def sourceDrift(docs: DataFrame, srcCol: String = "source"): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"),
+      explode(words(col("text"))).as("w"))
+    val sc = tok.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val cw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+    val ns = sc.groupBy("source").agg(sum("cs").cast("double").as("ns"))
+    val n = cw.agg(sum("cw").cast("double").as("n"))
+    sc.join(cw, Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(round(sum((col("cs") / col("ns")) *
+        log(col("cs") * col("n") / (col("ns") * col("cw")))), 6).as("kl"))
+  }
+
   /** Apply a trained linear classifier (logistic regression — the
     * fastText-style quality-classifier shape) to per-row features:
     * sigmoid(bias + Σ wᵢ·fᵢ), rounded to 6 decimals (exp differs across

@@ -118,4 +118,29 @@ object Profile {
       .orderBy(col("cnt").desc, col("key_value"))
       .limit(topN)
   }
+
+  /** Pairwise Pearson correlation over `cols` — the redundancy/leakage
+    * screen a feature-selection pass runs before training (two near-
+    * perfectly-correlated measures carry one signal; a feature correlated
+    * with the label column is leakage). ONE aggregation computes all
+    * n·(n−1)/2 coefficients simultaneously — a per-pair loop would scan
+    * the table n² times — then the single wide row unpivots to one
+    * (col_a, col_b, r) row per pair, the long format a report joins
+    * against. Rounded to 6: corr's running-moment accumulation order
+    * differs across engines in the last bits only. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs at least 2 columns, got $cols")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"__$a:$b")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val long = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"`__$a:$b`").as("r"))
+    }
+    wide.select(explode(array(long: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -559,6 +559,34 @@ object CoreQueries {
       (s, dir) => graft.ops.Relational.fuzzySelfPairs(
         Tables(s, dir).supplier, "s_suppkey", "s_name")),
 
+    // J-fuzzy-score: Jaro-Winkler record linkage through the native
+    // codegen expression (graft.functions.JaroWinkler — a static-kernel
+    // call inside whole-stage codegen, never a UDF), blocked on nationkey
+    // so the pair space is per-block, and scored/filtered on the ROUNDED
+    // similarity (DuckDB's jaro_winkler_similarity replays the identical
+    // algorithm: window max(len)/2-1, floored half-transpositions, boost
+    // 0.1·min(prefix,4) only above jaro 0.7 — verified empirically).
+    Reg("j_jarowinkler", Some(
+      """SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+        |  ROUND(jaro_winkler_similarity(a.s_name, b.s_name), 6) AS jw
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        |WHERE ROUND(jaro_winkler_similarity(a.s_name, b.s_name), 6) >= 0.93"""
+        .stripMargin))(
+      (s, dir) => {
+        val sup = Tables(s, dir).supplier
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        val a = sup.select(col("s_nationkey").as("nk"),
+          col("s_suppkey").as("a_id"), col("s_name").as("a_name"))
+        val b = sup.select(col("s_nationkey").as("nk"),
+          col("s_suppkey").as("b_id"), col("s_name").as("b_name"))
+        a.join(b, Seq("nk")).where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(call_function("jaro_winkler", col("a_name"), col("b_name")),
+              6).as("jw"))
+          .where(col("jw") >= 0.93)
+      }),
+
     // CDC MERGE: apply an upsert/delete change log to a base table — the
     // batch core of MERGE INTO. The change log is synthesized
     // deterministically from orders (keys %10∈{0,1,2} get a seq-1 update,

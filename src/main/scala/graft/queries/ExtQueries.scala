@@ -760,6 +760,21 @@ object ExtQueries {
       (s, dir) => graft.ops.Profile.skewReport(
         Tables(s, dir).events, "user_id", topN = 10)),
 
+    // Pairwise Pearson correlations over lineitem's measures in ONE
+    // aggregation, unpivoted to (col_a, col_b, r) — the redundancy/leakage
+    // screen before feature selection. Rounded to 6 (running-moment
+    // accumulation order differs across engines in the last bits only).
+    Reg("profile_corr", Some(
+      Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"), ("l_discount", "l_tax"))
+        .map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             |  ROUND(corr($a, $b), 6) AS r FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL\n")))(
+      (s, dir) => graft.ops.Profile.corrMatrix(Tables(s, dir).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // Debounce dedup: drop an event when the same (user, type) fired within
     // the last 5 minutes — one lag over the key-partitioned ordered stream,
     // the log-cleaning twin of the content dedups in ext/Dedup.
@@ -1093,10 +1108,14 @@ object ExtQueries {
     graphPagerankReg
   )
 
-  /** DuckDB oracle for graph_pagerank: 10 unrolled power-iteration steps
-    * over the bidirected purchase graph (see the Reg comment). */
-  private lazy val duckPagerank: String = {
-    val iters = 10
+  /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
+    * `e0Sql` supplies the directed edge query (columns src, dst); the
+    * generator bidirects it (UNION dedups), derives nodes/out-degrees, and
+    * chains `iters` damped steps as CTEs r1..r`iters` (a recursive CTE
+    * cannot aggregate per step; a fixed unroll can, and at oracle scale
+    * the duplication is free). Callers append their own final SELECT over
+    * r`iters` / nn. Shared by graph_pagerank and text_keywords. */
+  private[queries] def duckPagerankCtes(e0Sql: String, iters: Int = 10): String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (SELECT n.node,
          |  (1.0 - 0.85) / (SELECT nv FROM nn)
@@ -1107,20 +1126,27 @@ object ExtQueries {
          |    JOIN deg d ON d.src = e.src
          |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT
-       |    'c' || CAST(o_custkey AS VARCHAR) AS src,
-       |    's' || CAST(l_suppkey AS VARCHAR) AS dst
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    s"""WITH e0 AS ($e0Sql),
        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
        |n AS (SELECT DISTINCT src AS node FROM e),
        |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
        |        FROM e GROUP BY src),
        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM n),
        |r0 AS (SELECT node, 1.0 / (SELECT nv FROM nn) AS rank FROM n),
-       |$steps
-       |SELECT node, ROUND(rank * (SELECT nv FROM nn), 6) AS rank_rel
-       |FROM r$iters""".stripMargin
+       |$steps""".stripMargin
   }
+
+  /** DuckDB oracle for graph_pagerank: 10 unrolled power-iteration steps
+    * over the bidirected purchase graph (see the Reg comment). */
+  private lazy val duckPagerank: String =
+    duckPagerankCtes(
+      """SELECT DISTINCT
+        |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin) +
+      """
+        |SELECT node, ROUND(rank * (SELECT nv FROM nn), 6) AS rank_rel
+        |FROM r10""".stripMargin
 
   // Graph: PageRank authority over the customer↔supplier purchase graph
     // (orders ⋈ lineitem, bidirected so no node dangles) — the link-graph

@@ -410,6 +410,58 @@ object LlmQueries {
         |WHERE cb >= 5""".stripMargin))(
       (s, dir) => TextOps.pmiScores(Tables(s, dir).documents, minCount = 5)),
 
+    // Per-source unigram KL divergence vs the whole corpus — the drift
+    // monitor over a mixed-source corpus. Factored term shape
+    // ln(cs·n/(ns·cw)) on both engines; one final rounding site.
+    Reg("drift_kl", Some(
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |sc AS (SELECT source, w, COUNT(*) AS cs FROM tok GROUP BY source, w),
+        |cw AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+        |ns AS (SELECT source, CAST(SUM(cs) AS DOUBLE) AS ns
+        |       FROM sc GROUP BY source),
+        |n AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM cw)
+        |SELECT source,
+        |  ROUND(SUM((cs / ns.ns) * ln(cs * n.n / (ns.ns * cw.cw))), 6) AS kl
+        |FROM sc JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN n
+        |GROUP BY source""".stripMargin))(
+      (s, dir) => TextOps.sourceDrift(Tables(s, dir).documents)),
+
+    // TextRank keywords: PageRank over the word co-occurrence graph
+    // (adjacent-word edges, bidirected, deduplicated) — Mihalcea & Tarau's
+    // unsupervised keyword extractor, reusing [[graft.ext.Graph.pagerank]]
+    // and the same unrolled-CTE oracle generator as graph_pagerank. Top 50
+    // by ROUNDED rank (node tiebreak), so the boundary is deterministic on
+    // both engines.
+    Reg("text_keywords", Some(
+      ExtQueries.duckPagerankCtes(
+        """SELECT DISTINCT string_split(bigram, ' ')[1] AS src,
+          |       string_split(bigram, ' ')[2] AS dst
+          |  FROM (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+          |                      i -> w[i] || ' ' || w[i + 1])) AS bigram
+          |        FROM (SELECT string_split(text, ' ') AS w FROM documents))"""
+          .stripMargin) +
+      """
+        |SELECT node AS word, ROUND(rank * (SELECT nv FROM nn), 6) AS rank_rel
+        |FROM r10 ORDER BY rank_rel DESC, word LIMIT 50""".stripMargin))(
+      (s, dir) => {
+        val e0 = Tables(s, dir).documents
+          .select(explode(TextOps.ngramTokens(col("text"), 2)).as("bigram"))
+          .select(substring_index(col("bigram"), " ", 1).as("src"),
+            substring_index(col("bigram"), " ", -1).as("dst"))
+          .distinct()
+        // bidirect THEN dedup: (a,b) and (b,a) may both occur as bigrams
+        val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val pr = graft.ext.Graph.pagerank(e, iters = 10, damping = 0.85)
+        val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
+        pr.crossJoin(broadcast(nv))
+          .select(col("node").as("word"),
+            round(col("rank") * col("nv"), 6).as("rank_rel"))
+          .orderBy(col("rank_rel").desc, col("word"))
+          .limit(50)
+      }),
+
     // Deterministic content-hash train/dev/test split (md5 top 60 bits) —
     // engine-neutral BY CONSTRUCTION, and the oracle hash-match proves it:
     // the same doc lands in the same split on Spark, DuckDB, or anything
