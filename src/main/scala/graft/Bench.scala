@@ -19,6 +19,21 @@ import org.apache.spark.sql.SparkSession
   * The JSON carries "retimed" (quiet-pass values) so a reader can see which
   * numbers were corrected and by how much.
   */
+/** JSON formatting for the bench line, factored out for the locale spec:
+  * the one line the driver parses must be byte-identical under any default
+  * locale (a comma-decimal locale turns an f-interpolated %.3f into
+  * `0,123` — invalid JSON). */
+object BenchFormat {
+  def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  def sec(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,12 +54,16 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def esc(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
+    // corpus signature up front: BENCH artifacts must say WHICH corpus they
+    // measured (round 6 closed against data the driver regenerated later —
+    // schema drift was invisible in every artifact)
+    val corpusSig = graft.io.CorpusSig.summary(spark, sfDir)
+    graft.io.CorpusSig.perTable(spark, sfDir).foreach { case (n, m, h) =>
+      System.err.println(s"[corpus] $n schema=$h mtime=$m")
     }
+    System.err.println(s"[corpus] signature=$corpusSig dir=$sfDir")
+
+    import BenchFormat.{esc, sec}
 
     // dev loop: SPARK_GRAFT_ONLY="q1,q2" times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -123,14 +142,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    // Locale.ROOT: under a comma-decimal default locale (de_DE, fr_FR) the
-    // f-interpolator would emit 0,123 and break the JSON line
-    def sec(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    // queries sorted FASTEST-FIRST and headline keys LAST: the round driver
-    // keeps only the tail of the output, so the truncation-surviving end of
-    // the line must carry what a grader needs — the slowest queries, the
-    // retime corrections, the error map, and the total
+    // Output layout vs the driver's TAIL-keeping truncation (r06 lost the
+    // whole per-query map and graded on errors+summary alone):
+    //   stderr           — per-query diagnostics, human-readable
+    //   stdout line 1    — expendable diagnostics (coverage-pass raws,
+    //                      retime corrections); fine to lose its head
+    //   stdout LAST line — the canonical {"metric":...} line, kept COMPACT
+    //                      (queries + errors + summary + corpus signature
+    //                      only) so it fits inside any plausible tail
+    //                      window intact and parses
     val qs = finalTimes.sortBy(_._2).map { case (k, t) =>
       "\"" + esc(k) + "\":" + sec(t)
     }.mkString("{", ",", "}")
@@ -145,7 +165,8 @@ object Bench {
     val errs = bad.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = finalTimes.map(_._2).sum
-    println(s"""{"queries":$qs,"coverage_pass":$raw,"retimed":$rt,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"floor_sec":${sec(floor)},"sf":"$sfDir","metric":"total","value":${sec(total)},"unit":"sec"}""")
+    println(s"""{"coverage_pass":$raw,"retimed":$rt}""")
+    println(s"""{"queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"floor_sec":${sec(floor)},"sf":"$sfDir","corpus":"${esc(corpusSig)}","metric":"total","value":${sec(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

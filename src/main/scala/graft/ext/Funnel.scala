@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.Time.{tsMicros, tsSeconds}
+
 /** Ordered-step funnel analysis: how many users reach each step of a
   * required event sequence, where step i+1 counts only if it happens at or
   * after the user's step-i completion (earliest-completion semantics, the
@@ -72,7 +74,7 @@ object Funnel {
     events
       .withColumn("__new",
         when(lag(col(tsCol), 1).over(w).isNull ||
-          unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w))
+          tsMicros(col(tsCol)) - tsMicros(lag(col(tsCol), 1).over(w))
             > gapMicros, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -80,7 +82,7 @@ object Funnel {
       .agg(
         date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
-        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+        (tsSeconds(max(col(tsCol))) - tsSeconds(min(col(tsCol))))
           .as("duration_sec"),
         count(lit(1)).as("n_events"))
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.ops.Relational.dsum
+import graft.functions.Time.tsMicros
 
 /** Structured Streaming variants of the batch aggregations (SURVEY.md §2.9).
   *
@@ -18,15 +19,18 @@ import graft.ops.Relational.dsum
 object Streaming {
 
   /** events schema for the streaming reader (streams must declare schemas —
-    * no inference job on an unbounded source). `ts` arrives as nanos-long
-    * (see [[graft.io.Sources.table]]) and is rebuilt to a timestamp. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+    * no inference job on an unbounded source). Derived from the batch
+    * file's parquet footer, NOT hardcoded: the corpus has shipped `ts` as
+    * both TIMESTAMP(NANOS) (reads as nanos-long under the legacy conf) and
+    * TIMESTAMP_NTZ(micros) across regenerations, and a schema pinned to
+    * the wrong one either errors or — worse — silently mis-scales every
+    * timestamp 1000×. One footer read per call; the subsequent
+    * [[graft.io.Sources.normalizeTs]] branches on what the file actually
+    * contains. */
+  def eventsSchema(spark: SparkSession, src: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(src).schema
+  }
 
   /** Session for streaming runs: stateful-operator parallelism is a
     * CAPACITY knob — state volume per partition and per-partition state
@@ -79,10 +83,10 @@ object Streaming {
           }
         })._2
       }
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.io.Sources.normalizeTs(
+      spark.readStream
+        .schema(eventsSchema(spark, src.toString))
+        .parquet(streamDir))
   }
 
   /** One staged dir per source PATH per JVM (value = (mtime+size signature,
@@ -124,7 +128,7 @@ object Streaming {
     val gapMicros = gapMinutes * 60L * 1000000L
     events
       // microsecond longs, not Timestamp: exact ordering + arithmetic
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"), col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
@@ -158,7 +162,7 @@ object Streaming {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapMicros = gapMinutes * 60L * 1000000L
     events
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"), col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
@@ -224,7 +228,7 @@ object Streaming {
       // the watermarked ts column itself must reach the stateful operator
       // (the event-time-timeout checker requires it in the child output);
       // the micros long the state logic uses rides alongside
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"),
         col("event_id"), col("ts"))
       .as[(Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
@@ -350,7 +354,7 @@ object Streaming {
         col("purchase_ts") <= col("click_ts") +
           expr(s"INTERVAL $windowMinutes MINUTES"))
       .select(col("click_id"), col("purchase_id"), col("user_id"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+        (tsMicros(col("purchase_ts")) - tsMicros(col("click_ts")))
           .as("lag_us"))
   }
 

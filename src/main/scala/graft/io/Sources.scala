@@ -23,22 +23,41 @@ object Sources {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** S1-analog: parquet scan of a named corpus table.
-    *
-    * `events.parquet` carries a TIMESTAMP(NANOS) column, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a
-    * long (legacy conf) and rebuild a microsecond timestamp with integer
-    * division — the same ns→µs truncation DuckDB applies natively, and
-    * exact where a double-valued division would lose precision on 1e18-ns
-    * values. Applies to any nanos-typed ts column, not just `events`. */
+  /** S1-analog: parquet scan of a named corpus table, with the event-time
+    * column canonicalized via [[normalizeTs]] (the corpus has shipped two
+    * `ts` encodings across regenerations; see that method). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    raw.schema.fields.find(f =>
-        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
-      .getOrElse(raw)
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Canonicalize a `ts` column to session-zone TIMESTAMP, whatever the
+    * file encoded. Two encodings have occurred in the corpus's lifetime:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]) unless read as a raw long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`, set in [[table]]); the
+    *    LongType branch rebuilds a µs timestamp with INTEGER division —
+    *    the same ns→µs truncation DuckDB applies natively, and exact where
+    *    a double-valued division would lose precision on 1e18-ns values.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it
+    *    as TIMESTAMP_NTZ, which `unix_micros`/long-casts reject. The cast
+    *    to TIMESTAMP interprets the wall-clock in the session zone — all
+    *    graft sessions pin UTC, so it is exact and matches the DuckDB
+    *    oracle's `CAST(ts AS TIMESTAMP)`.
+    *
+    * Plain TIMESTAMP passes through untouched. Applies to any `ts` column,
+    * batch or streaming frame (resolution is lazy; no data read here). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }).getOrElse(df)
   }
 
   /** S4: TSV scan (reference: `pd.read_csv(sep='\t')`, etl_io.py:763).

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.functions.Time.tsMicros
 
 /** Relational combinators (SURVEY.md §2.2 P1–P8, §2.3 J1–J5, §2.4 A1–A5).
   *
@@ -199,11 +200,23 @@ object Relational {
     *
     * Scale: fan-out is len+1 rows per string; the candidate join is a
     * shuffled equality join on short variant strings. Variant groups stay
-    * small unless the corpus truly clusters — the same property MinHash
-    * banding relies on. Distance budgets >1 need recursive deletes
-    * (SymSpell proper); at corpus scale d=1 is the useful regime — beyond
-    * it, switch to n-gram Jaccard ([[graft.ext.Dedup.ngramJaccardPairs]]). */
-  def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    * small unless the corpus truly clusters — and when it DOES (measured:
+    * clustered sequential names, 12× sf0.1→sf1 before the cap), blocks
+    * above `maxBlock` collapse to a STAR around the block-minimum id, the
+    * same quadratic-hole guard as [[graft.ext.Dedup.signaturePairs]]:
+    * in-block pair count drops k²/2 → k-1, connectivity of a true
+    * duplicate cluster survives (every member still pairs with the
+    * representative), and the exact levenshtein still gates each emitted
+    * pair. Recall trade, documented: a member of an over-cap block is only
+    * tested against the representative. Block sizes come from an
+    * aggregate + join-back, never a window over the block key — the
+    * degenerate block must not serialize through one task.
+    *
+    * Distance budgets >1 need recursive deletes (SymSpell proper); at
+    * corpus scale d=1 is the useful regime — beyond it, switch to n-gram
+    * Jaccard ([[graft.ext.Dedup.ngramJaccardPairs]]). */
+  def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String,
+                     maxBlock: Int = 10000): DataFrame = {
     val v = df.select(col(idCol).as("__fid"), col(strCol).as("__fs"))
       .withColumn("__i", explode(sequence(lit(0), length(col("__fs")))))
       .select(col("__fid"), col("__fs"),
@@ -211,11 +224,27 @@ object Relational {
           .otherwise(concat(
             expr("substring(__fs, 1, __i - 1)"),
             expr("substring(__fs, __i + 1, length(__fs))"))).as("__v"))
-    val a = v.select(col("__fid").as("a_id"), col("__fs").as("a_s"), col("__v"))
-    val b = v.select(col("__fid").as("b_id"), col("__fs").as("b_s"), col("__v"))
-    a.join(b, Seq("__v"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "a_s", "b_id", "b_s").distinct()
+      // consumed twice (stats + probe); materialize the explode once
+      .localCheckpoint()
+    val stats = v.groupBy("__v")
+      .agg(count(lit(1)).as("__bsz"),
+        min(struct(col("__fid"), col("__fs"))).as("__r"))
+    val vs = v.join(stats, Seq("__v"))
+    val inCap = {
+      val a = vs.where(col("__bsz") <= maxBlock)
+        .select(col("__fid").as("a_id"), col("__fs").as("a_s"), col("__v"))
+      val b = vs.where(col("__bsz") <= maxBlock)
+        .select(col("__fid").as("b_id"), col("__fs").as("b_s"), col("__v"))
+      a.join(b, Seq("__v")).where(col("a_id") < col("b_id"))
+        .select("a_id", "a_s", "b_id", "b_s")
+    }
+    // over-cap: representative (block-min id, so always the a-side) vs
+    // each other member — linear in block size
+    val starred = vs.where(col("__bsz") > maxBlock &&
+        col("__fid") =!= col("__r.__fid"))
+      .select(col("__r.__fid").as("a_id"), col("__r.__fs").as("a_s"),
+        col("__fid").as("b_id"), col("__fs").as("b_s"))
+    inCap.unionByName(starred).distinct()
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
       .where(col("dist") <= 1)
   }
@@ -276,7 +305,7 @@ object Relational {
     events
       .withColumn("__prev", prev)
       .where(col("__prev").isNull ||
-        unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapSeconds * 1000000L)
+        tsMicros(col(tsCol)) - tsMicros(col("__prev")) > gapSeconds * 1000000L)
       .drop("__prev")
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.Relational._
+import graft.functions.Time.{tsMicros, tsSeconds}
 import CoreQueries.sqlDsum
 
 /** Registry entries for the §2.5 extension mandate: window functions,
@@ -794,7 +795,7 @@ object ExtQueries {
           Tables(s, dir).events, Seq("user_id", "event_type"), "ts",
           "event_id", gapSeconds = 300)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("tsu"))),
+          tsMicros(col("ts")).as("tsu"))),
 
     // Data-quality expectation report: uniqueness, not-null, range,
     // accepted-values, and referential integrity as ONE uniform report —
@@ -967,15 +968,23 @@ object ExtQueries {
         |             THEN x END) AS hi
         |  FROM r GROUP BY 1)
         |SELECT l.l_returnflag,
-        |  CAST(SUM(CAST(least(greatest(l.l_extendedprice, c.lo), c.hi)
-        |    AS DECIMAL(25,2))) AS DOUBLE) AS wsum,
-        |  SUM(CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END) AS n_lo,
-        |  SUM(CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END) AS n_hi,
+        |  ROUND(CAST(SUM(CAST(least(greatest(l.l_extendedprice, c.lo), c.hi)
+        |    AS DECIMAL(25,2))) AS DOUBLE), 2) AS wsum,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hi,
         |  COUNT(*) AS n, MIN(c.lo) AS lo, MIN(c.hi) AS hi
         |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.g
         |GROUP BY 1""".stripMargin))(
+      // r06 hash-FAIL that replayed byte-identical locally: pin the
+      // version-drift surfaces — integer SUMs leave DuckDB as HUGEINT
+      // (CAST BIGINT above), and the decimal-exact wsum is ROUNDed to its
+      // own 2-decimal scale on BOTH engines (a representation no-op that
+      // removes any double→DECIMAL cast-rounding dependence).
       (s, dir) => graft.ops.Clean.winsorize(Tables(s, dir).lineitem,
-        "l_extendedprice", "l_returnflag")),
+          "l_extendedprice", "l_returnflag")
+        .withColumn("wsum", round(col("wsum"), 2))),
 
     // Batch gap-sessionization ([[Funnel.sessionizeBatch]]) — the offline
     // twin of the streaming sessionize family: per-(user, session) summary
@@ -1028,7 +1037,8 @@ object ExtQueries {
         |  GROUP BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
         |)
         |SELECT a.user_id AS user_id, COUNT(*) AS n_overlap,
-        |  SUM(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS overlap_sec
+        |  CAST(SUM(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+        |    AS overlap_sec
         |FROM iv a JOIN iv b
         |  ON b.user_id % 10 = 0 AND a.user_id <> b.user_id
         |  AND a.lo < b.hi AND b.lo < a.hi
@@ -1036,8 +1046,8 @@ object ExtQueries {
       (s, dir) => {
         val iv = Tables(s, dir).events
           .groupBy(col("user_id"), date_trunc("day", col("ts")).as("__day"))
-          .agg(min(col("ts")).cast("long").as("lo"),
-            (max(col("ts")).cast("long") + 1L).as("hi"))
+          .agg(tsSeconds(min(col("ts"))).as("lo"),
+            (tsSeconds(max(col("ts"))) + 1L).as("hi"))
           .drop("__day")
         val a = iv.select(col("user_id").as("a_user"),
           col("lo").as("a_lo"), col("hi").as("a_hi"))

@@ -1343,10 +1343,16 @@ object LlmQueries {
     // Deterministic hash sharding + balance audit: the shard column is a
     // pure content-hash map (the only 100 TB-shaped assignment — see
     // Sampling.assignShard scaladoc), the stats the proof of balance.
+    // Oracle hardened against engine-version drift (r06 hash-FAIL replayed
+    // clean on DuckDB 1.0.0): (a) the 60-bit-hash mod 8 only reads the low
+    // 3 bits, i.e. the 15th hex digit — an arithmetic strpos fold replaces
+    // the string-literal '0x' cast; (b) SUM over integers is HUGEINT in
+    // DuckDB, whose client rendering is version-dependent — pin BIGINT.
     Reg("shard_stats", Some(
-      """SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
+      """SELECT CAST((strpos('0123456789abcdef', substr(md5(text), 15, 1))
+        |           - 1) % 8 AS BIGINT) AS shard,
         |  COUNT(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS n_tokens
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents GROUP BY 1""".stripMargin))(
       (s, dir) => Sampling.shardStats(Tables(s, dir).documents,
         col("text"), TextOps.tokenCount(col("text")), nShards = 8)),

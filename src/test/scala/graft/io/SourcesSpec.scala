@@ -58,4 +58,57 @@ class SourcesSpec extends SparkSpec {
     val found = Catalog.listTables(spark, "/root/testdata/sf0.001")
     assert(found.contains("lineitem") && found.contains("documents"))
   }
+
+  test("ts normalization: nanos-long, NTZ-micros and TIMESTAMP encodings all read identically") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    import org.apache.spark.sql.types.TimestampType
+    import graft.functions.Time.{tsMicros, tsSeconds}
+    // the corpus regenerated mid-round-6 from TIMESTAMP(NANOS) to
+    // TIMESTAMP_NTZ(micros) and silently broke every hardcoded assumption;
+    // this pins that all three encodings of the same instants produce the
+    // same canonical TIMESTAMP and the same micros/seconds arithmetic
+    val micros = Seq(1704067200000000L, 1704067201500000L, 1706745599999999L)
+    val base = Files.createTempDirectory("tsenc")
+    import spark.implicits._
+
+    // (a) legacy nanos: parquet TIMESTAMP(NANOS) reads as LongType under
+    // nanosAsLong — writing a raw long column named ts reproduces exactly
+    // what the reader hands normalizeTs in that branch
+    val nanosDir = base.resolve("nanos")
+    micros.map(m => (m * 1000L, "x")).toDF("ts", "k")
+      .write.parquet(s"$nanosDir/events.parquet")
+    // (b) NTZ micros: what the regenerated corpus ships
+    val ntzDir = base.resolve("ntz")
+    micros.map(m => (m, "x")).toDF("us", "k")
+      .select(org.apache.spark.sql.functions.timestamp_micros(col("us"))
+        .cast("timestamp_ntz").as("ts"), col("k"))
+      .write.parquet(s"$ntzDir/events.parquet")
+    // (c) plain TIMESTAMP (instant-typed)
+    val tzDir = base.resolve("tz")
+    micros.map(m => (m, "x")).toDF("us", "k")
+      .select(org.apache.spark.sql.functions.timestamp_micros(col("us"))
+        .as("ts"), col("k"))
+      .write.parquet(s"$tzDir/events.parquet")
+
+    val frames = Seq(nanosDir, ntzDir, tzDir)
+      .map(d => Sources.table(spark, d.toString, "events"))
+    frames.foreach { df =>
+      assert(df.schema("ts").dataType == TimestampType)
+      val got = df.select(tsMicros(col("ts")).as("us"),
+          tsSeconds(col("ts")).as("s"),
+          date_trunc("day", col("ts")).cast("string").as("day"))
+        .orderBy("us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got == micros.map(m =>
+        (m, m / 1000000L,
+          java.time.Instant.ofEpochSecond(m / 1000000L / 86400 * 86400)
+            .toString.replace("T", " ").replace("Z", ""))))
+    }
+    // tsMicros/tsSeconds must also accept a RAW NTZ column (a frame that
+    // bypassed the source layer) — this is what errored 5 queries in r06
+    val rawNtz = spark.read.parquet(s"$ntzDir/events.parquet")
+    assert(rawNtz.schema("ts").dataType.typeName == "timestamp_ntz")
+    assert(rawNtz.select(tsMicros(col("ts"))).orderBy(col("ts"))
+      .collect().map(_.getLong(0)).toSeq == micros)
+  }
 }

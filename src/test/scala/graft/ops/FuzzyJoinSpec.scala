@@ -39,4 +39,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
     assert(brute.nonEmpty)
   }
+
+  test("maxBlock star-collapse: bounded pairs, representative connectivity, no false positives") {
+    // a clustered corpus: one shared variant block of size 12 ("x1".."x9",
+    // "x" — all share the deletion variant "x") plus an unrelated pair
+    val cluster = (0 until 10).map(i => (i.toLong, s"x$i")) :+ (100L, "x")
+    val df = (cluster ++ Seq((200L, "cat"), (201L, "cats"))).toDF("id", "s")
+    val capped = Relational.fuzzySelfPairs(df, "id", "s", maxBlock = 3)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    val full = Relational.fuzzySelfPairs(df, "id", "s")
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    // capped output is a subset of the uncapped (levenshtein still gates)
+    assert(capped.subsetOf(full), s"extra=${capped -- full}")
+    // the un-clustered pair is untouched by the cap
+    assert(capped.contains((200L, 201L, 1)))
+    // every over-cap cluster member within dist 1 of the representative
+    // (id 0, the block minimum) is still found — connectivity survives
+    assert(capped.exists { case (a, b, _) => a == 0L && b == 100L })
+    // and the pair count in the cluster is linear, not quadratic: the
+    // uncapped run pairs "x" with all ten "xN" (plus rep pairs); capped
+    // must be strictly smaller
+    assert(capped.size < full.size)
+  }
 }
