@@ -106,9 +106,16 @@ object Ivf {
     * `iters` rounds of [assign via broadcast centroid literals → recompute
     * centroids with the typed Aggregator]. Per iteration: one aggregation
     * job plus a driver collect of k bounded centroids — the corpus itself
-    * never moves or collects. Returns the input with a `cell` column. */
+    * never moves or collects. Returns the input with a `cell` column.
+    *
+    * `orderHash` overrides the seed-row ordering (default
+    * `xxhash64(id, seed)` — fastest): pass an engine-neutral hash (e.g.
+    * `md5(concat(id, ":42"))`) when a SQL oracle must replay the seeding;
+    * `idCol` breaks ties either way so the seed set is total-order
+    * deterministic. */
   def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
+                  k: Int, iters: Int = 3, seed: Long = 42L,
+                  orderHash: Option[Column] = None): DataFrame = {
     // Each Lloyd iteration re-derives assignments from the input; persist it
     // so the seed scan + every centroid aggregation read cached blocks
     // instead of replaying the source lineage (round-2 "recompute chain").
@@ -116,7 +123,7 @@ object Ivf {
     // while this frame is hot; the RETURNED plan re-reads the source lazily.
     val work = df.persist()
     var cents: Seq[(Int, Seq[Double])] = work
-      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .orderBy(orderHash.getOrElse(xxhash64(col(idCol), lit(seed))), col(idCol))
       .limit(k)
       .select(col(vecCol))
       .collect()

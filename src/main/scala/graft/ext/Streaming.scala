@@ -69,12 +69,14 @@ object Streaming {
         stagedDirs.compute(src.toString, { (_, prev) =>
           if (prev != null && prev._1 == sig) prev
           else {
-            // Deletion of the superseded stage is DEFERRED to JVM exit: a
-            // streaming query started against it before the source was
-            // regenerated may still be mid-run, and deleting under it would
-            // fail that query on file-not-found. Retired dirs are bounded by
-            // the number of regenerations in one JVM — test-scale only.
-            if (prev != null) retiredDirs.add(prev._2)
+            // The superseded stage is RETIRED, not deleted: a streaming
+            // query started against it before the source was regenerated
+            // may still be mid-run, and deleting under it would fail that
+            // query on file-not-found. Retired stages are kept
+            // last-N-bounded (see retire) so a long-lived JVM seeing many
+            // regenerations holds at most N stale hardlinks, with the
+            // remainder cleaned at JVM exit.
+            if (prev != null) retire(prev._2)
             val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
             val dst = d.resolve("events.parquet")
             try java.nio.file.Files.createLink(dst, src)
@@ -95,14 +97,26 @@ object Streaming {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  /** Superseded stages awaiting JVM-exit cleanup (see eviction note above). */
-  private val retiredDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+  /** Superseded stages, newest last, bounded to [[retiredKeep]]: the most
+    * recent N retired stages stay on disk for any stream still mid-run
+    * against them; older ones (≥ N regenerations old — any stream that old
+    * has either finished or already failed for its own reasons) are
+    * deleted eagerly so a long-lived JVM doesn't accrete one stage per
+    * regeneration. Whatever remains is cleaned at JVM exit. */
+  private val retiredKeep = 4
+  private val retiredDirs = new java.util.ArrayDeque[String]()
+  private def retire(dir: String): Unit = retiredDirs.synchronized {
+    retiredDirs.addLast(dir)
+    while (retiredDirs.size > retiredKeep) rmTree(retiredDirs.pollFirst())
+  }
+  private def rmTree(d: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
-    retiredDirs.forEach(d => rm(new java.io.File(d)))
+    rm(new java.io.File(d))
+  }
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    retiredDirs.synchronized(retiredDirs.forEach(rmTree))
   }))
 
   /** Tumbling-window A1/A2: per (day, event_type) exact sums + counts,

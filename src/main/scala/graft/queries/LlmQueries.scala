@@ -757,9 +757,71 @@ object LlmQueries {
           "vec_id", "embedding", "label", k = 5, nprobe = 3)
       }),
 
-    // IVF over kmeans-learned cells (distributed Lloyd iterations;
-    // iterative algorithm → rows-only).
-    Reg("topk_sim_ivf_kmeans", None)(
+    // IVF over kmeans-learned cells — now hash-oracled (was rows-only):
+    // the Lloyd iterations are FIXED-COUNT (iters = 2), so the oracle
+    // UNROLLS them as a CTE chain (the same trick as graph_pagerank's
+    // unrolled rounds). Seeding is made engine-neutral by ordering seed
+    // rows on md5(vec_id || ':42') instead of xxhash64 (kmeansCells'
+    // `orderHash` hook); each unrolled round replays Spark exactly:
+    // unitize centroids, assign every row to the argmax-dot cell
+    // (row_number ORDER BY dot DESC, cell DESC = array_max over
+    // (score, cell) structs), recompute centroids as per-dimension AVG
+    // (the typed-Aggregator mean). Ulp posture is topk_sim_ivf's:
+    // row-summation order differs between engines, but assignment margins
+    // dwarf accumulation ulps and candidate sims round to 4 before
+    // ranking. The final SELECT is the shared ivfTopK probe/score/rank
+    // contract.
+    Reg("topk_sim_ivf_kmeans", Some {
+      def unitized(src: String) =
+        s"SELECT cell, list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS cu FROM $src"
+      def assigned(cu: String) =
+        s"""SELECT vec_id, emb, cell FROM (
+           |    SELECT q.vec_id, q.emb, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY list_dot_product(q.emb, c.cu) DESC, c.cell DESC)
+           |        AS pr
+           |    FROM e q, $cu c) WHERE pr = 1""".stripMargin
+      def meaned(a: String) =
+        s"""SELECT cell, list(v ORDER BY i) AS c FROM (
+           |    SELECT cell, i, AVG(emb[i]) AS v
+           |    FROM $a, unnest(generate_series(1, 64)) AS t(i)
+           |    GROUP BY cell, i) GROUP BY cell""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), seeds AS (
+         |  SELECT rn - 1 AS cell, c FROM (
+         |    SELECT row_number() OVER (
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id)
+         |      AS rn, emb AS c
+         |    FROM e) WHERE rn <= 8
+         |), s0 AS (${unitized("seeds")}
+         |), a1 AS (${assigned("s0")}
+         |), c1 AS (${meaned("a1")}
+         |), s1 AS (${unitized("c1")}
+         |), a2 AS (${assigned("s1")}
+         |), c2 AS (${meaned("a2")}
+         |), s2 AS (${unitized("c2")}
+         |), afin AS (${assigned("s2")}
+         |), cfin AS (${meaned("afin")}
+         |), sfin AS (${unitized("cfin")}
+         |), probes AS (
+         |  SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.emb, c.cu) DESC, c.cell DESC) AS pr
+         |  FROM afin q, sfin c WHERE q.vec_id < 20
+         |), cand AS (
+         |  SELECT p.q_id, p.q_emb, n.vec_id AS n_id, n.emb AS n_emb
+         |  FROM probes p JOIN afin n ON n.cell = p.cell
+         |  WHERE p.pr <= 3 AND n.vec_id <> p.q_id
+         |)
+         |SELECT q_id, n_id, sim, rank FROM (
+         |  SELECT q_id, n_id,
+         |    ROUND(list_cosine_similarity(q_emb, n_emb), 4) AS sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ROUND(list_cosine_similarity(q_emb, n_emb), 4) DESC,
+         |        n_id) AS rank
+         |  FROM cand) WHERE rank <= 5""".stripMargin
+    })(
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         // materialize the index once — ivfTopK reads the cell assignment
@@ -767,7 +829,9 @@ object LlmQueries {
         // and in production an IVF index is a persisted table, not a plan
         // re-derived per read
         val cells = graft.ext.Ivf.kmeansCells(e, "vec_id", "embedding",
-          k = 8, iters = 2).localCheckpoint()
+          k = 8, iters = 2,
+          orderHash = Some(md5(concat(col("vec_id").cast("string"),
+            lit(":42"))))).localCheckpoint()
         graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
           "vec_id", "embedding", "cell", k = 5, nprobe = 3)
       }),

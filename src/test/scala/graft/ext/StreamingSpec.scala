@@ -112,6 +112,39 @@ class StreamingSpec extends SparkSpec {
     assert(r1.count() == r2.count() && r1.count() > 0)
   }
 
+  test("staged-dir lifecycle: a stream planned before a source regeneration still reads its stage; a new read sees the new data") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.timestamp_micros
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_regen")
+    def writeEvents(n: Int): Unit = {
+      // write through Spark, then move the single part file to the bare
+      // events.parquet FILE layout readEvents stages from
+      val tmp = dir.resolve("w")
+      (0 until n).map(i => (i.toLong, 1704067200000000L + i * 1000000L,
+          i.toLong % 7, "click", 1.0, "{}"))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dir.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeEvents(10)
+    val streamV1 = Streaming.windowedAgg(Streaming.readEvents(spark, dir.toString))
+    writeEvents(25) // regeneration: same path, new content/mtime
+    val streamV2 = Streaming.windowedAgg(Streaming.readEvents(spark, dir.toString))
+    // the V1 plan still runs against its retired-but-kept stage
+    val n1 = Streaming.runToTable(spark, streamV1, "regen_v1")
+      .agg(sum("n_events")).collect().head.getLong(0)
+    val n2 = Streaming.runToTable(spark, streamV2, "regen_v2")
+      .agg(sum("n_events")).collect().head.getLong(0)
+    assert(n1 == 10, s"pre-regeneration stream read $n1 events, want 10")
+    assert(n2 == 25, s"post-regeneration stream read $n2 events, want 25")
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
