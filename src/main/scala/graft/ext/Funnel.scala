@@ -50,6 +50,33 @@ object Funnel {
     counts.reduce(_.unionByName(_))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` (the built-in
+    * gap-merging window, usable in batch and streaming): one groupBy, no
+    * lag/running-sum window pair — Catalyst plans a single aggregation
+    * whose grouping key merges overlapping [ts, ts+gap) intervals per
+    * user. Boundary semantics differ from [[sessionizeBatch]] by design:
+    * `session_window` starts a NEW session when the gap is >= the
+    * duration (strict interval overlap merges), while the lag formulation
+    * merges on equality — the oracle replays the native rule. Session end
+    * is last-event + gap (the native definition), not last-event.
+    *
+    * Scale: one shuffle on the user key and the merge runs inside the
+    * aggregation operator — strictly less work than the two-window
+    * lag+sum rewrite; this is the form to prefer wherever the
+    * end-exclusive boundary semantics fit. */
+  def sessionizeNative(events: DataFrame, userCol: String, tsCol: String,
+                       gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+
   /** Batch gap-sessionization — the offline twin of
     * [[Streaming.sessionSummaries]]: events more than `gapMinutes` apart
     * start a new session; one summary row per (user, session) with start,

@@ -372,6 +372,30 @@ object Streaming {
           .as("lag_us"))
   }
 
+  /** Sessionization via the NATIVE streaming `session_window` — the
+    * built-in alternative to the hand-rolled state of [[sessionRowsAppend]]:
+    * Spark merges overlapping [ts, ts+gap) intervals in the session-window
+    * state store and emits a session exactly once, when the watermark
+    * passes its end. Same bounded-source contract as sessionize_append:
+    * over an AvailableNow run the final no-data batch advances the
+    * watermark to the global max event time, so exactly the sessions
+    * ending (last event + gap) at or before that watermark are emitted —
+    * the oracle replays that rule in SQL. Output shape matches
+    * [[graft.ext.Funnel.sessionizeNative]] (the batch twin) minus the
+    * watermark-held tail. */
+  def sessionWindowAppend(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+
   /** Streaming dedup within watermark (§2.9): first event per
     * (user_id, event_type); the 1-day watermark bounds dedup state. */
   def dedupedPairs(events: DataFrame): DataFrame =

@@ -539,6 +539,27 @@ object TextOps {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Homoglyph/confusable folding — the spam-evasion counter in a corpus
+    * cleaning pipeline: adversarial or OCR'd text swaps Latin letters for
+    * visually-identical Cyrillic/Greek/fullwidth codepoints and hides
+    * zero-width characters, which defeats exact AND shingle dedup (every
+    * shingle containing a swapped char misses). One codegen `translate`
+    * pass: confusables map to their Latin ASCII targets, zero-width
+    * characters (ZWSP/ZWNJ/ZWJ/BOM) delete (both Spark and DuckDB
+    * `translate` are codepoint-based and drop source chars beyond the
+    * target string — verified semantics, so an oracle replays this
+    * byte-for-byte). The map covers the high-frequency lowercase
+    * confusables; extend the two strings in lockstep for fuller Unicode
+    * TR39 coverage. */
+  val confusablesFrom: String =
+    "\u0430\u0435\u0456\u043e\u0440\u0441\u0443\u0445" + // Cyrillic a e i o p c y x lookalikes
+    "\u03bf\u03b1" +                             // Greek omicron, alpha
+    "\uff41\uff45\uff4f" +                      // fullwidth a e o
+    "\u200b\u200c\u200d\ufeff"                 // zero-width: deleted
+  val confusablesTo: String = "aeiopcyx" + "oa" + "aeo"
+  def foldConfusables(c: Column): Column =
+    translate(c, confusablesFrom, confusablesTo)
+
   /** Per-occurrence positional postings (doc_id, pos, token), zero-based —
     * the positional twin of [[invertedIndex]] that phrase and proximity
     * search need. Pure explode, no shuffle; at scale this is the artifact

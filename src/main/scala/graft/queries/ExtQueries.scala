@@ -732,6 +732,84 @@ object ExtQueries {
           name, outputMode = "append")
       }),
 
+    // NATIVE session_window sessionization, batch form
+    // ([[Funnel.sessionizeNative]]): one groupBy whose key merges
+    // overlapping [ts, ts+gap) intervals — no lag/running-sum window pair.
+    // Boundary semantics are the native ones (gap >= duration splits;
+    // session end = last event + gap) and the oracle replays exactly that,
+    // so this is NOT redundant with sessionize_batch: it pins that the
+    // built-in operator and the hand-rolled rewrite agree except at the
+    // documented boundary.
+    Reg("sessionize_window", Some(
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), y AS (
+        |  SELECT user_id, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sseq
+        |  FROM x
+        |)
+        |SELECT user_id,
+        |  strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(t) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sseq""".stripMargin))(
+      (s, dir) => graft.ext.Funnel.sessionizeNative(
+        Tables(s, dir).events, "user_id", "ts", gapMinutes = 30)),
+
+    // NATIVE session_window in STREAMING append mode
+    // ([[Streaming.sessionWindowAppend]]): the state store merges session
+    // intervals and emits each session exactly once when the watermark
+    // passes its end — the built-in counterpart to sessionize_append's
+    // hand-rolled flatMapGroupsWithState. Oracle = the batch native
+    // sessions filtered to those whose end (last event + gap) the final
+    // watermark (ms-floored global max event time) passed; the hash match
+    // also proves no session was emitted twice.
+    Reg("stream_session_window", Some(
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), y AS (
+        |  SELECT user_id, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sseq
+        |  FROM x
+        |), s AS (
+        |  SELECT user_id,
+        |    strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |    strftime(max(t) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |      AS session_end,
+        |    COUNT(*) AS n_events,
+        |    epoch_us(max(t)) + 1800000000 AS end_us
+        |  FROM y GROUP BY user_id, sseq
+        |)
+        |SELECT user_id, session_start, session_end, n_events FROM s
+        |WHERE end_us <=
+        |  epoch_ms((SELECT max(CAST(ts AS TIMESTAMP)) FROM events)) * 1000"""
+        .stripMargin))(
+      (s, dir) => {
+        val name = s"session_window_${streamRunCounter.incrementAndGet()}"
+        graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.sessionWindowAppend(
+            graft.ext.Streaming.readEvents(
+              graft.ext.Streaming.streamingSession(s), dir), gapMinutes = 30),
+          name, outputMode = "append")
+      }),
+
     Reg("stream_window", Some(
       s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -1445,6 +1445,38 @@ object LlmQueries {
           .select(col("doc_id"), TextOps.normalizeText(mutated).as("norm"))
       }),
 
+    // Homoglyph/confusable folding ([[TextOps.foldConfusables]]) — the
+    // spam-evasion counter: visually-identical Cyrillic/Greek/fullwidth
+    // swaps and hidden zero-width characters defeat exact and shingle
+    // dedup unless folded first. Same mutate-then-recover posture as
+    // text_normalize: each doc is adversarially mutated by doc_id residue
+    // (Cyrillic/Greek letter swaps, zero-width injection after spaces,
+    // fullwidth swaps), both engines replay mutation AND fold, and the
+    // hash compare proves the fold recovers the original bytes. The
+    // confusable map is embedded from the ONE definition in TextOps.
+    Reg("text_confusables", Some {
+      val zwsp = "\u200b"
+      s"""SELECT doc_id,
+         |  translate(CASE
+         |      WHEN doc_id % 3 = 0 THEN translate(text, 'ao', 'аο')
+         |      WHEN doc_id % 3 = 1
+         |        THEN replace(translate(text, 'c', 'с'), ' ', ' $zwsp')
+         |      ELSE translate(text, 'e', 'ｅ') END,
+         |    '${TextOps.confusablesFrom}', '${TextOps.confusablesTo}')
+         |    AS folded
+         |FROM documents""".stripMargin
+    })(
+      (s, dir) => {
+        val mutated = when(col("doc_id") % 3 === 0,
+            translate(col("text"), "ao", "\u0430\u03bf"))
+          .when(col("doc_id") % 3 === 1,
+            regexp_replace(translate(col("text"), "c", "\u0441"),
+              " ", " \u200b"))
+          .otherwise(translate(col("text"), "e", "\uff45"))
+        Tables(s, dir).documents
+          .select(col("doc_id"), TextOps.foldConfusables(mutated).as("folded"))
+      }),
+
     // Normalization-aware exact dedup: union the corpus with a mutated copy
     // of itself (case/punct/whitespace variants, ids offset by 1e6),
     // normalize, group by the 60-bit hash of the normalized text, keep

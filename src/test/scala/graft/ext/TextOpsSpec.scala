@@ -217,4 +217,28 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(single.toSeq == Seq((1L, 2L)))
   }
+
+  test("foldConfusables maps Cyrillic/Greek/fullwidth lookalikes and strips zero-width chars") {
+    // "соffее dаy" with Cyrillic с о е а, a ZWSP inside "daтa"-style text,
+    // and fullwidth ｏ — all fold to plain ASCII; genuinely different
+    // chars (q, digits) pass through untouched
+    val rows = Seq(
+      (1L, "соffee dаy"),           // Cyrillic с о а
+      (2L, "zero​width﻿ gap"),           // ZWSP + BOM deleted
+      (3L, "grαph οmicron"),             // Greek α ο
+      (4L, "fullｗidth? nｏ"),             // ｗ NOT in map, ｏ is
+      (5L, "plain q 42")).toDF("id", "s")
+    val got = rows.select(col("id"), foldConfusables(col("s")).as("f"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq(
+      "coffee day",
+      "zerowidth gap",
+      "graph omicron",
+      "fullｗidth? no",
+      "plain q 42"))
+    // idempotent: folding folded text is a no-op
+    val twice = rows.select(foldConfusables(foldConfusables(col("s"))).as("f"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == got.sorted || twice.sorted == got.sorted)
+  }
 }
