@@ -548,7 +548,14 @@ object CoreQueries {
     // J-fuzzy: approximate-string self-join, edit distance <= 1 via the
     // deletion-neighborhood candidate join. The oracle is the BRUTE-FORCE
     // cross join with a levenshtein predicate — hash-matching it proves the
-    // blocking loses no pair.
+    // blocking loses no pair. maxBlock = 50 binds NOWHERE the oracle
+    // compares (measured max variant-block: 18 / 27 / 36 at
+    // sf0.001/0.01/0.1 — the candidate set stays complete and the hash
+    // must match brute force) and exists for the clone-heavy scale path:
+    // sf1's replicated corpus drives 360-member variant blocks whose
+    // uncapped candidate set is ~6.5M pairs from those blocks alone
+    // (benched 29.9 s; capped at 100 they star-collapse to 36k candidates,
+    // 10.7 s; 50 also folds the 900 60-member blocks, 1.6M more).
     Reg("fuzzy_join", Some(
       """SELECT a.s_suppkey AS a_id, a.s_name AS a_s,
         |  b.s_suppkey AS b_id, b.s_name AS b_s,
@@ -557,7 +564,7 @@ object CoreQueries {
         |WHERE a.s_suppkey < b.s_suppkey
         |  AND levenshtein(a.s_name, b.s_name) <= 1""".stripMargin))(
       (s, dir) => graft.ops.Relational.fuzzySelfPairs(
-        Tables(s, dir).supplier, "s_suppkey", "s_name")),
+        Tables(s, dir).supplier, "s_suppkey", "s_name", maxBlock = 50)),
 
     // J-fuzzy-score: Jaro-Winkler record linkage through the native
     // codegen expression (graft.functions.JaroWinkler — a static-kernel

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * ids are far below 100M), so referential integrity holds WITHIN a copy
   * and keys never collide ACROSS copies. The tiny dims (region, nation —
   * int32 keys referenced by unchanged int32 foreign keys) are written once.
-  * `events.ts` (TIMESTAMP(NANOS), read as long via the legacy conf) is
-  * passed through as a raw nanos LONG column: [[graft.io.Sources.table]]
-  * rebuilds the microsecond timestamp from exactly that shape, and the
-  * streaming reader's declared schema expects it.
+  * `events.ts` passes through in whatever encoding the source corpus
+  * carries (legacy TIMESTAMP(NANOS) read as a long under the legacy conf,
+  * or TIMESTAMP_NTZ micros since the corpus regeneration):
+  * [[graft.io.Sources.normalizeTs]] canonicalizes either on read, and the
+  * streaming reader derives its schema from the written footer.
   *
   * Note the replica semantics for content tables: documents/embeddings
   * replicas share text/vectors under new ids, so dedup/similarity queries
