@@ -402,4 +402,49 @@ object Streaming {
     events
       .withWatermark("ts", "1 day")
       .dropDuplicates("user_id", "event_type")
+
+  /** [[dedupedPairs]] via `dropDuplicatesWithinWatermark` — the API for
+    * sources whose duplicates carry DIFFERENT event times (retried
+    * webhooks, at-least-once producers): plain dropDuplicates keys state
+    * forever unless the event-time column is part of the key, while the
+    * WithinWatermark form guarantees dedup of duplicates arriving within
+    * the watermark delay of the first occurrence AND evicts state after
+    * it — the production shape for unbounded dedup state. Same
+    * first-per-key result over the bounded source. */
+  def dedupedPairsWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** LEFT OUTER stream-stream interval join: [[attributionJoin]] plus the
+    * unattributed clicks, which Structured Streaming emits with a null
+    * purchase side only once the watermark proves no match can still
+    * arrive (state eviction — the outer row cannot be produced eagerly or
+    * a late purchase would contradict it). `lateness` here must be the
+    * REAL disorder bound, not the whole corpus span: the watermark's
+    * advance is what releases unmatched rows, so a 30-day lateness over a
+    * 30-day corpus would hold every unmatched click in state to the end
+    * and emit nothing. Over the bounded AvailableNow source the final
+    * watermark is the ms-floored global max event time, so exactly the
+    * clicks whose window closed strictly before it emit null rows — the
+    * oracle replays that rule. */
+  def attributionJoinOuter(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("__puid"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+    clicks.join(purchases,
+        col("user_id") === col("__puid") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (tsMicros(col("purchase_ts")) - tsMicros(col("click_ts")))
+          .as("lag_us"))
+  }
 }

@@ -654,6 +654,69 @@ object ExtQueries {
           name, outputMode = "append")
       }),
 
+    // ST: LEFT OUTER stream-stream interval join — the matched rows of
+    // stream_joined PLUS a null-purchase row for every click the watermark
+    // proved unattributable (emitted on state eviction, never eagerly).
+    // With TWO watermarked columns the query's watermark is the MIN of
+    // the per-column maxima (spark.sql.streaming.multipleWatermarkPolicy
+    // = min — NOT the global max event time, and in particular not the
+    // max over the event types this query never reads), each ms-floored.
+    // A click's null row is released when that watermark strictly passes
+    // its window end: cts + window < min(max click ts, max purchase ts).
+    // Verified exact at sf0.001 / sf0.01 / sf0.1 (204 / 1,971 / 19,473
+    // null rows). Clicks inside the boundary stay in state and must NOT
+    // appear — the hash match proves both directions.
+    Reg("stream_joined_outer", Some(
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id AS pu, event_id AS purchase_id,
+        |    CAST(ts AS TIMESTAMP) AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT c.click_id, p.purchase_id, c.user_id,
+        |    CAST(epoch_us(p.pts) - epoch_us(c.cts) AS BIGINT) AS lag_us
+        |  FROM c JOIN p ON c.user_id = p.pu
+        |    AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+        |)
+        |SELECT click_id, purchase_id, user_id, lag_us FROM m
+        |UNION ALL
+        |SELECT c.click_id, CAST(NULL AS BIGINT), c.user_id,
+        |  CAST(NULL AS BIGINT)
+        |FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+        |  AND epoch_us(c.cts) + 3600000000 < least(
+        |    (SELECT epoch_ms(max(cts)) * 1000 FROM c),
+        |    (SELECT epoch_ms(max(pts)) * 1000 FROM p))"""
+        .stripMargin))(
+      (s, dir) => {
+        val name = s"stream_joined_outer_${streamRunCounter.incrementAndGet()}"
+        graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.attributionJoinOuter(
+            graft.ext.Streaming.readEvents(
+              graft.ext.Streaming.streamingSession(s), dir), windowMinutes = 60),
+          name, outputMode = "append")
+      }),
+
+    // ST: dropDuplicatesWithinWatermark — the state-evicting dedup for
+    // duplicates with DIFFERENT event times (retried webhooks); same
+    // rollup oracle as stream_dedup since the bounded result is first-
+    // per-key either way — what this registration pins is that the
+    // WithinWatermark operator agrees with it end-to-end.
+    Reg("stream_dedup_within", Some(
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin))(
+      (s, dir) => {
+        val name = s"stream_dedup_within_${streamRunCounter.incrementAndGet()}"
+        val ss = graft.ext.Streaming.streamingSession(s)
+        val deduped = graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.dedupedPairsWithinWatermark(
+            graft.ext.Streaming.readEvents(ss, dir)),
+          name, outputMode = "append")
+        deduped.groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
+      }),
+
     // ST: custom-state sessionization (mapGroupsWithState) — gap-based
     // session counting per user, oracled against a lag-window SQL rewrite.
     Reg("sessionize", Some(
