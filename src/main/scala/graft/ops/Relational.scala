@@ -245,8 +245,11 @@ object Relational {
       .select(col("__r.__fid").as("a_id"), col("__r.__fs").as("a_s"),
         col("__fid").as("b_id"), col("__fs").as("b_s"))
     inCap.unionByName(starred).distinct()
-      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
-      .where(col("dist") <= 1)
+      // thresholded levenshtein: banded DP, O(threshold·n) per pair vs the
+      // full O(n²) table, returning -1 beyond the bound — the verify step
+      // runs once per candidate, so the band is the whole cost there
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s"), 1))
+      .where(col("dist") >= 0)
   }
 
   /** Bloom-pruned equi-join: probe-side rows whose key cannot be in the
