@@ -469,6 +469,20 @@ object ExtQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // F-json via Spark 4 VARIANT: parse once into the binary-encoded
+    // semi-structured type, then typed-path extraction — the modern
+    // replacement for per-field get_json_object re-parsing (VARIANT
+    // parses the document ONCE however many fields are read; at 100 TB
+    // of event props that is the difference between one JSON parse per
+    // row and one per field). Same oracle as the string-path twin —
+    // the two extraction paths must agree byte-for-byte.
+    Reg("f_variant_get", Some(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin))(
+      (s, dir) => Tables(s, dir).events.select(
+        col("event_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))),
+
     // F-date: day-truncated temporal rollup; the day leaves the result as a
     // formatted string so timestamp representations never hit the compare.
     Reg("f_date_trunc", Some(
@@ -1254,6 +1268,54 @@ object ExtQueries {
         Tables(s, dir).orders.select(col("o_orderkey"),
           round(percent_rank().over(w), 6).as("pr"),
           round(cume_dist().over(w), 6).as("cd"))
+      }),
+
+    // W-ext: LOCF imputation (last observation carried forward) —
+    // `last_value IGNORE NULLS` over the user's event-time order, the
+    // standard sensor/telemetry gap filler. The corpus has no nulls, so
+    // both engines first null out the same deterministic subset
+    // (event_id % 3 <> 0) and the carry must reconstruct identically —
+    // the compare proves the ignore-nulls frame, not a no-op. One
+    // window over the user partition; no self-joins.
+    Reg("w7_locf", Some(
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_id % 3 = 0 THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_locf
+        |FROM events""".stripMargin))(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir).events.select(col("event_id"), col("user_id"),
+          last(when(col("event_id") % 3 === 0, col("value")),
+            ignoreNulls = true).over(w).as("v_locf"))
+      }),
+
+    // A16: per-group MODE with a DETERMINISTIC tiebreak (count desc, then
+    // smallest value) — engine mode() tie semantics differ, so both sides
+    // replay the same count→rank→first pipeline; same argmax-by-rank
+    // shape as a13, applied to the value histogram.
+    Reg("a16_mode", Some(
+      """WITH c AS (
+        |  SELECT l_returnflag AS g, l_quantity AS x, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT g AS l_returnflag, x AS mode_qty FROM (
+        |  SELECT g, x, row_number() OVER (PARTITION BY g
+        |    ORDER BY n DESC, x) AS rn FROM c)
+        |WHERE rn = 1""".stripMargin))(
+      (s, dir) => {
+        val counts = Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"), col("l_quantity").as("x"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("n").desc, col("x"))
+        counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("l_returnflag"), col("x").as("mode_qty"))
       }),
 
     graphPagerankReg
