@@ -40,10 +40,20 @@ object Streaming {
     * `newSession` shares the SparkContext and catalog but carries an
     * independent SQLConf, so the override never leaks into concurrently
     * running batch queries. Everything built from the returned session
-    * (readEvents → transforms → runToTable) inherits the setting. */
+    * (readEvents → transforms → runToTable) inherits the setting.
+    *
+    * State store: RocksDB, not the default HDFS-backed provider. The
+    * default keeps every partition's ENTIRE state map in executor heap
+    * (plus a second copy while snapshotting) — the thing that OOMs first
+    * when a stream-stream join or long-session state grows at 100 TB;
+    * RocksDB spills state to local disk with bounded block-cache memory
+    * and changelog-checkpoints to the fault-tolerant store. Same
+    * exactly-once semantics, verified by the same oracles. */
   def streamingSession(spark: SparkSession, partitions: Int = 8): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ss
   }
 
