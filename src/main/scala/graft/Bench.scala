@@ -144,13 +144,11 @@ object Bench {
 
     // Output layout vs the driver's TAIL-keeping truncation (r06 lost the
     // whole per-query map and graded on errors+summary alone):
-    //   stderr           — per-query diagnostics, human-readable
-    //   stdout line 1    — expendable diagnostics (coverage-pass raws,
-    //                      retime corrections); fine to lose its head
-    //   stdout LAST line — the canonical {"metric":...} line, kept COMPACT
-    //                      (queries + errors + summary + corpus signature
-    //                      only) so it fits inside any plausible tail
-    //                      window intact and parses
+    //   stderr — diagnostics (coverage-pass raws, retime corrections);
+    //            expendable
+    //   stdout — EXACTLY ONE JSON line (the driver contract), kept COMPACT
+    //            (queries + errors + summary + corpus signature only) so it
+    //            fits inside any plausible tail window intact and parses
     val qs = finalTimes.sortBy(_._2).map { case (k, t) =>
       "\"" + esc(k) + "\":" + sec(t)
     }.mkString("{", ",", "}")
@@ -165,7 +163,7 @@ object Bench {
     val errs = bad.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = finalTimes.map(_._2).sum
-    println(s"""{"coverage_pass":$raw,"retimed":$rt}""")
+    System.err.println(s"""[bench] {"coverage_pass":$raw,"retimed":$rt}""")
     println(s"""{"queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"floor_sec":${sec(floor)},"sf":"$sfDir","corpus":"${esc(corpusSig)}","metric":"total","value":${sec(total)},"unit":"sec"}""")
     spark.stop()
   }
