@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses ONE stdout JSON line from `runMain graft.Bench`
+// and keeps only a ~2KB tail: the forked JVM's stdout must pass through
+// byte-clean (no `[info] ` prefix) and no `[success]` epilogue may trail
+// the JSON line.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -103,11 +103,14 @@ object Bench {
     val bad = results.collect { case (n, Left(m)) => n -> m }
 
     // ---- pass 2: quiet re-time of the K slowest --------------------------
-    // K defaults to 12 (round 5's top-12 covered every query >1.2 s at
-    // sf0.1). Settle: clear cached relations, force a full GC (which also
-    // drives the ContextCleaner's shuffle/broadcast cleanup), and give the
-    // JVM a beat for compilation/cleanup threads to drain.
-    val retimeK = sys.env.get("SPARK_GRAFT_RETIME").map(_.toInt).getOrElse(12)
+    // K defaults to 20 so every number PUBLISHED on stdout (the top-20 map
+    // below) is a quiet-pass value — the driver-box artifact then matches a
+    // builder's isolated run within contention noise instead of lying by up
+    // to 9x for fast queries (round-7 verdict item 4). Settle: clear cached
+    // relations, force a full GC (which also drives the ContextCleaner's
+    // shuffle/broadcast cleanup), and give the JVM a beat for
+    // compilation/cleanup threads to drain.
+    val retimeK = sys.env.get("SPARK_GRAFT_RETIME").map(_.toInt).getOrElse(20)
     val byName = SparkEntry.queries
     val slowest = ok.sortBy(-_._2).take(retimeK).map(_._1)
     val retimed: Seq[(String, Double)] = slowest.flatMap { name =>
@@ -142,29 +145,66 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    // Output layout vs the driver's TAIL-keeping truncation (r06 lost the
-    // whole per-query map and graded on errors+summary alone):
-    //   stderr — diagnostics (coverage-pass raws, retime corrections);
-    //            expendable
-    //   stdout — EXACTLY ONE JSON line (the driver contract), kept COMPACT
-    //            (queries + errors + summary + corpus signature only) so it
-    //            fits inside any plausible tail window intact and parses
-    val qs = finalTimes.sortBy(_._2).map { case (k, t) =>
-      "\"" + esc(k) + "\":" + sec(t)
-    }.mkString("{", ",", "}")
-    val rt = retimed.sortBy(-_._2).map { case (k, t) =>
-      "\"" + esc(k) + "\":" + sec(t)
-    }.mkString("{", ",", "}")
+    // Output layout vs the driver's TAIL-keeping truncation: the driver
+    // keeps only a ~2,000-char tail of stdout, so a 185-entry per-query map
+    // (~4.5 KB) can NEVER parse — the head of the line (including the
+    // opening brace) is cut away (rounds 5-7: BENCH parsed=null). Contract:
+    //   stdout — EXACTLY ONE JSON line, ≤ ~1,900 chars TOTAL: summary
+    //            fields + the top-20 slowest queries only (all of which are
+    //            quiet-pass retimed values, retimeK=20). 20 entries ≈ 700
+    //            chars, so the whole line survives any plausible tail
+    //            window intact and parses.
+    //   stderr — the FULL final map + coverage-pass raws + retime
+    //            corrections (diagnostics, expendable).
+    //   file   — bench/full_latest.json: the complete artifact (full map,
+    //            retime evidence, corpus signature), committed per round so
+    //            regression attribution never depends on the tail again.
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
+    val kinds = SparkEntry.kinds
+    val topN = 20
+    val top = finalTimes.sortBy(-_._2).take(topN).map { case (k, t) => k -> sec(t) }
+    val fullMap = jmap(finalTimes.sortBy(-_._2).map { case (k, t) => k -> sec(t) })
+    val rt = jmap(retimed.sortBy(-_._2).map { case (k, t) => k -> sec(t) })
     // coverage-pass raw values for the retimed set: the delta vs "retimed"
     // is the measured contention inflation, kept for honesty
-    val raw = retimed.sortBy(-_._2).map { case (k, _) =>
-      "\"" + esc(k) + "\":" + sec(ok.toMap.apply(k))
-    }.mkString("{", ",", "}")
-    val errs = bad.map { case (k, m) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
+    val raw = jmap(retimed.sortBy(-_._2).map { case (k, _) =>
+      k -> sec(ok.toMap.apply(k)) })
+    // errors stay on the stdout line (they are what the driver most needs)
+    // but bounded: 12 entries x 80-char messages, so a catastrophic round
+    // cannot blow the 1,900-char budget and unparse itself
+    val errs = bad.take(12).map { case (k, m) =>
+      "\"" + esc(k) + "\":\"" + esc(m.take(80)) + "\"" }
       .mkString("{", ",", "}")
+    val errsFull = bad.map { case (k, m) =>
+      "\"" + esc(k) + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
     val total = finalTimes.map(_._2).sum
-    System.err.println(s"""[bench] {"coverage_pass":$raw,"retimed":$rt}""")
-    println(s"""{"queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},"floor_sec":${sec(floor)},"sf":"$sfDir","corpus":"${esc(corpusSig)}","metric":"total","value":${sec(total)},"unit":"sec"}""")
+    // headline vs oracle-arm split: "arm" entries are deliberately-worse
+    // exact siblings that exist to oracle an approximation (Reg.kind;
+    // SCALE.md names each pair) — their cost is NOT engine throughput
+    val armSec = finalTimes.collect {
+      case (n, t) if kinds.get(n).contains("arm") => t }.sum
+    val headlineSec = total - armSec
+    val summary =
+      s""""errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},""" +
+      s""""n_published":${top.size},"headline_sec":${sec(headlineSec)},""" +
+      s""""arm_sec":${sec(armSec)},"floor_sec":${sec(floor)},""" +
+      s""""sf":"$sfDir","corpus":"${esc(corpusSig)}",""" +
+      s""""metric":"total","value":${sec(total)},"unit":"sec""""
+    val line = s"""{"queries":${jmap(top)},$summary}"""
+    val full = s"""{"queries":$fullMap,"coverage_pass":$raw,"retimed":$rt,"errors_full":$errsFull,$summary}"""
+    System.err.println(s"[bench] full: $full")
+    try {
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("full_latest.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING stdout line ${line.length} chars > 1900 budget")
+    println(line)
     spark.stop()
   }
 }

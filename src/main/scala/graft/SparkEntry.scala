@@ -40,4 +40,10 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(r => r.oracle.map(sql => r.name -> sql)).toMap
+
+  /** Query kind (headline / arm / sketch — see [[graft.queries.Reg]]): lets
+    * the bench separate shipped-operator cost from deliberately-worse oracle
+    * arms, and tells the driver which entries are rows-only by nature. */
+  def kinds: Map[String, String] =
+    registry.map(r => r.name -> r.kind).toMap
 }

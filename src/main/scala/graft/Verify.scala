@@ -61,6 +61,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // query kinds (headline / arm / sketch) beside the oracles: entries
+    // with kind = "sketch" are HLL/KLL sketches — rows-only BY NATURE (no
+    // cross-engine hash can exist for a randomized summary), each gated by
+    // a ScalaTest property instead; "arm" marks deliberately-worse exact
+    // oracle arms whose bench cost is not engine throughput (SCALE.md).
+    val kindsJson = SparkEntry.kinds
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/kinds.json"), kindsJson)
     spark.stop()
   }
 }

@@ -44,10 +44,22 @@ object Graph {
     * optimizer+codegen cost that grows with plan depth (14.6 s); the
     * interval-4 default is the measured sweet spot (9.6 s). The final
     * frame is checkpointed eagerly so the returned DataFrame is free of
-    * the unpersisted lineage. */
+    * the unpersisted lineage.
+    *
+    * Convergence early-exit: with `epsilon = Some(ε)`, iteration stops at
+    * the first CHECKPOINT whose ranks moved less than ε (max |Δrank| over
+    * all nodes) since the previous checkpoint. The check rides the
+    * checkpoint cadence on purpose: the frame is materialized there
+    * anyway, so the test costs one O(V) join + aggregate per interval and
+    * never makes the in-between rounds eager (which the cadence note above
+    * measured at +35%). Movement-over-a-window < ε is a STRICTER stop than
+    * per-round Δ < ε, so it never exits earlier than the textbook
+    * criterion. Default None = fixed iterations — the mode oracles replay
+    * (an unrolled-CTE oracle cannot know the data-dependent stop round). */
   def pagerank(edges: DataFrame, iters: Int = 10,
                damping: Double = 0.85,
-               checkpointInterval: Int = 4): DataFrame = {
+               checkpointInterval: Int = 4,
+               epsilon: Option[Double] = None): DataFrame = {
     require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be positive, got $checkpointInterval")
@@ -73,7 +85,10 @@ object Graph {
     val base = (1.0 - damping) / n
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (i <- 1 to iters) {
+    var prevCp = ranks
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
       val contrib = out.join(ranks, out("src") === ranks("node"))
         .groupBy(out("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("cin"))
@@ -82,8 +97,19 @@ object Graph {
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("cin"), lit(0.0)))
             .as("rank"))
-      if (i % checkpointInterval == 0 || i == iters)
+      if (i % checkpointInterval == 0 || i == iters) {
         ranks = ranks.localCheckpoint() // eager: materializes rounds so far
+        epsilon.foreach { eps =>
+          // both sides are checkpointed O(V) frames; one agg, no shuffle of E
+          val delta = ranks
+            .join(prevCp.withColumnRenamed("rank", "__prev"), Seq("node"))
+            .agg(max(abs(col("rank") - col("__prev"))).as("d"))
+            .head().getAs[Double]("d")
+          if (delta < eps) converged = true
+        }
+        prevCp = ranks
+      }
+      i += 1
     }
     out.unpersist()
     nodes.unpersist()

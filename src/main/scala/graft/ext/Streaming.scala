@@ -75,18 +75,20 @@ object Streaming {
           s":${java.nio.file.Files.size(src)}"
         // keyed path -> (sig, dir): a regenerated source file REPLACES its
         // staged copy (the superseded dir is deleted) instead of accreting
-        // one staged copy per regeneration within the JVM
-        stagedDirs.compute(src.toString, { (_, prev) =>
+        // one staged copy per regeneration within the JVM.
+        // The superseded stage is RETIRED, not deleted: a streaming query
+        // started against it before the source was regenerated may still be
+        // mid-run, and deleting under it would fail that query on
+        // file-not-found. Retired stages are kept last-N-bounded (see
+        // retire), with the remainder cleaned at JVM exit. Retirement —
+        // which recursively DELETES files — happens AFTER compute()
+        // returns, never while holding the map's bin lock (a concurrent
+        // readEvents for the same path must not block on disk I/O).
+        val evicted = new java.util.concurrent.atomic.AtomicReference[String]()
+        val staged = stagedDirs.compute(src.toString, { (_, prev) =>
           if (prev != null && prev._1 == sig) prev
           else {
-            // The superseded stage is RETIRED, not deleted: a streaming
-            // query started against it before the source was regenerated
-            // may still be mid-run, and deleting under it would fail that
-            // query on file-not-found. Retired stages are kept
-            // last-N-bounded (see retire) so a long-lived JVM seeing many
-            // regenerations holds at most N stale hardlinks, with the
-            // remainder cleaned at JVM exit.
-            if (prev != null) retire(prev._2)
+            if (prev != null) evicted.set(prev._2)
             val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
             val dst = d.resolve("events.parquet")
             try java.nio.file.Files.createLink(dst, src)
@@ -94,10 +96,20 @@ object Streaming {
             (sig, d.toString)
           }
         })._2
+        Option(evicted.get()).foreach(retire)
+        staged
       }
+    // The stream's declared schema must come from the SAME inode the stream
+    // will read: footer-read the STAGED file, not the live source path — a
+    // regeneration racing between staging and schema read would otherwise
+    // declare the new encoding against the old staged data (exactly the
+    // 1000× ts mis-scale this footer-derived schema exists to prevent).
+    val schemaPath =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else java.nio.file.Paths.get(streamDir, "events.parquet").toString
     graft.io.Sources.normalizeTs(
       spark.readStream
-        .schema(eventsSchema(spark, src.toString))
+        .schema(eventsSchema(spark, schemaPath))
         .parquet(streamDir))
   }
 

@@ -46,7 +46,12 @@ object CorpusSig {
     val combined = java.security.MessageDigest.getInstance("MD5")
       .digest(rows.map { case (n, m, h) => s"$n:$m:$h" }.mkString("|")
         .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val maxM = rows.map(_._2).filter(_ != "?").sorted.lastOption.getOrElse("?")
+    // numeric max, not lexicographic: ISO instants with fractional seconds
+    // ("…00.500Z") sort BEFORE the same second without ("…00Z") as strings,
+    // which could name an older table in the @mtime suffix
+    val maxM = rows.map(_._2).filter(_ != "?")
+      .maxByOption(m => java.time.Instant.parse(m).toEpochMilli)
+      .getOrElse("?")
     s"$combined@$maxM"
   }
 }

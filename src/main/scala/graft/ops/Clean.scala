@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Statistical data-cleaning operators: per-group z-score outlier flagging
   * and winsorization (percentile clipping) — the numeric siblings of the
@@ -47,8 +46,8 @@ object Clean {
     * DISCRETE percentile bounds (the actual group element at rank
     * ceil(p·n) — never an interpolated value, so both engines pick the
     * identical bound and the clip comparisons are exact, no float-boundary
-    * flakes). Returns one row per group: exact-decimal sum of the clipped
-    * values, clip counts both sides, and the bounds.
+    * flakes). Returns one row per group: exact integer-cents sum of the
+    * clipped values, clip counts both sides, and the bounds.
     *
     * The cut finder works on the per-group VALUE HISTOGRAM, not the rows:
     * the rank-k element equals min{x : cumulative count(≤x) ≥ k}, so the
@@ -65,8 +64,8 @@ object Clean {
     df.join(broadcast(cuts), col(groupCol) === col("__g"))
       .groupBy(groupCol)
       .agg(
-        sum(least(greatest(col(valueCol), col("lo")), col("hi"))
-          .cast(DecimalType(25, 2))).cast("double").as("wsum"),
+        graft.ops.Relational.dsum(
+          least(greatest(col(valueCol), col("lo")), col("hi"))).as("wsum"),
         sum(when(col(valueCol) < col("lo"), 1L).otherwise(0L)).as("n_lo"),
         sum(when(col(valueCol) > col("hi"), 1L).otherwise(0L)).as("n_hi"),
         count(lit(1)).as("n"),

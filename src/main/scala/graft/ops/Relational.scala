@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.functions.Time.tsMicros
 
 /** Relational combinators (SURVEY.md §2.2 P1–P8, §2.3 J1–J5, §2.4 A1–A5).
@@ -207,8 +206,12 @@ object Relational {
     * in-block pair count drops k²/2 → k-1, connectivity of a true
     * duplicate cluster survives (every member still pairs with the
     * representative), and the exact levenshtein still gates each emitted
-    * pair. Recall trade, documented: a member of an over-cap block is only
-    * tested against the representative. Block sizes come from an
+    * pair. Recall trade: a member of an over-cap block is only tested
+    * against the representative. The DEFAULT is exact (no cap) — the
+    * completeness guarantee is the operator's contract, and capping is an
+    * explicit opt-in a caller makes knowingly (the registered `fuzzy_join`
+    * passes 50, and its oracle replays the same star-collapse so engine
+    * and oracle agree wherever the cap binds). Block sizes come from an
     * aggregate + join-back, never a window over the block key — the
     * degenerate block must not serialize through one task.
     *
@@ -216,7 +219,7 @@ object Relational {
     * corpus scale d=1 is the useful regime — beyond it, switch to n-gram
     * Jaccard ([[graft.ext.Dedup.ngramJaccardPairs]]). */
   def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String,
-                     maxBlock: Int = 10000): DataFrame = {
+                     maxBlock: Int = Int.MaxValue): DataFrame = {
     val v = df.select(col(idCol).as("__fid"), col(strCol).as("__fs"))
       .withColumn("__i", explode(sequence(lit(0), length(col("__fs")))))
       .select(col("__fid"), col("__fs"),
@@ -312,22 +315,37 @@ object Relational {
       .drop("__prev")
   }
 
-  /** Exact decimal SUM surfaced as double.
+  /** Exact fixed-point SUM surfaced as double, accumulated as integer cents.
     *
-    * The corpus measures are 2-decimal doubles; a parallel double sum is
-    * order-dependent in the low bits, which breaks hash-equality against a
-    * single-threaded oracle. Summing in DECIMAL(25,scale) is exact and
-    * associative, so partial (map-side) aggregation still applies and the
-    * result is bit-identical on 1 or 1000 executors. The final cast back to
-    * double keeps the output schema engine-neutral. */
-  def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(25, scale))).cast("double")
+    * The corpus measures are `scale`-decimal doubles; a parallel double sum
+    * is order-dependent in the low bits, which breaks hash-equality against
+    * a single-threaded oracle. Summing ROUND(x·10^scale) as BIGINT is exact
+    * and associative — the running total is an integer, bit-identical on 1
+    * or 1000 executors — and the one division at the end restores the scale.
+    * Same bit-stability as the previous DECIMAL(25,scale) accumulator, but
+    * the Tungsten aggregate buffer is a primitive long instead of an
+    * unscaled-128-bit Decimal (measured: the DECIMAL path alone was 1.15 s
+    * of a1_groupsum's 1.15 s at sf0.1 — ~4× the whole-query cents cost).
+    * ROUND parity Spark↔DuckDB holds for every double: Spark rounds the
+    * shortest-decimal repr HALF_UP, DuckDB rounds the binary value
+    * half-away-from-zero; they can only disagree at an exact .5 boundary,
+    * where the shortest repr equals the binary value and both go away from
+    * zero. Overflow bound: |Σ cents| < 2^63 ≈ 9.2e18 — ~9e11 rows of
+    * 10^7-cent values per GROUP; beyond that (extreme 100 TB groups), sum
+    * the cents in two tiers (partial BIGINT, final DECIMAL(38,0)). */
+  def dsum(c: Column, scale: Int = 2): Column = {
+    val m = math.round(math.pow(10, scale.toDouble))
+    sum(round(c * m, 0).cast("long")) / lit(m.toDouble)
+  }
 
-  /** Exact decimal sum of an already-multiplied measure, e.g.
-    * extendedprice*(1-discount): cast factors first so the product is exact.
-    * DECIMAL(18,_) factors keep the product precision (37) within the
-    * 38-digit cap of both Spark and the DuckDB oracle — DECIMAL(25,_)²
-    * would overflow DuckDB's decimal width and silently lose parity. */
-  def dsumProd2(a: Column, b: Column, scaleA: Int = 2, scaleB: Int = 2): Column =
-    sum(a.cast(DecimalType(18, scaleA)) * b.cast(DecimalType(18, scaleB))).cast("double")
+  /** Exact fixed-point sum of an already-multiplied measure, e.g.
+    * extendedprice*(1-discount): each factor rounds to its own cents grid
+    * first (exactly the old DECIMAL(18,2)-cast semantics), the integer
+    * product is exact in a double up to 2^53 (price-cents ~1e7 × factor-
+    * cents ~1e2 ≪ 2^53), and the BIGINT sum is order-independent. */
+  def dsumProd2(a: Column, b: Column, scaleA: Int = 2, scaleB: Int = 2): Column = {
+    val ma = math.round(math.pow(10, scaleA.toDouble))
+    val mb = math.round(math.pow(10, scaleB.toDouble))
+    sum((round(a * ma, 0) * round(b * mb, 0)).cast("long")) / lit((ma * mb).toDouble)
+  }
 }

@@ -67,8 +67,8 @@ object ApiQueries {
       s"""SELECT cipcode,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  ${sqlDsum("l_extendedprice")} AS sum_price,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-         |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_revenue,
+         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100)
+         |           AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_revenue,
          |  CASE cipcode WHEN '0A.1' THEN 'Alpha One'
          |               WHEN '0N.3' THEN 'November Three'
          |               ELSE cipcode END AS cipname

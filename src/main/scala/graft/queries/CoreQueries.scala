@@ -10,10 +10,13 @@ import graft.ops.Reshape._
   * P/J/A/F/R families), each with its DuckDB oracle SQL. */
 object CoreQueries {
 
-  /** Shared SQL fragment: exact-decimal sum surfaced as double (see
-    * [[graft.ops.Relational.dsum]]). */
+  /** Shared SQL fragment: exact integer-cents sum surfaced as double —
+    * DuckDB twin of [[graft.ops.Relational.dsum]]. SUM(BIGINT) is HUGEINT
+    * in DuckDB, hence the explicit CAST before the one scale-restoring
+    * division (both engines then compute double(Σcents)/100.0, identical
+    * IEEE ops). */
   def sqlDsum(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(25,2))) AS DOUBLE)"
+    s"(CAST(SUM(CAST(ROUND(($x) * 100) AS BIGINT)) AS DOUBLE) / 100.0)"
 
   /** Corpus event types — the SINGLE source of truth for every pivot /
     * one-hot / unpivot column list (a stale copy would silently produce
@@ -198,8 +201,8 @@ object CoreQueries {
          |    AS n_good,
          |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT)
          |    AS n_bad,
-         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
-         |       FILTER (WHERE o_orderkey % 10 <> 0) AS DOUBLE) AS sum_price
+         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         |       FILTER (WHERE o_orderkey % 10 <> 0) AS DOUBLE) / 100.0 AS sum_price
          |FROM orders""".stripMargin))(
       (s, dir) => {
         import org.apache.spark.sql.types._
@@ -363,8 +366,8 @@ object CoreQueries {
       s"""SELECT l_returnflag,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  ${sqlDsum("l_extendedprice")} AS sum_price,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-         |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_revenue,
+         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100)
+         |           AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_revenue,
          |  COUNT(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
       (s, dir) => Tables(s, dir).lineitem
@@ -523,7 +526,7 @@ object CoreQueries {
     // against DuckDB's replay of it.
     Reg("zorder_scan", Some(
       """SELECT COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
         |  CAST(SUM(CAST(list_sum(list_transform(generate_series(0, 19), i ->
         |    (((l_partkey >> i) & 1) << (2 * i)) +
         |    (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT)) AS BIGINT) AS sum_z
@@ -546,23 +549,41 @@ object CoreQueries {
       }),
 
     // J-fuzzy: approximate-string self-join, edit distance <= 1 via the
-    // deletion-neighborhood candidate join. The oracle is the BRUTE-FORCE
-    // cross join with a levenshtein predicate — hash-matching it proves the
-    // blocking loses no pair. maxBlock = 50 binds NOWHERE the oracle
-    // compares (measured max variant-block: 18 / 27 / 36 at
-    // sf0.001/0.01/0.1 — the candidate set stays complete and the hash
-    // must match brute force) and exists for the clone-heavy scale path:
-    // sf1's replicated corpus drives 360-member variant blocks whose
-    // uncapped candidate set is ~6.5M pairs from those blocks alone
-    // (benched 29.9 s; capped at 100 they star-collapse to 36k candidates,
-    // 10.7 s; 50 also folds the 900 60-member blocks, 1.6M more).
+    // deletion-neighborhood candidate join. The oracle REPLAYS the
+    // registered maxBlock = 50 star-collapse semantics (variant explode →
+    // block stats → in-cap pairs + over-cap representative stars → exact
+    // levenshtein), so engine and oracle agree at EVERY scale — including
+    // sf1, where clone-heavy 360-member variant blocks make the cap bind
+    // (uncapped: ~6.5M candidate pairs, 29.9 s; capped: star-collapsed,
+    // 2.7 s). At the oracle SFs the cap binds nowhere (measured max
+    // variant-block: 18 / 27 / 36 at sf0.001/0.01/0.1), so the replay is
+    // ALSO bit-identical to the brute-force cross join there — completeness
+    // of the blocking stays proven by FuzzyJoinSpec's brute-force property.
     Reg("fuzzy_join", Some(
-      """SELECT a.s_suppkey AS a_id, a.s_name AS a_s,
-        |  b.s_suppkey AS b_id, b.s_name AS b_s,
-        |  levenshtein(a.s_name, b.s_name) AS dist
-        |FROM supplier a, supplier b
-        |WHERE a.s_suppkey < b.s_suppkey
-        |  AND levenshtein(a.s_name, b.s_name) <= 1""".stripMargin))(
+      """WITH v AS (
+        |  SELECT s_suppkey AS fid, s_name AS fs,
+        |    unnest(list_transform(generate_series(0, length(s_name)),
+        |      i -> CASE WHEN i = 0 THEN s_name
+        |           ELSE substr(s_name, 1, i - 1) ||
+        |                substr(s_name, i + 1, length(s_name)) END)) AS var
+        |  FROM supplier
+        |), stats AS (
+        |  SELECT var, COUNT(*) AS bsz, MIN(fid) AS rfid,
+        |         arg_min(fs, fid) AS rfs
+        |  FROM v GROUP BY var
+        |), vs AS (
+        |  SELECT v.fid, v.fs, v.var, s.bsz, s.rfid, s.rfs
+        |  FROM v JOIN stats s USING (var)
+        |), cand AS (
+        |  SELECT DISTINCT a_id, a_s, b_id, b_s FROM (
+        |    SELECT a.fid AS a_id, a.fs AS a_s, b.fid AS b_id, b.fs AS b_s
+        |    FROM vs a JOIN vs b ON a.var = b.var AND a.fid < b.fid
+        |    WHERE a.bsz <= 50
+        |    UNION ALL
+        |    SELECT rfid, rfs, fid, fs FROM vs WHERE bsz > 50 AND fid <> rfid)
+        |)
+        |SELECT a_id, a_s, b_id, b_s, levenshtein(a_s, b_s) AS dist
+        |FROM cand WHERE levenshtein(a_s, b_s) <= 1""".stripMargin))(
       (s, dir) => graft.ops.Relational.fuzzySelfPairs(
         Tables(s, dir).supplier, "s_suppkey", "s_name", maxBlock = 50)),
 
@@ -732,25 +753,24 @@ object CoreQueries {
     // Incremental aggregate maintenance (the lambda-architecture merge):
     // partial aggregates of a BASE partition and a DELTA batch merged by
     // re-aggregating the partials — the oracle is the FULL recompute, so
-    // the hash match proves merge(partials) ≡ full for the decimal-sum
-    // algebra (exactly why dsum uses decimals: double partials would
+    // the hash match proves merge(partials) ≡ full for the integer-cents
+    // sum algebra (exactly why dsum sums cents: double partials would
     // diverge in the low bits and the maintenance would drift).
     Reg("incr_agg", Some(
       s"""SELECT o_orderpriority, ${sqlDsum("o_totalprice")} AS sum_price,
          |  COUNT(*) AS n_rows
          |FROM orders GROUP BY o_orderpriority""".stripMargin))(
       (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
         val o = Tables(s, dir).orders
         def partial(df: org.apache.spark.sql.DataFrame) =
           df.groupBy("o_orderpriority")
-            .agg(sum(col("o_totalprice").cast(DecimalType(25, 2))).as("s"),
+            .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("s"),
               count(lit(1)).as("n"))
         val base = partial(o.where(col("o_orderkey") % 7 =!= 0))
         val delta = partial(o.where(col("o_orderkey") % 7 === 0))
         base.unionByName(delta)
           .groupBy("o_orderpriority")
-          .agg(sum(col("s")).cast("double").as("sum_price"),
+          .agg((sum(col("s")) / lit(100.0)).as("sum_price"),
             sum(col("n")).as("n_rows"))
       }),
 
@@ -773,7 +793,7 @@ object CoreQueries {
     // Approx profiling — the 100 TB path: HLL sketches replace the exact
     // distinct counts (whose Expand multiplies shuffle rows by column
     // count). Sketch estimates are engine-specific → rows-only.
-    Reg("profile_orders_approx", None)(
+    Reg("profile_orders_approx", None, kind = "sketch")(
       (s, dir) => graft.ops.Profile.profileApprox(Tables(s, dir).orders,
         Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
 

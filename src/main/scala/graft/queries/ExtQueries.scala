@@ -80,17 +80,18 @@ object ExtQueries {
 
     // W-ext: rolling time-series features — mean/min/max/count over the
     // previous 5 events per user (4 preceding + current), the ML
-    // feature-engineering staple. The rolling sum runs in DECIMAL so the
-    // sliding-frame accumulation order (segment trees in DuckDB, running
-    // state in Spark) cannot differ in the low double bits; the mean is
-    // one exact-double division at the end.
+    // feature-engineering staple. The rolling sum runs in integer cents so
+    // the sliding-frame accumulation order (segment trees in DuckDB,
+    // running state in Spark) cannot differ in the low double bits; the
+    // mean is one exact-double division at the end.
     Reg("w4_rolling", Some(
       """SELECT user_id, event_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+        |    AS roll_sum,
         |  COUNT(*) OVER w AS n_win,
         |  MIN(value) OVER w AS roll_min,
         |  MAX(value) OVER w AS roll_max,
-        |  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE)
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
         |    / (COUNT(*) OVER w) AS roll_mean
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
@@ -98,13 +99,12 @@ object ExtQueries {
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
         .stripMargin))(
       (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
         val w = Window.partitionBy("user_id")
           .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
         Tables(s, dir).events.select(
             col("user_id"), col("event_id"),
-            sum(col("value").cast(DecimalType(25, 2))).over(w)
-              .cast("double").as("roll_sum"),
+            (sum(round(col("value") * 100, 0).cast("long")).over(w) / lit(100.0))
+              .as("roll_sum"),
             count(lit(1)).over(w).as("n_win"),
             min(col("value")).over(w).as("roll_min"),
             max(col("value")).over(w).as("roll_max"))
@@ -334,7 +334,7 @@ object ExtQueries {
 
     // A-ext: sketch-based quantiles (KLL/GK-style approx — engine-specific
     // sketch, rows-only; the exact variant above is the oracle-checked one).
-    Reg("a11_approx_quantiles", None)(
+    Reg("a11_approx_quantiles", None, kind = "sketch")(
       (s, dir) => Tables(s, dir).lineitem
         .groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
@@ -456,7 +456,7 @@ object ExtQueries {
           .getField("o_orderkey").as("top_orderkey"))),
 
     // A-ext: HLL approx distinct — engine-specific sketch, rows-only.
-    Reg("a9_approx_distinct", None)(
+    Reg("a9_approx_distinct", None, kind = "sketch")(
       (s, dir) => Tables(s, dir).orders
         .groupBy("o_orderpriority")
         .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))),
@@ -714,10 +714,13 @@ object ExtQueries {
       }),
 
     // ST: dropDuplicatesWithinWatermark — the state-evicting dedup for
-    // duplicates with DIFFERENT event times (retried webhooks); same
-    // rollup oracle as stream_dedup since the bounded result is first-
-    // per-key either way — what this registration pins is that the
-    // WithinWatermark operator agrees with it end-to-end.
+    // duplicates with DIFFERENT event times (retried webhooks). The rollup
+    // is COUNT(*) over the DEDUPED frame (one row per first-per-key pair),
+    // which the oracle mirrors as COUNT(DISTINCT user_id) over the raw
+    // events: a dedup that emitted an extra duplicate or dropped a
+    // non-duplicate changes the row count and fails the hash —
+    // COUNT(DISTINCT) over the deduped frame would have been blind to both
+    // (round-7 ADVICE).
     Reg("stream_dedup_within", Some(
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin))(
@@ -728,7 +731,7 @@ object ExtQueries {
           graft.ext.Streaming.dedupedPairsWithinWatermark(
             graft.ext.Streaming.readEvents(ss, dir)),
           name, outputMode = "append")
-        deduped.groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
+        deduped.groupBy("event_type").agg(count(lit(1)).as("n_users"))
       }),
 
     // ST: custom-state sessionization (mapGroupsWithState) — gap-based
@@ -1123,8 +1126,8 @@ object ExtQueries {
         |             THEN x END) AS hi
         |  FROM r GROUP BY 1)
         |SELECT l.l_returnflag,
-        |  ROUND(CAST(SUM(CAST(least(greatest(l.l_extendedprice, c.lo), c.hi)
-        |    AS DECIMAL(25,2))) AS DOUBLE), 2) AS wsum,
+        |  ROUND(CAST(SUM(CAST(ROUND(least(greatest(l.l_extendedprice, c.lo), c.hi)
+        |    * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS wsum,
         |  CAST(SUM(CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_lo,
         |  CAST(SUM(CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END)

@@ -53,6 +53,54 @@ object LlmQueries {
        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
        |         FROM reach GROUP BY u)""".stripMargin
 
+  /** DuckDB fragments: the unrolled-Lloyd kmeans replay (iters = 2, k = 8,
+    * md5-ordered seeding) shared by `topk_sim_ivf_kmeans` and `ann_recall`.
+    * Each assumes a CTE `e(vec_id, emb DOUBLE[])` is in scope. */
+  private def kmUnitized(src: String) =
+    s"SELECT cell, list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS cu FROM $src"
+  private def kmAssigned(cu: String) =
+    s"""SELECT vec_id, emb, cell FROM (
+       |    SELECT q.vec_id, q.emb, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.emb, c.cu) DESC, c.cell DESC)
+       |        AS pr
+       |    FROM e q, $cu c) WHERE pr = 1""".stripMargin
+  private def kmMeaned(a: String) =
+    s"""SELECT cell, list(v ORDER BY i) AS c FROM (
+       |    SELECT cell, i, AVG(emb[i]) AS v
+       |    FROM $a, unnest(generate_series(1, 64)) AS t(i)
+       |    GROUP BY cell, i) GROUP BY cell""".stripMargin
+  /** CTE chain `seeds .. afin/sfin`: final assignment (afin) + final unit
+    * centroids (sfin) after 2 Lloyd rounds. Splice after an `e` CTE. */
+  private def kmCtes: String =
+    s"""seeds AS (
+       |  SELECT rn - 1 AS cell, c FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id)
+       |      AS rn, emb AS c
+       |    FROM e) WHERE rn <= 8
+       |), s0 AS (${kmUnitized("seeds")}
+       |), a1 AS (${kmAssigned("s0")}
+       |), c1 AS (${kmMeaned("a1")}
+       |), s1 AS (${kmUnitized("c1")}
+       |), a2 AS (${kmAssigned("s1")}
+       |), c2 AS (${kmMeaned("a2")}
+       |), s2 AS (${kmUnitized("c2")}
+       |), afin AS (${kmAssigned("s2")}
+       |), cfin AS (${kmMeaned("afin")}
+       |), sfin AS (${kmUnitized("cfin")})""".stripMargin
+
+  /** DuckDB fragment: the shared score/rank/top-5 contract over a CTE
+    * `$cand(q_id, n_id, q_emb, n_emb)` — rounded cosine, n_id tiebreak. */
+  private def top5Of(cand: String, cols: String = "q_id, n_id, sim, rank") =
+    s"""SELECT $cols FROM (
+       |  SELECT q_id, n_id,
+       |    ROUND(list_cosine_similarity(q_emb, n_emb), 4) AS sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ROUND(list_cosine_similarity(q_emb, n_emb), 4) DESC,
+       |        n_id) AS rank
+       |  FROM $cand) WHERE rank <= 5""".stripMargin
+
   /** DuckDB fragment: the bounded linear quality score of
     * [[graft.ext.TextOps.qualityColumns]] over a column named `text`. */
   private val duckQScore =
@@ -154,7 +202,7 @@ object LlmQueries {
     // measured quadratic-catastrophic (2059-doc block -> 2.1M pairs ->
     // 285 s at sf0.1; prefix blocks max out at 4 docs -> 0.3 s). The
     // oracle replays the same blocks, so parity is exact by construction.
-    Reg("dedup_ngram", Some(
+    Reg("dedup_ngram", kind = "arm", oracle = Some(
       """WITH g AS (SELECT substr(text, 1, 20) AS block, doc_id,
         |  list_distinct(list_transform(
         |    generate_series(1, greatest(length(text) - 4, 1)),
@@ -312,7 +360,7 @@ object LlmQueries {
     // DOUBLE[] cast: DuckDB's list_cosine_similarity computes in float32
     // on FLOAT[] inputs; the double-cast path is bit-identical to Spark's
     // double HOF fold.
-    Reg("dedup_embed_label", Some(
+    Reg("dedup_embed_label", kind = "arm", oracle = Some(
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -772,39 +820,10 @@ object LlmQueries {
     // ranking. The final SELECT is the shared ivfTopK probe/score/rank
     // contract.
     Reg("topk_sim_ivf_kmeans", Some {
-      def unitized(src: String) =
-        s"SELECT cell, list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS cu FROM $src"
-      def assigned(cu: String) =
-        s"""SELECT vec_id, emb, cell FROM (
-           |    SELECT q.vec_id, q.emb, c.cell,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY list_dot_product(q.emb, c.cu) DESC, c.cell DESC)
-           |        AS pr
-           |    FROM e q, $cu c) WHERE pr = 1""".stripMargin
-      def meaned(a: String) =
-        s"""SELECT cell, list(v ORDER BY i) AS c FROM (
-           |    SELECT cell, i, AVG(emb[i]) AS v
-           |    FROM $a, unnest(generate_series(1, 64)) AS t(i)
-           |    GROUP BY cell, i) GROUP BY cell""".stripMargin
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-         |), seeds AS (
-         |  SELECT rn - 1 AS cell, c FROM (
-         |    SELECT row_number() OVER (
-         |        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id)
-         |      AS rn, emb AS c
-         |    FROM e) WHERE rn <= 8
-         |), s0 AS (${unitized("seeds")}
-         |), a1 AS (${assigned("s0")}
-         |), c1 AS (${meaned("a1")}
-         |), s1 AS (${unitized("c1")}
-         |), a2 AS (${assigned("s1")}
-         |), c2 AS (${meaned("a2")}
-         |), s2 AS (${unitized("c2")}
-         |), afin AS (${assigned("s2")}
-         |), cfin AS (${meaned("afin")}
-         |), sfin AS (${unitized("cfin")}
-         |), probes AS (
+         |), $kmCtes
+         |, probes AS (
          |  SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY list_dot_product(q.emb, c.cu) DESC, c.cell DESC) AS pr
@@ -840,9 +859,83 @@ object LlmQueries {
     // kmeans cells) against the ORACLE-GREEN brute-force baseline, at the
     // parameter points AnnRecallSpec pins to >=0.9 on this corpus (random
     // embeddings — the adversarial case for ANN; clustered real data does
-    // better). Seeded hashes -> rows-only, but the recall VALUES are the
-    // measurable evidence the approximate paths are good, not just running.
-    Reg("ann_recall", None)(
+    // better). Hash-oracled by SEEDED REPLAY (round-7 verdict item 3, the
+    // topk_sim_ivf_kmeans trick): every stochastic input is deterministic
+    // given its seed, so DuckDB replays all three approximate paths —
+    // 16 tables × 4 plane literals for the LSH arm, the md5-seeded
+    // unrolled-Lloyd chain for the IVF arm, the per-vector int8 grid for
+    // the quantized arm — plus the brute-force baseline, and emits the
+    // IDENTICAL (method, n_hits, n_exact, recall) rows.
+    Reg("ann_recall", Some {
+      val lshBuckets = (0 until 16).map { t =>
+        val bucketExpr = Similarity.lshPlanes(nPlanes = 4, dim = 64,
+          seed = 42L + t).zipWithIndex.map { case (p, i) =>
+            s"(CASE WHEN list_dot_product(emb, [${p.mkString(", ")}]) >= 0" +
+              s" THEN ${1L << i} ELSE 0 END)"
+          }.mkString(" + ")
+        s"WHEN $t THEN $bucketExpr"
+      }.mkString(" ")
+      val tbls = (0 until 16).map(t => s"($t)").mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), exq AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |         q.emb AS q_emb, n.emb AS n_emb
+         |  FROM e q JOIN e n ON n.vec_id <> q.vec_id WHERE q.vec_id < 20
+         |), ex AS (${top5Of("exq", "q_id, n_id")}
+         |), b AS (
+         |  SELECT vec_id, emb, t.tbl AS tbl, CASE t.tbl $lshBuckets END AS bucket
+         |  FROM e, (VALUES $tbls) t(tbl)
+         |), lshc AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         q.emb AS q_emb, c.emb AS n_emb
+         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+         |), lsh AS (${top5Of("lshc", "q_id, n_id")}
+         |), $kmCtes
+         |, probes AS (
+         |  SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.emb, c.cu) DESC, c.cell DESC) AS pr
+         |  FROM afin q, sfin c WHERE q.vec_id < 20
+         |), ivfc AS (
+         |  SELECT p.q_id, p.q_emb, n.vec_id AS n_id, n.emb AS n_emb
+         |  FROM probes p JOIN afin n ON n.cell = p.cell
+         |  WHERE p.pr <= 6 AND n.vec_id <> p.q_id
+         |), ivf AS (${top5Of("ivfc", "q_id, n_id")}
+         |), qz AS (
+         |  SELECT vec_id, emb, list_aggregate(emb, 'min') AS mn,
+         |         list_aggregate(emb, 'max') AS mx
+         |  FROM e
+         |), dq AS (
+         |  SELECT vec_id,
+         |    CASE WHEN mx = mn THEN list_transform(emb, x -> mn)
+         |         ELSE list_transform(emb, x -> mn +
+         |           floor((x - mn) / (mx - mn) * 255) / 255.0 * (mx - mn))
+         |    END AS emb
+         |  FROM qz
+         |), q8c AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |         q.emb AS q_emb, n.emb AS n_emb
+         |  FROM e q JOIN dq n ON n.vec_id <> q.vec_id WHERE q.vec_id < 20
+         |), q8 AS (${top5Of("q8c", "q_id, n_id")}
+         |), stats AS (
+         |  SELECT 'lsh' AS method,
+         |    (SELECT COUNT(*) FROM ex JOIN lsh USING (q_id, n_id)) AS n_hits,
+         |    (SELECT COUNT(*) FROM ex) AS n_exact
+         |  UNION ALL SELECT 'ivf_kmeans',
+         |    (SELECT COUNT(*) FROM ex JOIN ivf USING (q_id, n_id)),
+         |    (SELECT COUNT(*) FROM ex)
+         |  UNION ALL SELECT 'bf_int8',
+         |    (SELECT COUNT(*) FROM ex JOIN q8 USING (q_id, n_id)),
+         |    (SELECT COUNT(*) FROM ex)
+         |)
+         |SELECT method, n_hits, n_exact,
+         |  CASE WHEN n_exact > 0
+         |       THEN ROUND(CAST(n_hits AS DOUBLE) / n_exact, 4)
+         |       ELSE 0.0 END AS recall
+         |FROM stats""".stripMargin
+    })(
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         val q = e.where(col("vec_id") < 20)
@@ -852,9 +945,12 @@ object LlmQueries {
           .select("q_id", "n_id").localCheckpoint()
         val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
           nPlanes = 4, tables = 16)
-        // same persisted-index shape as topk_sim_ivf_kmeans
+        // same persisted-index shape AND the same engine-neutral md5 seeding
+        // as topk_sim_ivf_kmeans, so the oracle's kmCtes replay applies
         val cells = graft.ext.Ivf.kmeansCells(e, "vec_id", "embedding",
-          k = 8, iters = 2).localCheckpoint()
+          k = 8, iters = 2,
+          orderHash = Some(md5(concat(col("vec_id").cast("string"),
+            lit(":42"))))).localCheckpoint()
         val ivf = graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
           "vec_id", "embedding", "cell", k = 5, nprobe = 6)
         // asymmetric quantized search: full-precision queries against the

@@ -32,7 +32,10 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("IVF-kmeans recall@5 >= 0.9 at the shipped parameters") {
-    val cells = Ivf.kmeansCells(e, "vec_id", "embedding", k = 8, iters = 2)
+    // same engine-neutral md5 seeding the registered ann_recall query ships
+    // (its DuckDB oracle replays this ordering literally)
+    val cells = Ivf.kmeansCells(e, "vec_id", "embedding", k = 8, iters = 2,
+      orderHash = Some(md5(concat(col("vec_id").cast("string"), lit(":42")))))
     val r = recallOf(Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
       "vec_id", "embedding", "cell", k = 5, nprobe = 6))
     assert(r >= 0.9, s"IVF recall@5 = $r < 0.9")

@@ -60,4 +60,24 @@ class GraphSpec extends SparkSpec {
       Graph.pagerank(Seq("a" -> "b").toDF("src", "dst"), iters = 0)
     }
   }
+
+  test("epsilon early-exit stops at a converged checkpoint with the fixed-iters ranks") {
+    // symmetric pair converges in ONE round (uniform is the fixpoint), so
+    // the first epsilon check (checkpoint at round 2) must stop the loop —
+    // iters=1000 with per-round O(E) work would take seconds if it didn't
+    val edges = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val r = Graph.pagerank(edges, iters = 1000, checkpointInterval = 2,
+        epsilon = Some(1e-12))
+      .as[(String, Double)].collect().toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    val fixed = Graph.pagerank(edges, iters = 10).as[(String, Double)]
+      .collect().toMap
+    assert(r.keySet == fixed.keySet)
+    r.foreach { case (k, v) => assert(math.abs(v - fixed(k)) < 1e-9) }
+    // 1000 fixed rounds of job launches cannot finish in early-exit time;
+    // generous bound still catches a no-exit regression (measured: ~2 s for
+    // 4 rounds vs minutes for 1000)
+    assert(secs < 60.0, s"early exit did not trigger: took $secs s")
+  }
 }

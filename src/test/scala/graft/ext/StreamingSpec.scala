@@ -145,6 +145,60 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == 25, s"post-regeneration stream read $n2 events, want 25")
   }
 
+  test("retiredKeep bounds staged-dir growth across many regenerations; every new read sees its own data") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.timestamp_micros
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_regen_many")
+    def writeEvents(n: Int): Unit = {
+      val tmp = dir.resolve("w")
+      (0 until n).map(i => (i.toLong, 1704067200000000L + i * 1000000L,
+          i.toLong % 7, "click", 1.0, "{}"))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dir.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
+    def stageCount(): Long =
+      Files.list(tmpRoot).filter(_.getFileName.toString
+        .startsWith("graft_stream_events")).count()
+    val before = stageCount()
+    // 7 regenerations > retiredKeep (4): the oldest retired stages must be
+    // DELETED (bounded growth), while each fresh read sees its own data
+    (1 to 7).foreach { k =>
+      writeEvents(10 + k)
+      val n = Streaming.runToTable(spark,
+          Streaming.windowedAgg(Streaming.readEvents(spark, dir.toString)),
+          s"regen_many_$k")
+        .agg(sum("n_events")).collect().head.getLong(0)
+      assert(n == 10 + k, s"regeneration $k read $n events, want ${10 + k}")
+    }
+    val grown = stageCount() - before
+    // 7 stages were created for this path; kept = 1 active + <= 4 retired
+    assert(grown <= 5, s"staged dirs grew by $grown (> active + retiredKeep)")
+  }
+
+  test("sessionize_append result is independent of the streaming shuffle-partition count") {
+    val dir = "/root/testdata/sf0.001"
+    def run(partitions: Int) = {
+      val ss = Streaming.streamingSession(spark, partitions)
+      Streaming.runToTable(spark,
+          Streaming.sessionRowsAppend(ss, Streaming.readEvents(ss, dir), 30),
+          s"sess_parts_$partitions", outputMode = "append")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val p3 = run(3)
+    val p13 = run(13)
+    assert(p3.nonEmpty)
+    assert(p3 == p13,
+      s"session set differs across partition counts: ${(p3 diff p13).take(3)} / ${(p13 diff p3).take(3)}")
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
