@@ -25,10 +25,37 @@ object Sources {
 
   /** S1-analog: parquet scan of a named corpus table, with the event-time
     * column canonicalized via [[normalizeTs]] (the corpus has shipped two
-    * `ts` encodings across regenerations; see that method). */
+    * `ts` encodings across regenerations; see that method).
+    *
+    * The footer schema is memoized per (path, mtime+size): `spark.read
+    * .parquet` re-infers the schema on EVERY call (a driver-side listing +
+    * footer read, measured ~90 ms at sf0.1), which a registry that builds
+    * each table reference fresh per query would pay per table per query.
+    * Declaring the schema is also the production posture — at 100 TB the
+    * schema comes from a catalog, never re-derived per read. The signature
+    * check keeps regeneration safety: a rewritten file re-infers (same
+    * mtime+size discipline as the streaming stage cache). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    val path = s"$dir/$name.parquet"
+    val sch = tableSchema(spark, path)
+    normalizeTs(spark.read.schema(sch).parquet(path))
+  }
+
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def tableSchema(spark: SparkSession,
+                          path: String): org.apache.spark.sql.types.StructType = {
+    val sig =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        s"${java.nio.file.Files.getLastModifiedTime(p)}:${java.nio.file.Files.size(p)}"
+      } catch { case _: Exception => "?" } // non-local FS: fall through, still cached per path
+    schemaCache.compute(path, { (_, prev) =>
+      if (prev != null && prev._1 == sig) prev
+      else (sig, spark.read.parquet(path).schema)
+    })._2
   }
 
   /** Canonicalize a `ts` column to session-zone TIMESTAMP, whatever the

@@ -324,28 +324,32 @@ object Relational {
     * or 1000 executors — and the one division at the end restores the scale.
     * Same bit-stability as the previous DECIMAL(25,scale) accumulator, but
     * the Tungsten aggregate buffer is a primitive long instead of an
-    * unscaled-128-bit Decimal (measured: the DECIMAL path alone was 1.15 s
-    * of a1_groupsum's 1.15 s at sf0.1 — ~4× the whole-query cents cost).
-    * ROUND parity Spark↔DuckDB holds for every double: Spark rounds the
-    * shortest-decimal repr HALF_UP, DuckDB rounds the binary value
-    * half-away-from-zero; they can only disagree at an exact .5 boundary,
-    * where the shortest repr equals the binary value and both go away from
-    * zero. Overflow bound: |Σ cents| < 2^63 ≈ 9.2e18 — ~9e11 rows of
-    * 10^7-cent values per GROUP; beyond that (extreme 100 TB groups), sum
-    * the cents in two tiers (partial BIGINT, final DECIMAL(38,0)). */
+    * unscaled-128-bit Decimal (measured at sf0.1: a1_groupsum 1.15 s →
+    * 0.40 s). The cents conversion is FLOOR(x·m + 0.5), not ROUND: Spark's
+    * ROUND on doubles allocates a BigDecimal per value (measured 0.15 s/
+    * query on 600k rows × 4 measures), while floor is a primitive codegen
+    * op — and both engines evaluate the identical IEEE sequence
+    * (t = x·m; u = t+0.5; floor(u)), so parity is structural rather than
+    * argued from two rounding implementations. Half-up vs half-away only
+    * differs on exactly-representable negative .5 cent boundaries, which
+    * m-decimal data cannot produce. Overflow bound: |Σ cents| < 2^63 ≈
+    * 9.2e18 — ~9e11 rows of 10^7-cent values per GROUP; beyond that
+    * (extreme 100 TB groups), sum the cents in two tiers (partial BIGINT,
+    * final DECIMAL(38,0)). */
   def dsum(c: Column, scale: Int = 2): Column = {
     val m = math.round(math.pow(10, scale.toDouble))
-    sum(round(c * m, 0).cast("long")) / lit(m.toDouble)
+    // floor(double) is LongType in Spark: the sum accumulates primitive longs
+    sum(floor(c * m + 0.5)) / lit(m.toDouble)
   }
 
   /** Exact fixed-point sum of an already-multiplied measure, e.g.
-    * extendedprice*(1-discount): each factor rounds to its own cents grid
-    * first (exactly the old DECIMAL(18,2)-cast semantics), the integer
-    * product is exact in a double up to 2^53 (price-cents ~1e7 × factor-
-    * cents ~1e2 ≪ 2^53), and the BIGINT sum is order-independent. */
+    * extendedprice*(1-discount): each factor floors to its own cents grid
+    * first (exactly the old DECIMAL(18,2)-cast semantics), the long×long
+    * product is exact (price-cents ~1e7 × factor-cents ~1e2 ≪ 2^63), and
+    * the BIGINT sum is order-independent. */
   def dsumProd2(a: Column, b: Column, scaleA: Int = 2, scaleB: Int = 2): Column = {
     val ma = math.round(math.pow(10, scaleA.toDouble))
     val mb = math.round(math.pow(10, scaleB.toDouble))
-    sum((round(a * ma, 0) * round(b * mb, 0)).cast("long")) / lit((ma * mb).toDouble)
+    sum(floor(a * ma + 0.5) * floor(b * mb + 0.5)) / lit((ma * mb).toDouble)
   }
 }

@@ -67,8 +67,9 @@ object ApiQueries {
       s"""SELECT cipcode,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  ${sqlDsum("l_extendedprice")} AS sum_price,
-         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100)
-         |           AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_revenue,
+         |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) *
+         |           CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT))
+         |       AS DOUBLE) / 10000.0 AS sum_revenue,
          |  CASE cipcode WHEN '0A.1' THEN 'Alpha One'
          |               WHEN '0N.3' THEN 'November Three'
          |               ELSE cipcode END AS cipname

@@ -16,7 +16,7 @@ object CoreQueries {
     * division (both engines then compute double(Σcents)/100.0, identical
     * IEEE ops). */
   def sqlDsum(x: String): String =
-    s"(CAST(SUM(CAST(ROUND(($x) * 100) AS BIGINT)) AS DOUBLE) / 100.0)"
+    s"(CAST(SUM(CAST(FLOOR(($x) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0)"
 
   /** Corpus event types — the SINGLE source of truth for every pivot /
     * one-hot / unpivot column list (a stale copy would silently produce
@@ -201,7 +201,7 @@ object CoreQueries {
          |    AS n_good,
          |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT)
          |    AS n_bad,
-         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
          |       FILTER (WHERE o_orderkey % 10 <> 0) AS DOUBLE) / 100.0 AS sum_price
          |FROM orders""".stripMargin))(
       (s, dir) => {
@@ -366,8 +366,9 @@ object CoreQueries {
       s"""SELECT l_returnflag,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  ${sqlDsum("l_extendedprice")} AS sum_price,
-         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100)
-         |           AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_revenue,
+         |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) *
+         |           CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT))
+         |       AS DOUBLE) / 10000.0 AS sum_revenue,
          |  COUNT(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
       (s, dir) => Tables(s, dir).lineitem
@@ -526,7 +527,7 @@ object CoreQueries {
     // against DuckDB's replay of it.
     Reg("zorder_scan", Some(
       """SELECT COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
         |  CAST(SUM(CAST(list_sum(list_transform(generate_series(0, 19), i ->
         |    (((l_partkey >> i) & 1) << (2 * i)) +
         |    (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT)) AS BIGINT) AS sum_z
@@ -764,7 +765,7 @@ object CoreQueries {
         val o = Tables(s, dir).orders
         def partial(df: org.apache.spark.sql.DataFrame) =
           df.groupBy("o_orderpriority")
-            .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("s"),
+            .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).as("s"),
               count(lit(1)).as("n"))
         val base = partial(o.where(col("o_orderkey") % 7 =!= 0))
         val delta = partial(o.where(col("o_orderkey") % 7 === 0))

@@ -86,12 +86,12 @@ object ExtQueries {
     // mean is one exact-double division at the end.
     Reg("w4_rolling", Some(
       """SELECT user_id, event_id,
-        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0
         |    AS roll_sum,
         |  COUNT(*) OVER w AS n_win,
         |  MIN(value) OVER w AS roll_min,
         |  MAX(value) OVER w AS roll_max,
-        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0
         |    / (COUNT(*) OVER w) AS roll_mean
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
@@ -103,7 +103,7 @@ object ExtQueries {
           .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
         Tables(s, dir).events.select(
             col("user_id"), col("event_id"),
-            (sum(round(col("value") * 100, 0).cast("long")).over(w) / lit(100.0))
+            (sum(floor(col("value") * 100 + 0.5)).over(w) / lit(100.0))
               .as("roll_sum"),
             count(lit(1)).over(w).as("n_win"),
             min(col("value")).over(w).as("roll_min"),
@@ -1126,8 +1126,8 @@ object ExtQueries {
         |             THEN x END) AS hi
         |  FROM r GROUP BY 1)
         |SELECT l.l_returnflag,
-        |  ROUND(CAST(SUM(CAST(ROUND(least(greatest(l.l_extendedprice, c.lo), c.hi)
-        |    * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS wsum,
+        |  ROUND(CAST(SUM(CAST(FLOOR(least(greatest(l.l_extendedprice, c.lo), c.hi)
+        |    * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS wsum,
         |  CAST(SUM(CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_lo,
         |  CAST(SUM(CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END)

@@ -901,7 +901,7 @@ object LlmQueries {
          |), ivfc AS (
          |  SELECT p.q_id, p.q_emb, n.vec_id AS n_id, n.emb AS n_emb
          |  FROM probes p JOIN afin n ON n.cell = p.cell
-         |  WHERE p.pr <= 6 AND n.vec_id <> p.q_id
+         |  WHERE p.pr <= 7 AND n.vec_id <> p.q_id
          |), ivf AS (${top5Of("ivfc", "q_id, n_id")}
          |), qz AS (
          |  SELECT vec_id, emb, list_aggregate(emb, 'min') AS mn,
@@ -952,7 +952,7 @@ object LlmQueries {
           orderHash = Some(md5(concat(col("vec_id").cast("string"),
             lit(":42"))))).localCheckpoint()
         val ivf = graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
-          "vec_id", "embedding", "cell", k = 5, nprobe = 6)
+          "vec_id", "embedding", "cell", k = 5, nprobe = 7)
         // asymmetric quantized search: full-precision queries against the
         // int8-dequantized corpus — measures what the 4× memory saving
         // costs in recall (the production question for Similarity.quantize)

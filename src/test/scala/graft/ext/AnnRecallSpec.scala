@@ -37,7 +37,7 @@ class AnnRecallSpec extends SparkSpec {
     val cells = Ivf.kmeansCells(e, "vec_id", "embedding", k = 8, iters = 2,
       orderHash = Some(md5(concat(col("vec_id").cast("string"), lit(":42")))))
     val r = recallOf(Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
-      "vec_id", "embedding", "cell", k = 5, nprobe = 6))
+      "vec_id", "embedding", "cell", k = 5, nprobe = 7))
     assert(r >= 0.9, s"IVF recall@5 = $r < 0.9")
   }
 
