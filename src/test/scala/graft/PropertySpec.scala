@@ -24,6 +24,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dsum equals the exact BigDecimal sum for 2-decimal doubles, any partitioning") {
+    for (trial <- 1 to 5) {
+      val cents = Seq.fill(500)(rnd.nextInt(10000000))
+      val exact = (BigDecimal(cents.map(_.toLong).sum) / 100).toDouble
+      val df = cents.map(_ / 100.0).toDF("v").repartition(1 + trial * 3)
+      assert(df.agg(dsum(col("v"))).head.getDouble(0) == exact, s"trial $trial")
+    }
+  }
+
+  test("property: dsumProd2 equals the exact cents-product sum (price × (1−disc) grid)") {
+    for (trial <- 1 to 5) {
+      val rows = Seq.fill(300)((rnd.nextInt(10000000), rnd.nextInt(11))) // cents, disc%
+      val exact = (BigDecimal(rows.map { case (p, d) =>
+        p.toLong * (100L - d) }.sum) / 10000).toDouble
+      val df = rows.map { case (p, d) => (p / 100.0, d / 100.0) }
+        .toDF("price", "disc").repartition(2 + trial)
+      val got = df.agg(dsumProd2(col("price"), lit(1) - col("disc")))
+        .head.getDouble(0)
+      assert(got == exact, s"trial $trial")
+    }
+  }
+
   test("property: explodePyList emits exactly sum(list sizes) rows") {
     for (trial <- 1 to 5) {
       val rows = Seq.tabulate(50) { i =>

@@ -40,11 +40,15 @@ def values_equal(a, b) -> bool:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
+        # the driver corpus ships single files; ScaleUp (and any Spark
+        # writer) produces a DIRECTORY of part files — glob in that case
+        path = f"{sf_dir}/{t}.parquet"
+        import os
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         try:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        except Exception:
-            pass
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        except Exception as e:
+            print(f"WARN view {t}: {e}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     report, n_ok = {}, 0
     for name, sql in sorted(oracle.items()):
