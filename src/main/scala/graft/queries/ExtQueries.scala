@@ -565,8 +565,11 @@ object ExtQueries {
     // ST: Structured Streaming variant of the windowed A1/A2 aggregation —
     // readStream + watermark + tumbling 1-day window run to completion over
     // the bounded file source; must match the batch oracle exactly.
-    // ST: streaming dedup within watermark → batch rollup of the deduped
-    // stream; equals COUNT(DISTINCT user) per type.
+    // ST: streaming dedup → batch rollup of the deduped stream. COUNT(*)
+    // over the deduped frame (one row per first-per-(user,type) pair), so
+    // an extra duplicate or a dropped non-duplicate changes the hash —
+    // COUNT(DISTINCT) over it would be blind to both (same dedup-
+    // sensitivity fix as stream_dedup_within, round-7 ADVICE).
     Reg("stream_dedup", Some(
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin))(
@@ -576,7 +579,7 @@ object ExtQueries {
         val deduped = graft.ext.Streaming.runToTable(s,
           graft.ext.Streaming.dedupedPairs(graft.ext.Streaming.readEvents(ss, dir)),
           name, outputMode = "append")
-        deduped.groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
+        deduped.groupBy("event_type").agg(count(lit(1)).as("n_users"))
       }),
 
     // ST: stream-static enrichment join — the streaming plan broadcasts the

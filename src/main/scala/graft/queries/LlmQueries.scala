@@ -866,7 +866,7 @@ object LlmQueries {
     // unrolled-Lloyd chain for the IVF arm, the per-vector int8 grid for
     // the quantized arm — plus the brute-force baseline, and emits the
     // IDENTICAL (method, n_hits, n_exact, recall) rows.
-    Reg("ann_recall", Some {
+    Reg("ann_recall", kind = "arm", oracle = Some {
       val lshBuckets = (0 until 16).map { t =>
         val bucketExpr = Similarity.lshPlanes(nPlanes = 4, dim = 64,
           seed = 42L + t).zipWithIndex.map { case (p, i) =>

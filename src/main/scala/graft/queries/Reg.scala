@@ -21,8 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - "headline" — the shipped operator; its plan is the 100 TB posture.
   *  - "arm"     — a deliberately-worse exact sibling that exists to ORACLE a
   *    headline approximation (e.g. `dedup_ngram` prefix-blocking proves
-  *    `dedup_ngram_lsh`); correct, but a named scale hazard (SCALE.md) whose
-  *    cost must not be read as engine throughput.
+  *    `dedup_ngram_lsh`), or a measurement harness whose cost is dominated
+  *    by a labeled brute-force baseline (`ann_recall`); correct, but a named
+  *    scale hazard (SCALE.md) whose cost must not be read as engine
+  *    throughput.
   *  - "sketch"  — rows-only by nature (HLL/KLL): no cross-engine hash oracle
   *    can exist; gated by a ScalaTest property instead.
   */
