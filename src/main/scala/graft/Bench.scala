@@ -112,8 +112,7 @@ object Bench {
     // compilation/cleanup threads to drain.
     val retimeK = sys.env.get("SPARK_GRAFT_RETIME").map(_.toInt).getOrElse(20)
     val byName = SparkEntry.queries
-    val slowest = ok.sortBy(-_._2).take(retimeK).map(_._1)
-    val retimed: Seq[(String, Double)] = slowest.flatMap { name =>
+    def retimeOne(name: String): Option[(String, Double)] =
       try {
         spark.catalog.clearCache()
         System.gc()
@@ -126,14 +125,35 @@ object Bench {
         System.err.println(s"[bench] retime $name FAILED: ${e.getMessage}")
         None
       }
+    // Retime to a FIXPOINT of the published set, not one pre-ranked batch:
+    // candidates picked by coverage-pass rank alone can retime DOWN far
+    // enough that coverage-rank-21+ queries slide into the published top-20
+    // still carrying contention-inflated values — exactly the lie the
+    // quiet pass exists to remove. Re-rank after each batch and retime any
+    // newly-published name until the top-K is all attempted (each name is
+    // attempted at most once, so the loop is bounded by the query count).
+    val attempted = scala.collection.mutable.Set.empty[String]
+    val retimedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def currentFinal: Seq[(String, Double)] = {
+      val m = retimedBuf.toMap
+      ok.map { case (n, t) => n -> math.min(t, m.getOrElse(n, t)) }
     }
+    var pending = ok.sortBy(-_._2).take(retimeK).map(_._1)
+      .filterNot(attempted)
+    while (retimeK > 0 && pending.nonEmpty) {
+      pending.foreach { name =>
+        attempted += name
+        retimeOne(name).foreach(retimedBuf += _)
+      }
+      pending = currentFinal.sortBy(-_._2).take(retimeK).map(_._1)
+        .filterNot(attempted)
+    }
+    val retimed: Seq[(String, Double)] = retimedBuf.toSeq
     val retimedMap = retimed.toMap
 
     // headline per-query number: best across both passes (a quiet-pass run
     // can still catch a stray GC; never report worse than what pass 1 saw)
-    val finalTimes = ok.map { case (n, t) =>
-      n -> math.min(t, retimedMap.getOrElse(n, t))
-    }
+    val finalTimes = currentFinal
 
     // per-query fixed cost of this harness (plan + dispatch + 32-partition
     // scheduling of a trivial job) — lets a reader separate Spark's
@@ -171,11 +191,13 @@ object Bench {
     val raw = jmap(retimed.sortBy(-_._2).map { case (k, _) =>
       k -> sec(ok.toMap.apply(k)) })
     // errors stay on the stdout line (they are what the driver most needs)
-    // but bounded: 12 entries x 80-char messages, so a catastrophic round
-    // cannot blow the 1,900-char budget and unparse itself
-    val errs = bad.take(12).map { case (k, m) =>
-      "\"" + esc(k) + "\":\"" + esc(m.take(80)) + "\"" }
-      .mkString("{", ",", "}")
+    // but bounded — the bound is enforced against the ACTUAL line length
+    // below, not assumed from entry counts (esc() can double quote-heavy
+    // Spark messages, so "12 × 80 chars" alone can still blow the budget)
+    def errsJson(maxEntries: Int, maxMsg: Int): String =
+      bad.take(maxEntries).map { case (k, m) =>
+        "\"" + esc(k) + "\":\"" + esc(m.take(maxMsg)) + "\"" }
+        .mkString("{", ",", "}")
     val errsFull = bad.map { case (k, m) =>
       "\"" + esc(k) + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
     val total = finalTimes.map(_._2).sum
@@ -185,14 +207,24 @@ object Bench {
     val armSec = finalTimes.collect {
       case (n, t) if kinds.get(n).contains("arm") => t }.sum
     val headlineSec = total - armSec
-    val summary =
+    def summary(errs: String) =
       s""""errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},""" +
       s""""n_published":${top.size},"headline_sec":${sec(headlineSec)},""" +
       s""""arm_sec":${sec(armSec)},"floor_sec":${sec(floor)},""" +
       s""""sf":"$sfDir","corpus":"${esc(corpusSig)}",""" +
       s""""metric":"total","value":${sec(total)},"unit":"sec""""
-    val line = s"""{"queries":${jmap(top)},$summary}"""
-    val full = s"""{"queries":$fullMap,"coverage_pass":$raw,"retimed":$rt,"errors_full":$errsFull,$summary}"""
+    // Degrade deterministically until the line FITS the 1,900-char budget:
+    // full errors → shorter/fewer errors → no per-query map (summary +
+    // errors only) → error COUNT only. Every step is still one valid JSON
+    // line; an oversized line would be tail-truncated by the driver into
+    // garbage, which is strictly worse than any of these reductions.
+    val candidates: Seq[String] = Seq(
+      s"""{"queries":${jmap(top)},${summary(errsJson(12, 80))}}""",
+      s"""{"queries":${jmap(top)},${summary(errsJson(8, 40))}}""",
+      s"""{${summary(errsJson(8, 40))}}""",
+      s"""{${summary("{}")}}""")
+    val line = candidates.find(_.length <= 1900).getOrElse(candidates.last)
+    val full = s"""{"queries":$fullMap,"coverage_pass":$raw,"retimed":$rt,"errors_full":$errsFull,${summary("{}")}}"""
     System.err.println(s"[bench] full: $full")
     try {
       val dir = java.nio.file.Paths.get("bench")

@@ -52,10 +52,16 @@ object Graph {
     * checkpoint cadence on purpose: the frame is materialized there
     * anyway, so the test costs one O(V) join + aggregate per interval and
     * never makes the in-between rounds eager (which the cadence note above
-    * measured at +35%). Movement-over-a-window < ε is a STRICTER stop than
-    * per-round Δ < ε, so it never exits earlier than the textbook
-    * criterion. Default None = fixed iterations — the mode oracles replay
-    * (an unrolled-CTE oracle cannot know the data-dependent stop round). */
+    * measured at +35%). Note the criterion is movement over a WINDOW of
+    * `checkpointInterval` rounds, not the textbook per-round Δ: for
+    * monotone-decaying modes it is stricter (never exits earlier), but an
+    * OSCILLATING mode with eigenvalue λ < 0 cancels across an even window
+    * (|λ^interval − 1| can undershoot |λ − 1|), so the window test can fire
+    * while per-round movement still exceeds ε. Choose ε with the window in
+    * mind, or set `checkpointInterval = 1` for the exact textbook stop
+    * (paying the every-round eager cadence). Default None = fixed
+    * iterations — the mode oracles replay (an unrolled-CTE oracle cannot
+    * know the data-dependent stop round). */
   def pagerank(edges: DataFrame, iters: Int = 10,
                damping: Double = 0.85,
                checkpointInterval: Int = 4,

@@ -29,7 +29,10 @@ object Streaming {
     * contains. */
   def eventsSchema(spark: SparkSession, src: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(src).schema
+    // memoized per (path, mtime+size) — staged files are immutable per
+    // regeneration, and a fresh footer read per readEvents call costs the
+    // same ~90 ms the batch layer's schema cache exists to remove
+    graft.io.Sources.parquetSchema(spark, src)
   }
 
   /** Session for streaming runs: stateful-operator parallelism is a
@@ -84,11 +87,13 @@ object Streaming {
         // which recursively DELETES files — happens AFTER compute()
         // returns, never while holding the map's bin lock (a concurrent
         // readEvents for the same path must not block on disk I/O).
-        val evicted = new java.util.concurrent.atomic.AtomicReference[String]()
+        // compute() runs the lambda synchronously on this thread, so a
+        // plain local var captures the evicted dir across the call
+        var evicted: String = null
         val staged = stagedDirs.compute(src.toString, { (_, prev) =>
           if (prev != null && prev._1 == sig) prev
           else {
-            if (prev != null) evicted.set(prev._2)
+            if (prev != null) evicted = prev._2
             val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
             val dst = d.resolve("events.parquet")
             try java.nio.file.Files.createLink(dst, src)
@@ -96,7 +101,7 @@ object Streaming {
             (sig, d.toString)
           }
         })._2
-        Option(evicted.get()).foreach(retire)
+        Option(evicted).foreach(retire)
         staged
       }
     // The stream's declared schema must come from the SAME inode the stream

@@ -45,6 +45,12 @@ object Sources {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, org.apache.spark.sql.types.StructType)]()
 
+  /** Memoized parquet footer schema (public for other read paths — e.g.
+    * the streaming source — that would otherwise re-infer per call). */
+  def parquetSchema(spark: SparkSession,
+                    path: String): org.apache.spark.sql.types.StructType =
+    tableSchema(spark, path)
+
   private def tableSchema(spark: SparkSession,
                           path: String): org.apache.spark.sql.types.StructType = {
     val sig =
