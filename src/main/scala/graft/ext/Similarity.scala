@@ -183,6 +183,41 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (cluster-then-prune, after the
+    * public SemDeDup recipe: k-means the embedding space, then prune
+    * near-duplicates WITHIN each cluster): [[Ivf.kmeansCells]] partitions
+    * the corpus into `k` cells, [[embeddingNearDup]] emits in-cell pairs
+    * with cosine ≥ `threshold`, [[Dedup.connectedComponents]] closes them
+    * transitively, and every vector canonicalizes to its component-minimum
+    * id. Returns (idCol, cell, component): `component == id` marks the kept
+    * representative of each semantic-duplicate group; everything else is a
+    * semantic duplicate of `component`.
+    *
+    * 100 TB posture: the pair comparison is confined WITHIN cells, so the
+    * candidate join is an equality join on `cell`, never corpus² — and the
+    * cell count `k` is the scaling knob (SemDeDup's own recipe: k grows
+    * with the corpus, holding per-cell population — hence per-cell pair
+    * volume (n/k)² — constant). Cluster state is k × dim doubles traveling
+    * as broadcast literals; the corpus never collects. `orderHash` as in
+    * [[Ivf.kmeansCells]]: pass an engine-neutral seed-ordering hash when a
+    * second engine must replay the cell assignment. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 2, threshold: Double = 0.4,
+                    orderHash: Option[Column] = None,
+                    roundTo: Int = 4): DataFrame = {
+    // checkpoint: the assignment feeds BOTH the pair join (twice, self-join)
+    // and the output projection — freeze it so the Lloyd chain (with its
+    // k × dim centroid literals) plans once, not three times
+    val cells = Ivf.kmeansCells(df, idCol, vecCol, k, iters,
+      orderHash = orderHash).localCheckpoint()
+    val pairs = embeddingNearDup(cells, idCol, vecCol, "cell", threshold, roundTo)
+    cells.select(col(idCol), col("cell"))
+      .join(Dedup.connectedComponents(pairs).withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("component"), col(idCol)).as("component"))
+  }
+
   /** Per-vector scalar quantization to int8-range codes — the 4× memory
     * lever for serving/searching embeddings at corpus scale (float32 → one
     * byte per dim, with (mn, mx) per vector to dequantize). code =

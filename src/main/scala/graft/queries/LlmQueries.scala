@@ -71,14 +71,16 @@ object LlmQueries {
        |    FROM $a, unnest(generate_series(1, 64)) AS t(i)
        |    GROUP BY cell, i) GROUP BY cell""".stripMargin
   /** CTE chain `seeds .. afin/sfin`: final assignment (afin) + final unit
-    * centroids (sfin) after 2 Lloyd rounds. Splice after an `e` CTE. */
-  private def kmCtes: String =
+    * centroids (sfin) after 2 Lloyd rounds. Splice after an `e` CTE. `k`
+    * is the cell count the Spark side used (8 for the search queries, 64
+    * for `dedup_semantic` where cell population bounds pair fan-out). */
+  private def kmCtes(k: Int = 8): String =
     s"""seeds AS (
        |  SELECT rn - 1 AS cell, c FROM (
        |    SELECT row_number() OVER (
        |        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id)
        |      AS rn, emb AS c
-       |    FROM e) WHERE rn <= 8
+       |    FROM e) WHERE rn <= $k
        |), s0 AS (${kmUnitized("seeds")}
        |), a1 AS (${kmAssigned("s0")}
        |), c1 AS (${kmMeaned("a1")}
@@ -351,6 +353,33 @@ object LlmQueries {
         Similarity.embeddingNearDup(e, "vec_id", "embedding", "lsh_bucket",
           threshold = 0.4)
       }),
+
+    // SemDeDup-style semantic dedup (cluster-then-prune): k-means cells via
+    // the same md5-seeded unrolled-Lloyd chain the oracle replays (kmCtes,
+    // k = 64 — cell population bounds the in-cell pair fan-out), cosine ≥
+    // 0.4 pairs WITHIN cells, recursive-closure canonicalization to the
+    // component-minimum id. The oracle re-derives cells, pairs, AND the
+    // closure, so the hash pins the full cluster→prune→canonicalize chain.
+    Reg("dedup_semantic", Some {
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), ${kmCtes(64)}
+         |, pairs AS (
+         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM afin x JOIN afin y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ROUND(list_cosine_similarity(x.emb, y.emb), 4) >= 0.4
+         |), $duckComponents
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         |  coalesce(c.component, a.vec_id) AS component
+         |FROM afin a LEFT JOIN comp c ON c.doc_id = a.vec_id""".stripMargin
+    })(
+      (s, dir) => Similarity.semanticDedup(
+          Tables(s, dir).embeddings, "vec_id", "embedding",
+          k = 64, iters = 2, threshold = 0.4,
+          orderHash = Some(md5(concat(col("vec_id").cast("string"), lit(":42")))))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("component"))),
 
     // Label-bucketed variant (cosine ≥ 0.4 — this corpus has no
     // high-cosine duplicates; max in-label cosine ≈ 0.47): the fixed
@@ -822,7 +851,7 @@ object LlmQueries {
     Reg("topk_sim_ivf_kmeans", Some {
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-         |), $kmCtes
+         |), ${kmCtes()}
          |, probes AS (
          |  SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
          |    row_number() OVER (PARTITION BY q.vec_id
@@ -892,7 +921,7 @@ object LlmQueries {
          |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
          |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
          |), lsh AS (${top5Of("lshc", "q_id, n_id")}
-         |), $kmCtes
+         |), ${kmCtes()}
          |, probes AS (
          |  SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
          |    row_number() OVER (PARTITION BY q.vec_id

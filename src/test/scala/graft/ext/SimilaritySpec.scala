@@ -151,4 +151,36 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(x - (mn + c.toDouble / 255 * (mx - mn))) <= (mx - mn) / 255)
     }
   }
+
+  test("semanticDedup canonicalizes planted clusters; far vectors keep themselves") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),       // group A: pairwise cosine ~0.999+
+      (1L, Seq(0.999f, 0.001f)),
+      (2L, Seq(0.998f, 0.002f)),
+      (10L, Seq(0.0f, 1.0f)),      // group B
+      (11L, Seq(0.001f, 0.999f)),
+      (20L, Seq(0.7f, 0.7f))       // cosine ~0.707 to both groups: kept
+    ).toDF("vec_id", "embedding").repartition(4)
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.95)
+      .select("vec_id", "component").as[(Long, Long)].collect().toMap
+    // each planted group collapses to its minimum id through the pair
+    // chain; the isolated vector is its own component
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out(20L) == 20L)
+  }
+
+  test("semanticDedup is chain-transitive within a cell: a~b, b~c merge even when a!~c") {
+    // 3 coplanar vectors 15 degrees apart: adjacent cosine ~0.966 >= 0.95,
+    // endpoints cosine(30 deg) ~0.866 < 0.95 — only the CHAIN links them
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val vecs = Seq((5L, at(0)), (6L, at(15)), (7L, at(30)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        k = 1, iters = 1, threshold = 0.95)
+      .select("vec_id", "component").as[(Long, Long)].collect().toMap
+    assert(out == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
 }
