@@ -884,6 +884,71 @@ object LlmQueries {
           "vec_id", "embedding", "cell", k = 5, nprobe = 3)
       }),
 
+    // Product-quantization ADC search: per-subspace codebooks (16
+    // subspaces × 16 codewords, md5-seeded, one Lloyd refinement), corpus
+    // stored as 16 codes/vector (16 bytes vs 256 float bytes), queries
+    // score by table lookup. m = 16 is the measured operating point on
+    // this corpus: iid-random embeddings are PQ's adversarial case, and
+    // recall@5 vs exact-dot top-5 goes 0.04 / 0.18 / 0.42 / 0.54 at
+    // m = 4 / 8 / 16 / 32 (PqSpec pins the floor). The oracle replays the
+    // ENTIRE chain — per-subspace seeding, L2 assignment in dot-product
+    // form (c·c − 2·x·c, the only form both engines compute identically),
+    // per-dim AVG means, re-assignment, and the 16-way ADC sum in fixed
+    // subspace order — so the hash pins training, encoding, and search.
+    Reg("topk_sim_pq", Some {
+      val (m, dsub, ksub) = (16, 4, 16)
+      def assign(s: Int, cb: String) =
+        s"""SELECT vec_id, sub, code FROM (
+           |    SELECT x.vec_id, x.sub, c.code,
+           |      row_number() OVER (PARTITION BY x.vec_id
+           |        ORDER BY list_dot_product(c.c, c.c)
+           |          - 2 * list_dot_product(x.sub, c.c), c.code) AS pr
+           |    FROM sub_$s x, $cb c) WHERE pr = 1""".stripMargin
+      val chains = (0 until m).map { s =>
+        val (lo, hi) = (s * dsub + 1, (s + 1) * dsub)
+        s"""sub_$s AS (SELECT vec_id, emb[$lo:$hi] AS sub FROM e),
+           |seeds_$s AS (
+           |  SELECT rn - 1 AS code, c FROM (
+           |    SELECT row_number() OVER (
+           |        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id)
+           |      AS rn, sub AS c
+           |    FROM sub_$s) WHERE rn <= $ksub),
+           |a1_$s AS (${assign(s, s"seeds_$s")}),
+           |c1_$s AS (SELECT code, list(v ORDER BY i) AS c FROM (
+           |    SELECT code, i, AVG(sub[i]) AS v
+           |    FROM a1_$s, unnest(generate_series(1, $dsub)) AS t(i)
+           |    GROUP BY code, i) GROUP BY code),
+           |afin_$s AS (${assign(s, s"c1_$s")}),
+           |sc_$s AS (
+           |  SELECT q.q_id, a.vec_id AS n_id,
+           |    list_dot_product(q.emb[$lo:$hi], c.c) AS d
+           |  FROM q, afin_$s a JOIN c1_$s c USING (code)
+           |  WHERE a.vec_id <> q.q_id)""".stripMargin
+      }.mkString(",\n")
+      val adcSum = (0 until m).map(s => s"sc_$s.d").mkString(" + ")
+      val joins = (1 until m).map(s => s"JOIN sc_$s USING (q_id, n_id)")
+        .mkString(" ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 20),
+         |$chains
+         |SELECT q_id, n_id, adc, rank FROM (
+         |  SELECT q_id, n_id, ROUND($adcSum, 4) AS adc,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ROUND($adcSum, 4) DESC, n_id) AS rank
+         |  FROM sc_0 $joins
+         |) WHERE rank <= 5""".stripMargin
+    })(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val cbs = graft.ext.Pq.train(e, "vec_id", "embedding",
+          m = 16, dsub = 4, ksub = 16,
+          orderHash = Some(md5(concat(col("vec_id").cast("string"),
+            lit(":42")))))
+        graft.ext.Pq.adcTopK(e, e.where(col("vec_id") < 20),
+          "vec_id", "embedding", cbs, k = 5)
+      }),
+
     // ANN quality gate: recall@5 of the two scale paths (sign-LSH, IVF over
     // kmeans cells) against the ORACLE-GREEN brute-force baseline, at the
     // parameter points AnnRecallSpec pins to >=0.9 on this corpus (random
