@@ -222,6 +222,56 @@ object TextOps {
     pairs
   }
 
+  /** Exact duplicated-span detection across documents (the public
+    * "deduplicate long repeated substrings in training data" recipe,
+    * reduced to relational algebra): every length-`k` character gram is
+    * emitted with its 1-based start, grams match across documents
+    * (a_id < b_id), matches on the same alignment DIAGONAL
+    * (b_pos − a_pos) merge into maximal runs via gaps-and-islands
+    * (island = pos − row_number), and a run of r consecutive positions is
+    * a shared span of r + k − 1 characters. Returns (a_id, b_id, a_start,
+    * b_start, span_len) for every maximal shared span ≥ `minLen`.
+    *
+    * 100 TB posture: the gram match is an equality join (on the gram
+    * string here so a SQL oracle replays 1:1; hash the gram first at real
+    * scale); `maxDf` drops grams present in more than `maxDf` docs BEFORE
+    * the join — boilerplate armor bounding fan-out at df² per rare gram,
+    * as in [[winnowOverlapPairs]]; the run-merge window partitions by
+    * (a_id, b_id, diag) — pair-bounded, never corpus-wide. (a_pos, diag)
+    * is structurally unique per pair — one gram per position — so the
+    * row_number island trick needs no dedup. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 30, minLen: Int = 40,
+                      maxDf: Long = 20): DataFrame = {
+    val grams = df.where(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        posexplode(transform(
+          sequence(lit(1), length(col(textCol)) - (k - 1)),
+          i => col(textCol).substr(i, lit(k)))).as(Seq("off", "gram")))
+      .select(col("id"), (col("off") + 1).as("pos"), col("gram"))
+    val rare = grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") <= maxDf).select("gram")
+    val g = grams.join(rare, Seq("gram"))
+    val m = g.select(col("gram"), col("id").as("a_id"), col("pos").as("a_pos"))
+      .join(g.select(col("gram"), col("id").as("b_id"), col("pos").as("b_pos")),
+        Seq("gram"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_pos"),
+        (col("b_pos") - col("a_pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
+    m.withColumn("island", col("a_pos") - row_number().over(w))
+      .groupBy("a_id", "b_id", "diag", "island")
+      .agg(min("a_pos").as("a_start"),
+        (max("a_pos") - min("a_pos") + k).as("span_len"))
+      .where(col("span_len") >= minLen)
+      .select(col("a_id"), col("b_id"),
+        col("a_start").cast("long").as("a_start"),
+        (col("a_start") + col("diag")).cast("long").as("b_start"),
+        col("span_len").cast("long").as("span_len"))
+  }
+
   /** Per-language marker stopwords for the n-gram/stopword language-ID
     * heuristic. Public knowledge (common function words). */
   val langMarkers: Map[String, Seq[String]] = Map(

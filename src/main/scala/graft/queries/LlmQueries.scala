@@ -727,6 +727,37 @@ object LlmQueries {
         "doc_id", "text", k = 5, w = 4, minShared = 2, maxDf = 100,
         minOverlap = 0.5, hash = TextOps.md5Hash60)),
 
+    // Exact duplicated-span detection: 30-gram position matches across
+    // docs, merged into maximal runs per alignment diagonal
+    // (gaps-and-islands), spans >= 40 chars reported. Fully relational, so
+    // the oracle is the SAME algebra — no tolerance, no replay literals.
+    Reg("text_dup_spans", Some(
+      """WITH g AS (
+        |  SELECT doc_id AS id, i AS pos, substr(text, i, 30) AS gram
+        |  FROM documents, unnest(generate_series(1, length(text) - 29)) AS t(i)
+        |  WHERE length(text) >= 30
+        |), rare AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT id) <= 20
+        |), r AS (SELECT g.* FROM g JOIN rare USING (gram)
+        |), m AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, a.pos AS a_pos,
+        |    b.pos - a.pos AS diag
+        |  FROM r a JOIN r b ON a.gram = b.gram AND a.id < b.id
+        |), isl AS (
+        |  SELECT a_id, b_id, diag, a_pos,
+        |    a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag
+        |                               ORDER BY a_pos) AS island
+        |  FROM m
+        |)
+        |SELECT a_id, b_id, a_start, a_start + diag AS b_start, span_len
+        |FROM (
+        |  SELECT a_id, b_id, diag, MIN(a_pos) AS a_start,
+        |    MAX(a_pos) - MIN(a_pos) + 30 AS span_len
+        |  FROM isl GROUP BY a_id, b_id, diag, island)
+        |WHERE span_len >= 40""".stripMargin))(
+      (s, dir) => TextOps.duplicatedSpans(Tables(s, dir).documents,
+        "doc_id", "text", k = 30, minLen = 40, maxDf = 20)),
+
     // Exact brute-force top-5 cosine neighbors for a bounded query set.
     Reg("topk_sim", Some(
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec

@@ -241,4 +241,38 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(twice == got.sorted || twice.sorted == got.sorted)
   }
+
+  test("duplicatedSpans finds a planted shared span with exact offsets and length") {
+    import spark.implicits._
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 44 chars
+    val docs = Seq(
+      (1L, "XX" + shared + "YYYYYYYY"),            // span starts at 3
+      (2L, "QQQQQ" + shared + "ZZ"),               // span starts at 6
+      (3L, "totally unrelated text with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.duplicatedSpans(docs, "doc_id", "text",
+        k = 10, minLen = 40, maxDf = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 3L, 6L, 44L)), s"got $out")
+  }
+
+  test("duplicatedSpans: sub-minLen runs drop; over-maxDf boilerplate grams never join") {
+    import spark.implicits._
+    val boiler = "THIS-BOILERPLATE-IS-EVERYWHERE-IN-THE-CORPUS" // 44 chars
+    val docs = (1L to 6L).map(i => (i, s"doc$i " + boiler + s" tail$i"))
+      .toDF("doc_id", "text")
+    // the 44-char shared block appears in 6 docs > maxDf=5: every one of
+    // its grams is dropped before the join, so NO spans emerge
+    val out = TextOps.duplicatedSpans(docs, "doc_id", "text",
+      k = 10, minLen = 20, maxDf = 5)
+    assert(out.isEmpty)
+    // short overlap below minLen: 15 shared chars with k=10 is a 15-char
+    // span — filtered by minLen=20
+    val short = Seq(
+      (1L, "aaaa SHARED-PIECE-XY bbbb"),
+      (2L, "cccc SHARED-PIECE-XY dddd")).toDF("doc_id", "text")
+    val o2 = TextOps.duplicatedSpans(short, "doc_id", "text",
+      k = 10, minLen = 20, maxDf = 5)
+    assert(o2.isEmpty)
+  }
 }
