@@ -307,6 +307,67 @@ object Streaming {
       .toDF("user_id", "session_idx", "n_events")
   }
 
+  /** [[sessionSummariesTws]]'s processor: the Spark 4 `StatefulProcessor`
+    * form of [[sessionSummaries]]'s mapGroupsWithState closure. State is a
+    * single ValueState tuple (n_sessions, n_events, last_ts_micros) — the
+    * arbitrary-state-v2 API stores each named state in its own RocksDB
+    * column family, so at scale a processor can carry several independent
+    * states (value/list/map) without packing them into one blob, and TTL
+    * is per-state declarative (TTLConfig) instead of hand-rolled timeout
+    * bookkeeping. Top-level class, not an anonymous closure: the processor
+    * is serialized to executors and must not capture the enclosing object. */
+  private[ext] class SessionTwsProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, it: Iterator[(Long, Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (s, e, last) = if (st.exists()) st.get() else (0L, 0L, Long.MinValue)
+      it.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+        if (last == Long.MinValue || r._2 - last > gapMicros) s += 1
+        e += 1; last = r._2
+      }
+      st.update((s, e, last))
+      Iterator.single((user, s, e))
+    }
+  }
+
+  /** Per-user session summaries via `transformWithState` — the Spark 4
+    * arbitrary-stateful-processing v2 API ([[sessionSummaries]] is the same
+    * computation on the v1 `mapGroupsWithState`). Semantically identical
+    * (same gap rule, same in-state sort), so the two share one SQL oracle;
+    * what v2 buys at scale: per-state RocksDB column families, declarative
+    * per-state TTL, timers decoupled from state (registerTimer), and
+    * initial-state bootstrap — the API Spark is converging stateful
+    * pipelines on. Runs in batch too (Spark plans it with a transient
+    * per-partition state store), which is how the oracle checks it. */
+  def sessionSummariesTws(spark: SparkSession, events: DataFrame,
+                          gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // Batch-planned transformWithState still loads its transient state
+    // stores through the driver's StateStoreCoordinator RPC endpoint, but
+    // only a running STREAMING query registers that endpoint — a batch-only
+    // session fails CANNOT_LOAD_STATE_STORE (RpcEndpointNotFoundException).
+    // Touch the query manager's coordinator (private[sql], hence the one
+    // reflective call) so the endpoint exists before the job runs.
+    spark.streams.getClass.getMethod("stateStoreCoordinator")
+      .invoke(spark.streams)
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTwsProcessor(gapMicros),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
   /** Streaming CDC sink: apply a change-log STREAM into a standing table
     * via foreachBatch + [[graft.ops.Cdc.applyChangesVersioned]] — the
     * streaming-ingestion → merged-table loop (Kafka/Debezium → MERGE INTO)

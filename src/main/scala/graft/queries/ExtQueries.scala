@@ -754,6 +754,27 @@ object ExtQueries {
       (s, dir) => graft.ext.Streaming.sessionSummaries(
         s, Tables(s, dir).events, gapMinutes = 30)),
 
+    // ST: the SAME sessionization on the Spark 4 transformWithState
+    // (StatefulProcessor) API — arbitrary-state v2, the generation after
+    // sessionize's mapGroupsWithState. Identical semantics, one shared
+    // oracle shape; proves the library covers the API Spark is converging
+    // stateful pipelines on (per-state column families, declarative TTL,
+    // timers). Batch-planned here; StreamingSpec drives it as a stream.
+    Reg("sessionize_tws", Some(
+      """WITH x AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin))(
+      (s, dir) => graft.ext.Streaming.sessionSummariesTws(
+        s, Tables(s, dir).events, gapMinutes = 30)),
+
     // ST: per-session rows via flatMapGroupsWithState (the multi-row custom
     // state API) — oracled against a lag + running-sum window rewrite.
     Reg("sessionize_rows", Some(

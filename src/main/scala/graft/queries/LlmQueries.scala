@@ -758,6 +758,17 @@ object LlmQueries {
       (s, dir) => TextOps.duplicatedSpans(Tables(s, dir).documents,
         "doc_id", "text", k = 30, minLen = 40, maxDf = 20)),
 
+    // PCA projection to the top-2 principal components (one distributed
+    // moments pass -> driver-side power iteration on the rounded 64x64
+    // covariance -> codegen projection). The oracle replays the ENTIRE
+    // pipeline in SQL — generated unrolled power-iteration CTEs over the
+    // same rounded covariance — so the hash pins moments, deflation, sign
+    // convention, and projection at once (the kmeans-IVF replay pattern).
+    Reg("embed_pca", Some(
+      graft.ext.Pca.oracleSql2("embeddings", "vec_id", "embedding", dim = 64)))(
+      (s, dir) => graft.ext.Pca.fitProject2(
+        Tables(s, dir).embeddings, "vec_id", "embedding")),
+
     // Exact brute-force top-5 cosine neighbors for a bounded query set.
     Reg("topk_sim", Some(
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec

@@ -27,6 +27,28 @@ class StreamingSpec extends SparkSpec {
     assert(stateful.sameElements(batch))
   }
 
+  test("transformWithState sessionization matches mapGroupsWithState in batch AND as a stream") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables(spark, dir).events
+    val v1 = Streaming.sessionSummaries(spark, events, gapMinutes = 30)
+      .orderBy("user_id").collect()
+    // batch-planned transformWithState (transient per-partition state store)
+    val v2 = Streaming.sessionSummariesTws(spark, events, gapMinutes = 30)
+      .orderBy("user_id").collect()
+    assert(v1.length > 0 && v2.sameElements(v1))
+    // true streaming run: update-mode emissions converge to the batch
+    // summary — (n_sessions, n_events) are monotone per user, so the last
+    // (= max) update per user is the final state
+    val ss = Streaming.streamingSession(spark)
+    val streamed = Streaming.runToTable(spark,
+      Streaming.sessionSummariesTws(ss, Streaming.readEvents(ss, dir), 30),
+      "tws_sessions", outputMode = "update")
+    val fin = streamed.groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+    assert(fin.sameElements(v1))
+  }
+
   test("flatMapGroupsWithState session rows are consistent with the per-user summaries") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables(spark, dir).events
