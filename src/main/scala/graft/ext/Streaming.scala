@@ -337,6 +337,112 @@ object Streaming {
     }
   }
 
+  /** [[sessionRowsAppendTws]]'s processor — [[sessionRowsAppend]]'s
+    * exactly-once append sessionization rebuilt on the v2 state primitives:
+    * the open session in a ValueState, watermark-unconfirmed closed
+    * sessions in a ListState (v1 had to serialize the whole Seq into one
+    * state blob; v2 appends element-wise, so a long pending queue never
+    * rewrites itself), and confirmation driven by EVENT-TIME TIMERS
+    * (`registerTimer`/`handleExpiredTimer`) instead of v1's single
+    * per-key timeout timestamp. Emission rule is identical: a session row
+    * leaves exactly once, only after the watermark passes its gap
+    * boundary, so the two variants share one oracle. */
+  private[ext] class SessionAppendTwsProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, java.sql.Timestamp), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    // open = (nextIdx, openN, openLastMicros); pending = closed, unconfirmed
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    @transient private var pending: ListState[PendSess] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      pending = getHandle.getListState[PendSess]("pending",
+        org.apache.spark.sql.Encoders.product[PendSess], TTLConfig.NONE)
+    }
+
+    /** Emit every pending session the watermark has confirmed; keep the
+      * rest. Returns the emitted rows. */
+    private def confirm(user: Long, wmMicros: Long): Seq[(Long, Long, Long)] = {
+      val all = pending.get().toSeq
+      val (done, rest) = all.partition(_.endMicros + gapMicros <= wmMicros)
+      // put() rejects empty arrays (ILLEGAL_STATE_STORE_VALUE) — clear instead
+      if (done.nonEmpty) {
+        if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
+      }
+      done.map(p => (user, p.idx, p.n))
+    }
+
+    /** Point the next timer at the earliest unconfirmed gap boundary
+      * (clamped past the current watermark); clear state when drained. */
+    private def arm(wmMicros: Long): Unit = {
+      val (_, n, last) =
+        if (open.exists()) open.get() else (1L, 0L, Long.MinValue)
+      val boundaries = pending.get().map(_.endMicros).toSeq ++
+        (if (n > 0) Seq(last) else Nil)
+      if (boundaries.isEmpty) { open.clear(); pending.clear() }
+      else {
+        val nextMs = (boundaries.min + gapMicros) / 1000L
+        val target = math.max(nextMs, wmMicros / 1000L + 1)
+        if (!getHandle.listTimers().contains(target))
+          getHandle.registerTimer(target)
+      }
+    }
+
+    override def handleInputRows(
+        user: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      val wm = timers.getCurrentWatermarkInMs() * 1000L
+      var (nextIdx, n, last) =
+        if (open.exists()) open.get() else (1L, 0L, Long.MinValue)
+      it.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+        if (last != Long.MinValue && r._2 - last > gapMicros) {
+          pending.appendValue(PendSess(nextIdx, n, last))
+          nextIdx += 1; n = 0L
+        }
+        n += 1; last = r._2
+      }
+      open.update((nextIdx, n, last))
+      val out = confirm(user, wm)
+      arm(wm)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val wm = timers.getCurrentWatermarkInMs() * 1000L
+      val (idx, n, last) = if (open.exists()) open.get() else (1L, 0L, Long.MinValue)
+      if (n > 0 && last + gapMicros <= wm) {
+        pending.appendValue(PendSess(idx, n, last))
+        open.update((idx + 1, 0L, Long.MinValue))
+      }
+      val out = confirm(user, wm)
+      arm(wm)
+      out.iterator
+    }
+  }
+
+  /** TRUE append-mode sessionization on `transformWithState` with
+    * event-time timers — the v2 sibling of [[sessionRowsAppend]] (same
+    * exactly-once watermark-confirmed emission, same oracle). Streaming
+    * only: timers need the event-time watermark machinery. */
+  def sessionRowsAppendTws(spark: SparkSession, events: DataFrame,
+                           gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"),
+        col("event_id"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionAppendTwsProcessor(gapMicros),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_idx", "n_events")
+  }
+
   /** Per-user session summaries via `transformWithState` — the Spark 4
     * arbitrary-stateful-processing v2 API ([[sessionSummaries]] is the same
     * computation on the v1 `mapGroupsWithState`). Semantically identical

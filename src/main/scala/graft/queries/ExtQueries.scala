@@ -754,6 +754,43 @@ object ExtQueries {
       (s, dir) => graft.ext.Streaming.sessionSummaries(
         s, Tables(s, dir).events, gapMinutes = 30)),
 
+    // ST: exactly-once append sessionization on transformWithState with
+    // EVENT-TIME TIMERS (registerTimer/handleExpiredTimer + ListState) —
+    // the v2 rebuild of sessionize_append's flatMapGroupsWithState form.
+    // Same watermark-confirmation rule, same oracle: the hash proves the
+    // timer-driven emission matches the v1 timeout-driven one row for row.
+    Reg("sessionize_append_tws", Some(
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), y AS (
+        |  SELECT user_id, tsu,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM x
+        |), s AS (
+        |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |    COUNT(*) AS n_events, max(tsu) AS end_ts
+        |  FROM y GROUP BY user_id, session_idx
+        |)
+        |SELECT user_id, session_idx, n_events FROM s
+        |WHERE epoch_us(end_ts) + 1800000000 <=
+        |  epoch_ms((SELECT max(CAST(ts AS TIMESTAMP)) FROM events)) * 1000"""
+        .stripMargin))(
+      (s, dir) => {
+        val name = s"sessionize_append_tws_${streamRunCounter.incrementAndGet()}"
+        graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.sessionRowsAppendTws(s,
+            graft.ext.Streaming.readEvents(
+              graft.ext.Streaming.streamingSession(s), dir), gapMinutes = 30),
+          name, outputMode = "append")
+      }),
+
     // ST: the SAME sessionization on the Spark 4 transformWithState
     // (StatefulProcessor) API — arbitrary-state v2, the generation after
     // sessionize's mapGroupsWithState. Identical semantics, one shared

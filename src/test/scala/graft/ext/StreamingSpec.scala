@@ -49,6 +49,23 @@ class StreamingSpec extends SparkSpec {
     assert(fin.sameElements(v1))
   }
 
+  test("timer-driven transformWithState append sessionization equals the v1 timeout form") {
+    val dir = "/root/testdata/sf0.001"
+    def run(v2: Boolean): Seq[(Long, Long, Long)] = {
+      val ss = Streaming.streamingSession(spark)
+      val events = Streaming.readEvents(ss, dir)
+      val streamed =
+        if (v2) Streaming.sessionRowsAppendTws(ss, events, gapMinutes = 30)
+        else Streaming.sessionRowsAppend(ss, events, gapMinutes = 30)
+      Streaming.runToTable(spark, streamed, s"appendcmp_${if (v2) "v2" else "v1"}",
+          outputMode = "append")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    }
+    val (v1, v2) = (run(v2 = false), run(v2 = true))
+    assert(v1.nonEmpty && v1 == v2)
+  }
+
   test("flatMapGroupsWithState session rows are consistent with the per-user summaries") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables(spark, dir).events
