@@ -1382,7 +1382,8 @@ object ExtQueries {
           .select(col("l_returnflag"), col("x").as("mode_qty"))
       }),
 
-    graphPagerankReg
+    graphPagerankReg,
+    graphTrianglesReg
   )
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
@@ -1466,6 +1467,39 @@ object ExtQueries {
                 concat(lit("c"), expr("node div 2")))
               .otherwise(concat(lit("s"), expr("node div 2"))).as("node"),
             round(col("rank") * col("nv"), 6).as("rank_rel"))
+      })
+
+  // Per-node triangle counts over the basket co-purchase graph (parts
+  // co-occurring in one order; basket size bounds the per-order clique,
+  // so the projection needs no frequency cap). Engine: degree-oriented
+  // wedge join, O(E^1.5)-bounded (Graph.triangleCounts). Oracle: the
+  // plain three-way edge join — exact integers, no float tolerance. The
+  // hash pins projection, canonicalization, orientation, and closure.
+  private def graphTrianglesReg: Reg =
+    Reg("graph_triangles", Some(
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+        |t AS MATERIALIZED (
+        |  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |c AS (SELECT p AS node FROM t
+        |      UNION ALL SELECT q FROM t
+        |      UNION ALL SELECT r FROM t)
+        |SELECT node, COUNT(*) AS n_triangles FROM c GROUP BY node"""
+        .stripMargin))(
+      (s, dir) => {
+        val op = Tables(s, dir).lineitem
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = op.as("x")
+          .join(op.as("y"),
+            col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+        graft.ext.Graph.triangleCounts(edges)
       })
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)

@@ -80,4 +80,23 @@ class GraphSpec extends SparkSpec {
     // 4 rounds vs minutes for 1000)
     assert(secs < 60.0, s"early exit did not trigger: took $secs s")
   }
+
+  test("triangleCounts: K4 plus a pendant, robust to duplicate/reversed/self edges") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles; each node in 3) + pendant 5-1 (none)
+    val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (5L, 1L), (1L, 5L))
+    val out = Graph.triangleCounts(noisy.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle with a tail counts only the cycle nodes") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
