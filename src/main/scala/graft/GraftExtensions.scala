@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler, VectorNorm}
+import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler, NearestCell, PqCodes, PqDotTable, VectorNorm}
 
 /** Session extensions: registers the native vector expressions as SQL
   * functions. Enable with
@@ -26,7 +26,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       build(children)
     }
 
+  /** Constant-extraction helpers for config-carrying expressions: the PQ
+    * kernels take their codebooks as plain double[] CONSTRUCTOR state (a
+    * 64-subexpression tree as children would defeat their purpose), so the
+    * SQL-function builder must fold the literal arguments at registration. */
+  private def foldDoubles(name: String, e: Expression): Array[Double] = {
+    require(e.foldable, s"$name expects a literal array<double> argument")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal array<double>, got $other")
+    }
+  }
+  private def foldInts(name: String, e: Expression): Array[Int] = {
+    require(e.foldable, s"$name expects a literal array<int> argument")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toIntArray()
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal array<int>, got $other")
+    }
+  }
+  private def foldInt(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name expects a literal int argument")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal int, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+      arity("pq_codes", 5)(c => PqCodes(c(0),
+        foldDoubles("pq_codes", c(1)), foldDoubles("pq_codes", c(2)),
+        foldInt("pq_codes", c(3)), foldInt("pq_codes", c(4))))))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+      arity("nearest_cell", 4)(c => NearestCell(c(0),
+        foldDoubles("nearest_cell", c(1)), foldInts("nearest_cell", c(2)),
+        foldInt("nearest_cell", c(3))))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_dot_table"),
+      new ExpressionInfo(classOf[PqDotTable].getName, "pq_dot_table"),
+      arity("pq_dot_table", 4)(c => PqDotTable(c(0),
+        foldDoubles("pq_dot_table", c(1)),
+        foldInt("pq_dot_table", c(2)), foldInt("pq_dot_table", c(3))))))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

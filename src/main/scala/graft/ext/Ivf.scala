@@ -96,10 +96,22 @@ object Ivf {
   }
 
   /** Assignment column: index of the centroid with max cosine to `vec`.
-    * Centroids travel as literals (bounded: k × dim doubles). */
+    * Centroids travel as literals (bounded: k × dim doubles). Prefers the
+    * native `nearest_cell` kernel ([[graft.functions.NearestCell]]): the
+    * composed form is one vec_dot struct PER centroid, and k-means pays
+    * its analysis+codegen cost per Lloyd iteration (the same
+    * plan-time-dominates pattern as the PQ tree); the kernel is one loop
+    * over the centroid literals with identical arithmetic and the same
+    * larger-cell-on-tie rule as array_max's struct comparison. */
   private def nearestCell(df: DataFrame, vec: Column,
                           cents: Seq[(Int, Seq[Double])]): Column =
-    array_max(centroidDots(df, vec, cents)).getField("cell")
+    if (df.sparkSession.catalog.functionExists("nearest_cell")) {
+      val dim = cents.head._2.length
+      call_function("nearest_cell", vec,
+        typedlit(cents.flatMap(c => unitize(c._2)).toArray),
+        typedlit(cents.map(_._1).toArray), lit(dim))
+    } else
+      array_max(centroidDots(df, vec, cents)).getField("cell")
 
   /** Distributed Lloyd k-means over an embedding column (cosine
     * assignment): deterministic seeded init (k rows by hash order), then

@@ -61,30 +61,67 @@ object Pq {
             orderHash: Option[Column] = None, seed: Long = 42L): Codebooks = {
     val work = df.persist()
     val seedOrder = orderHash.getOrElse(xxhash64(col(idCol), lit(seed)))
-    val out = (0 until m).map { s =>
-      val sub = work.select(col(idCol),
-        subCol(col(vecCol), s, dsub).as("__sub"))
-      val seeds: Seq[Seq[Double]] = sub
-        .orderBy(seedOrder, col(idCol))
-        .limit(ksub).select(col("__sub")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-      val assigned = sub.withColumn("cell", assignCol(sub, col("__sub"), seeds))
-      Ivf.centroids(assigned, "cell", "__sub").collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
-        .sortBy(_._1).map(_._2).toSeq
-    }
+    // Seeds in ONE job: the seed order is row-level (hash of the id), so
+    // every subspace seeds from the SAME ksub rows — collect the full
+    // vectors once and slice on the driver (ksub × dim doubles). Arithmetic
+    // identical to the old per-subspace limit+collect, job count m → 1.
+    val seedRows: Seq[Seq[Double]] = work
+      .orderBy(seedOrder, col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    require(seedRows.nonEmpty, "empty corpus — nothing to train PQ on")
+    val seedCbs: Codebooks = (0 until m).map(s =>
+      seedRows.map(r => r.slice(s * dsub, (s + 1) * dsub)))
+    // One Lloyd refinement in ONE corpus pass (was one pass PER subspace):
+    // assign all m codes per row, explode to (subspace, cell), aggregate
+    // sub-slice means per pair. The (s, cell) pair packs into one int key
+    // for the typed centroid aggregator; m·ksub ≤ 65536 cells per subspace
+    // keeps the packing collision-free.
+    val assigned = work
+      .select(col(vecCol).as("__v"),
+        codesCol(work, col(vecCol), seedCbs).as("__codes"))
+      .select(posexplode(col("__codes")).as(Seq("__s", "cell")), col("__v"))
+      .select(
+        (col("__s") * 65536 + col("cell")).cast("int").as("k"),
+        slice(col("__v"), col("__s") * dsub + 1, lit(dsub)).as("__sub"))
+    val cents = Ivf.centroids(assigned, "k", "__sub").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
     work.unpersist()
-    out
+    (0 until m).map { s =>
+      cents.filter(_._1 / 65536 == s).sortBy(_._1 % 65536).map(_._2).toSeq
+    }
   }
 
+  /** Flattened codebook + per-codeword c·c literals for the native kernels
+    * (same left-to-right fold as [[assignCol]]'s driver-side cc). */
+  private def flat(cbs: Codebooks): (Array[Double], Array[Double]) =
+    (cbs.flatten.flatten.toArray,
+      cbs.flatten.map(_.foldLeft(0.0)((acc, x) => acc + x * x)).toArray)
+
   /** Encode every vector as its `m` positional codes (the compressed
-    * representation a 100 TB index stores instead of the vectors). */
+    * representation a 100 TB index stores instead of the vectors).
+    *
+    * Prefers the native `pq_codes` kernel ([[graft.functions.PqCodes]],
+    * registered by [[graft.GraftExtensions]]): the composed form below is
+    * a 64-subexpression tree whose ANALYSIS + whole-stage-codegen cost
+    * (~seconds, data-independent) dominated topk_sim_pq; the kernel is one
+    * loop over the codebook literals with bit-identical arithmetic, so the
+    * replayed oracle cannot tell them apart. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             cbs: Codebooks): DataFrame = {
+             cbs: Codebooks): DataFrame =
+    df.select(col(idCol), codesCol(df, col(vecCol), cbs).as("codes"))
+
+  /** All-subspace code array (native kernel or composed fallback). */
+  private def codesCol(df: DataFrame, vec: Column, cbs: Codebooks): Column = {
     val dsub = cbs.head.head.length
-    df.select(col(idCol), array(cbs.zipWithIndex.map { case (cb, s) =>
-      assignCol(df, subCol(col(vecCol), s, dsub), cb)
-    }: _*).as("codes"))
+    if (df.sparkSession.catalog.functionExists("pq_codes")) {
+      val (cbFlat, ccFlat) = flat(cbs)
+      call_function("pq_codes", vec, typedlit(cbFlat),
+        typedlit(ccFlat), lit(cbs.head.length), lit(dsub))
+    } else
+      array(cbs.zipWithIndex.map { case (cb, s) =>
+        assignCol(df, subCol(vec, s, dsub), cb)
+      }: _*)
   }
 
   /** ADC top-k: approximate dot(query, candidate) = Σ_s dt[s][code_s],
@@ -99,10 +136,16 @@ object Pq {
     val d = Similarity.pdot(corpus) _
     // flattened dt: subspace s's codewords start at offsets(s)
     val offsets = cbs.scanLeft(0)(_ + _.length).init
-    val dt = array((for {
-      (cb, s) <- cbs.zipWithIndex
-      c <- cb
-    } yield d(subCol(col(vecCol), s, dsub), typedlit(c))): _*)
+    // native kernel preferred for the same plan-cost reason as [[encode]]
+    val dt =
+      if (corpus.sparkSession.catalog.functionExists("pq_dot_table"))
+        call_function("pq_dot_table", col(vecCol), typedlit(flat(cbs)._1),
+          lit(cbs.head.length), lit(dsub))
+      else
+        array((for {
+          (cb, s) <- cbs.zipWithIndex
+          c <- cb
+        } yield d(subCol(col(vecCol), s, dsub), typedlit(c))): _*)
     val q = broadcast(queries.select(col(idCol).as("q_id"), dt.as("dt")))
     val n = encode(corpus, idCol, vecCol, cbs)
       .select(col(idCol).as("n_id"), col("codes"))
