@@ -190,4 +190,40 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     counts
   }
+
+  /** Multi-source BFS levels over an undirected edge list (src, dst):
+    * (node, dist) for every node within `maxHops` of `sources` (a frame
+    * with a `node` column), dist = hop count of the shortest path.
+    *
+    * Frontier BFS as iterative joins: each round joins the CURRENT
+    * frontier (never the full visited set) against the edge list, then
+    * anti-joins visited — O(E_frontier) work per round, with frontier and
+    * visited as flat localCheckpoint'ed O(V) frames (the
+    * [[graft.ext.Dedup]] connected-components idiom). Rounds are bounded
+    * by `maxHops`, so the plan never grows; the per-round empty-frontier
+    * check is one cheap job on a checkpointed frame and exits early on
+    * exhausted components. */
+  def bfsLevels(edges: DataFrame, sources: DataFrame,
+                maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var hop = 1L
+    while (hop <= maxHops && frontier.take(1).nonEmpty) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select(col("node"))
+      hop += 1
+    }
+    e.unpersist()
+    visited
+  }
 }

@@ -1383,7 +1383,8 @@ object ExtQueries {
       }),
 
     graphPagerankReg,
-    graphTrianglesReg
+    graphTrianglesReg,
+    graphBfsReg
   )
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
@@ -1500,6 +1501,38 @@ object ExtQueries {
             col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
           .select(col("x.p").as("src"), col("y.p").as("dst"))
         graft.ext.Graph.triangleCounts(edges)
+      })
+
+  // BFS hop distances from the minimum-custkey customer over the bidirected
+  // purchase graph (the graph_pagerank node encoding). Engine: frontier BFS
+  // as bounded iterative joins; oracle: a recursive CTE whose UNION dedup
+  // keeps (node, dist) pairs finite, MIN(dist) per node = BFS level. Exact
+  // integers — the hash pins reachability AND level assignment.
+  private def graphBfsReg: Reg =
+    Reg("graph_bfs", Some(
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |s AS (SELECT MIN(o_custkey) * 2 AS node FROM orders),
+        |bfs AS (
+        |  SELECT node, 0 AS dist FROM s
+        |  UNION
+        |  SELECT e.dst AS node, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.dist < 4)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val edges = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sources = t.orders
+          .agg((min(col("o_custkey")) * 2).as("node"))
+        graft.ext.Graph.bfsLevels(edges, sources, maxHops = 4)
       })
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)

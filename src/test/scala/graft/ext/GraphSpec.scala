@@ -91,6 +91,24 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("bfsLevels: chain distances, early exit past component edge, maxHops cap") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 plus isolated pair 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val full = Graph.bfsLevels(edges, src, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val capped = Graph.bfsLevels(edges, src, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // multi-source: closer source wins the level
+    val multi = Graph.bfsLevels(edges, Seq(1L, 4L).toDF("node"), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
   test("triangleCounts: triangle with a tail counts only the cycle nodes") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
