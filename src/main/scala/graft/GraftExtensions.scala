@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler, NearestCell, PqCodes, PqDotTable, VectorNorm}
+import graft.functions.{CharKGrams, CosineSimilarity, DotProduct, JaroWinkler, NearestCell, PqCodes, PqDotTable, VectorNorm}
 
 /** Session extensions: registers the native vector expressions as SQL
   * functions. Enable with
@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("pq_codes", 5)(c => PqCodes(c(0),
         foldDoubles("pq_codes", c(1)), foldDoubles("pq_codes", c(2)),
         foldInt("pq_codes", c(3)), foldInt("pq_codes", c(4))))))
+    ext.injectFunction((
+      new FunctionIdentifier("char_kgrams"),
+      new ExpressionInfo(classOf[CharKGrams].getName, "char_kgrams"),
+      arity("char_kgrams", 2)(c =>
+        CharKGrams(c(0), foldInt("char_kgrams", c(1))))))
     ext.injectFunction((
       new FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),

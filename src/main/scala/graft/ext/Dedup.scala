@@ -188,7 +188,7 @@ object Dedup {
     // [[nearDupCandidates]]: the far-smaller verified pair set materializes
     // eagerly, then the set cache is released)
     val sets = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      TextOps.charGrams(col(textCol), k).as("g")).persist()
+      TextOps.charGramsOf(df)(col(textCol), k).as("g")).persist()
     val x = sets.select(col("block"), col("id").as("a_id"), col("g").as("a_g"))
     val y = sets.select(col("block"), col("id").as("b_id"), col("g").as("b_g"))
     val pairs = x.join(y, Seq("block"))
@@ -212,7 +212,7 @@ object Dedup {
                                  idCol: String, textCol: String, k: Int = 5,
                                  threshold: Double = 0.6): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
-      TextOps.charGrams(col(textCol), k).as("g"))
+      TextOps.charGramsOf(df)(col(textCol), k).as("g"))
     cands.select("a_id", "b_id")
       .join(sets.select(col("id").as("a_id"), col("g").as("a_g")), Seq("a_id"))
       .join(sets.select(col("id").as("b_id"), col("g").as("b_g")), Seq("b_id"))

@@ -52,6 +52,23 @@ object TextOps {
       sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
       i => c.substr(i, lit(k))))
 
+  /** All char k-grams IN ORDER, preferring the native one-pass kernel
+    * (`char_kgrams`, [[graft.functions.CharKGrams]]): `Column.substr(i,k)`
+    * re-scans from byte 0 to find character offset i on every call, so the
+    * composed form is O(len²) per document — measured as the dominant cost
+    * of every character-gram operator. Identical output either way
+    * (including the whole-text-gram rule for texts shorter than k). */
+  private def kgramsCol(df: DataFrame, c: Column, k: Int): Column =
+    if (df.sparkSession.catalog.functionExists("char_kgrams"))
+      call_function("char_kgrams", c, lit(k))
+    else transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => c.substr(i, lit(k)))
+
+  /** [[charGrams]] through the native kernel when `df`'s session has it. */
+  def charGramsOf(df: DataFrame)(c: Column, k: Int = 5): Column =
+    array_distinct(kgramsCol(df, c, k))
+
   /** ALL word n-gram occurrences in order — NOT deduplicated ([[shingles]]
     * is the distinct-set variant): language-model counts need multiplicity.
     * Docs shorter than n words yield none. Same zipped-shifts shape as
@@ -165,12 +182,11 @@ object TextOps {
                          k: Int = 5, w: Int = 4,
                          hash: Column => Column = xxhash64(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = df.select(col(idCol).as("id"), col(textCol).as("t"),
-        greatest(length(col(textCol)) - (k - 1), lit(1)).as("n"))
-      .select(col("id"), col("n"),
-        explode(sequence(lit(1), col("n"))).as("pos"), col("t"))
-      .select(col("id"), col("n"), col("pos"),
-        hash(col("t").substr(col("pos"), lit(k))).as("h"))
+    val grams = df.select(col(idCol).as("id"),
+        greatest(length(col(textCol)) - (k - 1), lit(1)).as("n"),
+        posexplode(kgramsCol(df, col(textCol), k)).as(Seq("p0", "g")))
+      .select(col("id"), col("n"), (col("p0") + 1).as("pos"),
+        hash(col("g")).as("h"))
     val frame = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     grams.withColumn("fp", min(col("h")).over(frame))
@@ -245,23 +261,34 @@ object TextOps {
                       maxDf: Long = 20): DataFrame = {
     val grams = df.where(length(col(textCol)) >= k)
       .select(col(idCol).as("id"),
-        posexplode(transform(
-          sequence(lit(1), length(col(textCol)) - (k - 1)),
-          i => col(textCol).substr(i, lit(k)))).as(Seq("off", "gram")))
+        posexplode(kgramsCol(df, col(textCol), k)).as(Seq("off", "gram")))
       .select(col("id"), (col("off") + 1).as("pos"), col("gram"))
-    val rare = grams.groupBy("gram")
-      .agg(countDistinct(col("id")).as("df"))
-      .where(col("df") <= maxDf).select("gram")
-    val g = grams.join(rare, Seq("gram"))
-    val m = g.select(col("gram"), col("id").as("a_id"), col("pos").as("a_pos"))
-      .join(g.select(col("gram"), col("id").as("b_id"), col("pos").as("b_pos")),
-        Seq("gram"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_pos"),
-        (col("b_pos") - col("a_pos")).as("diag"))
+    // ONE pass over the gram table: group occurrences per gram (single
+    // shuffle), df-filter on distinct docs inside the same aggregate, and
+    // generate cross-document position pairs by double-explode IN PLACE —
+    // the self-join formulation scanned and shuffled the gram table twice
+    // more (df agg + join-back) for the identical pair set. Per-gram group size is bounded by maxDf
+    // docs × per-doc occurrences; under extreme single-doc gram repetition
+    // (pathological boilerplate) a spill-safe self-join beats the in-row
+    // array — that variant is exactly the previous formulation.
+    // df-filter as a per-group array op, NOT a countDistinct alongside the
+    // collect_list: mixing a distinct and a non-distinct aggregate plans an
+    // Expand that doubles every input row through the shuffle (measured:
+    // the pair stage halves without it)
+    val m = grams
+      .groupBy("gram")
+      .agg(collect_list(struct(col("id"), col("pos"))).as("items"))
+      .where(size(array_distinct(
+        transform(col("items"), x => x.getField("id")))) <= maxDf)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.pos").as("a_pos"),
+        (col("b.pos") - col("a.pos")).as("diag"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
-    m.withColumn("island", col("a_pos") - row_number().over(w))
+    val spans = m.withColumn("island", col("a_pos") - row_number().over(w))
       .groupBy("a_id", "b_id", "diag", "island")
       .agg(min("a_pos").as("a_start"),
         (max("a_pos") - min("a_pos") + k).as("span_len"))
@@ -270,6 +297,7 @@ object TextOps {
         col("a_start").cast("long").as("a_start"),
         (col("a_start") + col("diag")).cast("long").as("b_start"),
         col("span_len").cast("long").as("span_len"))
+    spans
   }
 
   /** Per-language marker stopwords for the n-gram/stopword language-ID

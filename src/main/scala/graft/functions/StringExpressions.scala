@@ -1,8 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static string-similarity kernels shared by the interpreted and
@@ -99,4 +101,66 @@ case class JaroWinkler(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
+}
+
+/** char_kgrams(text, k): every length-k character substring of `text`, in
+  * position order — `[substr(1,k), substr(2,k), …, substr(n-k+1,k)]`, with
+  * the whole text as the single element when it is shorter than k
+  * (`substr`'s clamping rule, so this is drop-in for the
+  * `transform(sequence(…), i -> substr(i, k))` formulation).
+  *
+  * Why native: `Column.substr(i, k)` re-scans the string from byte 0 to
+  * find character offset i on EVERY call — the composed form is O(len²)
+  * per document and measured as the dominant cost of every character-gram
+  * operator (dup spans, winnowing, n-gram dedup). This walks the UTF-8
+  * byte offsets ONCE and slices grams by byte range: O(len·k), identical
+  * output strings (character semantics preserved for multi-byte text). */
+case class CharKGrams(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"char_kgrams needs k >= 1, got $k")
+
+  override def prettyName: String = "char_kgrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    CharKGrams.compute(a.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CharKGrams.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharKGrams {
+  /** One pass: record each character's byte offset, then slice grams by
+    * byte range. Called from both interpreted eval and generated code. */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(Array[Any](s.clone()))
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var c = 0
+    while (c < n) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(n) = bytes.length
+    val out = new Array[Any](n - k + 1)
+    var p = 0
+    while (p <= n - k) {
+      out(p) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, offs(p), offs(p + k)))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
 }
