@@ -474,6 +474,85 @@ object Streaming {
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** [[sessionSummariesTwsBootstrapped]]'s processor: the
+    * `StatefulProcessorWithInitialState` form of [[SessionTwsProcessor]] —
+    * identical per-row logic, plus `handleInitialState` seeds each user's
+    * (n_sessions, n_events, last_ts) from a BATCH-computed history frame
+    * before the first microbatch. This is the v2 API's migration story: a
+    * new streaming job takes over from a batch pipeline (or a replaced
+    * stream) WITHOUT replaying history — state starts where the batch
+    * summary left off, and the session-gap rule bridges the boundary
+    * exactly (a stream event within `gap` of the last history event
+    * continues that session). */
+  private[ext] class SessionTwsBootProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long, Long), (Long, Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInitialState(user: Long, initial: (Long, Long, Long),
+                                    timers: TimerValues): Unit =
+      st.update(initial)
+    override def handleInputRows(user: Long, it: Iterator[(Long, Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (s, e, last) = if (st.exists()) st.get() else (0L, 0L, Long.MinValue)
+      it.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+        if (last == Long.MinValue || r._2 - last > gapMicros) s += 1
+        e += 1; last = r._2
+      }
+      st.update((s, e, last))
+      Iterator.single((user, s, e))
+    }
+  }
+
+  /** Batch session state per user — (user_id, n_sessions, n_events,
+    * last_ts_micros) via the lag-window formulation. The bootstrap frame
+    * for [[sessionSummariesTwsBootstrapped]]; one shuffle, no state. */
+  def sessionStateBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    events
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"), col("event_id"))
+      .withColumn("__prev", lag(col("tsu"), 1).over(w))
+      .withColumn("__new_s",
+        when(col("__prev").isNull || col("tsu") - col("__prev") > gapMicros, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("__new_s")).as("n_sessions"),
+        count(lit(1)).as("n_events"), max(col("tsu")).as("last_tsu"))
+  }
+
+  /** Gap sessionization over a STREAM that takes over from batch history:
+    * `history` (a batch frame of past events) seeds per-user state via the
+    * v2 initial-state API, then the stream continues it — sessions
+    * spanning the handover boundary merge exactly as if one engine had
+    * seen every event (the registered oracle is the plain full-range
+    * sessionization, so the hash PROVES the handover is seamless). */
+  def sessionSummariesTwsBootstrapped(spark: SparkSession, stream: DataFrame,
+                                      history: DataFrame,
+                                      gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val initial = sessionStateBatch(history, gapMinutes)
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        col("last_tsu"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+    stream
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTwsBootProcessor(gapMicros),
+        TimeMode.None(), OutputMode.Update(), initial)
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
   /** Streaming CDC sink: apply a change-log STREAM into a standing table
     * via foreachBatch + [[graft.ops.Cdc.applyChangesVersioned]] — the
     * streaming-ingestion → merged-table loop (Kafka/Debezium → MERGE INTO)

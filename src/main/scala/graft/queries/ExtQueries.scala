@@ -812,6 +812,53 @@ object ExtQueries {
       (s, dir) => graft.ext.Streaming.sessionSummariesTws(
         s, Tables(s, dir).events, gapMinutes = 30)),
 
+    // ST: batch→stream HANDOVER via the v2 initial-state API: events before
+    // the corpus midpoint are summarized BATCH-side and seed per-user state
+    // (StatefulProcessorWithInitialState); the stream carries on from
+    // there. The oracle is the plain FULL-RANGE sessionization — the hash
+    // proves sessions spanning the handover boundary merge exactly as if
+    // one engine had seen every event (no replay, no seam).
+    Reg("sessionize_tws_boot", Some(
+      """WITH x AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin))(
+      (s, dir) => {
+        import graft.ext.Streaming
+        import graft.functions.Time.tsMicros
+        val ss = Streaming.streamingSession(s)
+        val events = Tables(ss, dir).events
+        val boundary = events
+          .agg(((min(tsMicros(col("ts"))) + max(tsMicros(col("ts")))) / 2)
+            .cast("long").as("b")).head().getLong(0)
+        val history = events.where(tsMicros(col("ts")) < boundary)
+        val stream = Streaming.readEvents(ss, dir)
+          .where(tsMicros(col("ts")) >= boundary)
+        val name = s"sessionize_tws_boot_${streamRunCounter.incrementAndGet()}"
+        val streamed = Streaming.runToTable(s,
+          Streaming.sessionSummariesTwsBootstrapped(ss, stream, history, 30),
+          name, outputMode = "update")
+        // final state per user: stream rows are cumulative (they include
+        // the seeded history), so max covers stream-touched users; users
+        // whose events ALL predate the handover keep their batch summary
+        streamed
+          .groupBy("user_id")
+          .agg(max("n_sessions").as("n_sessions"),
+            max("n_events").as("n_events"))
+          .unionByName(Streaming.sessionStateBatch(history, 30)
+            .select(col("user_id"), col("n_sessions"), col("n_events")))
+          .groupBy("user_id")
+          .agg(max("n_sessions").as("n_sessions"),
+            max("n_events").as("n_events"))
+      }),
+
     // ST: per-session rows via flatMapGroupsWithState (the multi-row custom
     // state API) — oracled against a lag + running-sum window rewrite.
     Reg("sessionize_rows", Some(
