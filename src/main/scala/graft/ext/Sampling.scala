@@ -138,4 +138,35 @@ object Sampling {
       .join(broadcast(offsets), "__shard")
       .select(col(idCol), (col("__off") + col("__rn")).as("pos"))
   }
+
+  /** Leakage-safe train/val/test split: duplicate (or near-duplicate)
+    * documents must land in the SAME split, or held-out evaluation scores
+    * training data through clones — the per-doc content hash
+    * ([[TextOps.splitLabel]]) cannot see that two DIFFERENT texts are
+    * paraphrases, so a near-dup pair can straddle train/test. Here the
+    * decision is made once per duplicate GROUP: `pairs` is any verified
+    * duplicate pair list (exact, MinHash, SimHash, embedding — the same
+    * frames the dedup family produces), its transitive closure
+    * ([[Dedup.connectedComponents]]) names each group by its minimum id,
+    * and the split hash is computed on that representative, so every group
+    * member inherits one label. Unpaired docs hash their own id.
+    *
+    * Scale: CC is O(log n) shuffle rounds over the PAIR list (≪ corpus);
+    * the corpus itself pays one hash-join against the (pair-sized)
+    * component map plus a pure projection. Returns `df` + `component` +
+    * `split`. Cross-engine determinism is [[hashFrac]]'s: md5 of the
+    * representative id decides identically on any engine, which is what
+    * makes the split auditable long after the corpus ships. */
+  def splitByGroup(df: DataFrame, pairs: DataFrame, idCol: String,
+                   trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val g = coalesce(col("component"), col(idCol))
+    val frac = hashFrac(g.cast("string"))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("component", g)
+      .withColumn("split",
+        when(frac < trainFrac, "train")
+          .when(frac < trainFrac + valFrac, "val")
+          .otherwise("test"))
+  }
 }

@@ -553,6 +553,37 @@ object LlmQueries {
         TextOps.hashBucket(col("text"), 10).as("bucket"),
         TextOps.splitLabel(col("text")).as("split"))),
 
+    // Leakage-safe split: text_split hashes each doc independently, so a
+    // duplicate pair can straddle train/test and leak training data into
+    // held-out eval. splitByGroup decides ONCE per duplicate group (split
+    // hash of the transitive-closure representative id). Registered over
+    // the exact-dup pair list — the oracle is then a window min per text
+    // plus the md5 replay, no recursive CTE; chain/near-dup coherence is
+    // pinned by SamplingSpec. 0.8 + 0.1 (not 0.9) in BOTH engines: the
+    // val/test threshold must be the same IEEE double the library computes.
+    Reg("split_groups", Some(
+      """WITH g AS (SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY text) AS component FROM documents),
+        |f AS (SELECT doc_id, component,
+        |  CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 13)
+        |         AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS fr
+        |  FROM g)
+        |SELECT doc_id, component,
+        |  CASE WHEN fr < 0.8 THEN 'train'
+        |       WHEN fr < 0.8 + 0.1 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM f""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val withH = docs.select(col("doc_id"), sha2(col("text"), 256).as("__h"))
+        val reps = withH.groupBy("__h").agg(min("doc_id").as("a_id"))
+        val pairs = withH.join(reps, "__h")
+          .where(col("doc_id") =!= col("a_id"))
+          .select(col("a_id"), col("doc_id").as("b_id"))
+        Sampling.splitByGroup(docs, pairs, "doc_id")
+          .select("doc_id", "component", "split")
+      }),
+
     // BPE-ish token counting — the REGISTERED query calls the library
     // helper (TextOps.bpeTokenCount, Unicode classes), and the oracle runs
     // the same \p{L}/\p{N} pattern: Java regex and DuckDB's RE2 agree on

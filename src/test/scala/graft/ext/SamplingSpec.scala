@@ -57,4 +57,33 @@ class SamplingSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(out.map(_._1).toSeq == expect)
   }
+
+  test("splitByGroup: whole chains share one split; unpaired docs self-hash") {
+    // 30 chain groups of 4 (pairs a-b, b-c, c-d: closure, NOT direct pairs)
+    // + 80 singletons. Every group must emerge with exactly one label, the
+    // label of its minimum id, and singletons must match text_split-style
+    // per-id hashing.
+    val docs = (1L to 200L).toDF("doc_id")
+    val pairs = (0 until 30).flatMap { g =>
+      val base = g * 4 + 1L
+      Seq((base, base + 1), (base + 1, base + 2), (base + 2, base + 3))
+    }.toDF("a_id", "b_id")
+    val out = Sampling.splitByGroup(docs, pairs, "doc_id")
+    val perGroup = out.groupBy("component")
+      .agg(countDistinct("split").as("k"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perGroup.forall(_._2 == 1L), "a group straddles splits")
+    assert(perGroup.count(_._3 == 4L) == 30 && perGroup.count(_._3 == 1L) == 80)
+    // the group label IS the representative's own-id label
+    val lbl = out.where(col("doc_id") === col("component"))
+      .select("component", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val all = out.select("component", "split").collect()
+    assert(all.forall(r => lbl(r.getLong(0)) == r.getString(1)))
+    // fractions land near 80/10/10 on the 110 groups
+    val shares = out.select("component", "split").distinct()
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(shares.getOrElse("train", 0L) / 110.0 - 0.8) < 0.12)
+  }
 }
