@@ -136,10 +136,12 @@ object LlmQueries {
     // deterministic content-hash split assignment → PII redaction. The
     // oracle replays every stage in SQL (recursive-CTE closure for the
     // groups), so the whole five-stage composition is hash-checked
-    // end-to-end, not just stage-by-stage. At 100 TB, persist() the
-    // exact-deduped frame `d1` — three stages consume it and the lazy
-    // plan otherwise re-derives it per consumer; the bench deliberately
-    // measures the cold un-persisted plan.
+    // end-to-end, not just stage-by-stage. The exact-deduped frame `d1`
+    // is persist()ed (MEMORY_AND_DISK): the signature build and the
+    // group-drop anti join both consume it, and the lazy plan would
+    // re-derive the scan + sha2 groupBy + semi join per consumer — at
+    // 100 TB that is two full corpus passes for one. The handle is
+    // released by the ContextCleaner when the plan is GC'd.
     Reg("pipeline_release", Some(
       s"""WITH RECURSIVE kept AS (
          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
@@ -167,6 +169,7 @@ object LlmQueries {
         val kept = Dedup.exactDedupGroups(docs, "text", "doc_id")
           .select(col("keep_id").as("doc_id"))
         val d1 = docs.join(kept, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = Dedup.nearDupPairs(d1, "doc_id", "text", threshold = 0.7)
         val d2 = Dedup.dropNearDupGroups(d1, pairs, "doc_id")
         TextOps.qualityColumns(d2, "text")
