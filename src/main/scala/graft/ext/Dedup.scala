@@ -54,6 +54,59 @@ object Dedup {
       .select(col(idCol), col("content_hash"))
   }
 
+  /** Incremental NEAR-dup dedup — [[incrementalDedup]]'s daily-crawl shape
+    * at paraphrase level: drop batch docs that are near-duplicates
+    * (shingle Jaccard ≥ `threshold`) of the standing corpus, and dedup the
+    * batch within itself with the keep-first-by-id policy.
+    *
+    * Candidates come from an LSH band join BETWEEN the two frames (batch
+    * bands ⋈ corpus bands on (band, band_hash)), so the corpus is never
+    * all-paired against the batch; only candidates pay the exact-Jaccard
+    * verify. At 100 TB the corpus side is its PERSISTED band table —
+    * computed once at ingest, reused every batch — never re-derived text;
+    * this method recomputes it only because it takes raw frames. Corpus
+    * buckets above `maxBucket` contribute only their minimum-id member as
+    * the join partner (an over-full bucket is a boilerplate cluster, so
+    * the representative IS the boilerplate test) — bounding cross fan-out
+    * at |batch bucket| instead of |batch|×|corpus| per bucket.
+    *
+    * Returns the surviving batch rows. */
+  def incrementalNearDedup(corpus: DataFrame, batch: DataFrame,
+                           idCol: String, textCol: String,
+                           threshold: Double = 0.7, numHashes: Int = 64,
+                           bands: Int = 16, shingleK: Int = 3,
+                           maxBucket: Int = 10000): DataFrame = {
+    val bBands = minhashBands(batch, idCol, textCol, numHashes, bands, shingleK)
+      .persist()
+    val cBands = minhashBands(corpus, idCol, textCol, numHashes, bands, shingleK)
+    val cStats = cBands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__bsz"), min(col("id")).as("__rep"))
+    val cSide = cBands.join(cStats, Seq("band", "band_hash"))
+      .where(col("__bsz") <= maxBucket || col("id") === col("__rep"))
+      .select(col("band"), col("band_hash"), col("id").as("c_id"))
+    val crossCands = bBands.select(col("band"), col("band_hash"), col("id").as("b_id"))
+      .join(cSide, Seq("band", "band_hash"))
+      .select("b_id", "c_id").distinct()
+      .localCheckpoint()
+    bBands.unpersist()
+    // exact verify: both shingle sides persisted once (batch side is also
+    // the within-batch verify input)
+    val bSets = batch.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .persist()
+    val cSets = corpus.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val hitCorpus = crossCands
+      .join(bSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(cSets.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
+      .where(jaccard(col("b_sh"), col("c_sh")) >= threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    val withinPairs = nearDupPairs(batch, idCol, textCol, threshold,
+      numHashes, bands, shingleK, maxBucket)
+    bSets.unpersist()
+    batch
+      .join(hitCorpus, Seq(idCol), "left_anti")
+      .join(withinPairs.select(col("b_id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** MinHash signature table: (id, h0..h{numHashes-1}) — explode the shingle
     * set, hash each shingle once per seed, take per-seed minima with a
     * map-side-partial groupBy.

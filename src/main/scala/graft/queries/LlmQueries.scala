@@ -1842,6 +1842,35 @@ object LlmQueries {
           hash = TextOps.md5Hash60)
       }),
 
+    // Incremental NEAR-dup dedup — the daily-crawl shape at paraphrase
+    // level: batch (odd doc ids) deduped against the standing corpus
+    // (even ids) AND within itself (keep-first by id), candidates from a
+    // cross-frame LSH band join, exact-Jaccard verified. The oracle is
+    // the full brute force over both frontiers, so the hash proves the
+    // banded cross join loses no pair at the oracle SFs.
+    Reg("dedup_incr_near", Some(
+      s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |b AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+         |c AS (SELECT * FROM s WHERE doc_id % 2 = 0)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |JOIN b ON d.doc_id = b.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM c
+         |  WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+         |    (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
+         |    >= 0.7)
+         |AND NOT EXISTS (SELECT 1 FROM b b2
+         |  WHERE b2.doc_id < b.doc_id
+         |  AND CAST(len(list_intersect(b.sh, b2.sh)) AS DOUBLE) /
+         |    (len(b.sh) + len(b2.sh) - len(list_intersect(b.sh, b2.sh)))
+         |    >= 0.7)""".stripMargin))(
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        Dedup.incrementalNearDedup(
+          d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", threshold = 0.7)
+          .select("doc_id", "lang", "source")
+      }),
+
     // Trained-model scoring at corpus scale ([[TextOps.scoreLinear]]):
     // logistic quality classifier over the standard cheap features
     // (token count, stopword ratio, mean token length), weights as plan

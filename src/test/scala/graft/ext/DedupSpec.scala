@@ -169,4 +169,39 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(10L))
   }
+
+  test("incrementalNearDedup: corpus paraphrases drop, fresh docs keep, batch keeps first") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely unrelated corpus text about databases and storage")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 1 (last word changed: 8 of 9 shingles
+      // shared, J = 8/10 = 0.8) -> dropped
+      (10L, "the quick brown fox jumps over the lazy dog again tonight"),
+      // genuinely new -> kept
+      (11L, "a fresh document with entirely new content and words here"),
+      // within-batch near-dup pair -> keep-first (12 kept, 13 dropped)
+      (12L, "novel batch text mentioning graphs and components at scale"),
+      (13L, "novel batch text mentioning graphs and components at range")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDedup(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(11L, 12L))
+  }
+
+  test("incrementalNearDedup: over-cap corpus bucket still drops via its representative") {
+    // three identical corpus docs share every band -> bucket size 3 > cap 1;
+    // only the min-id member joins, and the batch clone must still drop.
+    val boiler = "standard boilerplate footer text repeated on every page here"
+    val corpus = Seq((1L, boiler), (2L, boiler), (3L, boiler)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, boiler),
+      (11L, "unique new article body with real information content inside")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDedup(corpus, batch, "doc_id", "text",
+        maxBucket = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(11L))
+  }
 }
