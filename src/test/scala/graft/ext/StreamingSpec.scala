@@ -238,6 +238,39 @@ class StreamingSpec extends SparkSpec {
       s"session set differs across partition counts: ${(p3 diff p13).take(3)} / ${(p13 diff p3).take(3)}")
   }
 
+  test("bootstrapped handover equals full-range sessionization at any boundary and partition count") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables(spark, dir).events
+    val full = Streaming.sessionSummaries(spark, events, gapMinutes = 30)
+      .orderBy("user_id").collect()
+    import graft.functions.Time.tsMicros
+    // three handover boundaries: early (most events stream), midpoint, and
+    // late (most users never appear in the stream — covered purely by the
+    // seeded batch state), plus a non-default partition count
+    val Array(lo, hi) = events
+      .agg(min(tsMicros(col("ts"))), max(tsMicros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    for ((frac, parts) <- Seq((0.25, 8), (0.5, 5), (0.9, 13))) {
+      val b = lo + ((hi - lo) * frac).toLong
+      val ss = Streaming.streamingSession(spark, parts)
+      val history = events.where(tsMicros(col("ts")) < b)
+      val stream = Streaming.readEvents(ss, dir)
+        .where(tsMicros(col("ts")) >= b)
+      val streamed = Streaming.runToTable(spark,
+        Streaming.sessionSummariesTwsBootstrapped(ss, stream, history, 30),
+        s"tws_boot_${(frac * 100).toInt}_$parts", outputMode = "update")
+      val fin = streamed.groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+        .unionByName(Streaming.sessionStateBatch(history, 30)
+          .select(col("user_id"), col("n_sessions"), col("n_events")))
+        .groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+        .orderBy("user_id").collect()
+      assert(fin.sameElements(full),
+        s"handover at frac=$frac parts=$parts diverges from full-range")
+    }
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
