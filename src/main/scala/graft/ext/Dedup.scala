@@ -54,6 +54,24 @@ object Dedup {
       .select(col(idCol), col("content_hash"))
   }
 
+  /** The corpus side of the cross-frame candidate join: band rows, with
+    * over-cap buckets reduced to their minimum-id representative (see
+    * [[incrementalNearDedup]]). Lazy — exposed for plan-contract tests. */
+  private[graft] def corpusBandSide(cBands: DataFrame, maxBucket: Int): DataFrame = {
+    val cStats = cBands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__bsz"), min(col("id")).as("__rep"))
+    cBands.join(cStats, Seq("band", "band_hash"))
+      .where(col("__bsz") <= maxBucket || col("id") === col("__rep"))
+      .select(col("band"), col("band_hash"), col("id").as("c_id"))
+  }
+
+  /** Cross-frame LSH candidates: equality join on (band, band_hash) —
+    * the shape that keeps batch-vs-corpus candidacy bucket-bounded. Lazy. */
+  private[graft] def crossBandCandidates(bBands: DataFrame, cSide: DataFrame): DataFrame =
+    bBands.select(col("band"), col("band_hash"), col("id").as("b_id"))
+      .join(cSide, Seq("band", "band_hash"))
+      .select("b_id", "c_id").distinct()
+
   /** Incremental NEAR-dup dedup — [[incrementalDedup]]'s daily-crawl shape
     * at paraphrase level: drop batch docs that are near-duplicates
     * (shingle Jaccard ≥ `threshold`) of the standing corpus, and dedup the
@@ -79,15 +97,9 @@ object Dedup {
     val bBands = minhashBands(batch, idCol, textCol, numHashes, bands, shingleK)
       .persist()
     val cBands = minhashBands(corpus, idCol, textCol, numHashes, bands, shingleK)
-    val cStats = cBands.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("__bsz"), min(col("id")).as("__rep"))
-    val cSide = cBands.join(cStats, Seq("band", "band_hash"))
-      .where(col("__bsz") <= maxBucket || col("id") === col("__rep"))
-      .select(col("band"), col("band_hash"), col("id").as("c_id"))
-    val crossCands = bBands.select(col("band"), col("band_hash"), col("id").as("b_id"))
-      .join(cSide, Seq("band", "band_hash"))
-      .select("b_id", "c_id").distinct()
-      .localCheckpoint()
+    val crossCands =
+      crossBandCandidates(bBands, corpusBandSide(cBands, maxBucket))
+        .localCheckpoint()
     bBands.unpersist()
     // exact verify: both shingle sides persisted once (batch side is also
     // the within-batch verify input)

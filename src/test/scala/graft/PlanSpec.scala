@@ -227,4 +227,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("INSET") || plan.contains(" IN "),
       s"token IN-list prune missing:\n$plan")
   }
+
+  test("incrementalNearDedup cross-candidate join is equality-keyed — never a cross product") {
+    import graft.ext.Dedup
+    val d = t.documents
+    val bBands = Dedup.minhashBands(d.where(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+    val cBands = Dedup.minhashBands(d.where(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    val cands = Dedup.crossBandCandidates(bBands,
+      Dedup.corpusBandSide(cBands, maxBucket = 10000))
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-frame candidate join degenerated to an all-pairs plan:\n$plan")
+    assert(plan.contains("band_hash"), plan)
+  }
 }
