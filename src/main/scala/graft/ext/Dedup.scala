@@ -101,10 +101,11 @@ object Dedup {
       crossBandCandidates(bBands, corpusBandSide(cBands, maxBucket))
         .localCheckpoint()
     bBands.unpersist()
-    // exact verify: both shingle sides persisted once (batch side is also
-    // the within-batch verify input)
+    // exact verify: each shingle side feeds exactly one join in the lazy
+    // hitCorpus plan (nearDupPairs derives its own shingles internally),
+    // so there is nothing to persist here — a cache would be written once
+    // and never re-read
     val bSets = batch.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      .persist()
     val cSets = corpus.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
     val hitCorpus = crossCands
       .join(bSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
@@ -113,7 +114,6 @@ object Dedup {
       .select(col("b_id").as(idCol)).distinct()
     val withinPairs = nearDupPairs(batch, idCol, textCol, threshold,
       numHashes, bands, shingleK, maxBucket)
-    bSets.unpersist()
     batch
       .join(hitCorpus, Seq(idCol), "left_anti")
       .join(withinPairs.select(col("b_id").as(idCol)), Seq(idCol), "left_anti")

@@ -90,16 +90,24 @@ object VectorMoments
   *    from the all-ones vector — a deterministic function of the covariance
   *    whether or not it has converged, so both engines agree even when the
   *    eigengap is small;
-  *  - the covariance is ROUNDED (`covRound` decimals) before iterating, and
-  *    the deflated matrix is rounded again: both engines iterate the SAME
-  *    matrix, so cross-engine float drift cannot amplify through the
-  *    iterations (drift enters only below the rounding step);
+  *  - the covariance is ROUNDED (`covRound` decimals) before iterating and
+  *    the deflated matrix is rounded again, so both engines iterate the
+  *    SAME matrix; each iterate v_t is ALSO rounded (`vRound` decimals)
+  *    after normalization, so summation-order ULP differences between the
+  *    Scala loop and the oracle's SUM are snapped back every step instead
+  *    of persisting through the chain. (Residual risk: a value landing
+  *    within an ULP of a rounding boundary could still flip — the same
+  *    bounded exposure as every replayed-rounding oracle in this repo,
+  *    now per-step instead of compounding.);
   *  - component sign follows sum(v) ≥ 0; projections round to `outRound`.
   */
 object Pca {
 
-  /** Power-iterate `iters` steps on (rounded) matrix c from all-ones. */
-  private def powerIter(c: Array[Array[Double]], iters: Int): Array[Double] = {
+  /** Power-iterate `iters` steps on (rounded) matrix c from all-ones,
+    * rounding each normalized iterate to `vRound` decimals (see the
+    * determinism contract in the object doc). */
+  private def powerIter(c: Array[Array[Double]], iters: Int,
+                        vRound: Int): Array[Double] = {
     val d = c.length
     var v = Array.fill(d)(1.0)
     var t = 0
@@ -115,7 +123,7 @@ object Pca {
       }
       val nrm = math.sqrt(w.map(x => x * x).sum)
       require(nrm > 0.0, "zero covariance matrix — degenerate embedding corpus")
-      v = w.map(_ / nrm)
+      v = w.map(x => round(x / nrm, vRound))
       t += 1
     }
     v
@@ -127,7 +135,7 @@ object Pca {
   /** Fit top-2 principal components and project: (idCol, pc1, pc2). */
   def fitProject2(embeddings: DataFrame, idCol: String, vecCol: String,
                   iters: Int = 24, covRound: Int = 7,
-                  outRound: Int = 5): DataFrame = {
+                  outRound: Int = 5, vRound: Int = 9): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
@@ -139,12 +147,12 @@ object Pca {
     val cov = Array.tabulate(d, d)((i, j) =>
       round(g(i * d + j) / n - mu(i) * mu(j), covRound))
 
-    val v1 = powerIter(cov, iters)
+    val v1 = powerIter(cov, iters, vRound)
     val lam1 = round(
       (0 until d).map(i => (0 until d).map(j => v1(i) * cov(i)(j) * v1(j)).sum).sum, 9)
     val cov2 = Array.tabulate(d, d)((i, j) =>
       round(cov(i)(j) - lam1 * v1(i) * v1(j), covRound))
-    val v2 = powerIter(cov2, iters)
+    val v2 = powerIter(cov2, iters, vRound)
 
     def signed(v: Array[Double]): Array[Double] =
       if (v.sum >= 0) v else v.map(-_)
@@ -165,14 +173,16 @@ object Pca {
     * chain → signed projection) as one SQL statement with generated CTEs,
     * so the engine result hash-matches at any oracle scale. */
   def oracleSql2(table: String, idCol: String, vecCol: String, dim: Int,
-                 iters: Int = 24, covRound: Int = 7, outRound: Int = 5): String = {
-    // one w/v CTE pair per power-iteration step, per component chain
+                 iters: Int = 24, covRound: Int = 7, outRound: Int = 5,
+                 vRound: Int = 9): String = {
+    // one w/v CTE pair per power-iteration step, per component chain;
+    // v is ROUNDED after normalization, mirroring powerIter's per-step snap
     def chain(p: String, covCte: String): String =
       (1 to iters).map { t =>
         val prev = if (t == 1) s"${p}v0" else s"${p}v${t - 1}"
         s"""${p}w$t AS MATERIALIZED (SELECT c.i AS i, SUM(c.c * v.val) AS val
            |  FROM $covCte c JOIN $prev v ON v.i = c.j GROUP BY c.i),
-           |${p}v$t AS MATERIALIZED (SELECT i, val / (SELECT SQRT(SUM(val * val)) FROM ${p}w$t) AS val
+           |${p}v$t AS MATERIALIZED (SELECT i, ROUND(val / (SELECT SQRT(SUM(val * val)) FROM ${p}w$t), $vRound) AS val
            |  FROM ${p}w$t)""".stripMargin
       }.mkString(",\n")
     val va = s"p1v$iters"

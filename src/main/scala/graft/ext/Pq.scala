@@ -59,6 +59,10 @@ object Pq {
   def train(df: DataFrame, idCol: String, vecCol: String,
             m: Int, dsub: Int, ksub: Int,
             orderHash: Option[Column] = None, seed: Long = 42L): Codebooks = {
+    // the (s, cell) aggregation key packs as __s * 65536 + cell (an int):
+    // collision-free only while cell < 65536 and the product stays in range
+    require(ksub <= 65536 && m <= 32767,
+      s"pq geometry out of packing range: ksub=$ksub (max 65536), m=$m (max 32767)")
     val work = df.persist()
     val seedOrder = orderHash.getOrElse(xxhash64(col(idCol), lit(seed)))
     // Seeds in ONE job: the seed order is row-level (hash of the id), so
@@ -98,6 +102,16 @@ object Pq {
     (cbs.flatten.flatten.toArray,
       cbs.flatten.map(_.foldLeft(0.0)((acc, x) => acc + x * x)).toArray)
 
+  /** The native kernels index the flattened codebook as
+    * (s·ksub + k)·dsub — valid only when every subspace trained the SAME
+    * number of codewords. [[train]] can legitimately return ragged
+    * codebooks (a Lloyd cell that ends up empty is dropped), and flattening
+    * a ragged codebook would silently misalign every subspace after the
+    * short one. Such geometries take the composed per-codebook form, which
+    * is offset-correct by construction. */
+  private def uniform(cbs: Codebooks): Boolean =
+    cbs.forall(_.length == cbs.head.length)
+
   /** Encode every vector as its `m` positional codes (the compressed
     * representation a 100 TB index stores instead of the vectors).
     *
@@ -114,7 +128,7 @@ object Pq {
   /** All-subspace code array (native kernel or composed fallback). */
   private def codesCol(df: DataFrame, vec: Column, cbs: Codebooks): Column = {
     val dsub = cbs.head.head.length
-    if (df.sparkSession.catalog.functionExists("pq_codes")) {
+    if (uniform(cbs) && df.sparkSession.catalog.functionExists("pq_codes")) {
       val (cbFlat, ccFlat) = flat(cbs)
       call_function("pq_codes", vec, typedlit(cbFlat),
         typedlit(ccFlat), lit(cbs.head.length), lit(dsub))
@@ -138,7 +152,8 @@ object Pq {
     val offsets = cbs.scanLeft(0)(_ + _.length).init
     // native kernel preferred for the same plan-cost reason as [[encode]]
     val dt =
-      if (corpus.sparkSession.catalog.functionExists("pq_dot_table"))
+      if (uniform(cbs) &&
+          corpus.sparkSession.catalog.functionExists("pq_dot_table"))
         call_function("pq_dot_table", col(vecCol), typedlit(flat(cbs)._1),
           lit(cbs.head.length), lit(dsub))
       else

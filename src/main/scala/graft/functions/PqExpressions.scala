@@ -24,7 +24,11 @@ import org.apache.spark.sql.types._
   * accumulate left-to-right; assignment score is cc − 2.0·dot with the
   * driver-precomputed cc; ties take the smaller code (the `array_min`
   * struct-lexicographic rule). NULL when the vector is NULL, an element is
-  * NULL, or the vector is shorter than m·dsub.
+  * NULL, or the vector is shorter than m·dsub. Score comparisons use
+  * Spark's SQL double ordering (NaN greatest, ±0.0 equal — the ordering
+  * behind array_min/array_max), NOT the Java primitive `<`/`>` whose
+  * always-false NaN comparisons would diverge from the composed forms on
+  * NaN-scored inputs.
   */
 trait PqKernelExpression extends UnaryExpression {
   def ksub: Int
@@ -46,6 +50,17 @@ trait PqKernelExpression extends UnaryExpression {
     if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
   protected def getterJava(arr: String, i: String): String =
     if (elemIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** Spark's SQL double ordering (SQLOrderingUtil.compareDoubles): `==` first
+  * so ±0.0 compare equal, then java.lang.Double.compare so NaN sorts
+  * greatest (and NaN == NaN) — the ordering array_min/array_max use. */
+private[functions] object SqlDoubleOrder {
+  def compare(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+  /** Java source of the same comparison, for codegen. */
+  def javaSrc(x: String, y: String): String =
+    s"(($x == $y) ? 0 : Double.compare($x, $y))"
 }
 
 /** pq_codes(vec): the m positional codes of the L2-nearest codeword per
@@ -74,7 +89,7 @@ case class PqCodes(child: Expression, cb: Array[Double], cc: Array[Double],
           j += 1
         }
         val score = cc(s * ksub + k) - 2.0 * dot
-        if (score < best) { best = score; bestCode = k }
+        if (SqlDoubleOrder.compare(score, best) < 0) { best = score; bestCode = k }
         k += 1
       }
       codes(s) = bestCode
@@ -103,7 +118,7 @@ case class PqCodes(child: Expression, cb: Array[Double], cc: Array[Double],
          |        $dot += (${getterJava(a, s"$s * $dsub + $j")}) * $cbRef[($s * $ksub + $k) * $dsub + $j];
          |      }
          |      double $sc = $ccRef[$s * $ksub + $k] - 2.0 * $dot;
-         |      if ($sc < $best) { $best = $sc; $bc = $k; }
+         |      if (${SqlDoubleOrder.javaSrc(sc, best)} < 0) { $best = $sc; $bc = $k; }
          |    }
          |    $codes[$s] = $bc;
          |  }
@@ -187,7 +202,9 @@ case class PqDotTable(child: Expression, cb: Array[Double],
   * lexicographic rule of the composed form this replaces (one vec_dot
   * struct per centroid, whose per-iteration analysis+codegen cost
   * dominated the k-means paths the way the PQ tree did topk_sim_pq).
-  * Same arithmetic: left-to-right double accumulation per centroid. */
+  * Same arithmetic: left-to-right double accumulation per centroid; dot
+  * comparisons use [[SqlDoubleOrder]] so NaN dots pick the largest cell id,
+  * exactly as the composed array_max form does. */
 case class NearestCell(child: Expression, cents: Array[Double],
                        cells: Array[Int], dim: Int) extends UnaryExpression {
   override def prettyName: String = "nearest_cell"
@@ -219,7 +236,8 @@ case class NearestCell(child: Expression, cents: Array[Double],
         dot += v * cents(i * dim + j)
         j += 1
       }
-      if (dot > best || (dot == best && cells(i) > bestCell)) {
+      val cmp = SqlDoubleOrder.compare(dot, best)
+      if (cmp > 0 || (cmp == 0 && cells(i) > bestCell)) {
         best = dot; bestCell = cells(i)
       }
       i += 1
@@ -244,7 +262,8 @@ case class NearestCell(child: Expression, cents: Array[Double],
          |      if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
          |      double $v = $get; $dot += $v * $cRef[$i * $dim + $j];
          |    }
-         |    if ($dot > $best || ($dot == $best && $idRef[$i] > $bc)) {
+         |    int ${i}_cmp = ${SqlDoubleOrder.javaSrc(dot, best)};
+         |    if (${i}_cmp > 0 || (${i}_cmp == 0 && $idRef[$i] > $bc)) {
          |      $best = $dot; $bc = $idRef[$i];
          |    }
          |  }

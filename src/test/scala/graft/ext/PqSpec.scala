@@ -45,6 +45,51 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ragged codebooks (dropped Lloyd cell) encode positionally correct codes") {
+    // subspace 0 keeps 2 codewords, subspace 1 trained down to 1 — the
+    // shape train() returns when a Lloyd cell ends up empty. The flattened
+    // native-kernel layout would misread this (offsets assume uniform
+    // ksub), so encode must route ragged geometries to the composed form.
+    val ragged: Pq.Codebooks =
+      Seq(Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)), Seq(Seq(5.0, 5.0)))
+    val vecs = Seq(
+      (0L, Seq(9.0f, 9.0f, 1.0f, 1.0f)),   // sub0 → code 1 (near [10,10])
+      (1L, Seq(1.0f, 1.0f, 7.0f, 7.0f))    // sub0 → code 0 (near [0,0])
+    ).toDF("vec_id", "embedding")
+    val codes = Pq.encode(vecs, "vec_id", "embedding", ragged)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == Seq(1, 0), s"got ${codes(0L)}")
+    assert(codes(1L) == Seq(0, 0), s"got ${codes(1L)}")
+    // ADC against the ragged book must use per-subspace offsets (0, 2)
+    val adc = Pq.adcTopK(vecs, vecs.where(col("vec_id") === 0L),
+        "vec_id", "embedding", ragged, k = 1, roundTo = 6)
+      .select("q_id", "n_id", "adc").as[(Long, Long, Double)].collect()
+    // dt(q0) = [dot(sub0,[0,0])=0, dot(sub0,[10,10])=180, dot(sub1,[5,5])=10]
+    // n1 codes = (0,0) → adc = 0 + 10
+    assert(adc.toSeq == Seq((0L, 1L, 10.0)), s"got ${adc.toSeq}")
+  }
+
+  test("kernel NaN ordering matches the composed array_min/array_max forms") {
+    // NaN vector: every assignment score is NaN. Composed array_min over
+    // (score, code) structs treats NaN scores as equal-greatest and
+    // tiebreaks to the SMALLEST code → 0; nearest_cell's array_max analog
+    // tiebreaks to the LARGEST cell id. The kernels must agree.
+    val nan = Seq((0L, Seq(Float.NaN, Float.NaN, Float.NaN, Float.NaN)))
+      .toDF("vec_id", "embedding")
+    val cbs: Pq.Codebooks =
+      Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(1.0, 1.0), Seq(2.0, 2.0)))
+    assert(spark.catalog.functionExists("pq_codes"),
+      "native kernels must be registered for this parity test")
+    val codes = Pq.encode(nan, "vec_id", "embedding", cbs)
+      .as[(Long, Seq[Int])].collect().head._2
+    assert(codes == Seq(0, 0), s"pq_codes NaN tiebreak: got $codes")
+    val cell = nan.select(call_function("nearest_cell", col("embedding"),
+        typedLit(Array(1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0)),
+        typedLit(Array(3, 7)), lit(4)).as("c"))
+      .as[Int].collect().head
+    assert(cell == 7, s"nearest_cell NaN tiebreak: got $cell (want largest id)")
+  }
+
   test("ADC recall@5 vs exact dot top-5 is usable on the real corpus (sf0.001)") {
     val e = graft.io.Tables(spark, "/root/testdata/sf0.001").embeddings
     val q = e.where(col("vec_id") < 10)
