@@ -69,14 +69,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-    def once(sess: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(sess: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune every output
       // column, so a query whose cost lives in its final projections
       // (string building, regex, HOF transforms) would time as a bare scan.
       // The noop sink consumes all columns — the same work Verify's parquet
       // dump pays — without write I/O.
-      fn(sess, sfDir).write.mode("overwrite").format("noop").save()
+      fn(sess, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -165,6 +166,50 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+    // ---- pass 3: per-QUERY constant via 1-row-corpus replay --------------
+    // floor_sec (one trivial 1-stage job) UNDERSTATES the real per-query
+    // constant: a grouped/joined query pays plan analysis, codegen, AQE
+    // stage materialization, and multi-job scheduling that a bare
+    // spark.range(1) never touches (BASELINE.md: the sf0.1 gate residual is
+    // ~0.1 s/query of exactly this). Measure it honestly, PER QUERY: replay
+    // the same registered query against a 1-ROW corpus with identical
+    // schemas (first row of each real table). Same plan, same code, and —
+    // unlike a 0-row corpus, where AQE's empty-relation propagation skips
+    // whole downstream stages — every stage, exchange, and broadcast build
+    // still executes; the data work is one row, i.e. nothing. t − t_const
+    // is operator work. Queries whose replay fails (driver-side steps that
+    // need a populated corpus) fall back to the trivial-job floor —
+    // conservative, never flattering.
+    val emptyReplay: Map[String, Double] =
+      if (sys.env.get("SPARK_GRAFT_EMPTY_REPLAY").contains("0")) Map.empty
+      else try {
+        val ed = java.nio.file.Files.createTempDirectory("graft_bench_1row").toString
+        graft.io.Sources.tableNames.foreach { n =>
+          val p = s"$sfDir/$n.parquet"
+          if (new java.io.File(p).exists) {
+            spark.read.parquet(p).limit(1)
+              .write.mode("overwrite").parquet(s"$ed/$n.parquet")
+          }
+        }
+        ok.flatMap { case (name, t) =>
+          try {
+            // best-of-2 where the constant is a large share of t (the gate
+            // set); one run where t dwarfs it — halves the pass-3 cost on
+            // the heavy tail without moving any adjusted number that matters
+            val n = if (t < 1.0) runs else 1
+            val ts = (1 to n).map(_ => once(spark, byName(name), ed))
+            Some(name -> ts.min)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] 1-row replay $name skipped: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+            None
+          }
+        }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] empty-corpus staging failed: ${e.getMessage}")
+        Map.empty
+      }
+
     // Output layout vs the driver's TAIL-keeping truncation: the driver
     // keeps only a ~2,000-char tail of stdout, so a 185-entry per-query map
     // (~4.5 KB) can NEVER parse — the head of the line (including the
@@ -207,10 +252,25 @@ object Bench {
     val armSec = finalTimes.collect {
       case (n, t) if kinds.get(n).contains("arm") => t }.sum
     val headlineSec = total - armSec
+    // floor-adjusted total: per query, subtract ITS OWN measured constant
+    // (empty-corpus replay of the same query; trivial-job floor as the
+    // conservative fallback where the replay cannot run), clamped at 0 —
+    // the remainder is operator work on actual data
+    val floorAdjusted = finalTimes.map { case (n, t) =>
+      math.max(0.0, t - emptyReplay.getOrElse(n, floor)) }.sum
+    val floorAdjDef = "floor_adjusted = sum over ok queries of " +
+      "max(0, t - t_const) where t_const re-runs the SAME query on a " +
+      "1-row same-schema corpus: every stage/exchange/broadcast still " +
+      "executes, data work is one row, so t_const is that query's " +
+      "plan+codegen+schedule constant (trivial-job floor_sec as fallback " +
+      "when the replay cannot run)"
     def summary(errs: String) =
       s""""errors":$errs,"n_ok":${ok.size},"n_err":${bad.size},""" +
       s""""n_published":${top.size},"headline_sec":${sec(headlineSec)},""" +
       s""""arm_sec":${sec(armSec)},"floor_sec":${sec(floor)},""" +
+      s""""floor_adjusted":${sec(floorAdjusted)},""" +
+      s""""n_empty_replayed":${emptyReplay.size},""" +
+      s""""floor_adjusted_def":"${esc(floorAdjDef)}",""" +
       s""""sf":"$sfDir","corpus":"${esc(corpusSig)}",""" +
       s""""metric":"total","value":${sec(total)},"unit":"sec""""
     // Degrade deterministically until the line FITS the 1,900-char budget:
@@ -224,7 +284,9 @@ object Bench {
       s"""{${summary(errsJson(8, 40))}}""",
       s"""{${summary("{}")}}""")
     val line = candidates.find(_.length <= 1900).getOrElse(candidates.last)
-    val full = s"""{"queries":$fullMap,"coverage_pass":$raw,"retimed":$rt,"errors_full":$errsFull,${summary("{}")}}"""
+    val emptyJson = jmap(emptyReplay.toSeq.sortBy(-_._2).map {
+      case (k, t) => k -> sec(t) })
+    val full = s"""{"queries":$fullMap,"coverage_pass":$raw,"retimed":$rt,"const_replay_1row":$emptyJson,"errors_full":$errsFull,${summary("{}")}}"""
     System.err.println(s"[bench] full: $full")
     try {
       val dir = java.nio.file.Paths.get("bench")
