@@ -94,11 +94,45 @@ object Dedup {
                            threshold: Double = 0.7, numHashes: Int = 64,
                            bands: Int = 16, shingleK: Int = 3,
                            maxBucket: Int = 10000): DataFrame = {
+    val (cBands, cSets) = corpusNearDupIndex(corpus, idCol, textCol,
+      numHashes, bands, shingleK)
+    incrementalNearDedupPersisted(cBands, cSets, batch, idCol, textCol,
+      threshold, numHashes, bands, shingleK, maxBucket)
+  }
+
+  /** The per-corpus dedup index an ingest pipeline persists ONCE (via
+    * [[graft.io.Sinks.parquet]]) so that per-batch near-dedup never
+    * re-reads corpus text: (band table `(id, band, band_hash)`,
+    * shingle-set table `(id, sh)`). Band hashes are deterministic
+    * (seeded xxhash64 chains), so an index written at ingest time joins
+    * correctly against batch bands computed in any later job. */
+  def corpusNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 64, bands: Int = 16,
+                         shingleK: Int = 3): (DataFrame, DataFrame) =
+    (minhashBands(corpus, idCol, textCol, numHashes, bands, shingleK),
+      corpus.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleK).as("sh")))
+
+  /** [[incrementalNearDedup]] against a PERSISTED corpus index — the
+    * production daily-crawl shape: `corpusBands`/`corpusShingles` are the
+    * tables [[corpusNearDupIndex]] wrote at ingest, read back from
+    * parquet, so this method never touches corpus TEXT at all (the plan
+    * contract a 100 TB standing corpus requires — re-shingling it per
+    * batch would re-scan the full corpus daily). Candidate generation,
+    * over-cap star-collapse, exact-Jaccard verification, and the
+    * within-batch keep-first policy are identical to the raw-frame form —
+    * both are oracled by the same brute-force replay. */
+  def incrementalNearDedupPersisted(corpusBands: DataFrame,
+                                    corpusShingles: DataFrame,
+                                    batch: DataFrame,
+                                    idCol: String, textCol: String,
+                                    threshold: Double = 0.7, numHashes: Int = 64,
+                                    bands: Int = 16, shingleK: Int = 3,
+                                    maxBucket: Int = 10000): DataFrame = {
     val bBands = minhashBands(batch, idCol, textCol, numHashes, bands, shingleK)
       .persist()
-    val cBands = minhashBands(corpus, idCol, textCol, numHashes, bands, shingleK)
     val crossCands =
-      crossBandCandidates(bBands, corpusBandSide(cBands, maxBucket))
+      crossBandCandidates(bBands, corpusBandSide(corpusBands, maxBucket))
         .localCheckpoint()
     bBands.unpersist()
     // exact verify: each shingle side feeds exactly one join in the lazy
@@ -106,10 +140,9 @@ object Dedup {
     // so there is nothing to persist here — a cache would be written once
     // and never re-read
     val bSets = batch.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-    val cSets = corpus.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
     val hitCorpus = crossCands
       .join(bSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .join(cSets.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
+      .join(corpusShingles.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
       .where(jaccard(col("b_sh"), col("c_sh")) >= threshold)
       .select(col("b_id").as(idCol)).distinct()
     val withinPairs = nearDupPairs(batch, idCol, textCol, threshold,

@@ -48,7 +48,7 @@ object CoreQueries {
     Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
-  private def stageOnce(kind: String, dir: String)(create: String => Unit): String =
+  private[queries] def stageOnce(kind: String, dir: String)(create: String => Unit): String =
     stageCache.computeIfAbsent(s"$kind:$dir", { _ =>
       import java.nio.file.{Files, StandardCopyOption}
       val base = stableStageBase(kind, dir)

@@ -243,4 +243,57 @@ class PlanSpec extends SparkSpec {
       s"cross-frame candidate join degenerated to an all-pairs plan:\n$plan")
     assert(plan.contains("band_hash"), plan)
   }
+
+  test("persisted-index incremental near-dedup never scans corpus text") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // corpus text lives ONLY at this path — any appearance of it in a plan
+    // means the operator re-read the standing corpus, the exact cost the
+    // persisted index exists to avoid at 100 TB
+    val base = java.nio.file.Files.createTempDirectory("graft_neardup_idx").toString
+    val corpusDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus text about other things entirely"),
+      (4L, "a third standing document with its own unique content here")
+    ).toDF("doc_id", "text")
+    corpusDocs.write.parquet(s"$base/corpus_docs.parquet")
+    val (bands, sets) = Dedup.corpusNearDupIndex(
+      spark.read.parquet(s"$base/corpus_docs.parquet"), "doc_id", "text")
+    graft.io.Sinks.parquet(bands, s"$base/corpus_bands.parquet")
+    graft.io.Sinks.parquet(sets, s"$base/corpus_shingles.parquet")
+    val idxBands = spark.read.parquet(s"$base/corpus_bands.parquet")
+    val idxSets = spark.read.parquet(s"$base/corpus_shingles.parquet")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),    // corpus near-dup
+      (3L, "an entirely fresh batch document nothing resembles")    // fresh
+    ).toDF("doc_id", "text")
+
+    // candidate generation: the cross-band join must read the PERSISTED
+    // band table, not corpus text
+    val candPlan = Dedup.crossBandCandidates(
+      Dedup.minhashBands(batch, "doc_id", "text"),
+      Dedup.corpusBandSide(idxBands, maxBucket = 10000))
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("corpus_bands"), candPlan)
+    assert(!candPlan.contains("corpus_docs"),
+      s"candidate generation re-scanned corpus text:\n$candPlan")
+
+    // full operator: the verify join must read the PERSISTED shingle
+    // table, not corpus text
+    val kept = Dedup.incrementalNearDedupPersisted(
+      idxBands, idxSets, batch, "doc_id", "text", threshold = 0.7)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("corpus_shingles"), plan)
+    assert(!plan.contains("corpus_docs"),
+      s"verification re-scanned corpus text:\n$plan")
+
+    // and the persisted path computes exactly what the raw-frame path does
+    val keptIds = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val rawIds = Dedup.incrementalNearDedup(
+        spark.read.parquet(s"$base/corpus_docs.parquet"), batch,
+        "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds == rawIds, s"persisted=$keptIds raw=$rawIds")
+    assert(keptIds == Seq(3L), s"expected only the fresh doc: $keptIds")
+  }
 }
