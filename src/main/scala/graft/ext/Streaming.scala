@@ -292,7 +292,10 @@ object Streaming {
             st = SessAppendState(nextIdx, pending, n, last)
           }
           val (done, kept) = confirm(st, wmMicros, closeOpen = state.hasTimedOut)
-          if (kept.pending.isEmpty && kept.openN == 0) state.remove()
+          // drained state still keeps the session counter (same rationale
+          // as the tws processor's arm(): removing it would renumber a
+          // returning user's sessions from 1)
+          if (kept.pending.isEmpty && kept.openN == 0) state.update(kept)
           else {
             state.update(kept)
             // next confirmation boundary; EventTimeTimeout requires a
@@ -374,13 +377,22 @@ object Streaming {
     }
 
     /** Point the next timer at the earliest unconfirmed gap boundary
-      * (clamped past the current watermark); clear state when drained. */
+      * (clamped past the current watermark). When drained (every session
+      * confirmed, none open) the pending queue clears but the per-user
+      * session COUNTER stays: clearing it renumbered a returning user's
+      * sessions from 1 — observed as a checkpoint-recovery divergence
+      * (StreamingSpec "checkpoint recovery") and equally wrong across
+      * microbatches within one run. Cumulative per-user numbering costs
+      * exactly this one small ValueState per ever-seen user. */
     private def arm(wmMicros: Long): Unit = {
-      val (_, n, last) =
+      val (idx, n, last) =
         if (open.exists()) open.get() else (1L, 0L, Long.MinValue)
       val boundaries = pending.get().map(_.endMicros).toSeq ++
         (if (n > 0) Seq(last) else Nil)
-      if (boundaries.isEmpty) { open.clear(); pending.clear() }
+      if (boundaries.isEmpty) {
+        pending.clear()
+        open.update((idx, 0L, Long.MinValue))
+      }
       else {
         val nextMs = (boundaries.min + gapMicros) / 1000L
         val target = math.max(nextMs, wmMicros / 1000L + 1)

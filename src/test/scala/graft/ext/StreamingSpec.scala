@@ -271,6 +271,79 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint recovery: stop mid-corpus, restart from the SAME checkpoint, final sessions identical to the unbroken run (exactly once)") {
+    // The production property none of the start-to-finish streaming tests
+    // pin: a query killed mid-corpus and restarted from its checkpoint must
+    // reload RocksDB state (open-session counters, the pending ListState,
+    // event-time timers, the watermark) and end byte-identical to a run
+    // that never stopped — with no session row emitted twice (the parquet
+    // sink's commit log + transformWithState state reload together give
+    // exactly-once across the restart).
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ev(user: Long, minute: Long, id: Long) =
+      (user, new java.sql.Timestamp(t0 + minute * 60000L), id)
+    // user 1's second session STRADDLES the stop boundary (events at
+    // minutes 90 and 95, gap 5 < 30): run 2 can only count it as one
+    // 2-event session by reloading run 1's open-session state
+    val all = Seq(
+      ev(1L, 0, 1), ev(1L, 10, 2), ev(1L, 20, 3),   // u1 s1: 3 events
+      ev(1L, 90, 4), ev(1L, 95, 5),                 // u1 s2: straddles
+      ev(1L, 200, 6),                               // u1 s3: open at end
+      ev(2L, 0, 7), ev(2L, 40, 8),                  // u2 s1, s2 (gap 40)
+      ev(2L, 100, 9), ev(2L, 105, 10),              // u2 s3
+      ev(3L, 150, 11), ev(3L, 160, 12))             // u3 s1 (h2 only)
+    val half1 = all.filter(_._2.getTime <= t0 + 92 * 60000L)
+    val half2 = all.filterNot(_._2.getTime <= t0 + 92 * 60000L)
+    assert(half1.nonEmpty && half2.nonEmpty)
+
+    def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long)], dir: String): Unit =
+      rows.toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "event_id").schema
+
+    def runOnce(srcDir: String, outDir: String, ckptDir: String): Unit = {
+      // fresh session per (re)start — a real restart is a new driver
+      val ss = Streaming.streamingSession(spark)
+      val events = ss.readStream.schema(schema).parquet(srcDir)
+      val q = Streaming.sessionRowsAppendTws(ss, events, gapMinutes = 30)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // broken run: half 1, stop, add half 2, restart from the same checkpoint
+    writeEvents(half1, s"$base/src")
+    runOnce(s"$base/src", s"$base/out", s"$base/ckpt")
+    val afterRun1 = spark.read.parquet(s"$base/out")
+      .as[(Long, Long, Long)].collect().toSeq
+    writeEvents(half2, s"$base/src")
+    runOnce(s"$base/src", s"$base/out", s"$base/ckpt")
+
+    // unbroken run: everything in one go, fresh checkpoint
+    writeEvents(all, s"$base/src2")
+    runOnce(s"$base/src2", s"$base/out2", s"$base/ckpt2")
+
+    val broken = spark.read.parquet(s"$base/out")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val unbroken = spark.read.parquet(s"$base/out2")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(broken.nonEmpty && broken == unbroken,
+      s"recovered run diverged:\nbroken=$broken\nunbroken=$unbroken")
+    // exactly-once: nothing run 1 emitted appears twice after the restart
+    assert(broken.distinct == broken, s"duplicate emission: $broken")
+    assert(afterRun1.toSet.subsetOf(broken.toSet),
+      s"restart lost run-1 output: run1=$afterRun1 final=$broken")
+    // the straddling session was stitched across the restart: one 2-event
+    // session for user 1 spanning minutes 90-95, not two 1-event fragments
+    assert(broken.contains((1L, 2L, 2L)),
+      s"boundary session not recovered from state: $broken")
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
