@@ -30,6 +30,58 @@ object LlmQueries {
 
   private val duckStop = "('the','a','of','and','is')"
 
+  /** DuckDB replay of the PQ chain ([[graft.ext.Pq]]): per-subspace
+    * seeding, L2 assignment in dot-product form (c·c − 2·x·c, the only
+    * form both engines compute identically), per-dim AVG means,
+    * re-assignment, and the m-way ADC sum in fixed subspace order — the
+    * full `SELECT (q_id, n_id, adc, rank ≤ limit)` the hash pins. Shared
+    * by topk_sim_pq (limit = k) and the re-rank oracle (limit =
+    * shortlist, wrapped in an exact-cosine re-scoring). */
+  private def pqAdcSql(limit: Int): String = {
+    val (m, dsub, ksub) = (16, 4, 16)
+    def assign(s: Int, cb: String) =
+      s"""SELECT vec_id, sub, code FROM (
+         |    SELECT x.vec_id, x.sub, c.code,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY list_dot_product(c.c, c.c)
+         |          - 2 * list_dot_product(x.sub, c.c), c.code) AS pr
+         |    FROM sub_$s x, $cb c) WHERE pr = 1""".stripMargin
+    val chains = (0 until m).map { s =>
+      val (lo, hi) = (s * dsub + 1, (s + 1) * dsub)
+      s"""sub_$s AS (SELECT vec_id, emb[$lo:$hi] AS sub FROM e),
+         |seeds_$s AS (
+         |  SELECT rn - 1 AS code, c FROM (
+         |    SELECT row_number() OVER (
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id)
+         |      AS rn, sub AS c
+         |    FROM sub_$s) WHERE rn <= $ksub),
+         |a1_$s AS (${assign(s, s"seeds_$s")}),
+         |c1_$s AS (SELECT code, list(v ORDER BY i) AS c FROM (
+         |    SELECT code, i, AVG(sub[i]) AS v
+         |    FROM a1_$s, unnest(generate_series(1, $dsub)) AS t(i)
+         |    GROUP BY code, i) GROUP BY code),
+         |afin_$s AS (${assign(s, s"c1_$s")}),
+         |sc_$s AS (
+         |  SELECT q.q_id, a.vec_id AS n_id,
+         |    list_dot_product(q.emb[$lo:$hi], c.c) AS d
+         |  FROM q, afin_$s a JOIN c1_$s c USING (code)
+         |  WHERE a.vec_id <> q.q_id)""".stripMargin
+    }.mkString(",\n")
+    val adcSum = (0 until m).map(s => s"sc_$s.d").mkString(" + ")
+    val joins = (1 until m).map(s => s"JOIN sc_$s USING (q_id, n_id)")
+      .mkString(" ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 20),
+       |$chains
+       |SELECT q_id, n_id, adc, rank FROM (
+       |  SELECT q_id, n_id, ROUND($adcSum, 4) AS adc,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ROUND($adcSum, 4) DESC, n_id) AS rank
+       |  FROM sc_0 $joins
+       |) WHERE rank <= $limit""".stripMargin
+  }
+
   /** Stage the even-doc corpus's near-dup index (band + shingle tables,
     * [[Dedup.corpusNearDupIndex]]) once per corpus — the ingest-time write
     * of the production incremental-dedup path. The stage key carries the
@@ -996,50 +1048,7 @@ object LlmQueries {
     // form (c·c − 2·x·c, the only form both engines compute identically),
     // per-dim AVG means, re-assignment, and the 16-way ADC sum in fixed
     // subspace order — so the hash pins training, encoding, and search.
-    Reg("topk_sim_pq", Some {
-      val (m, dsub, ksub) = (16, 4, 16)
-      def assign(s: Int, cb: String) =
-        s"""SELECT vec_id, sub, code FROM (
-           |    SELECT x.vec_id, x.sub, c.code,
-           |      row_number() OVER (PARTITION BY x.vec_id
-           |        ORDER BY list_dot_product(c.c, c.c)
-           |          - 2 * list_dot_product(x.sub, c.c), c.code) AS pr
-           |    FROM sub_$s x, $cb c) WHERE pr = 1""".stripMargin
-      val chains = (0 until m).map { s =>
-        val (lo, hi) = (s * dsub + 1, (s + 1) * dsub)
-        s"""sub_$s AS (SELECT vec_id, emb[$lo:$hi] AS sub FROM e),
-           |seeds_$s AS (
-           |  SELECT rn - 1 AS code, c FROM (
-           |    SELECT row_number() OVER (
-           |        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id)
-           |      AS rn, sub AS c
-           |    FROM sub_$s) WHERE rn <= $ksub),
-           |a1_$s AS (${assign(s, s"seeds_$s")}),
-           |c1_$s AS (SELECT code, list(v ORDER BY i) AS c FROM (
-           |    SELECT code, i, AVG(sub[i]) AS v
-           |    FROM a1_$s, unnest(generate_series(1, $dsub)) AS t(i)
-           |    GROUP BY code, i) GROUP BY code),
-           |afin_$s AS (${assign(s, s"c1_$s")}),
-           |sc_$s AS (
-           |  SELECT q.q_id, a.vec_id AS n_id,
-           |    list_dot_product(q.emb[$lo:$hi], c.c) AS d
-           |  FROM q, afin_$s a JOIN c1_$s c USING (code)
-           |  WHERE a.vec_id <> q.q_id)""".stripMargin
-      }.mkString(",\n")
-      val adcSum = (0 until m).map(s => s"sc_$s.d").mkString(" + ")
-      val joins = (1 until m).map(s => s"JOIN sc_$s USING (q_id, n_id)")
-        .mkString(" ")
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-         |), q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 20),
-         |$chains
-         |SELECT q_id, n_id, adc, rank FROM (
-         |  SELECT q_id, n_id, ROUND($adcSum, 4) AS adc,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY ROUND($adcSum, 4) DESC, n_id) AS rank
-         |  FROM sc_0 $joins
-         |) WHERE rank <= 5""".stripMargin
-    })(
+    Reg("topk_sim_pq", Some(pqAdcSql(limit = 5)))(
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         val cbs = graft.ext.Pq.train(e, "vec_id", "embedding",
@@ -1048,6 +1057,38 @@ object LlmQueries {
             lit(":42")))))
         graft.ext.Pq.adcTopK(e, e.where(col("vec_id") < 20),
           "vec_id", "embedding", cbs, k = 5)
+      }),
+
+    // PQ search with EXACT re-ranking — the production shape: ADC prunes
+    // to a 100-candidate shortlist per query, full vectors are read for
+    // the shortlist only, and the final order is the same rounded-cosine
+    // contract as topk_sim. Raw ADC cannot rank inside a tight cluster
+    // (identical codes → tied scores → id tiebreak; recall@5 0.03 on the
+    // clustered AnnRecallSpec fixture, 1.00 re-ranked). Oracle = the full
+    // replayed ADC chain at limit 100, wrapped in the exact re-scoring.
+    Reg("topk_sim_pq_rerank", Some(
+      s"""WITH e2 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         |SELECT q_id, n_id, sim, rank FROM (
+         |  SELECT s.q_id, s.n_id,
+         |    ROUND(list_cosine_similarity(qe.emb, ne.emb), 4) AS sim,
+         |    row_number() OVER (PARTITION BY s.q_id
+         |      ORDER BY ROUND(list_cosine_similarity(qe.emb, ne.emb), 4)
+         |        DESC, s.n_id) AS rank
+         |  FROM (${pqAdcSql(limit = 100)}) s
+         |  JOIN e2 qe ON qe.vec_id = s.q_id
+         |  JOIN e2 ne ON ne.vec_id = s.n_id
+         |  WHERE sqrt(list_dot_product(qe.emb, qe.emb)) > 0
+         |    AND sqrt(list_dot_product(ne.emb, ne.emb)) > 0
+         |) WHERE rank <= 5""".stripMargin))(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val cbs = graft.ext.Pq.train(e, "vec_id", "embedding",
+          m = 16, dsub = 4, ksub = 16,
+          orderHash = Some(md5(concat(col("vec_id").cast("string"),
+            lit(":42")))))
+        graft.ext.Pq.adcTopKRerank(e, e.where(col("vec_id") < 20),
+          "vec_id", "embedding", cbs, k = 5, shortlist = 100)
       }),
 
     // ANN quality gate: recall@5 of the two scale paths (sign-LSH, IVF over

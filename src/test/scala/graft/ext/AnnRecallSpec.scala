@@ -51,6 +51,55 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.95, s"int8 recall@5 = $r < 0.95")
   }
 
+  test("clustered fixture (20 tight gaussians): IVF-kmeans and PQ recall@5 >= 0.9 at the shipped parameters") {
+    // The corpus embeddings are iid gaussians — the ADVERSARIAL case for
+    // ANN. Real embedding corpora are clustered; this fixture is the
+    // realistic shape (round-8 verdict item 5): a mixture of 20 tight
+    // gaussians (per-dim noise sigma 0.1 on unit-gaussian centers, ~10%
+    // relative), one query per cluster, so an index that exploits cluster
+    // structure must recover the in-cluster neighbors.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val dim = 64
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartition(8).localCheckpoint()
+    val cq = emb.where(col("vec_id") < 20)
+    val cExact = Similarity.bruteForceTopK(emb, cq, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").localCheckpoint()
+    def rec(a: org.apache.spark.sql.DataFrame): Double =
+      Similarity.overlapStats(cExact, a, "m").collect().head.getAs[Double]("recall")
+
+    // IVF-kmeans exactly as topk_sim_ivf_kmeans ships it (k=8, iters=2,
+    // nprobe=3, md5 seeding)
+    val cells = Ivf.kmeansCells(emb, "vec_id", "embedding", k = 8, iters = 2,
+      orderHash = Some(md5(concat(col("vec_id").cast("string"), lit(":42")))))
+      .localCheckpoint()
+    val rIvf = rec(Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
+      "vec_id", "embedding", "cell", k = 5, nprobe = 3))
+    info(s"clustered IVF-kmeans recall@5 = $rIvf")
+    assert(rIvf >= 0.9, s"clustered IVF recall@5 = $rIvf < 0.9")
+
+    // PQ as topk_sim_pq_rerank ships it (m=16, dsub=4, ksub=16,
+    // shortlist=100). Raw ADC is structurally unable to rank inside a
+    // tight cluster — every member has identical codes, so the scores tie
+    // and the id tiebreak decides (measured 0.03 here) — which is exactly
+    // why the production path re-ranks the ADC shortlist with exact
+    // cosine. The gate is on the shipped re-rank path; the raw number is
+    // logged as the motivation.
+    val cbs = Pq.train(emb, "vec_id", "embedding", m = 16, dsub = 4, ksub = 16,
+      orderHash = Some(md5(concat(col("vec_id").cast("string"), lit(":42")))))
+    val rRaw = rec(Pq.adcTopK(emb, cq, "vec_id", "embedding", cbs, k = 5))
+    info(s"clustered PQ raw-ADC recall@5 = $rRaw (ties inside clusters)")
+    val rPq = rec(Pq.adcTopKRerank(emb, cq, "vec_id", "embedding", cbs,
+      k = 5, shortlist = 100))
+    info(s"clustered PQ ADC+rerank recall@5 = $rPq")
+    assert(rPq >= 0.9, s"clustered PQ rerank recall@5 = $rPq < 0.9")
+  }
+
   test("overlapStats of exact vs itself is 1.0 with n_hits = n_exact") {
     val row = Similarity.overlapStats(exact, exact, "self").collect().head
     assert(row.getAs[Double]("recall") == 1.0)
