@@ -244,6 +244,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("band_hash"), plan)
   }
 
+  test("AQE skew-join split fires on a skewed join key") {
+    // j_salted proves MANUAL salting; this pins the OTHER half of the skew
+    // story: AQE's runtime skew handling splits an oversized shuffle
+    // partition on its own, so an unsalted join over a hot key does not
+    // serialize into one straggler task. Thresholds are scaled down to
+    // fire on test-sized data (the mechanism, not the defaults, is under
+    // test); broadcast is disabled so the join actually shuffles.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50k")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // hot key 0 carries 100k rows; keys 1..40 carry ~50 each
+    val left = ss.range(0, 100000)
+      .select(lit(0L).as("k"), col("id").as("payload"))
+      .union(ss.range(0, 2000)
+        .select((col("id") % 40 + 1).as("k"), col("id").as("payload")))
+    val right = ss.range(0, 41).select(col("id").as("k"), (col("id") * 10).as("v"))
+    val joined = left.join(right, "k")
+    // drive THIS frame's own QueryExecution (count() would plan a separate
+    // one and leave joined's AdaptiveSparkPlan unexecuted)
+    assert(joined.collect().length == 102000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan)
+    assert(plan.contains("skew=true"),
+      s"AQE skew-join split did not fire:\n$plan")
+  }
+
   test("persisted-index incremental near-dedup never scans corpus text") {
     import spark.implicits._
     import graft.ext.Dedup
