@@ -81,7 +81,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val runs = 2
+    // SPARK_GRAFT_RUNS=1 for single-pass scale sweeps (sf1/sf10), where a
+    // second coverage run doubles hours of wall time for best-of noise
+    // reduction that the exponent comparison does not need
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     val results: Seq[(String, Either[String, Seq[Double]])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
