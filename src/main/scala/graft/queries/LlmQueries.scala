@@ -277,6 +277,31 @@ object LlmQueries {
       (s, dir) => Dedup.nearDupPairs(Tables(s, dir).documents, "doc_id", "text",
         threshold = 0.7)),
 
+    // The DEFENDED near-dup shape for clone-heavy corpora (SCALE.md
+    // "Clone-heavy corpora"; sf10-measured 179.9 -> 3.3 s): exact-dup
+    // pre-collapse to the min-id representative per content, then band
+    // only the representatives — identical docs are Jaccard-1 near-dups
+    // by definition, so the within-group c²/2 pair volume never exists.
+    // Oracle = brute force over the same representatives.
+    Reg("dedup_near_collapsed", Some(
+      s"""WITH r AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |s AS (SELECT doc_id, $duckShingles AS sh
+         |      FROM documents JOIN r USING (doc_id))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7"""
+        .stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val keep = Dedup.exactDedupGroups(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        Dedup.nearDupPairs(docs.join(keep, Seq("doc_id"), "left_semi"),
+          "doc_id", "text", threshold = 0.7)
+      }),
+
     // Character-n-gram Jaccard near-dup — the non-hashed dedup family
     // member, exact within a block. Blocked on the 20-char text PREFIX
     // (classic prefix blocking): block sizes stay O(dup-group), so the
