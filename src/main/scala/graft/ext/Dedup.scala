@@ -187,6 +187,29 @@ object Dedup {
     sig.select(col("id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 
+  /** [[dropNearDupGroups]] with a QUALITY keep policy: keep the
+    * best-`score` member of each duplicate group (ties → smaller id)
+    * instead of the minimum id — the production choice when duplicates
+    * differ in quality (truncation, boilerplate wrappers, OCR noise keep
+    * the same fingerprint but not the same usefulness). `score` is any
+    * deterministic Column over `df`'s rows. Cost shape is identical to
+    * the min-id policy: one CC over the PAIR list, one pair-sized
+    * aggregate (argmax via a struct max — no window over the group key,
+    * so a mega-group never serializes through one task), one semi join
+    * back to the corpus. */
+  def dropNearDupGroupsKeepBest(df: DataFrame, pairs: DataFrame,
+                                idCol: String, score: Column): DataFrame = {
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val grouped = df.select(col(idCol), score.as("__score"))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("__comp"), col("__score"))
+    val best = grouped.groupBy("__comp")
+      .agg(max(struct(col("__score").as("s"), (-col(idCol)).as("nid"))).as("__b"))
+      .select((-col("__b.nid")).as(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
+
   /** Candidate pairs from LSH buckets: equality self-join on (band,
     * band_hash), ordered ids, distinct. Never all-pairs.
     *

@@ -366,6 +366,32 @@ object LlmQueries {
           .select("doc_id", "lang", "source")
       }),
 
+    // Group clean with the QUALITY keep policy: the best-scoring member
+    // of each duplicate group survives (here score = text length; any
+    // deterministic column works), ties to the smaller id — the
+    // production alternative to min-id when duplicates differ in quality.
+    // Oracle replays the recursive closure + the same (score desc, id)
+    // argmax.
+    Reg("dedup_group_keep_best", Some(
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |pairs AS ($duckPairs),
+         |$duckComponents,
+         |g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, lang, source FROM (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |    row_number() OVER (PARTITION BY g.component
+         |      ORDER BY length(d.text) DESC, d.doc_id) AS rn
+         |  FROM documents d JOIN g ON g.doc_id = d.doc_id) WHERE rn = 1"""
+        .stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+        Dedup.dropNearDupGroupsKeepBest(docs, pairs, "doc_id",
+          length(col("text")))
+          .select("doc_id", "lang", "source")
+      }),
+
     // Char-n-gram Jaccard with LSH candidates AS the block: closes the
     // prefix-20 recall hole (near-dups differing in the first 20 chars are
     // invisible to prefix blocking; LSH candidacy is edit-position-blind).

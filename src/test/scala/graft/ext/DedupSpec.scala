@@ -85,6 +85,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("dropNearDupGroupsKeepBest keeps the best-scoring member per group, ties to smaller id, singletons kept") {
+    val df = Seq(
+      (1L, "short", 5),        // group A (pairs below): score 5
+      (2L, "longest text", 12),// group A: best -> kept
+      (3L, "medium tx", 9),    // group A
+      (4L, "tie", 7),          // group B: tie with 5 -> smaller id kept
+      (5L, "tie", 7),          // group B
+      (6L, "singleton", 3)     // no pairs -> kept
+    ).toDF("doc_id", "text", "sc")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val kept = Dedup.dropNearDupGroupsKeepBest(df, pairs, "doc_id", org.apache.spark.sql.functions.col("sc"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L), s"got $kept")
+    // min-id policy on the same inputs differs — proves the policy matters
+    val minKept = Dedup.dropNearDupGroups(df, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minKept == Set(1L, 4L, 6L))
+  }
+
   test("connectedComponents matches union-find on random graphs (chains, stars, isolates)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
