@@ -344,6 +344,55 @@ class StreamingSpec extends SparkSpec {
       s"boundary session not recovered from state: $broken")
   }
 
+  test("checkpoint recovery: windowed aggregation restarts with its state, a window straddling the stop emits once with full counts") {
+    // Same recovery property as the sessionization case but for the
+    // WINDOWED-AGGREGATION state path (StateStoreSave/Restore, a different
+    // state codepath than transformWithState): a day window whose events
+    // straddle the stop must emit exactly once with counts from BOTH runs.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_agg").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val all = Seq(
+      (ts("2026-02-01 01:00:00"), "a", 1.50),
+      (ts("2026-02-01 05:00:00"), "b", 2.25),
+      (ts("2026-02-02 03:00:00"), "a", 3.00),   // day-2 half 1
+      (ts("2026-02-02 20:00:00"), "a", 4.50),   // day-2 half 2 — same window
+      (ts("2026-02-02 21:00:00"), "b", 1.00),
+      (ts("2026-02-03 10:00:00"), "a", 2.00),   // day 3: watermark never
+      (ts("2026-02-03 23:00:00"), "b", 0.50),   //  confirms it — held back
+      (ts("2026-02-04 12:00:00"), "c", 0.25))   // sentinel: advances the 1-day
+                                                //  watermark past day-2's end
+    val cut = ts("2026-02-02 12:00:00")
+    val half1 = all.filter(!_._1.after(cut))
+    val half2 = all.filter(_._1.after(cut))
+    def write(rows: Seq[(java.sql.Timestamp, String, Double)], dir: String): Unit =
+      rows.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = Seq.empty[(java.sql.Timestamp, String, Double)]
+      .toDF("ts", "event_type", "value").schema
+    def run(srcDir: String, outDir: String, ckptDir: String): Unit = {
+      val ss = Streaming.streamingSession(spark)
+      val q = Streaming.windowedAgg(ss.readStream.schema(schema).parquet(srcDir))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    write(half1, s"$base/src"); run(s"$base/src", s"$base/out", s"$base/ckpt")
+    write(half2, s"$base/src"); run(s"$base/src", s"$base/out", s"$base/ckpt")
+    write(all, s"$base/src2"); run(s"$base/src2", s"$base/out2", s"$base/ckpt2")
+    def readOut(p: String) = spark.read.parquet(p)
+      .as[(String, String, Long, Double)].collect().toSeq.sorted
+    val broken = readOut(s"$base/out")
+    val unbroken = readOut(s"$base/out2")
+    assert(broken.nonEmpty && broken == unbroken,
+      s"recovered agg diverged:\nbroken=$broken\nunbroken=$unbroken")
+    assert(broken.distinct == broken, s"window emitted twice: $broken")
+    // the straddling day-2 'a' window carries BOTH halves' events
+    assert(broken.contains(("2026-02-02", "a", 2L, 7.5)), broken.toString)
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
