@@ -393,6 +393,53 @@ class StreamingSpec extends SparkSpec {
     assert(broken.contains(("2026-02-02", "a", 2L, 7.5)), broken.toString)
   }
 
+  test("checkpoint recovery: stream-stream join buffers an unmatched click across restart and emits the pair when its purchase arrives") {
+    // Third stateful codepath: SYMMETRIC-HASH-JOIN state. A click with no
+    // purchase yet is buffered in the join state store; the query stops;
+    // the restart (same checkpoint) receives the matching purchase — the
+    // pair can only emit if the buffered click was reloaded from state.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_join").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // (ts, user_id, event_id, event_type); 60-min attribution window
+    val half1 = Seq(
+      (ts("2026-03-01 01:00:00"), 1L, 101L, "click"),    // matched ACROSS restart
+      (ts("2026-03-01 02:00:00"), 2L, 102L, "click"),
+      (ts("2026-03-01 02:10:00"), 2L, 202L, "purchase"), // same-run match
+      (ts("2026-03-01 04:00:00"), 3L, 103L, "click"))    // never matched
+    val half2 = Seq(
+      (ts("2026-03-01 01:30:00"), 1L, 201L, "purchase"), // matches buffered 101
+      (ts("2026-03-01 05:00:00"), 1L, 104L, "click"),
+      (ts("2026-03-01 05:20:00"), 1L, 203L, "purchase"), // run-2 match
+      (ts("2026-03-01 06:00:00"), 4L, 204L, "purchase")) // purchase, no click
+    def write(rows: Seq[(java.sql.Timestamp, Long, Long, String)], dir: String): Unit =
+      rows.toDF("ts", "user_id", "event_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = Seq.empty[(java.sql.Timestamp, Long, Long, String)]
+      .toDF("ts", "user_id", "event_id", "event_type").schema
+    def run(srcDir: String, outDir: String, ckptDir: String): Unit = {
+      val ss = Streaming.streamingSession(spark)
+      val q = Streaming.attributionJoin(ss.readStream.schema(schema).parquet(srcDir), 60)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    write(half1, s"$base/src"); run(s"$base/src", s"$base/out", s"$base/ckpt")
+    write(half2, s"$base/src"); run(s"$base/src", s"$base/out", s"$base/ckpt")
+    write(half1 ++ half2, s"$base/src2"); run(s"$base/src2", s"$base/out2", s"$base/ckpt2")
+    def readOut(p: String) = spark.read.parquet(p)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val broken = readOut(s"$base/out")
+    val unbroken = readOut(s"$base/out2")
+    assert(broken == unbroken && broken.distinct == broken,
+      s"recovered join diverged:\nbroken=$broken\nunbroken=$unbroken")
+    // the cross-restart pair: click 101 (run 1) × purchase 201 (run 2)
+    assert(broken.contains((101L, 201L, 1L, 1800000000L)), broken.toString)
+    assert(broken.map(_._1).toSet == Set(101L, 102L, 104L)) // 103 unmatched; inner join
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
