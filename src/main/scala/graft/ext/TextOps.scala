@@ -300,6 +300,58 @@ object TextOps {
     spans
   }
 
+  /** Exact duplicated-span REMOVAL — the action paired with
+    * [[duplicatedSpans]] detection (the public "deduplicate long repeated
+    * substrings, keep one occurrence" training-data recipe): every maximal
+    * cross-document shared span ≥ `minLen` is cut from the HIGHER-id
+    * document of each pair, so the minimum-id occurrence survives
+    * corpus-wide (for a span shared by docs {1,2,3}, pairs (1,2),(1,3),
+    * (2,3) remove it from 2 and 3; doc 1 keeps it). Within-document
+    * repetitions are out of scope (detection pairs are cross-document).
+    *
+    * Shape: per-doc removal intervals are MERGED (gaps-and-islands on the
+    * running max end — overlapping/adjacent spans collapse), then each
+    * document's kept segments are rebuilt with one codegen `aggregate`
+    * fold over its sorted interval array — per-doc bounded, no corpus-wide
+    * state, no UDF. Returns (id, textCol) with untouched docs passed
+    * through. 100 TB posture: interval count per doc is span-pair-bounded
+    * and the only shuffles are the detection join plus one per-doc
+    * groupBy. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 30, minLen: Int = 40,
+                            maxDf: Long = 20): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, minLen, maxDf)
+    val iv = spans.select(col("b_id").as("id"),
+      col("b_start").cast("int").as("s"),
+      (col("b_start") + col("span_len")).cast("int").as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("s", "e")
+    val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, -1)
+    val merged = iv
+      // new island iff this interval starts past every earlier end
+      .withColumn("ni", when(col("s") > coalesce(max(col("e")).over(wPrev),
+        lit(-1)), 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy("id", "island").agg(min("s").as("s"), max("e").as("e"))
+    val ivs = merged.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    val text = col(textCol)
+    val folded = aggregate(col("ivs"),
+      struct(lit(1).as("pos"), lit("").as("txt")),
+      (acc, x) => struct(
+        x.getField("e").as("pos"),
+        concat(acc.getField("txt"),
+          text.substr(acc.getField("pos"),
+            x.getField("s") - acc.getField("pos"))).as("txt")),
+      acc => concat(acc.getField("txt"),
+        text.substr(acc.getField("pos"),
+          length(text) - acc.getField("pos") + 1)))
+    df.join(ivs, df(idCol) === ivs("id"), "left")
+      .select(df(idCol),
+        when(col("ivs").isNull, text).otherwise(folded).as(textCol))
+  }
+
   /** Per-language marker stopwords for the n-gram/stopword language-ID
     * heuristic. Public knowledge (common function words). */
   val langMarkers: Map[String, Seq[String]] = Map(

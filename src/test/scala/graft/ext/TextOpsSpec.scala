@@ -275,4 +275,42 @@ class TextOpsSpec extends SparkSpec {
       k = 10, minLen = 20, maxDf = 5)
     assert(o2.isEmpty)
   }
+
+  test("removeDuplicatedSpans keeps the min-id occurrence, cuts every other, merges overlaps, passes untouched docs through") {
+    import spark.implicits._
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH" // 44 chars
+    val docs = Seq(
+      (1L, "XX" + shared + "YYYYYYYY"),  // min-id: keeps the span
+      (2L, "QQQQQ" + shared + "ZZ"),     // cut: prefix + suffix survive
+      (3L, shared + " tail3"),           // cut at position 1 (edge: doc start)
+      (4L, "totally unrelated text with no overlap whatsoever here"),
+      (5L, "pre " + shared)              // cut at doc end (edge: no tail)
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedSpans(docs, "doc_id", "text",
+        k = 10, minLen = 40, maxDf = 5)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "XX" + shared + "YYYYYYYY") // a-side of every pair
+    assert(out(2L) == "QQQQQ" + "ZZ")
+    assert(out(3L) == " tail3")
+    assert(out(4L) == "totally unrelated text with no overlap whatsoever here")
+    assert(out(5L) == "pre ")
+    // overlapping removal intervals merge: doc 12 shares its head with 10
+    // and an overlapping longer stretch with 11 — one contiguous cut
+    val s2 = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUV" // 59
+    val docs2 = Seq(
+      (10L, s2.substring(0, 45) + " filler-ten-xxxx"),  // head 45 chars
+      (11L, "eleven! " + s2),                           // whole 59
+      (12L, s2 + " tail12")
+    ).toDF("doc_id", "text")
+    val out2 = TextOps.removeDuplicatedSpans(docs2, "doc_id", "text",
+        k = 10, minLen = 40, maxDf = 5)
+      .as[(Long, String)].collect().toMap
+    assert(out2(10L) == s2.substring(0, 45) + " filler-ten-xxxx")
+    // doc 11 loses only s2[0,45) — the stretch doc 10 (min id) holds;
+    // its s2 tail s2[45,59) has no lower-id twin and survives
+    assert(out2(11L) == "eleven! " + s2.substring(45), s"got ${out2(11L)}")
+    // doc 12's cuts [1,46) from (10,12) and [1,60) from (11,12) MERGE
+    // into one contiguous [1,60) — all of s2 goes
+    assert(out2(12L) == " tail12", s"got ${out2(12L)}")
+  }
 }
