@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units" — the public
+  * byte-pair-encoding recipe): learn `merges` merge rules from a corpus.
+  *
+  * The scale move is the classic one: the corpus collapses to its
+  * WEIGHTED WORD VOCABULARY in a single scan (BPE statistics are
+  * word-internal, so identical words are one row with a count), and every
+  * merge round thereafter runs over the vocab table only — at 100 TB the
+  * corpus is read once and the per-round cost is |distinct words|, not
+  * corpus size. Each round is: one map-side pair extraction + one
+  * pair-count shuffle + a LIMIT-1 argmax (the only collect — one row,
+  * k-bounded) + a map-only greedy re-segmentation via a codegen
+  * `aggregate` fold (no UDF, no shuffle). `localCheckpoint` per round
+  * truncates the 20-plan lineage, the kmeans/pagerank pattern.
+  *
+  * Greedy-leftmost merge semantics: the fold appends each symbol unless
+  * the accumulator's last element is `lhs` and the current is `rhs`, in
+  * which case both are replaced by their concatenation. A token produced
+  * by a merge is strictly longer than `lhs`, so it can never re-match as
+  * `lhs` in the same round — the fold IS leftmost-greedy, and the DuckDB
+  * oracle replays the identical semantics relationally (run-parity over
+  * match islands). Ties in pair counts break on (count DESC, lhs, rhs)
+  * binary string order in both engines.
+  *
+  * Reference scope: the reference engine (etl_io.py) has no tokenizer
+  * surface; this is part of the LLM-training-data layer (SURVEY §2.11). */
+object Bpe {
+
+  /** Learn `merges` BPE merge rules from `textCol` (space-tokenized words,
+    * character-initial symbols). Returns (merge_rank, lhs, rhs, n) — the
+    * ordered merge table, n = corpus-weighted pair count. Stops early if
+    * the vocabulary runs out of adjacent pairs. */
+  def train(spark: SparkSession, df: DataFrame, textCol: String,
+            merges: Int): DataFrame = {
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var cur = vocab
+      .withColumn("syms", transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val top = cur
+        // zip_with over the two shifted slices: single-symbol words yield
+        // an empty pair array (sequence(1, size-1) would DESCEND for them)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((round.toLong, a, b, n))
+        val next = cur.withColumn("syms", mergePair(col("syms"), a, b))
+          .localCheckpoint()
+        cur.unpersist()
+        cur = next
+        round += 1
+      }
+    }
+    cur.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "n")
+  }
+
+  /** Leftmost-greedy single-pair merge over a symbol array — one codegen
+    * fold, no UDF. */
+  private[ext] def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** DuckDB replay of [[train]]: `merges` unrolled rounds, each four
+    * MATERIALIZED CTEs (pair argmax with the same tiebreak; greedy-
+    * leftmost via run-parity over match islands; consumed-row deletion;
+    * position renumber). MATERIALIZED is load-bearing — each round
+    * references its predecessor three times, so inlined CTEs would expand
+    * 3^rounds. */
+  def oracleSql(table: String, textCol: String, merges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split($textCol, ' ')) AS word
+         |    FROM $table)
+         |  WHERE word <> '' GROUP BY word
+         |), r0 AS MATERIALIZED (
+         |  SELECT word, freq, CAST(i AS BIGINT) AS pos,
+         |    substr(word, CAST(i AS INT), 1) AS sym
+         |  FROM w0, unnest(generate_series(1, length(word))) AS t(i)
+         |)""".stripMargin)
+    for (j <- 1 to merges) {
+      val p = j - 1
+      sb.append(
+        s""", p$j AS MATERIALIZED (
+           |  SELECT a, b, n FROM (
+           |    SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS n FROM (
+           |      SELECT word, freq, sym,
+           |        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           |      FROM r$p) WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+           |  ORDER BY n DESC, a, b LIMIT 1
+           |), m$j AS MATERIALIZED (
+           |  SELECT word, pos FROM (
+           |    SELECT word, pos, row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS rk
+           |    FROM (
+           |      SELECT word, pos,
+           |        pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS isl
+           |      FROM (
+           |        SELECT t.word, t.pos FROM (
+           |          SELECT word, pos, sym,
+           |            lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           |          FROM r$p) t, p$j
+           |        WHERE t.sym = p$j.a AND t.nxt = p$j.b)))
+           |  WHERE rk % 2 = 1
+           |), r$j AS MATERIALIZED (
+           |  SELECT word, freq,
+           |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos, sym
+           |  FROM (
+           |    SELECT r.word, r.freq, r.pos,
+           |      CASE WHEN m.pos IS NOT NULL THEN (SELECT a || b FROM p$j) ELSE r.sym END AS sym
+           |    FROM r$p r
+           |    LEFT JOIN m$j m ON r.word = m.word AND r.pos = m.pos
+           |    LEFT JOIN m$j d ON r.word = d.word AND r.pos = d.pos + 1
+           |    WHERE d.pos IS NULL)
+           |)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (\n" + (1 to merges).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, n FROM p$j")
+      .mkString("\nUNION ALL ") + ") ORDER BY merge_rank")
+    sb.toString
+  }
+}

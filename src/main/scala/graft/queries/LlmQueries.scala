@@ -982,6 +982,16 @@ object LlmQueries {
       (s, dir) => TextOps.removeDuplicatedSpans(Tables(s, dir).documents,
         "doc_id", "text", k = 30, minLen = 40, maxDf = 20)),
 
+    // BPE tokenizer training: 20 merge rules learned from the corpus —
+    // corpus collapses to the weighted word vocab once, then 20 bounded
+    // rounds (pair-count shuffle + limit-1 argmax + map-only greedy fold).
+    // Oracle replays all 20 rounds as unrolled MATERIALIZED CTEs with the
+    // identical argmax tiebreak and greedy-leftmost run-parity merge.
+    Reg("text_bpe_train", Some(
+      graft.ext.Bpe.oracleSql("documents", "text", merges = 20)))(
+      (s, dir) => graft.ext.Bpe.train(s, Tables(s, dir).documents,
+        "text", merges = 20)),
+
     // PCA projection to the top-2 principal components (one distributed
     // moments pass -> driver-side power iteration on the rounded 64x64
     // covariance -> codegen projection). The oracle replays the ENTIRE
