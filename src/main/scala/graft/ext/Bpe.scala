@@ -77,6 +77,38 @@ object Bpe {
     learned.toSeq.toDF("merge_rank", "lhs", "rhs", "n")
   }
 
+  /** Apply a learned merge table: tokenize `textCol` with `merges` in
+    * rank order. The scale shape mirrors [[train]]: merges are applied to
+    * the DISTINCT-WORD table (every rule a map-only fold; lineage
+    * truncated every 8 rules to keep codegen shallow), then documents
+    * join their words to the encoded vocab and reassemble in order — the
+    * corpus pays one explode + one equality join + one per-doc groupBy,
+    * never a per-rule pass. Returns (idCol, toks) with tokens
+    * space-joined in document order (empty words dropped; documents with
+    * no non-empty words are absent, matching the vocab inner join). */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    var vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "").distinct()
+      .withColumn("syms", transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
+      if ((i + 1) % 8 == 0) vocab = vocab.localCheckpoint()
+    }
+    val wt = vocab.select(col("word"), array_join(col("syms"), " ").as("wtoks"))
+    df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+      .join(wt, "word")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("wpos"), col("wtoks")))),
+        x => x.getField("wtoks")), " ").as("toks"))
+  }
+
   /** Leftmost-greedy single-pair merge over a symbol array — one codegen
     * fold, no UDF. */
   private[ext] def mergePair(syms: Column, a: String, b: String): Column =
@@ -144,5 +176,26 @@ object Bpe {
       s"SELECT CAST($j AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, n FROM p$j")
       .mkString("\nUNION ALL ") + ") ORDER BY merge_rank")
     sb.toString
+  }
+
+  /** DuckDB replay of [[train]] + [[encode]] end-to-end: the final round's
+    * segmentation r{merges} IS the encoded vocabulary; documents join
+    * their words to it and reassemble ordered. */
+  def oracleEncodeSql(table: String, idCol: String, textCol: String,
+                      merges: Int): String = {
+    val trainSql = oracleSql(table, textCol, merges)
+    val chain = trainSql.substring(0, trainSql.lastIndexOf("\nSELECT * FROM ("))
+    chain +
+      s""", wt AS MATERIALIZED (
+         |  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS wtoks
+         |  FROM r$merges GROUP BY word
+         |), dw AS (
+         |  SELECT $idCol, i AS wpos, string_split($textCol, ' ')[i] AS word
+         |  FROM $table,
+         |    unnest(generate_series(1, len(string_split($textCol, ' ')))) AS t(i)
+         |)
+         |SELECT $idCol, string_agg(wtoks, ' ' ORDER BY wpos) AS toks
+         |FROM dw JOIN wt USING (word)
+         |GROUP BY $idCol""".stripMargin
   }
 }

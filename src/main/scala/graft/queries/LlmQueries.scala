@@ -992,6 +992,20 @@ object LlmQueries {
       (s, dir) => graft.ext.Bpe.train(s, Tables(s, dir).documents,
         "text", merges = 20)),
 
+    // BPE encode with the learned rules: the final training round's vocab
+    // segmentation is the tokenizer; docs join words to it and reassemble.
+    // The merge-table collect is 20 rows (bounded); encode itself takes
+    // the rules as a parameter — the train-once/encode-everywhere shape.
+    Reg("text_bpe_encode", Some(
+      graft.ext.Bpe.oracleEncodeSql("documents", "doc_id", "text", merges = 20)))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val m = graft.ext.Bpe.train(s, docs, "text", merges = 20)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ext.Bpe.encode(docs, "doc_id", "text", m)
+      }),
+
     // PCA projection to the top-2 principal components (one distributed
     // moments pass -> driver-side power iteration on the rounded 64x64
     // covariance -> codegen projection). The oracle replays the ENTIRE

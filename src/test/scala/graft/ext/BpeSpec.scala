@@ -38,6 +38,27 @@ class BpeSpec extends SparkSpec {
       (3L, "aa", "ab", 2L)), s"got $got")
   }
 
+  test("encode applies rules in order; tokens concatenate back to the text") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab  aaab")).toDF("doc_id", "text")
+    // no rules -> character tokens
+    val chars = Bpe.encode(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, String)].collect().toMap
+    assert(chars(1L) == "a a a b a a a b a b")
+    assert(chars(2L) == "a b a a a b") // double space: empty word dropped
+    // the full learned table collapses each word to one token
+    val full = Bpe.encode(docs, "doc_id", "text",
+        Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+      .as[(Long, String)].collect().toMap
+    assert(full(1L) == "aaab aaab ab")
+    assert(full(2L) == "ab aaab")
+    // prefix of the table -> partial segmentation, lossless concatenation
+    val mid = Bpe.encode(docs, "doc_id", "text", Seq(("a", "a")))
+      .as[(Long, String)].collect().toMap
+    assert(mid(1L) == "aa a b aa a b a b")
+    assert(mid.values.forall(_.replace(" ", "").nonEmpty))
+  }
+
   test("ties break deterministically on (count desc, lhs, rhs)") {
     import spark.implicits._
     // xy and yx both n=1: lexicographic lhs order picks (x,y)
