@@ -111,7 +111,7 @@ object Bpe {
 
   /** Leftmost-greedy single-pair merge over a symbol array — one codegen
     * fold, no UDF. */
-  private[ext] def mergePair(syms: Column, a: String, b: String): Column =
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) => when(
         size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),

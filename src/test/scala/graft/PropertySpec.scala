@@ -277,4 +277,83 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(batch == stream)
   }
+
+  test("property: Bpe.mergePair equals the driver-side leftmost-greedy scan") {
+    // one batched action: 300 random (symbol array, pair) cases through the
+    // codegen fold vs an index-walking reference
+    def ref(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val alpha = Seq("a", "b", "c", "ab", "bc")
+    val cases = Seq.tabulate(300) { i =>
+      val syms = Seq.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size)))
+      (i.toLong, syms, alpha(rnd.nextInt(alpha.size)), alpha(rnd.nextInt(alpha.size)))
+    }
+    val byId = cases.map(c => c._1 -> c).toMap
+    // group cases by pair so each distinct pair gets one fold expression
+    cases.groupBy(c => (c._3, c._4)).foreach { case ((a, b), cs) =>
+      val got = cs.map(c => (c._1, c._2)).toDF("id", "syms")
+        .select(col("id"), graft.ext.Bpe.mergePair(col("syms"), a, b).as("m"))
+        .as[(Long, Seq[String])].collect()
+      got.foreach { case (id, m) =>
+        val (_, syms, _, _) = byId(id)
+        assert(m == ref(syms, a, b), s"case $id syms=$syms pair=($a,$b)")
+      }
+    }
+  }
+
+  test("property: removeDuplicatedSpans equals the driver-side interval-removal reference") {
+    // detection is hash-oracled separately; this pins the REMOVAL stage:
+    // collect detected spans, replay b-side interval merge + complement
+    // rebuild on the driver, compare full texts
+    for (trial <- 1 to 4) {
+      val alpha = "xy"
+      def randText(n: Int) =
+        Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+      val planted = Seq.fill(3)(randText(14 + rnd.nextInt(8)))
+      val docs = Seq.tabulate(6) { i =>
+        val parts = Seq.fill(2 + rnd.nextInt(3))(
+          if (rnd.nextBoolean()) planted(rnd.nextInt(planted.size))
+          else randText(6 + rnd.nextInt(10)))
+        (i.toLong, parts.mkString)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val (k, minLen, maxDf) = (6, 10, 6L)
+      val spans = graft.ext.TextOps
+        .duplicatedSpans(df, "doc_id", "text", k, minLen, maxDf)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val byDoc = spans.groupBy(_._2).map { case (bId, ss) =>
+        // merge b-side intervals: sort, sweep with running max end
+        val iv = ss.map(s => (s._4.toInt, (s._4 + s._5).toInt)).sortBy(identity)
+        val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        iv.foreach { case (s, e) =>
+          if (merged.nonEmpty && s <= merged.last._2)
+            merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, e))
+          else merged += ((s, e))
+        }
+        bId -> merged.toSeq
+      }
+      val want = docs.map { case (id, text) =>
+        val iv = byDoc.getOrElse(id, Seq.empty)
+        val kept = new StringBuilder
+        var pos = 1
+        iv.foreach { case (s, e) =>
+          kept.append(text.substring(pos - 1, s - 1)); pos = e
+        }
+        kept.append(text.substring(pos - 1))
+        id -> kept.toString
+      }.toMap
+      val got = graft.ext.TextOps
+        .removeDuplicatedSpans(df, "doc_id", "text", k, minLen, maxDf)
+        .as[(Long, String)].collect().toMap
+      assert(got == want, s"trial $trial docs=$docs")
+    }
+  }
 }
