@@ -109,6 +109,27 @@ object Bpe {
         x => x.getField("wtoks")), " ").as("toks"))
   }
 
+  /** The token VOCABULARY induced by a merge table over this corpus —
+    * the artifact a trained tokenizer ships: every post-merge symbol with
+    * its corpus-weighted occurrence count. Same vocab-only cost shape as
+    * [[encode]]; the corpus is scanned once for word counts. */
+  def vocabulary(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    var vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
+      if ((i + 1) % 8 == 0) vocab = vocab.localCheckpoint()
+    }
+    vocab.select(col("freq"), explode(col("syms")).as("token"))
+      .groupBy("token").agg(sum(col("freq")).as("n"))
+  }
+
   /** Leftmost-greedy single-pair merge over a symbol array — one codegen
     * fold, no UDF. */
   private[graft] def mergePair(syms: Column, a: String, b: String): Column =
@@ -176,6 +197,17 @@ object Bpe {
       s"SELECT CAST($j AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, n FROM p$j")
       .mkString("\nUNION ALL ") + ") ORDER BY merge_rank")
     sb.toString
+  }
+
+  /** DuckDB replay of [[train]] + [[vocabulary]]: token counts off the
+    * final round's segmentation. */
+  def oracleVocabSql(table: String, textCol: String, merges: Int): String = {
+    val trainSql = oracleSql(table, textCol, merges)
+    val chain = trainSql.substring(0, trainSql.lastIndexOf("\nSELECT * FROM ("))
+    chain +
+      s"""
+         |SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS n
+         |FROM r$merges GROUP BY sym""".stripMargin
   }
 
   /** DuckDB replay of [[train]] + [[encode]] end-to-end: the final round's

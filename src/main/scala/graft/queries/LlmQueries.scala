@@ -1006,6 +1006,18 @@ object LlmQueries {
         graft.ext.Bpe.encode(docs, "doc_id", "text", m)
       }),
 
+    // BPE vocabulary: the token inventory a trained tokenizer ships —
+    // every post-merge symbol with its corpus-weighted count.
+    Reg("text_bpe_vocab", Some(
+      graft.ext.Bpe.oracleVocabSql("documents", "text", merges = 20)))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val m = graft.ext.Bpe.train(s, docs, "text", merges = 20)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ext.Bpe.vocabulary(docs, "text", m)
+      }),
+
     // PCA projection to the top-2 principal components (one distributed
     // moments pass -> driver-side power iteration on the rounded 64x64
     // covariance -> codegen projection). The oracle replays the ENTIRE

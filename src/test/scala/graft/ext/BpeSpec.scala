@@ -59,6 +59,19 @@ class BpeSpec extends SparkSpec {
     assert(mid.values.forall(_.replace(" ", "").nonEmpty))
   }
 
+  test("vocabulary counts conserve characters and match the toy corpus") {
+    import spark.implicits._
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val m = Seq(("a", "a"), ("a", "b"))
+    // aaab (freq 2) -> [aa, ab]; ab (freq 1) -> [ab]
+    val got = Bpe.vocabulary(docs, "text", m)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("aa" -> 2L, "ab" -> 3L), s"got $got")
+    // invariant: sum over tokens of n * len(token) == total word chars
+    val chars = got.map { case (t, n) => t.length * n }.sum
+    assert(chars == "aaab".length * 2 + "ab".length)
+  }
+
   test("ties break deterministically on (count desc, lhs, rhs)") {
     import spark.implicits._
     // xy and yx both n=1: lexicographic lhs order picks (x,y)
