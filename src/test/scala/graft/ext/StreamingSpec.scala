@@ -440,6 +440,51 @@ class StreamingSpec extends SparkSpec {
     assert(broken.map(_._1).toSet == Set(101L, 102L, 104L)) // 103 unmatched; inner join
   }
 
+  test("checkpoint recovery: dedup state survives restart — a run-2 duplicate of a run-1 key is suppressed") {
+    // Fourth stateful codepath: DEDUP state (dropDuplicatesWithinWatermark
+    // key store). A (user, event_type) first seen in run 1 must still
+    // suppress a duplicate arriving in run 2 from the same checkpoint —
+    // only possible if the key state was reloaded.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_dedup").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // (ts, user_id, event_id, event_type); 1-day dedup watermark
+    val half1 = Seq(
+      (ts("2026-04-01 01:00:00"), 1L, 1L, "click"),
+      (ts("2026-04-01 02:00:00"), 2L, 2L, "view"))
+    val half2 = Seq(
+      (ts("2026-04-01 03:00:00"), 1L, 3L, "click"), // dup of run-1 key — must drop
+      (ts("2026-04-01 04:00:00"), 1L, 4L, "view"),  // new key
+      (ts("2026-04-01 05:00:00"), 2L, 5L, "view"))  // dup of run-1 key — must drop
+    def write(rows: Seq[(java.sql.Timestamp, Long, Long, String)], dir: String): Unit =
+      rows.toDF("ts", "user_id", "event_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = Seq.empty[(java.sql.Timestamp, Long, Long, String)]
+      .toDF("ts", "user_id", "event_id", "event_type").schema
+    def run(srcDir: String, outDir: String, ckptDir: String): Unit = {
+      val ss = Streaming.streamingSession(spark)
+      val q = Streaming.dedupedPairsWithinWatermark(
+          ss.readStream.schema(schema).parquet(srcDir))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    write(half1, s"$base/src"); run(s"$base/src", s"$base/out", s"$base/ckpt")
+    write(half2, s"$base/src"); run(s"$base/src", s"$base/out", s"$base/ckpt")
+    write(half1 ++ half2, s"$base/src2"); run(s"$base/src2", s"$base/out2", s"$base/ckpt2")
+    def readOut(p: String) = spark.read.parquet(p)
+      .select("event_id", "user_id", "event_type")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    val broken = readOut(s"$base/out")
+    val unbroken = readOut(s"$base/out2")
+    assert(broken == unbroken, s"recovered dedup diverged:\nbroken=$broken\nunbroken=$unbroken")
+    // exactly the three first-seen keys; events 3 and 5 suppressed by
+    // state reloaded across the restart
+    assert(broken.map(_._1) == Seq(1L, 2L, 4L), broken.toString)
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
