@@ -107,6 +107,26 @@ object LlmQueries {
     }
   }
 
+  /** Stage the trained BPE merge table once per corpus (written through
+    * [[graft.io.Sinks.parquet]]) — the train-once-at-ingest artifact the
+    * persisted encode path reads back. */
+  private def stagedBpeMerges(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val sig =
+      try {
+        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
+        val sz = java.nio.file.Files.walk(src).filter(
+          java.nio.file.Files.isRegularFile(_)).count()
+        s"${mt}_$sz"
+      } catch { case _: Exception => "nosig" }
+    CoreQueries.stageOnce(s"bpemerges_$sig", dir) { path =>
+      graft.io.Sinks.parquet(
+        graft.ext.Bpe.train(s, Tables(s, dir).documents, "text", merges = 20),
+        s"$path/bpe_merges.parquet")
+    }
+  }
+
   /** DuckDB fragment: the brute-force verified near-dup pair list (same
     * predicate as the dedup_near oracle, ids only) — the input both engines
     * agree on before any grouping. */
@@ -1004,6 +1024,21 @@ object LlmQueries {
           .orderBy("merge_rank").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ext.Bpe.encode(docs, "doc_id", "text", m)
+      }),
+
+    // Production shape of encode: the merge table is TRAINED ONCE at
+    // ingest, persisted through Sinks.parquet, and every encode run reads
+    // the 20-row artifact back instead of retraining — the tokenizer
+    // equivalent of dedup_incr_near_persisted. Same end-to-end oracle as
+    // text_bpe_encode: the persisted round-trip must not change a token.
+    Reg("text_bpe_encode_persisted", Some(
+      graft.ext.Bpe.oracleEncodeSql("documents", "doc_id", "text", merges = 20)))(
+      (s, dir) => {
+        val idx = stagedBpeMerges(s, dir)
+        val m = s.read.parquet(s"$idx/bpe_merges.parquet")
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        graft.ext.Bpe.encode(Tables(s, dir).documents, "doc_id", "text", m)
       }),
 
     // BPE vocabulary: the token inventory a trained tokenizer ships —
