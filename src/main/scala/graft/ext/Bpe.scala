@@ -145,10 +145,18 @@ object Bpe {
     * position renumber). MATERIALIZED is load-bearing — each round
     * references its predecessor three times, so inlined CTEs would expand
     * 3^rounds. */
-  def oracleSql(table: String, textCol: String, merges: Int): String = {
+  def oracleSql(table: String, textCol: String, merges: Int): String =
+    "WITH " + chainCtes(table, textCol, merges) +
+      "\nSELECT * FROM (\n" + (1 to merges).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, n FROM p$j")
+      .mkString("\nUNION ALL ") + ") ORDER BY merge_rank"
+
+  /** The w0..r`merges` training chain as composable CTE definitions (no
+    * leading WITH). */
+  def chainCtes(table: String, textCol: String, merges: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH w0 AS MATERIALIZED (
+      s"""w0 AS MATERIALIZED (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
          |    SELECT unnest(string_split($textCol, ' ')) AS word
          |    FROM $table)
@@ -193,41 +201,39 @@ object Bpe {
            |    WHERE d.pos IS NULL)
            |)""".stripMargin)
     }
-    sb.append("\nSELECT * FROM (\n" + (1 to merges).map(j =>
-      s"SELECT CAST($j AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, n FROM p$j")
-      .mkString("\nUNION ALL ") + ") ORDER BY merge_rank")
     sb.toString
   }
 
   /** DuckDB replay of [[train]] + [[vocabulary]]: token counts off the
     * final round's segmentation. */
-  def oracleVocabSql(table: String, textCol: String, merges: Int): String = {
-    val trainSql = oracleSql(table, textCol, merges)
-    val chain = trainSql.substring(0, trainSql.lastIndexOf("\nSELECT * FROM ("))
-    chain +
+  def oracleVocabSql(table: String, textCol: String, merges: Int): String =
+    "WITH " + chainCtes(table, textCol, merges) +
       s"""
          |SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS n
          |FROM r$merges GROUP BY sym""".stripMargin
-  }
+
+  /** Encode tail (wt + dw CTE definitions, no leading comma): joins
+    * `table`'s words to the final segmentation r`merges`. */
+  def encodeTailCtes(table: String, idCol: String, textCol: String,
+                     merges: Int): String =
+    s"""wt AS MATERIALIZED (
+       |  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS wtoks
+       |  FROM r$merges GROUP BY word
+       |), dw AS (
+       |  SELECT $idCol, i AS wpos, string_split($textCol, ' ')[i] AS word
+       |  FROM $table,
+       |    unnest(generate_series(1, len(string_split($textCol, ' ')))) AS t(i)
+       |)""".stripMargin
 
   /** DuckDB replay of [[train]] + [[encode]] end-to-end: the final round's
     * segmentation r{merges} IS the encoded vocabulary; documents join
     * their words to it and reassemble ordered. */
   def oracleEncodeSql(table: String, idCol: String, textCol: String,
-                      merges: Int): String = {
-    val trainSql = oracleSql(table, textCol, merges)
-    val chain = trainSql.substring(0, trainSql.lastIndexOf("\nSELECT * FROM ("))
-    chain +
-      s""", wt AS MATERIALIZED (
-         |  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS wtoks
-         |  FROM r$merges GROUP BY word
-         |), dw AS (
-         |  SELECT $idCol, i AS wpos, string_split($textCol, ' ')[i] AS word
-         |  FROM $table,
-         |    unnest(generate_series(1, len(string_split($textCol, ' ')))) AS t(i)
-         |)
+                      merges: Int): String =
+    "WITH " + chainCtes(table, textCol, merges) + ", " +
+      encodeTailCtes(table, idCol, textCol, merges) +
+      s"""
          |SELECT $idCol, string_agg(wtoks, ' ' ORDER BY wpos) AS toks
          |FROM dw JOIN wt USING (word)
          |GROUP BY $idCol""".stripMargin
-  }
 }

@@ -352,6 +352,69 @@ object TextOps {
         when(col("ivs").isNull, text).otherwise(folded).as(textCol))
   }
 
+  /** DuckDB CTE chain replaying [[removeDuplicatedSpans]] over `table` —
+    * composable (no leading WITH): detection (gram table → diagonal runs),
+    * b-side interval merge, ordered string_agg rebuild. The final CTE
+    * `cleaned` is ($idCol, text) with untouched docs passed through.
+    * MATERIALIZED where a CTE is referenced more than once. */
+  def spanCleanOracleCtes(table: String, idCol: String, textCol: String,
+                          k: Int, minLen: Int, maxDf: Long): String =
+    s"""g AS (
+       |  SELECT $idCol AS id, i AS pos, substr($textCol, i, $k) AS gram
+       |  FROM $table, unnest(generate_series(1, length($textCol) - ${k - 1})) AS t(i)
+       |  WHERE length($textCol) >= $k
+       |), rare AS (
+       |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT id) <= $maxDf
+       |), r AS MATERIALIZED (SELECT g.* FROM g JOIN rare USING (gram)
+       |), m AS (
+       |  SELECT a.id AS a_id, b.id AS b_id, a.pos AS a_pos,
+       |    b.pos - a.pos AS diag
+       |  FROM r a JOIN r b ON a.gram = b.gram AND a.id < b.id
+       |), isl AS (
+       |  SELECT a_id, b_id, diag, a_pos,
+       |    a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag
+       |                               ORDER BY a_pos) AS island
+       |  FROM m
+       |), spans AS (
+       |  SELECT a_id, b_id, a_start, a_start + diag AS b_start, span_len
+       |  FROM (
+       |    SELECT a_id, b_id, diag, MIN(a_pos) AS a_start,
+       |      MAX(a_pos) - MIN(a_pos) + $k AS span_len
+       |    FROM isl GROUP BY a_id, b_id, diag, island)
+       |  WHERE span_len >= $minLen
+       |), iv AS (
+       |  SELECT b_id AS id, b_start AS s, b_start + span_len AS e FROM spans
+       |), mi AS (
+       |  SELECT id, s, e, CASE WHEN s > COALESCE(
+       |      MAX(e) OVER (PARTITION BY id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS ni
+       |  FROM iv
+       |), isl2 AS (
+       |  SELECT id, s, e,
+       |    SUM(ni) OVER (PARTITION BY id ORDER BY s, e) AS island
+       |  FROM mi
+       |), mrg AS MATERIALIZED (
+       |  SELECT id, island, MIN(s) AS s, MAX(e) AS e
+       |  FROM isl2 GROUP BY id, island
+       |), segs AS (
+       |  SELECT id, COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s), 1)
+       |    AS ks, s AS ke
+       |  FROM mrg
+       |  UNION ALL
+       |  SELECT id, MAX(e) AS ks, NULL AS ke FROM mrg GROUP BY id
+       |), cln AS (
+       |  SELECT segs.id,
+       |    string_agg(substr(d.$textCol, CAST(ks AS INT),
+       |      CAST(COALESCE(ke, length(d.$textCol) + 1) - ks AS INT)),
+       |      '' ORDER BY ks) AS text
+       |  FROM $table d JOIN segs ON segs.id = d.$idCol
+       |  GROUP BY segs.id
+       |), cleaned AS MATERIALIZED (
+       |  SELECT d.$idCol, COALESCE(c.text, d.$textCol) AS text
+       |  FROM $table d LEFT JOIN cln c ON c.id = d.$idCol
+       |)""".stripMargin
+
   /** Per-language marker stopwords for the n-gram/stopword language-ID
     * heuristic. Public knowledge (common function words). */
   val langMarkers: Map[String, Seq[String]] = Map(

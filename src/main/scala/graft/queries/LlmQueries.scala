@@ -945,60 +945,9 @@ object LlmQueries {
     // occurrence survives), per-doc intervals merged, text rebuilt. Same
     // algebra on both engines; the hash pins the cleaned STRINGS.
     Reg("text_dup_spans_clean", Some(
-      """WITH g AS (
-        |  SELECT doc_id AS id, i AS pos, substr(text, i, 30) AS gram
-        |  FROM documents, unnest(generate_series(1, length(text) - 29)) AS t(i)
-        |  WHERE length(text) >= 30
-        |), rare AS (
-        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT id) <= 20
-        |), r AS (SELECT g.* FROM g JOIN rare USING (gram)
-        |), m AS (
-        |  SELECT a.id AS a_id, b.id AS b_id, a.pos AS a_pos,
-        |    b.pos - a.pos AS diag
-        |  FROM r a JOIN r b ON a.gram = b.gram AND a.id < b.id
-        |), isl AS (
-        |  SELECT a_id, b_id, diag, a_pos,
-        |    a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag
-        |                               ORDER BY a_pos) AS island
-        |  FROM m
-        |), spans AS (
-        |  SELECT a_id, b_id, a_start, a_start + diag AS b_start, span_len
-        |  FROM (
-        |    SELECT a_id, b_id, diag, MIN(a_pos) AS a_start,
-        |      MAX(a_pos) - MIN(a_pos) + 30 AS span_len
-        |    FROM isl GROUP BY a_id, b_id, diag, island)
-        |  WHERE span_len >= 40
-        |), iv AS (
-        |  SELECT b_id AS id, b_start AS s, b_start + span_len AS e FROM spans
-        |), mi AS (
-        |  SELECT id, s, e, CASE WHEN s > COALESCE(
-        |      MAX(e) OVER (PARTITION BY id ORDER BY s, e
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |    THEN 1 ELSE 0 END AS ni
-        |  FROM iv
-        |), isl2 AS (
-        |  SELECT id, s, e,
-        |    SUM(ni) OVER (PARTITION BY id ORDER BY s, e) AS island
-        |  FROM mi
-        |), merged AS (
-        |  SELECT id, island, MIN(s) AS s, MAX(e) AS e
-        |  FROM isl2 GROUP BY id, island
-        |), segs AS (
-        |  SELECT id, COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s), 1)
-        |    AS ks, s AS ke
-        |  FROM merged
-        |  UNION ALL
-        |  SELECT id, MAX(e) AS ks, NULL AS ke FROM merged GROUP BY id
-        |), clean AS (
-        |  SELECT segs.id,
-        |    string_agg(substr(d.text, CAST(ks AS INT),
-        |      CAST(COALESCE(ke, length(d.text) + 1) - ks AS INT)),
-        |      '' ORDER BY ks) AS text
-        |  FROM documents d JOIN segs ON segs.id = d.doc_id
-        |  GROUP BY segs.id
-        |)
-        |SELECT d.doc_id, COALESCE(c.text, d.text) AS text
-        |FROM documents d LEFT JOIN clean c ON c.id = d.doc_id""".stripMargin))(
+      "WITH " + TextOps.spanCleanOracleCtes("documents", "doc_id", "text",
+        k = 30, minLen = 40, maxDf = 20) +
+      "\nSELECT doc_id, text FROM cleaned"))(
       (s, dir) => TextOps.removeDuplicatedSpans(Tables(s, dir).documents,
         "doc_id", "text", k = 30, minLen = 40, maxDf = 20)),
 
@@ -1039,6 +988,42 @@ object LlmQueries {
           .orderBy("merge_rank").collect()
           .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
         graft.ext.Bpe.encode(Tables(s, dir).documents, "doc_id", "text", m)
+      }),
+
+    // End-to-end tokenized release: exact-dedup (min-id per content) →
+    // duplicated-span removal on the survivors → BPE rules trained on the
+    // CLEANED corpus → encode, with per-doc token counts. The whole
+    // pipeline is hash-oracled as ONE composed DuckDB query (dedup CTE +
+    // the span-clean chain over it + the 20-round training chain over the
+    // cleaned text + the encode tail) — an end-to-end pin on how the
+    // stages feed each other, not just on each stage alone.
+    Reg("pipeline_tokenized", Some(
+      "WITH dd AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, text " +
+        "FROM documents GROUP BY text),\n" +
+      TextOps.spanCleanOracleCtes("dd", "doc_id", "text",
+        k = 30, minLen = 40, maxDf = 20) + ",\n" +
+      graft.ext.Bpe.chainCtes("cleaned", "text", merges = 20) + ",\n" +
+      graft.ext.Bpe.encodeTailCtes("cleaned", "doc_id", "text", merges = 20) +
+      """
+        |SELECT doc_id, toks,
+        |  CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT doc_id, string_agg(wtoks, ' ' ORDER BY wpos) AS toks
+        |  FROM dw JOIN wt USING (word)
+        |  GROUP BY doc_id)""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val dd = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id", "text")
+        // the cleaned frame feeds BOTH training and encoding — materialize
+        // it once (the pipeline_release persisted-frame pattern)
+        val cleaned = TextOps.removeDuplicatedSpans(dd, "doc_id", "text",
+          k = 30, minLen = 40, maxDf = 20).localCheckpoint()
+        val m = graft.ext.Bpe.train(s, cleaned, "text", merges = 20)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        graft.ext.Bpe.encode(cleaned, "doc_id", "text", m)
+          .withColumn("n_tokens", size(split(col("toks"), " ")).cast("long"))
       }),
 
     // BPE vocabulary: the token inventory a trained tokenizer ships —
