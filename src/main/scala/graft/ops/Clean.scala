@@ -138,4 +138,31 @@ object Clean {
     cum.groupBy(col(groupCol).as("__g"))
       .agg(cutCols.head, cutCols.tail: _*)
   }
+
+  /** Weighted per-group quantiles: the cut for (name, p) is
+    * min{x : Σ weight(rows with value ≤ x) ≥ ⌈p·W⌉} where W is the group's
+    * total weight — the weighted generalization of [[percentileCuts]]
+    * (weight ≡ 1 reduces to it exactly). Same histogram shape: the heavy
+    * pass is a parallel groupBy(group, value) weight-sum, the cumulative
+    * window walks DISTINCT values only, and every comparison is on exact
+    * BIGINT weight totals (weights are rounded to integers — pre-scale
+    * fractional weights before calling), so any engine picks the identical
+    * cut. Returns one row per group: `__g` plus one column per cut. */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+                        groupCol: String, ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"percentiles must be in [0, 1]: $ps")
+    val cum = df.groupBy(col(groupCol), col(valueCol).as("__x"))
+      .agg(sum(floor(col(weightCol) + 0.5).cast("long")).as("__w"))
+      .withColumn("__cum", sum("__w").over(Window.partitionBy(groupCol)
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__w").over(Window.partitionBy(groupCol)))
+    val cutCols = ps.map { case (name, p) =>
+      min(when(col("__cum") >= greatest(lit(1L),
+        ceil(lit(p) * col("__n")).cast("long")), col("__x"))).as(name)
+    }
+    cum.groupBy(col(groupCol).as("__g"))
+      .agg(cutCols.head, cutCols.tail: _*)
+  }
 }

@@ -111,6 +111,25 @@ object ExtQueries {
           .withColumn("roll_mean", col("roll_sum") / col("n_win"))
       }),
 
+    // W-ext: recursive EWMA per user ([[graft.ext.Timeseries.ewma]]) — the
+    // exponential smoothing no SQL window FRAME expresses (state threads
+    // through every prior row). Both engines fold the key's time-ordered
+    // values through y ← α·x + (1−α)·y seeded with the first value, in the
+    // same order, with dyadic α = 0.25 (α and 1−α exact doubles) — so the
+    // pre-rounding doubles are bit-identical.
+    Reg("w8_ewma", Some(
+      """WITH s AS (
+        |  SELECT user_id,
+        |    list_transform(list_sort(list({'t': ts, 'e': event_id, 'v': value})),
+        |      r -> r.v) AS vs,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  ROUND(list_reduce(vs, (acc, x) -> acc * 0.75 + x * 0.25), 5) AS ewma
+        |FROM s""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.ewma(Tables(s, dir).events,
+        "user_id", Seq("ts", "event_id"), "value", alpha = 0.25)),
+
     // Funnel: ordered-step reach counts (signup → click → purchase, each
     // step at or after the user's earliest previous-step completion).
     Reg("funnel", Some(
@@ -331,6 +350,33 @@ object ExtQueries {
         .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
           expr("percentile(l_quantity, 0.5)").as("q50"),
           expr("percentile(l_quantity, 0.75)").as("q75"))),
+
+    // A-ext: WEIGHTED quantiles ([[Clean.weightedQuantiles]]) — the
+    // survey-estimation / importance-weighted form pandas users hand-roll
+    // with sort+cumsum. Histogram shape: the cumulative window walks
+    // DISTINCT prices only, all comparisons on exact BIGINT weight totals,
+    // so both engines pick the identical cut element (never interpolated).
+    Reg("a17_weighted_quantile", Some(
+      """WITH h AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS x,
+        |    SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT g, x,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g AS l_returnflag,
+        |  MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |           THEN x END) AS wq50,
+        |  MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+        |           THEN x END) AS wq90
+        |FROM c GROUP BY 1""".stripMargin))(
+      (s, dir) => graft.ops.Clean.weightedQuantiles(Tables(s, dir).lineitem,
+          "l_extendedprice", "l_quantity", "l_returnflag",
+          Seq("wq50" -> 0.5, "wq90" -> 0.9))
+        .withColumnRenamed("__g", "l_returnflag")),
 
     // A-ext: sketch-based quantiles (KLL/GK-style approx — engine-specific
     // sketch, rows-only; the exact variant above is the oracle-checked one).

@@ -52,6 +52,39 @@ class CleanSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("weightedQuantiles == brute-force weighted rank over random grouped data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(20).toDouble, (1 + rnd.nextInt(9)).toDouble)
+    }
+    val ps = Seq("q10" -> 0.1, "q50" -> 0.5, "q90" -> 0.9, "q100" -> 1.0)
+    val got = Clean.weightedQuantiles(rows.toDF("g", "v", "w"), "v", "w", "g", ps)
+      .collect().map(r => r.getString(0) ->
+        ps.map { case (n, _) => r.getAs[Double](n) }).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(t => (t._2, t._3.toLong)).sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      g -> ps.map { case (_, p) =>
+        val k = math.max(1L, math.ceil(p * total).toLong)
+        var cum = 0L
+        sorted.find { case (_, w) => cum += w; cum >= k }.get._1
+      }
+    }
+    assert(got == want)
+  }
+
+  test("weightedQuantiles with weight 1 reduces exactly to percentileCuts") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map(_ => (s"g${rnd.nextInt(3)}", rnd.nextInt(30).toDouble))
+    val df = rows.toDF("g", "v").withColumn("one", lit(1.0))
+    val ps = Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75)
+    val a = Clean.weightedQuantiles(df, "v", "one", "g", ps)
+      .collect().map(r => r.getString(0) -> ps.map(p => r.getAs[Double](p._1))).toMap
+    val b = Clean.percentileCuts(df, "v", "g", ps)
+      .collect().map(r => r.getString(0) -> ps.map(p => r.getAs[Double](p._1))).toMap
+    assert(a == b)
+  }
+
   test("winsorize accepts pLo = 0 (documented domain): low cut = group minimum, nothing clipped low") {
     val df = (1 to 20).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
     val r = Clean.winsorize(df, "v", "g", pLo = 0.0, pHi = 0.95).collect().head
