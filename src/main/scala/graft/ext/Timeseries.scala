@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Recursive per-key time-series features — the forms whose value at row i
@@ -18,6 +19,14 @@ import org.apache.spark.sql.functions._
   * per key, not O(n²) as a per-row prefix replay would be.
   */
 object Timeseries {
+
+  /** Deterministic 5-decimal rounding: floor(x·10⁵ + 0.5)/10⁵. Unlike
+    * `round(x, 5)` (HALF_UP on the exact binary value) this is three IEEE
+    * ops any engine reproduces bit-for-bit — DuckDB twin:
+    * `CAST(FLOOR(x * 100000 + 0.5) AS BIGINT) / 100000.0`. Half-cases round
+    * toward +∞ for negatives; that convention is part of the contract. */
+  private def r5(c: Column): Column =
+    floor(c * 100000.0 + 0.5).cast("long") / 100000.0
 
   /** Exponentially-weighted moving average per key, seeded with the key's
     * first value: y₁ = x₁, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁ over events ordered by
@@ -38,12 +47,177 @@ object Timeseries {
     df.groupBy(col(keyCol))
       .agg(ordered.as("__s"), count(lit(1)).cast("long").as("n_events"))
       .select(col(keyCol), col("n_events"),
-        round(aggregate(
+        r5(aggregate(
           // fold rows 2..n onto the first value — the classic EWM seed
           slice(transform(col("__s"), s => s.getField("__v")),
             lit(2), size(col("__s")) - 1),
           element_at(col("__s"), 1).getField("__v"),
-          (acc: Column, x: Column) => acc * lit(decay) + x * lit(alpha)),
-          5).as("ewma"))
+          (acc: Column, x: Column) => acc * lit(decay) + x * lit(alpha)))
+          .as("ewma"))
+  }
+
+  /** Per-ROW exponential smoothing: every input row back, tagged with its
+    * EWMA-to-date (same recursion and seed as [[ewma]] — the last row's
+    * `ewma` equals [[ewma]]'s summary value). The fold builds the key's
+    * smoothed prefix array, then `zip_with`+`explode` restores one row per
+    * event. The array-append fold copies the accumulator per step — O(n²)
+    * bytes per key — so this is strictly for bounded key histories (the
+    * same contract as [[ewma]], enforced by the caller); the summary form
+    * is the one to reach for when only the final state matters. */
+  def ewmaSeries(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                 valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(orderCols.nonEmpty, "ewmaSeries needs at least one ordering column")
+    val decay = 1 - alpha
+    val ordered = sort_array(collect_list(struct(
+      orderCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)))
+    val ys = aggregate(
+      slice(transform(col("__s"), s => s.getField("__v")),
+        lit(2), size(col("__s")) - 1),
+      array(element_at(col("__s"), 1).getField("__v")),
+      (acc: Column, x: Column) =>
+        concat(acc, array(element_at(acc, -1) * lit(decay) + x * lit(alpha))))
+    val zipped = zip_with(col("__s"), ys, (s, y) => struct(
+      orderCols.map(n => s.getField(n).as(n)) :+
+        s.getField("__v").as("__v") :+ r5(y).as("__e"): _*))
+    df.groupBy(col(keyCol)).agg(ordered.as("__s"))
+      .select(col(keyCol), explode(zipped).as("__r"))
+      .select(col(keyCol) +: orderCols.map(n => col(s"__r.$n").as(n)) :+
+        col("__r.__v").as(valueCol) :+ col("__r.__e").as("ewma"): _*)
+  }
+
+  /** Holt double-exponential smoothing per key: level + linear trend, the
+    * first forecasting upgrade pandas users make from `ewm`. Seeded
+    * l₁ = x₁, b₁ = 0; then lᵢ = α·xᵢ + (1−α)(lᵢ₋₁+bᵢ₋₁),
+    * bᵢ = β(lᵢ−lᵢ₋₁) + (1−β)bᵢ₋₁ (Holt 1957). One row per key:
+    * (key, n_events, level, trend, forecast = level + trend), each rounded
+    * to 5 decimals. Dyadic α/β keep the pre-rounding doubles bit-identical
+    * across engines. Same one-shuffle bounded-history contract as
+    * [[ewma]]. */
+  def holt(df: DataFrame, keyCol: String, orderCols: Seq[String],
+           valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(beta > 0 && beta <= 1, s"beta must be in (0, 1]: $beta")
+    require(orderCols.nonEmpty, "holt needs at least one ordering column")
+    val (da, db) = (1 - alpha, 1 - beta)
+    val ordered = sort_array(collect_list(struct(
+      orderCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)))
+    def step(acc: Column, x: Column): Column = {
+      val nl = x * lit(alpha) + (acc.getField("l") + acc.getField("b")) * lit(da)
+      struct(nl.as("l"),
+        ((nl - acc.getField("l")) * lit(beta) + acc.getField("b") * lit(db))
+          .as("b"))
+    }
+    df.groupBy(col(keyCol))
+      .agg(ordered.as("__s"), count(lit(1)).cast("long").as("n_events"))
+      .withColumn("__st", aggregate(
+        slice(transform(col("__s"), s => s.getField("__v")),
+          lit(2), size(col("__s")) - 1),
+        struct(element_at(col("__s"), 1).getField("__v").as("l"),
+          lit(0.0).as("b")),
+        step))
+      .select(col(keyCol), col("n_events"),
+        r5(col("__st.l")).as("level"),
+        r5(col("__st.b")).as("trend"),
+        r5(col("__st.l") + col("__st.b")).as("forecast"))
+  }
+
+  /** Two-sided CUSUM change detection per key (Page 1954): standardized
+    * residuals zᵢ = (xᵢ−μ)/σ folded through S⁺ᵢ = max(0, S⁺ᵢ₋₁+zᵢ−k) and
+    * S⁻ᵢ = min(0, S⁻ᵢ₋₁+zᵢ+k); a large max S⁺ / min S⁻ flags a sustained
+    * upward / downward level shift. Returns one row per key:
+    * (key, n_events, cusum_pos = max S⁺, cusum_neg = min S⁻), rounded to 5.
+    *
+    * Cross-engine determinism: μ and σ are derived from EXACT integer-cents
+    * sums (Σc and Σc² as BIGINT), so the doubles that enter the fold are
+    * bit-identical on any engine or executor count; a constant key (σ = 0)
+    * folds z = 0 rather than dividing. One shuffle, bounded-history
+    * contract as [[ewma]]; `drift` is the classic k (use a dyadic value,
+    * e.g. 0.5, when a cross-engine replay must hash-match). */
+  def cusum(df: DataFrame, keyCol: String, orderCols: Seq[String],
+            valueCol: String, drift: Double): DataFrame = {
+    require(drift >= 0, s"drift must be >= 0: $drift")
+    require(orderCols.nonEmpty, "cusum needs at least one ordering column")
+    val cents = floor(col(valueCol) * 100 + 0.5).cast("long")
+    val ordered = sort_array(collect_list(struct(
+      orderCols.map(col) :+ cents.as("__c"): _*)))
+    val n = count(lit(1)).cast("long")
+    val agged = df.groupBy(col(keyCol))
+      .agg(ordered.as("__s"), n.as("n_events"),
+        sum(cents).as("__sc"), sum(cents * cents).as("__scc"))
+    val nD = col("n_events").cast("double")
+    val mc = col("__sc").cast("double") / nD            // mean cents
+    val varC = col("__scc").cast("double") / nD - mc * mc
+    val sigma = sqrt(varC) / 100.0                      // value units
+    val mu = mc / 100.0
+    val k = lit(drift)
+    def z(c: Column): Column =
+      when(sigma === 0.0, 0.0).otherwise((c.cast("double") / 100.0 - mu) / sigma)
+    // each element carries its z plus the state it would seed as row 1
+    def seeded(c: Column): Column = {
+      val z1 = z(c)
+      val (p1, q1) = (greatest(z1 - k, lit(0.0)), least(z1 + k, lit(0.0)))
+      struct(z1.as("z"), p1.as("p"), q1.as("q"), p1.as("mp"), q1.as("mq"))
+    }
+    def step(acc: Column, x: Column): Column = {
+      val p = greatest(acc.getField("p") + x.getField("z") - k, lit(0.0))
+      val q = least(acc.getField("q") + x.getField("z") + k, lit(0.0))
+      struct(x.getField("z").as("z"), p.as("p"), q.as("q"),
+        greatest(acc.getField("mp"), p).as("mp"),
+        least(acc.getField("mq"), q).as("mq"))
+    }
+    agged
+      .withColumn("__st", aggregate(
+        slice(transform(col("__s"), s => seeded(s.getField("__c"))),
+          lit(2), size(col("__s")) - 1),
+        seeded(element_at(col("__s"), 1).getField("__c")),
+        step))
+      .select(col(keyCol), col("n_events"),
+        r5(col("__st.mp")).as("cusum_pos"),
+        r5(col("__st.mq")).as("cusum_neg"))
+  }
+
+  /** Per-key OLS linear trend of value over event time — the grouped
+    * `scipy.stats.linregress` replacement, exact where it matters. ONE
+    * aggregation pass computes the five closed-form sums; x is seconds
+    * since the KEY'S FIRST event (shift-invariant slope, and the shift
+    * keeps Σx² inside exact integer range), y is integer cents. Σx/Σy stay
+    * BIGINT; Σx²/Σxy/Σy² are summed as DECIMAL(38,0) — all exact, so the
+    * doubles entering the final ratio are bit-identical on any engine, and
+    * only then does float arithmetic happen (deterministic expression
+    * order). Returns (key, n_events, slope_per_day in value units,
+    * intercept = fitted value at the first event, r2); slope/intercept/r2
+    * null when degenerate (single point, zero x- or y-variance for r2).
+    * Scale: a window min + one groupBy — no bounded-history assumption,
+    * this one is safe for unbounded keys. */
+  def linearTrend(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    val secs = graft.functions.Time.tsSeconds(col(tsCol))
+    val base = df
+      .withColumn("__x", secs - min(secs).over(w))
+      .withColumn("__c", floor(col(valueCol) * 100 + 0.5).cast("long"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agged = base.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("n_events"),
+      sum(col("__x")).as("__sx"), sum(col("__c")).as("__sy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+      sum(dec(col("__x")) * dec(col("__c"))).as("__sxy"),
+      sum(dec(col("__c")) * dec(col("__c"))).as("__syy"))
+    val nD = col("n_events").cast("double")
+    val (sx, sy) = (col("__sx").cast("double"), col("__sy").cast("double"))
+    val (sxx, sxy, syy) = (col("__sxx").cast("double"),
+      col("__sxy").cast("double"), col("__syy").cast("double"))
+    val den = nD * sxx - sx * sx
+    val cov = nD * sxy - sx * sy
+    val deny = nD * syy - sy * sy
+    val slopeCps = cov / den                  // cents per second
+    agged.select(col(keyCol), col("n_events"),
+      r5(when(den === 0.0, null).otherwise(slopeCps * 864.0))
+        .as("slope_per_day"),                 // *86400/100 → value units/day
+      r5(when(den === 0.0, null)
+        .otherwise((sy * sxx - sx * sxy) / den / 100.0)).as("intercept"),
+      r5(when(den === 0.0 or deny === 0.0, null)
+        .otherwise(cov * cov / (den * deny))).as("r2"))
   }
 }

@@ -125,10 +125,158 @@ object ExtQueries {
         |    COUNT(*) AS n_events
         |  FROM events GROUP BY user_id)
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
-        |  ROUND(list_reduce(vs, (acc, x) -> acc * 0.75 + x * 0.25), 5) AS ewma
+        |  CAST(FLOOR(list_reduce(vs, (acc, x) -> acc * 0.75 + x * 0.25)
+        |    * 100000 + 0.5) AS BIGINT) / 100000.0 AS ewma
         |FROM s""".stripMargin))(
       (s, dir) => graft.ext.Timeseries.ewma(Tables(s, dir).events,
         "user_id", Seq("ts", "event_id"), "value", alpha = 0.25)),
+
+    // Per-ROW EWMA ([[Timeseries.ewmaSeries]]): every event tagged with its
+    // smoothing-to-date. Oracle replays the identical recursion as a
+    // recursive CTE stepping rank-to-rank within each key — the same
+    // arithmetic in the same order, so pre-rounding doubles match.
+    Reg("ts_ewma_series", Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, t, event_id, value, rn, value AS y
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.t, b.event_id, b.value, b.rn,
+        |    r.y * 0.75 + b.value * 0.25
+        |  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        |)
+        |SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  event_id, value,
+        |  CAST(FLOOR(y * 100000 + 0.5) AS BIGINT) / 100000.0 AS ewma
+        |FROM rec""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.ewmaSeries(Tables(s, dir).events,
+          "user_id", Seq("ts", "event_id"), "value", alpha = 0.25)
+        .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+
+    // Holt double-exponential smoothing ([[Timeseries.holt]]): level+trend
+    // per user. Oracle folds the same struct state through DuckDB's
+    // list_reduce; dyadic α = 0.25, β = 0.5 keep every step exact-double.
+    Reg("ts_holt", Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, value AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, rn, n, v AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b2.user_id, b2.rn, b2.n,
+        |    b2.v * 0.25 + (r.l + r.b) * 0.75,
+        |    (b2.v * 0.25 + (r.l + r.b) * 0.75 - r.l) * 0.5 + r.b * 0.5
+        |  FROM rec r JOIN base b2
+        |    ON b2.user_id = r.user_id AND b2.rn = r.rn + 1
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(FLOOR(l * 100000 + 0.5) AS BIGINT) / 100000.0 AS level,
+        |  CAST(FLOOR(b * 100000 + 0.5) AS BIGINT) / 100000.0 AS trend,
+        |  CAST(FLOOR((l + b) * 100000 + 0.5) AS BIGINT) / 100000.0 AS forecast
+        |FROM rec WHERE rn = n""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.holt(Tables(s, dir).events,
+        "user_id", Seq("ts", "event_id"), "value", alpha = 0.25, beta = 0.5)),
+
+    // Two-sided CUSUM level-shift detection ([[Timeseries.cusum]]). μ/σ come
+    // from exact integer-cents sums, so the standardized residuals entering
+    // the fold are bit-identical across engines; the fold itself replays in
+    // list_reduce with the same greatest/least arithmetic, drift k = 0.5.
+    Reg("ts_cusum", Some(
+      """WITH RECURSIVE st AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY user_id) AS sc,
+        |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+        |        * CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY user_id) AS scc,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cc
+        |  FROM events
+        |), zz AS (
+        |  SELECT user_id, rn, n,
+        |    CASE WHEN sqrt(CAST(scc AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0 = 0.0
+        |      THEN CAST(0.0 AS DOUBLE)
+        |      ELSE (CAST(cc AS DOUBLE) / 100.0
+        |            - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+        |        / (sqrt(CAST(scc AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0)
+        |      END AS z
+        |  FROM st
+        |), rec AS (
+        |  SELECT user_id, rn, n,
+        |    greatest(z - 0.5, CAST(0.0 AS DOUBLE)) AS p,
+        |    least(z + 0.5, CAST(0.0 AS DOUBLE)) AS q,
+        |    greatest(z - 0.5, CAST(0.0 AS DOUBLE)) AS mp,
+        |    least(z + 0.5, CAST(0.0 AS DOUBLE)) AS mq
+        |  FROM zz WHERE rn = 1
+        |  UNION ALL
+        |  SELECT z2.user_id, z2.rn, z2.n,
+        |    greatest(r.p + z2.z - 0.5, CAST(0.0 AS DOUBLE)),
+        |    least(r.q + z2.z + 0.5, CAST(0.0 AS DOUBLE)),
+        |    greatest(r.mp, greatest(r.p + z2.z - 0.5, CAST(0.0 AS DOUBLE))),
+        |    least(r.mq, least(r.q + z2.z + 0.5, CAST(0.0 AS DOUBLE)))
+        |  FROM rec r JOIN zz z2
+        |    ON z2.user_id = r.user_id AND z2.rn = r.rn + 1
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(FLOOR(mp * 100000 + 0.5) AS BIGINT) / 100000.0 AS cusum_pos,
+        |  CAST(FLOOR(mq * 100000 + 0.5) AS BIGINT) / 100000.0 AS cusum_neg
+        |FROM rec WHERE rn = n""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.cusum(Tables(s, dir).events,
+        "user_id", Seq("ts", "event_id"), "value", drift = 0.5)),
+
+    // Per-key OLS trend ([[Timeseries.linearTrend]]): slope/intercept/r²
+    // from five exact integer sums (x = seconds since the key's first
+    // event, y = cents; Σx²/Σxy/Σy² as DECIMAL/HUGEINT), floats only in the
+    // final closed-form ratio — identical expression order both engines.
+    Reg("ts_linreg", Some(
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT)
+        |      - MIN(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT))
+        |        OVER (PARTITION BY user_id) AS x,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(c) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * CAST(c AS HUGEINT)) AS sxy,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
+        |  FROM b GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(syy AS DOUBLE) AS syyd
+        |  FROM a)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(FLOOR((CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL
+        |    ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * 864.0
+        |    END) * 100000 + 0.5) AS BIGINT) / 100000.0 AS slope_per_day,
+        |  CAST(FLOOR((CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL
+        |    ELSE (syd * sxxd - sxd * sxyd) / (nd * sxxd - sxd * sxd) / 100.0
+        |    END) * 100000 + 0.5) AS BIGINT) / 100000.0 AS intercept,
+        |  CAST(FLOOR((CASE WHEN nd * sxxd - sxd * sxd = 0
+        |           OR nd * syyd - syd * syd = 0 THEN NULL
+        |    ELSE (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+        |      / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        |    END) * 100000 + 0.5) AS BIGINT) / 100000.0 AS r2
+        |FROM d""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.linearTrend(Tables(s, dir).events,
+        "user_id", "ts", "value")),
 
     // Funnel: ordered-step reach counts (signup → click → purchase, each
     // step at or after the user's earliest previous-step completion).

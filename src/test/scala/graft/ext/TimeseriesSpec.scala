@@ -19,8 +19,7 @@ class TimeseriesSpec extends SparkSpec {
     val want = rows.groupBy(_._1).map { case (k, evs) =>
       val vs = evs.sortBy(_._2).map(_._3)
       (k, vs.size.toLong,
-        BigDecimal(refEwma(vs, 0.25)).setScale(5, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)
+        math.floor(refEwma(vs, 0.25) * 100000.0 + 0.5) / 100000.0)
     }.toSet
     assert(got == want)
   }
@@ -31,6 +30,134 @@ class TimeseriesSpec extends SparkSpec {
       .collect().head
     // fold: 10 -> 10*.5+20*.5=15 -> 15*.5+30*.5=22.5
     assert(r.getAs[Double]("ewma") == 22.5 && r.getAs[Long]("n_events") == 3L)
+  }
+
+  test("ewmaSeries emits every row with its prefix EWMA; last row equals the ewma summary") {
+    val rnd = new scala.util.Random(31)
+    val rows = for (k <- 1 to 4; i <- 1 to 25)
+      yield (s"u$k", i.toLong, rnd.nextDouble() * 50)
+    val got = Timeseries.ewmaSeries(rows.toDF("k", "seq", "v"),
+        "k", Seq("seq"), "v", alpha = 0.25)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("seq")) ->
+        r.getAs[Double]("ewma")).toMap
+    val want = rows.groupBy(_._1).flatMap { case (k, evs) =>
+      val vs = evs.sortBy(_._2).map(_._3)
+      vs.indices.map { i =>
+        val y = vs.slice(1, i + 1).foldLeft(vs.head)((a, x) => a * 0.75 + x * 0.25)
+        (k, (i + 1).toLong) ->
+          math.floor(y * 100000.0 + 0.5) / 100000.0
+      }
+    }
+    assert(got == want)
+    val summary = Timeseries.ewma(rows.toDF("k", "seq", "v"),
+        "k", Seq("seq"), "v", 0.25)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ewma")).toMap
+    val lastPerKey = got.groupBy(_._1._1).map { case (k, m) => k -> m.maxBy(_._1._2)._2 }
+    assert(lastPerKey == summary)
+  }
+
+  test("holt matches the driver-side level/trend recursion; recovers a clean linear series") {
+    val rnd = new scala.util.Random(37)
+    val rows = for (k <- 1 to 4; i <- 1 to 30)
+      yield (s"u$k", i.toLong, rnd.nextDouble() * 40)
+    val got = Timeseries.holt(rows.toDF("k", "seq", "v"),
+        "k", Seq("seq"), "v", alpha = 0.25, beta = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast"))).toMap
+    def r5(x: Double) = math.floor(x * 100000.0 + 0.5) / 100000.0
+    val want = rows.groupBy(_._1).map { case (k, evs) =>
+      val vs = evs.sortBy(_._2).map(_._3)
+      val (l, b) = vs.tail.foldLeft((vs.head, 0.0)) { case ((l, b), x) =>
+        val nl = x * 0.25 + (l + b) * 0.75
+        (nl, (nl - l) * 0.5 + b * 0.5)
+      }
+      k -> (r5(l), r5(b), r5(l + b))
+    }
+    assert(got == want)
+    // exact linear input: the fold converges toward slope 2; trend positive
+    val lin = (1 to 50).map(i => ("u", i.toLong, 2.0 * i))
+    val r = Timeseries.holt(lin.toDF("k", "seq", "v"), "k", Seq("seq"), "v", 0.5, 0.5)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("trend") - 2.0) < 0.1)
+  }
+
+  test("cusum flags the planted level shift and matches the driver-side fold") {
+    // u: flat 10 then jumps to 14 halfway; v: i.i.d.-ish noise, no shift
+    val rnd = new scala.util.Random(41)
+    val shifted = (1 to 40).map(i =>
+      ("u", i.toLong, (if (i <= 20) 10.0 else 14.0) + rnd.nextInt(100) / 100.0))
+    val flat = (1 to 40).map(i => ("v", i.toLong, 10.0 + rnd.nextInt(100) / 100.0))
+    val df = (shifted ++ flat).toDF("k", "seq", "v")
+    val got = Timeseries.cusum(df, "k", Seq("seq"), "v", drift = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("cusum_pos"), r.getAs[Double]("cusum_neg"))).toMap
+    def r5(x: Double) = math.floor(x * 100000.0 + 0.5) / 100000.0
+    val want = (shifted ++ flat).groupBy(_._1).map { case (k, evs) =>
+      val cs = evs.sortBy(_._2).map(t => math.floor(t._3 * 100 + 0.5).toLong)
+      val n = cs.size.toDouble
+      val mc = cs.sum.toDouble / n
+      val varC = cs.map(c => c.toDouble * c).sum / n - mc * mc
+      val sigma = math.sqrt(varC) / 100.0
+      val mu = mc / 100.0
+      val zs = cs.map(c => if (sigma == 0) 0.0 else (c / 100.0 - mu) / sigma)
+      var (p, q, mp, mq) = (0.0, 0.0, 0.0, 0.0)
+      zs.foreach { z =>
+        p = math.max(0, p + z - 0.5); q = math.min(0, q + z + 0.5)
+        mp = math.max(mp, p); mq = math.min(mq, q)
+      }
+      k -> (r5(mp), r5(mq))
+    }
+    assert(got == want)
+    assert(got("u")._1 > 5.0, "planted shift must drive S+ high")
+    assert(got("v")._1 < got("u")._1 / 2, "flat key must not")
+  }
+
+  test("linearTrend recovers an exact planted line (r2 = 1) and nulls degenerate keys") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(days: Double) =
+      new java.sql.Timestamp(t0.getTime + (days * 86400000L).toLong)
+    // y = 3.5*d + 20 in value units per day
+    val line = (0 until 10).map(d => ("a", at(d.toDouble), 20.0 + 3.5 * d))
+    val single = Seq(("b", at(0), 7.0))
+    val sameTs = Seq(("c", at(1), 5.0), ("c", at(1), 9.0))
+    val df = (line ++ single ++ sameTs).toDF("k", "ts", "v")
+    val got = Timeseries.linearTrend(df, "k", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(r.fieldIndex("slope_per_day"))),
+          Option(r.get(r.fieldIndex("intercept"))),
+          Option(r.get(r.fieldIndex("r2"))))).toMap
+    assert(got("a") == (Some(3.5), Some(20.0), Some(1.0)))
+    assert(got("b") == (None, None, None), "single point has no slope")
+    assert(got("c") == (None, None, None), "zero x-variance has no slope")
+  }
+
+  test("linearTrend matches the driver-side closed form on random data") {
+    val rnd = new scala.util.Random(43)
+    val t0 = 1704067200L // 2024-01-01 UTC, seconds
+    val rows = for (k <- 1 to 5; _ <- 1 to 30) yield
+      (s"u$k", new java.sql.Timestamp((t0 + rnd.nextInt(2600000)) * 1000L),
+        rnd.nextInt(50000) / 100.0)
+    val got = Timeseries.linearTrend(rows.toDF("k", "ts", "v"), "k", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("slope_per_day"), r.getAs[Double]("intercept"),
+          r.getAs[Double]("r2"))).toMap
+    def r5(x: Double) = math.floor(x * 100000.0 + 0.5) / 100000.0
+    val want = rows.groupBy(_._1).map { case (k, evs) =>
+      val x0 = evs.map(_._2.getTime / 1000).min
+      val xs = evs.map(_._2.getTime / 1000 - x0)
+      val cs = evs.map(t => math.floor(t._3 * 100 + 0.5).toLong)
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.sum.toDouble, cs.sum.toDouble)
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val sxy = xs.zip(cs).map { case (x, c) => BigInt(x) * BigInt(c) }.sum.toDouble
+      val syy = cs.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+      val den = n * sxx - sx * sx
+      val cov = n * sxy - sx * sy
+      k -> (r5(cov / den * 864.0), r5((sy * sxx - sx * sxy) / den / 100.0),
+        r5(cov * cov / (den * (n * syy - sy * sy))))
+    }
+    assert(got == want)
   }
 
   test("ewma edge cases: single event returns its value; alpha=1 returns the last value") {
