@@ -220,4 +220,53 @@ object Timeseries {
       r5(when(den === 0.0 or deny === 0.0, null)
         .otherwise(cov * cov / (den * deny))).as("r2"))
   }
+
+  /** Time-bucket OHLC resample — the pandas `resample(...).ohlc()` /
+    * candlestick downsample. One row per (key, bucket): open = value at the
+    * bucket's first event, close = at its last (both picked by lexicographic
+    * MIN/MAX over (ts, tiebreak, value) structs — exact, no window pass),
+    * high/low = max/min, n_events, and vsum as an exact integer-cents sum.
+    * `bucket` is a `date_trunc` unit ("hour", "day", "week", ...). Pure
+    * partial-aggregable groupBy: ONE shuffle of bucket-sized partials,
+    * unbounded keys welcome — this is the op that turns a 100 TB event
+    * stream into a plottable frame. */
+  def ohlc(df: DataFrame, keyCol: String, tsCol: String, tiebreakCol: String,
+           valueCol: String, bucket: String): DataFrame = {
+    val pick = struct(col(tsCol), col(tiebreakCol),
+      col(valueCol).cast("double").as("__v"))
+    df.groupBy(col(keyCol),
+        date_trunc(bucket, col(tsCol)).as("bucket_ts"))
+      .agg(
+        min(pick).getField("__v").as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(pick).getField("__v").as("close"),
+        count(lit(1)).cast("long").as("n_events"),
+        (sum(floor(col(valueCol) * 100 + 0.5).cast("long")).cast("double")
+          / 100.0).as("vsum"))
+  }
+
+  /** Trailing TIME-range rolling features: for every event, the exact-cents
+    * sum, count, and mean of the key's events in the last `windowSeconds`
+    * seconds INCLUDING this one — the wall-clock sibling of the row-count
+    * frame in `w4_rolling` (a RANGE frame holds "last hour", not "last 5
+    * rows", under irregular event spacing). Events sharing the same whole
+    * second are frame peers and get identical values on every engine —
+    * that's RANGE semantics, not an implementation accident. One shuffle
+    * (the window partition); the frame is streaming state inside the sorted
+    * partition, never materialized. */
+  def rollingTime(df: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valueCol: String,
+                  windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0: $windowSeconds")
+    val secs = graft.functions.Time.tsSeconds(col(tsCol))
+    val w = Window.partitionBy(keyCol).orderBy(secs)
+      .rangeBetween(-windowSeconds, 0)
+    val csum = sum(floor(col(valueCol) * 100 + 0.5).cast("long")).over(w)
+    val n = count(lit(1)).over(w)
+    df.select(col(keyCol), col(idCol),
+      (csum.cast("double") / 100.0).as("roll_sum"),
+      n.as("n_win"),
+      (csum.cast("double") / 100.0 / n).as("roll_mean"))
+  }
 }

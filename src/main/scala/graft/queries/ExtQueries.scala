@@ -278,6 +278,44 @@ object ExtQueries {
       (s, dir) => graft.ext.Timeseries.linearTrend(Tables(s, dir).events,
         "user_id", "ts", "value")),
 
+    // Time-bucket OHLC resample ([[Timeseries.ohlc]]): daily candles per
+    // user. open/close picked by lexicographic MIN/MAX over
+    // (ts, event_id, value) structs — identical tiebreak on both engines;
+    // vsum is the exact-cents sum.
+    Reg("ts_ohlc", Some(
+      """SELECT user_id,
+        |  strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+        |  MIN({'t': CAST(ts AS TIMESTAMP), 'e': event_id, 'v': value}).v AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX({'t': CAST(ts AS TIMESTAMP), 'e': event_id, 'v': value}).v AS close,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS vsum
+        |FROM events GROUP BY 1, 2""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.ohlc(Tables(s, dir).events,
+          "user_id", "ts", "event_id", "value", "day")
+        .withColumn("bucket_ts",
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss"))),
+
+    // Trailing 1-hour RANGE rolling ([[Timeseries.rollingTime]]): wall-clock
+    // window under irregular spacing (vs w4_rolling's row-count frame).
+    // Exact-cents running sum; same-second events are RANGE peers on both
+    // engines by definition.
+    Reg("ts_rolling_time", Some(
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+        |    / 100.0 AS roll_sum,
+        |  COUNT(*) OVER w AS n_win,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+        |    / 100.0 / (COUNT(*) OVER w) AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.rollingTime(Tables(s, dir).events,
+        "user_id", "ts", "event_id", "value", windowSeconds = 3600L)),
+
     // Funnel: ordered-step reach counts (signup → click → purchase, each
     // step at or after the user's earliest previous-step completion).
     Reg("funnel", Some(

@@ -160,6 +160,44 @@ class TimeseriesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ohlc picks bucket-first open, bucket-last close, exact extremes and cents sum") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("u", ts("2024-01-01 09:00:00"), 1L, 10.0),
+      ("u", ts("2024-01-01 15:00:00"), 2L, 30.0),
+      ("u", ts("2024-01-01 23:59:59"), 3L, 20.0),
+      ("u", ts("2024-01-02 01:00:00"), 4L, 5.5),
+      ("v", ts("2024-01-01 12:00:00"), 5L, 7.25))
+    val got = Timeseries.ohlc(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "id", "v", "day")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("vsum"))).toMap
+    assert(got(("u", "2024-01-01 00:00:00.0")) == (10.0, 30.0, 10.0, 20.0, 3L, 60.0))
+    assert(got(("u", "2024-01-02 00:00:00.0")) == (5.5, 5.5, 5.5, 5.5, 1L, 5.5))
+    assert(got(("v", "2024-01-01 00:00:00.0")) == (7.25, 7.25, 7.25, 7.25, 1L, 7.25))
+  }
+
+  test("rollingTime: trailing 1h RANGE frame, same-second events are peers") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("u", ts("2024-01-01 09:00:00"), 1L, 1.0),
+      ("u", ts("2024-01-01 09:30:00"), 2L, 2.0),
+      ("u", ts("2024-01-01 10:00:00"), 3L, 4.0),   // 1h back reaches 09:00
+      ("u", ts("2024-01-01 11:30:00"), 4L, 8.0),
+      ("u", ts("2024-01-01 11:30:00"), 5L, 16.0))  // same second: peer of id 4
+    val got = Timeseries.rollingTime(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "id", "v", 3600L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("roll_sum"), r.getAs[Long]("n_win"))).toMap
+    assert(got(1L) == (1.0, 1L))
+    assert(got(2L) == (3.0, 2L))
+    assert(got(3L) == (7.0, 3L), "RANGE includes the event exactly 1h back")
+    assert(got(4L) == (24.0, 2L), "peers share the frame")
+    assert(got(5L) == (24.0, 2L))
+  }
+
   test("ewma edge cases: single event returns its value; alpha=1 returns the last value") {
     val one = Seq(("u", 1L, 42.125)).toDF("k", "seq", "v")
     assert(Timeseries.ewma(one, "k", Seq("seq"), "v", 0.25)
