@@ -188,6 +188,42 @@ object Streaming {
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** Per-key streaming EWMA — the incremental form of
+    * [[graft.ext.Timeseries.ewma]]: state is just (n_events, ewma), O(1)
+    * per key forever, where the batch fold needs the key's history in one
+    * task. Each microbatch sorts its own rows per key by (ts, event_id)
+    * and folds them onto the carried state with EXACTLY the batch
+    * arithmetic (y ← α·x + (1−α)·y, seeded with the key's first value), so
+    * over the bounded AvailableNow source the result hash-matches the
+    * batch/DuckDB oracle row for row — the streaming plan is proven
+    * equivalent, not just plausible. Output rounds via the same
+    * FLOOR(x·1e5 + 0.5) convention as the batch family. */
+  def ewmaSummaries(spark: SparkSession, events: DataFrame,
+                    alpha: Double): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val decay = 1 - alpha
+    events
+      .select(col("user_id"), tsMicros(col("ts")).as("tsu"), col("event_id"),
+        col("value").cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[(Long, Double)]) =>
+          val (n0, e0) = state.getOption.getOrElse((0L, 0.0))
+          var (n, e) = (n0, e0)
+          it.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            e = if (n == 0) r._4 else e * decay + r._4 * alpha
+            n += 1
+          }
+          state.update((n, e))
+          (user, n, math.floor(e * 100000.0 + 0.5) / 100000.0)
+      }
+      .toDF("user_id", "n_events", "ewma")
+  }
+
   /** One row PER SESSION via `flatMapGroupsWithState` (the multi-row-output
     * sibling of [[sessionSummaries]]'s mapGroupsWithState): sessions split
     * on gaps > `gapMinutes`; each emits (user, 1-based session index, event

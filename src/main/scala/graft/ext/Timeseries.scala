@@ -269,4 +269,38 @@ object Timeseries {
       n.as("n_win"),
       (csum.cast("double") / 100.0 / n).as("roll_mean"))
   }
+
+  /** Lag-1 autocorrelation per key: Pearson r between consecutive values in
+    * event order — the persistence/mean-reversion screen (near +1: trending
+    * series, near 0: noise, negative: oscillation). The (xᵢ₋₁, xᵢ) pairs
+    * come from ONE window lag; the six closed-form sums accumulate exactly
+    * (cents as BIGINT, products as DECIMAL(38,0)), floats only in the final
+    * ratio — the same determinism contract as [[linearTrend]]. Keys with a
+    * single event have no pair and are absent from the result; zero
+    * variance on either side yields a null acf1. One shuffle (window +
+    * groupBy share the key partitioning); safe for unbounded keys. */
+  def acf1(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val c = floor(col(valueCol) * 100 + 0.5).cast("long")
+    val base = df
+      .select(col(keyCol), c.as("__b"), lag(c, 1).over(w).as("__a"))
+      .where(col("__a").isNotNull)
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val agged = base.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+      sum(dec(col("__a")) * dec(col("__a"))).as("__saa"),
+      sum(dec(col("__b")) * dec(col("__b"))).as("__sbb"),
+      sum(dec(col("__a")) * dec(col("__b"))).as("__sab"))
+    val nD = col("n_pairs").cast("double")
+    val (sa, sb) = (col("__sa").cast("double"), col("__sb").cast("double"))
+    val (saa, sbb, sab) = (col("__saa").cast("double"),
+      col("__sbb").cast("double"), col("__sab").cast("double"))
+    val da = nD * saa - sa * sa
+    val db = nD * sbb - sb * sb
+    agged.select(col(keyCol), col("n_pairs"),
+      r5(when(da === 0.0 or db === 0.0, null)
+        .otherwise((nD * sab - sa * sb) / sqrt(da * db))).as("acf1"))
+  }
 }

@@ -316,6 +316,59 @@ object ExtQueries {
       (s, dir) => graft.ext.Timeseries.rollingTime(Tables(s, dir).events,
         "user_id", "ts", "event_id", "value", windowSeconds = 3600L)),
 
+    // Lag-1 autocorrelation ([[Timeseries.acf1]]): persistence screen per
+    // user. Six exact sums over the lag pairs (cents BIGINT, products
+    // HUGEINT/DECIMAL); single-event keys have no pair and are absent on
+    // both engines.
+    Reg("ts_acf1", Some(
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cb,
+        |    lag(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ca
+        |  FROM events),
+        |p AS (SELECT user_id, ca, cb FROM b WHERE ca IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS n, SUM(ca) AS sa, SUM(cb) AS sb,
+        |    SUM(CAST(ca AS HUGEINT) * CAST(ca AS HUGEINT)) AS saa,
+        |    SUM(CAST(cb AS HUGEINT) * CAST(cb AS HUGEINT)) AS sbb,
+        |    SUM(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)) AS sab
+        |  FROM p GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+        |    CAST(saa AS DOUBLE) AS saad, CAST(sbb AS DOUBLE) AS sbbd,
+        |    CAST(sab AS DOUBLE) AS sabd
+        |  FROM a)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(FLOOR((CASE WHEN nd * saad - sad * sad = 0
+        |           OR nd * sbbd - sbd * sbd = 0 THEN NULL
+        |    ELSE (nd * sabd - sad * sbd)
+        |      / sqrt((nd * saad - sad * sad) * (nd * sbbd - sbd * sbd))
+        |    END) * 100000 + 0.5) AS BIGINT) / 100000.0 AS acf1
+        |FROM d""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.acf1(Tables(s, dir).events,
+        "user_id", "ts", "event_id", "value")),
+
+    // ST: streaming EWMA — [[graft.ext.Streaming.ewmaSummaries]], the O(1)-
+    // state incremental form of w8_ewma (the batch fold needs the key's
+    // whole history in one task; the stream carries only (n, ewma)). Shares
+    // w8_ewma's oracle: the hash proves the microbatch fold equals the
+    // batch recursion row for row.
+    Reg("stream_ewma", Some(
+      """WITH s AS (
+        |  SELECT user_id,
+        |    list_transform(list_sort(list({'t': ts, 'e': event_id, 'v': value})),
+        |      r -> r.v) AS vs,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(FLOOR(list_reduce(vs, (acc, x) -> acc * 0.75 + x * 0.25)
+        |    * 100000 + 0.5) AS BIGINT) / 100000.0 AS ewma
+        |FROM s""".stripMargin))(
+      (s, dir) => graft.ext.Streaming.ewmaSummaries(
+        s, Tables(s, dir).events, alpha = 0.25)),
+
     // Funnel: ordered-step reach counts (signup → click → purchase, each
     // step at or after the user's earliest previous-step completion).
     Reg("funnel", Some(

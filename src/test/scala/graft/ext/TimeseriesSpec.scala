@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class TimeseriesSpec extends SparkSpec {
   import spark.implicits._
@@ -196,6 +197,39 @@ class TimeseriesSpec extends SparkSpec {
     assert(got(3L) == (7.0, 3L), "RANGE includes the event exactly 1h back")
     assert(got(4L) == (24.0, 2L), "peers share the frame")
     assert(got(5L) == (24.0, 2L))
+  }
+
+  test("acf1: planted alternating series is negative, trending positive, single-event keys absent") {
+    val alt = (1 to 30).map(i => ("alt", i.toLong, if (i % 2 == 0) 10.0 else 20.0))
+    val trend = (1 to 30).map(i => ("up", i.toLong, i * 1.0 + (i % 3) * 0.01))
+    val lone = Seq(("lone", 1L, 5.0))
+    val const = (1 to 10).map(i => ("const", i.toLong, 7.0))
+    val got = Timeseries.acf1((alt ++ trend ++ lone ++ const)
+        .toDF("k", "seq", "v").withColumn("id", col("seq")),
+        "k", "seq", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pairs"), Option(r.get(r.fieldIndex("acf1"))))).toMap
+    assert(!got.contains("lone"), "single-event key has no pair")
+    assert(got("const")._2.isEmpty, "zero variance -> null")
+    assert(got("alt")._2.get.asInstanceOf[Double] < -0.9)
+    assert(got("up")._2.get.asInstanceOf[Double] > 0.9)
+    assert(got("alt")._1 == 29L)
+  }
+
+  test("streaming ewmaSummaries equals the batch ewma per key") {
+    val rnd = new scala.util.Random(47)
+    val rows = for (k <- 1 to 4; i <- 1 to 35) yield
+      (k.toLong, new java.sql.Timestamp(1704067200000L + i * 60000L),
+        (k * 100 + i).toLong, rnd.nextDouble() * 80)
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val stream = Streaming.ewmaSummaries(spark, df, alpha = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("ewma"))).toMap
+    val batch = Timeseries.ewma(df, "user_id", Seq("ts", "event_id"),
+        "value", 0.25)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("ewma"))).toMap
+    assert(stream == batch)
   }
 
   test("ewma edge cases: single event returns its value; alpha=1 returns the last value") {
