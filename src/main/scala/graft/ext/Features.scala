@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Clean
+
+/** Tabular feature engineering for model training — the encode/bin step
+  * between the relational layer and a trainer. The reference stops at
+  * one-hot pivots (`etl_io.py`'s wide reshape); these are the two
+  * standard encodings one-hot cannot express: a target statistic per
+  * category and an equal-frequency discretization.
+  *
+  * Both are exact-arithmetic by construction (BIGINT cents, discrete
+  * percentile cuts) so the per-row outputs hash-match a SQL replay — the
+  * registry's determinism contract (Reg.scala) extended to feature prep,
+  * where silent cross-engine drift would poison a training set instead
+  * of a report.
+  */
+object Features {
+
+  /** Leave-one-out target encoding: each row's category is replaced by the
+    * mean of `targetCol` over the OTHER rows of the same category —
+    * te(i) = (S_cat − x_i) / (n_cat − 1), NULL for singleton categories.
+    * Including the row's own target is the classic target-leakage bug
+    * (the encoded feature memorizes its own label, inflating validation
+    * scores); the LOO form is the leakage-safe variant of mean encoding —
+    * same posture as [[Sampling.splitByGroup]], which protects the split
+    * the way this protects the feature.
+    *
+    * Exactness: targets fold to BIGINT cents, so S_cat is the same
+    * integer on any executor count; the single double division + FLOOR
+    * rounding ([[Timeseries.r5]]) is reproduced verbatim by the oracle.
+    * Plan: one groupBy over the (small) category domain broadcast-joined
+    * back — the fact table is scanned once and never shuffled. */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+                      targetCol: String): DataFrame = {
+    val rows = df.select(col(idCol), col(catCol),
+      floor(col(targetCol) * 100 + 0.5).cast("long").as("__c"))
+    val stats = rows.groupBy(col(catCol))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+    rows.join(broadcast(stats), Seq(catCol))
+      .select(col(idCol), col(catCol),
+        Timeseries.r5(when(col("__n") > 1,
+          (col("__s") - col("__c")).cast("double") / 100.0
+            / (col("__n") - 1).cast("double"))).as("te_loo"))
+  }
+
+  /** Equal-frequency discretization: assign each row the quantile bin
+    * (1..nBins) of its value WITHIN its group, cuts at p = k/nBins from
+    * [[Clean.percentileCuts]] — discrete group elements, never
+    * interpolated, so bin boundaries are exact on every engine and ties
+    * sit in the lowest qualifying bin (x > cut strictly). Skewed or
+    * low-cardinality groups may yield duplicate cuts and empty bins —
+    * that is the correct discrete answer, not an error.
+    *
+    * Plan: the cut table is one row per group (broadcast join-back); the
+    * heavy pass is percentileCuts' distinct-value histogram. The fact
+    * scan itself needs no shuffle and no window. */
+  def quantileBin(df: DataFrame, valueCol: String, groupCol: String,
+                  idCols: Seq[String], nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    val ps = (1 until nBins).map(k => (s"__q$k", k.toDouble / nBins))
+    val cuts = Clean.percentileCuts(df, valueCol, groupCol, ps)
+    val bin = ps.map { case (n, _) =>
+      when(col(valueCol) > col(n), 1L).otherwise(0L)
+    }.reduce(_ + _) + 1L
+    df.join(broadcast(cuts), df(groupCol) === cuts("__g"))
+      .select((idCols :+ groupCol).map(col) :+ bin.as("bin"): _*)
+  }
+}

@@ -113,4 +113,36 @@ object Funnel {
           .as("duration_sec"),
         count(lit(1)).as("n_events"))
   }
+
+  /** First-order Markov transition matrix over the event-type sequence:
+    * (from_type, to_type, n, p) where n counts consecutive pairs within a
+    * user's (ts, tiebreak)-ordered stream and p = n / Σ n over the from
+    * state — the behavioral-feature / next-event-model primitive (and, on
+    * a token stream, exactly a bigram LM's conditional table).
+    *
+    * Plan: ONE lead window over the user partition produces the pairs,
+    * then a (from, to) count; the per-from denominator is re-aggregated
+    * from the counts (state-pair cardinality, tiny) and joined back —
+    * broadcast at any scale, so the event table is scanned once and
+    * shuffled once. p is deterministic cross-engine: both factors are
+    * exact BIGINTs and the single division + FLOOR-rounding
+    * ([[Timeseries.r5]]) is the same three IEEE ops everywhere. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  tiebreak: Seq[String], typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsCol) +: tiebreak.map(col): _*)
+    val counts = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type")
+      .agg(sum(col("n")).as("__tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        Timeseries.r5(col("n").cast("double") / col("__tot").cast("double"))
+          .as("p"))
+  }
 }

@@ -1714,9 +1714,80 @@ object ExtQueries {
           .select(col("l_returnflag"), col("x").as("mode_qty"))
       }),
 
+    // First-order Markov transitions over each user's event-type sequence
+    // ([[Funnel.transitions]]): (from, to, n, p). One lead window + one
+    // pair count; the per-from denominator is a broadcast join-back, and
+    // p's single division + FLOOR-rounding is replayed verbatim.
+    Reg("seq_transitions", Some(
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST(FLOOR(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+        |    * 100000 + 0.5) AS BIGINT) / 100000.0 AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin))(
+      (s, dir) => graft.ext.Funnel.transitions(Tables(s, dir).events,
+        "user_id", "ts", Seq("event_id"), "event_type")),
+
+    // Leave-one-out target encoding ([[Features.targetEncodeLoo]]):
+    // priority → mean total price of the OTHER orders in the priority —
+    // the leakage-safe mean encoding. BIGINT-cents sums; singleton
+    // categories NULL on both engines.
+    Reg("feat_target_encode", Some(
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |a AS (SELECT o_orderpriority, SUM(c) AS s, COUNT(*) AS n
+        |      FROM b GROUP BY 1)
+        |SELECT o_orderkey, b.o_orderpriority,
+        |  CAST(FLOOR((CASE WHEN n > 1
+        |      THEN CAST(s - c AS DOUBLE) / 100.0 / CAST(n - 1 AS DOUBLE)
+        |      END) * 100000 + 0.5) AS BIGINT) / 100000.0 AS te_loo
+        |FROM b JOIN a USING (o_orderpriority)""".stripMargin))(
+      (s, dir) => graft.ext.Features.targetEncodeLoo(Tables(s, dir).orders,
+        "o_orderkey", "o_orderpriority", "o_totalprice")),
+
+    // Equal-frequency binning ([[Features.quantileBin]]): quartile bin of
+    // each lineitem's price within its returnflag group. Cuts are the
+    // DISCRETE percentileCuts elements (rank ceil(p·n) replayed via
+    // row_number), ties bin downward (strict >) — exact integers, no
+    // float tolerance anywhere.
+    Reg("feat_quantile_bin", Some(
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS x,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |cuts AS (SELECT g,
+        |  MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+        |           THEN x END) AS q1,
+        |  MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |           THEN x END) AS q2,
+        |  MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+        |           THEN x END) AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  CAST(1 + (CASE WHEN l.l_extendedprice > c.q1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN l.l_extendedprice > c.q2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN l.l_extendedprice > c.q3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bin
+        |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.g"""
+        .stripMargin))(
+      (s, dir) => graft.ext.Features.quantileBin(Tables(s, dir).lineitem,
+        "l_extendedprice", "l_returnflag",
+        Seq("l_orderkey", "l_linenumber"), nBins = 4)),
+
     graphPagerankReg,
     graphTrianglesReg,
-    graphBfsReg
+    graphBfsReg,
+    graphLpaReg
   )
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
@@ -1866,6 +1937,46 @@ object ExtQueries {
           .agg((min(col("o_custkey")) * 2).as("node"))
         graft.ext.Graph.bfsLevels(edges, sources, maxHops = 4)
       })
+
+  // Label-propagation communities over the basket co-purchase part graph
+  // (non-bipartite, unlike the customer↔supplier graph, so synchronous
+  // LPA does real merging instead of two-coloring oscillation). Engine:
+  // Graph.labelPropagation — 5 synchronous rounds, min-label tiebreak,
+  // O(E) joins per round. Oracle: the SAME 5 rounds unrolled as CTE
+  // pairs (neighbor-label count → per-node argmax via row_number) — a
+  // recursive CTE cannot aggregate per step, the fixed unroll can. Exact
+  // integers end to end; the hash pins canonicalization, the sync update
+  // rule, AND the tiebreak.
+  private def graphLpaReg: Reg = {
+    val rounds = (1 to 5).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, l.label, COUNT(*) AS n
+         |  FROM l${i - 1} l JOIN e ON e.src = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (PARTITION BY node
+         |    ORDER BY n DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    Reg("graph_lpa", Some(
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem),
+         |e0 AS (SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+         |       FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |                   UNION ALL SELECT b, a FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds
+         |SELECT node, label AS community FROM l5""".stripMargin))(
+      (s, dir) => {
+        val op = Tables(s, dir).lineitem
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = op.as("x")
+          .join(op.as("y"),
+            col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+        graft.ext.Graph.labelPropagation(edges, iters = 5)
+      })
+  }
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("targetEncodeLoo excludes the row's own target; singleton categories are null") {
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 9.9))
+      .toDF("id", "cat", "y")
+    val got = Features.targetEncodeLoo(df, "id", "cat", "y")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("te_loo"))))
+      .toMap
+    assert(got(1L).contains(2.5)) // (2+3)/2
+    assert(got(2L).contains(2.0)) // (1+3)/2
+    assert(got(3L).contains(1.5)) // (1+2)/2
+    assert(got(4L).isEmpty, "singleton category must be null, not 0 or own mean")
+  }
+
+  test("quantileBin: quartiles of 1..8 land two per bin; ties bin downward") {
+    val df = (1 to 8).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "v")
+    val got = Features.quantileBin(df, "v", "grp", Seq("id"), nBins = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    // cuts = elements at ranks 2, 4, 6 -> values 2, 4, 6; strict > means
+    // the cut value itself stays in the lower bin
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
+  }
+
+  test("quantileBin respects groups independently") {
+    val df = (Seq((1L, "lo", 1.0), (2L, "lo", 2.0)) ++
+      Seq((3L, "hi", 100.0), (4L, "hi", 200.0)))
+      .toDF("id", "grp", "v")
+    val got = Features.quantileBin(df, "v", "grp", Seq("id"), nBins = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    // per group of 2: median cut = element at rank 1; the larger value
+    // exceeds it -> bin 2 in ITS group even though 2.0 << 100.0
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
+}

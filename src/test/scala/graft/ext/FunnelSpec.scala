@@ -52,4 +52,27 @@ class FunnelSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("transitions counts consecutive pairs per user and normalizes per from-state") {
+    // user 1: view click purchase view click -> v→c ×2, c→p, p→v
+    // user 2: click view -> c→v
+    val rows = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (1L, 4L, "view"), (1L, 5L, "click"),
+      (2L, 1L, "click"), (2L, 2L, "view"))
+      .map { case (u, i, t) =>
+        (u, new java.sql.Timestamp(1704067200000L + i * 1000), i, t)
+      }
+    val got = Funnel.transitions(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", Seq("event_id"), "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(got == Map(
+      ("view", "click") -> (2L, 1.0),
+      ("click", "purchase") -> (1L, 0.5),
+      ("click", "view") -> (1L, 0.5),
+      ("purchase", "view") -> (1L, 1.0)))
+  }
 }

@@ -117,4 +117,32 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("labelPropagation separates two bridged triangles") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3-4; sync LPA
+    // with the min-label tiebreak settles to communities 1 and 3 (the
+    // hand-traced fixpoint, reached at round 4)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation is synchronous (pair swaps on odd rounds) and ignores self-loops/duplicates") {
+    import spark.implicits._
+    val pair = Seq((10L, 20L), (20L, 10L), (10L, 10L), (10L, 20L))
+      .toDF("src", "dst")
+    // a lone edge oscillates under the synchronous update: odd round
+    // count = swapped labels — pins the update rule AND dedup of the
+    // reversed/self-loop inputs (a double-counted edge would not swap)
+    val odd = Graph.labelPropagation(pair, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd == Map(10L -> 20L, 20L -> 10L))
+    val even = Graph.labelPropagation(pair, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(even == Map(10L -> 10L, 20L -> 20L))
+  }
 }
