@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Clean
@@ -67,5 +67,32 @@ object Features {
     }.reduce(_ + _) + 1L
     df.join(broadcast(cuts), df(groupCol) === cuts("__g"))
       .select((idCols :+ groupCol).map(col) :+ bin.as("bin"): _*)
+  }
+
+  /** Per-group z-score standardization: each row's value rescaled to
+    * (x − μ_g)/σ_g (population σ) — the scale-free feature form. Computed
+    * integer-first: z = (n·c − S) / √(n·Σc² − S²) over cents BIGINTs with
+    * DECIMAL(38,0) squares, so the radicand and numerator are exact and z
+    * is one division of two deterministic doubles. Zero-variance groups
+    * yield null (a constant feature has no z-score, and silently emitting
+    * 0 would hide that from the trainer). Same plan shape as
+    * [[targetEncodeLoo]]: one groupBy over the group domain broadcast
+    * back; the fact table never shuffles. */
+  def standardize(df: DataFrame, idCols: Seq[String], groupCol: String,
+                  valueCol: String): DataFrame = {
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val c = floor(col(valueCol) * 100 + 0.5).cast("long")
+    val rows = df.select((idCols :+ groupCol).map(col) :+ c.as("__c"): _*)
+    val stats = rows.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+      sum(dec(col("__c")) * dec(col("__c"))).as("__scc"))
+    val den = (dec(col("__n")) * col("__scc") -
+      dec(col("__s")) * dec(col("__s"))).cast("double")
+    rows.join(broadcast(stats), Seq(groupCol))
+      .select((idCols :+ groupCol).map(col) :+
+        Timeseries.r5(when(den > 0.0,
+          (dec(col("__n")) * dec(col("__c")) - dec(col("__s")))
+            .cast("double") / sqrt(den)))
+          .as("z"): _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Time.{tsMicros, tsSeconds}
@@ -144,5 +144,33 @@ object Funnel {
       .select(col("from_type"), col("to_type"), col("n"),
         Timeseries.r5(col("n").cast("double") / col("__tot").cast("double"))
           .as("p"))
+  }
+
+  /** Shannon entropy (nats) of each user's event-type distribution —
+    * behavioral diversity: 0 for a one-trick user, ln(k) for a uniform
+    * spread over k types. Factored for exactness as
+    * H = ln(n) − (Σ cᵗ·ln cᵗ)/n over the per-type counts cᵗ: the counts
+    * are exact integers and the Σ is a LEFT FOLD over the counts in
+    * type-sorted order (an `aggregate` HOF, not a float SUM whose
+    * accumulation order varies by executor count) — so the pre-rounding
+    * double is bit-identical on any engine that folds the same order.
+    * Per-user state is one entry per distinct type (bounded by the type
+    * vocabulary, not event count); two shuffles, both on the user key. */
+  def typeEntropy(events: DataFrame, userCol: String,
+                  typeCol: String): DataFrame = {
+    val counts = events.groupBy(col(userCol), col(typeCol))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(userCol))
+      .agg(sum(col("__c")).as("__n"),
+        sort_array(collect_list(struct(col(typeCol).as("__t"),
+          col("__c").cast("double").as("__cd")))).as("__l"))
+      .select(col(userCol), col("__n").as("n_events"),
+        Timeseries.r5(
+          log(col("__n").cast("double")) -
+            aggregate(
+              transform(col("__l"),
+                s => s.getField("__cd") * log(s.getField("__cd"))),
+              lit(0.0), (acc: Column, x: Column) => acc + x)
+              / col("__n").cast("double")).as("entropy"))
   }
 }

@@ -270,6 +270,72 @@ object Timeseries {
       (csum.cast("double") / 100.0 / n).as("roll_mean"))
   }
 
+  /** Hour-of-day seasonal profile per key: for each (key, hour 0–23),
+    * n_events and seasonal_idx = bucket mean / key mean — the
+    * multiplicative seasonal index (1.0 = flat, 2.0 = that hour runs
+    * double the key's average). The ratio is computed integer-first:
+    * idx = (Σc_bucket · n_key) / (n_bucket · Σc_key) with cents BIGINTs,
+    * so the only floats are two products and one division — identical on
+    * any engine and any executor count. Keys whose cents sum to exactly 0
+    * get null (a ratio of means is meaningless around a zero mean).
+    *
+    * Plan: one partial-aggregable groupBy(key, hour) shuffle over the
+    * events; the per-key totals come from a window over the ≤24-rows-per-
+    * key bucket table — O(keys·24), never the event table again.
+    * Unbounded keys welcome. */
+  def seasonal(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String): DataFrame = {
+    val agg = df
+      .groupBy(col(keyCol), hour(col(tsCol)).cast("long").as("hour"))
+      .agg(sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+    val wk = Window.partitionBy(keyCol)
+    val (st, nt) = (sum(col("__s")).over(wk), sum(col("__n")).over(wk))
+    agg.select(col(keyCol), col("hour"), col("__n").as("n_events"),
+      r5(when(st === 0L, null).otherwise(
+        (col("__s").cast("double") * nt.cast("double"))
+          / (col("__n").cast("double") * st.cast("double"))))
+        .as("seasonal_idx"))
+  }
+
+  /** Trailing-window anomaly detection: flag events whose value deviates
+    * more than `threshold` sigma from the mean of the key's OWN last
+    * `windowSeconds` seconds (self-inclusive RANGE frame — the same
+    * wall-clock frame as [[rollingTime]]). Returns only the anomalous
+    * rows: (key, id, n_win, z). Windows with fewer than `minN` events or
+    * zero variance never flag — a 2-event window calling one of them
+    * anomalous is noise, not detection.
+    *
+    * Exactness: z = (n·c − Σc) / √(n·Σc² − (Σc)²) — numerator and the
+    * radicand are exact integers (cents BIGINT, squares DECIMAL(38,0)),
+    * so z is one division of two deterministic doubles; the > threshold
+    * filter compares identical bits on every engine. One shuffle (the
+    * window partition); per-row state inside the sorted partition only. */
+  def anomalies(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                valueCol: String, windowSeconds: Long,
+                threshold: Double = 3.0, minN: Long = 5L): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0: $windowSeconds")
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val secs = graft.functions.Time.tsSeconds(col(tsCol))
+    val w = Window.partitionBy(keyCol).orderBy(secs)
+      .rangeBetween(-windowSeconds, 0)
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val c = floor(col(valueCol) * 100 + 0.5).cast("long")
+    val base = df.select(col(keyCol), col(idCol), c.as("__c"),
+      count(lit(1)).over(w).as("__n"),
+      sum(c).over(w).as("__s"),
+      sum(dec(c) * dec(c)).over(w).as("__scc"))
+    val num = (col("__n") * col("__c") - col("__s")).cast("double")
+    val den = (dec(col("__n")) * col("__scc") - dec(col("__s")) * dec(col("__s")))
+      .cast("double")
+    base
+      .withColumn("__z", when(den > 0.0, num / sqrt(den)))
+      .where(col("__n") >= minN && col("__z").isNotNull &&
+        abs(col("__z")) > threshold)
+      .select(col(keyCol), col(idCol), col("__n").as("n_win"),
+        r5(col("__z")).as("z"))
+  }
+
   /** Lag-1 autocorrelation per key: Pearson r between consecutive values in
     * event order — the persistence/mean-reversion screen (near +1: trending
     * series, near 0: noise, negative: oscillation). The (xᵢ₋₁, xᵢ) pairs

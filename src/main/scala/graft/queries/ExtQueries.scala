@@ -350,6 +350,100 @@ object ExtQueries {
       (s, dir) => graft.ext.Timeseries.acf1(Tables(s, dir).events,
         "user_id", "ts", "event_id", "value")),
 
+    // Hour-of-day seasonal index ([[Timeseries.seasonal]]): bucket mean /
+    // key mean, integer-first ratio (Σc_b·n_key)/(n_b·Σc_key) — two
+    // multiplies and one divide are the only float ops.
+    Reg("ts_seasonal", Some(
+      """WITH a AS (
+        |  SELECT user_id, CAST(hour(ts) AS BIGINT) AS hour,
+        |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, SUM(s) AS st, SUM(n) AS nt FROM a GROUP BY 1)
+        |SELECT a.user_id, hour, CAST(n AS BIGINT) AS n_events,
+        |  CAST(FLOOR((CASE WHEN st = 0 THEN NULL ELSE
+        |    (CAST(s AS DOUBLE) * CAST(nt AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(st AS DOUBLE)) END)
+        |    * 100000 + 0.5) AS BIGINT) / 100000.0 AS seasonal_idx
+        |FROM a JOIN t USING (user_id)""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.seasonal(Tables(s, dir).events,
+        "user_id", "ts", "value")),
+
+    // Trailing-hour rolling z-score anomalies ([[Timeseries.anomalies]]):
+    // z = (n·c − Σc)/√(n·Σc² − (Σc)²) over the self-inclusive 1h RANGE
+    // frame — numerator and radicand exact integers, the |z| > 3 filter
+    // compares identical doubles on both engines. minN 5 so sparse
+    // windows never flag.
+    Reg("ts_anomaly", Some(
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS sec,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, c,
+        |    COUNT(*) OVER win AS n, SUM(c) OVER win AS s,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) OVER win AS scc
+        |  FROM b WINDOW win AS (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT user_id, event_id, n,
+        |    CASE WHEN CAST(n AS HUGEINT) * scc
+        |              - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) > 0
+        |      THEN CAST(n * c - s AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS HUGEINT) * scc
+        |            - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE))
+        |      END AS zr
+        |  FROM w)
+        |SELECT user_id, event_id, CAST(n AS BIGINT) AS n_win,
+        |  CAST(FLOOR(zr * 100000 + 0.5) AS BIGINT) / 100000.0 AS z
+        |FROM z WHERE n >= 5 AND zr IS NOT NULL AND abs(zr) > 3.0"""
+        .stripMargin))(
+      (s, dir) => graft.ext.Timeseries.anomalies(Tables(s, dir).events,
+        "user_id", "ts", "event_id", "value", windowSeconds = 3600L,
+        threshold = 3.0, minN = 5L)),
+
+    // Behavioral entropy ([[Funnel.typeEntropy]]): Shannon entropy of the
+    // per-user event-type mix, factored H = ln n − (Σ c·ln c)/n with the
+    // Σ as a type-ordered LEFT FOLD on both engines (list_reduce's
+    // seed-first fold equals the 0.0-seeded fold bit-for-bit: 0+x = x).
+    Reg("seq_entropy", Some(
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, SUM(cnt) AS n,
+        |    list(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+        |         ORDER BY event_type) AS terms
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(FLOOR((ln(CAST(n AS DOUBLE)) -
+        |    list_reduce(terms, (a, x) -> a + x) / CAST(n AS DOUBLE))
+        |    * 100000 + 0.5) AS BIGINT) / 100000.0 AS entropy
+        |FROM l""".stripMargin))(
+      (s, dir) => graft.ext.Funnel.typeEntropy(Tables(s, dir).events,
+        "user_id", "event_type")),
+
+    // Per-group z-score standardization ([[Features.standardize]]):
+    // z = (n·c − S)/√(n·Σc² − S²), exact-integer numerator and radicand
+    // (HUGEINT ↔ DECIMAL(38,0)); zero-variance groups null.
+    Reg("feat_standardize", Some(
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, COUNT(*) AS n, SUM(c) AS s,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS scc
+        |  FROM b GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, b.l_returnflag,
+        |  CAST(FLOOR((CASE WHEN CAST(n AS HUGEINT) * scc
+        |        - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) > 0
+        |    THEN CAST(CAST(n AS HUGEINT) * CAST(c AS HUGEINT)
+        |        - CAST(s AS HUGEINT) AS DOUBLE)
+        |      / sqrt(CAST(CAST(n AS HUGEINT) * scc
+        |          - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE))
+        |    END) * 100000 + 0.5) AS BIGINT) / 100000.0 AS z
+        |FROM b JOIN a USING (l_returnflag)""".stripMargin))(
+      (s, dir) => graft.ext.Features.standardize(Tables(s, dir).lineitem,
+        Seq("l_orderkey", "l_linenumber"), "l_returnflag",
+        "l_extendedprice")),
+
     // ST: streaming EWMA — [[graft.ext.Streaming.ewmaSummaries]], the O(1)-
     // state incremental form of w8_ewma (the batch fold needs the key's
     // whole history in one task; the stream carries only (n, ewma)). Shares

@@ -41,4 +41,18 @@ class FeaturesSpec extends SparkSpec {
     // exceeds it -> bin 2 in ITS group even though 2.0 << 100.0
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("standardize: population z-scores of {1,2,3}; constant group is null") {
+    val df = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
+      (4L, "c", 7.0), (5L, "c", 7.0))
+      .toDF("id", "grp", "v")
+    val got = Features.standardize(df, Seq("id"), "grp", "v")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("z")))).toMap
+    // sigma_pop({1,2,3}) = sqrt(2/3); (3-2)/sigma = 1.22474 after r5
+    assert(got(2L).contains(0.0))
+    assert(got(1L).contains(-1.22474) && got(3L).contains(1.22474))
+    assert(got(4L).isEmpty && got(5L).isEmpty,
+      "zero-variance group must yield null, not 0")
+  }
 }

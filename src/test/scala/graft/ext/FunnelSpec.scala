@@ -75,4 +75,19 @@ class FunnelSpec extends SparkSpec {
       ("click", "view") -> (1L, 0.5),
       ("purchase", "view") -> (1L, 1.0)))
   }
+
+  test("typeEntropy: uniform 2-type user = ln 2, one-trick user = 0, skew in between") {
+    val rows =
+      Seq((1L, "a"), (1L, "b"), (1L, "a"), (1L, "b")) ++ // uniform over 2
+      Seq((2L, "a"), (2L, "a"), (2L, "a")) ++            // single type
+      Seq((3L, "a"), (3L, "a"), (3L, "a"), (3L, "b"))    // 3:1 skew
+    val got = Funnel.typeEntropy(rows.toDF("user_id", "event_type"),
+        "user_id", "event_type")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("entropy"))).toMap
+    assert(got(1L) == ((4L, 0.69315))) // r5(ln 2)
+    assert(got(2L) == ((3L, 0.0)))
+    // H(3/4, 1/4) = ln4 - (3 ln3)/4 = 0.56233514... -> r5 0.56234
+    assert(got(3L)._2 == 0.56234)
+  }
 }

@@ -232,6 +232,42 @@ class TimeseriesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("seasonal: planted two-hour profile yields 0.5/1.5 indices; zero-sum key is null") {
+    val rows =
+      (1 to 4).map(i => ("k", s"2024-01-0$i 06:00:00", 10.0)) ++
+      (1 to 4).map(i => ("k", s"2024-01-0$i 18:00:00", 30.0)) ++
+      Seq(("z", "2024-01-01 06:00:00", 5.0), ("z", "2024-01-01 18:00:00", -5.0))
+    val df = rows.toDF("k", "tss", "v")
+      .select(col("k"), col("tss").cast("timestamp").as("ts"), col("v"))
+    val got = Timeseries.seasonal(df, "k", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_events"),
+          Option(r.get(r.fieldIndex("seasonal_idx"))))).toMap
+    // key mean 20: hour 6 runs at 10 (idx 0.5), hour 18 at 30 (idx 1.5)
+    assert(got(("k", 6L)) == ((4L, Some(0.5))))
+    assert(got(("k", 18L)) == ((4L, Some(1.5))))
+    assert(got(("z", 6L))._2.isEmpty && got(("z", 18L))._2.isEmpty,
+      "zero total -> null index, not a division blowup")
+  }
+
+  test("anomalies flags only the planted spike, not sparse or calm windows") {
+    val base = 1704067200000L
+    // key "calm": 20 events in one hour, all value 50 except one 500 spike
+    val calm = (1 to 20).map(i => ("k", base + i * 60000L, i.toLong,
+      if (i == 15) 500.0 else 50.0))
+    // key "sparse": 3 wild events in an hour — under minN, never flags
+    val sparse = Seq(("s", base, 100L, 1.0), ("s", base + 60000L, 101L, 999.0),
+      ("s", base + 120000L, 102L, 1.0))
+    val df = (calm ++ sparse).map { case (k, ms, id, v) =>
+      (k, new java.sql.Timestamp(ms), id, v) }
+      .toDF("k", "ts", "id", "v")
+    val got = Timeseries.anomalies(df, "k", "ts", "id", "v",
+        windowSeconds = 3600L, threshold = 3.0, minN = 5L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("id"))).toSet
+    assert(got == Set(("k", 15L)),
+      s"only the spike at id=15 should flag, got $got")
+  }
+
   test("ewma edge cases: single event returns its value; alpha=1 returns the last value") {
     val one = Seq(("u", 1L, 42.125)).toDF("k", "seq", "v")
     assert(Timeseries.ewma(one, "k", Seq("seq"), "v", 0.25)
