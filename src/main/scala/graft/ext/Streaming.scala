@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.ops.Relational.dsum
-import graft.functions.Time.tsMicros
+import graft.functions.Time.{tsMicros, tsSeconds}
 
 /** Structured Streaming variants of the batch aggregations (SURVEY.md §2.9).
   *
@@ -222,6 +222,64 @@ object Streaming {
           (user, n, math.floor(e * 100000.0 + 0.5) / 100000.0)
       }
       .toDF("user_id", "n_events", "ewma")
+  }
+
+  /** Streaming trailing-window anomaly detection — the incremental form of
+    * [[graft.ext.Timeseries.anomalies]]: per-key state is ONLY the events
+    * inside the last `windowSeconds` (evicted as the stream advances),
+    * where the batch RANGE window re-scans the key's partition per query.
+    * Rows of the SAME floor-second are absorbed into the buffer together
+    * before any of them scores — that is the batch frame's peer rule
+    * (RANGE includes same-second rows that sort later), not a convenience.
+    * The z arithmetic replays the batch form exactly: integer numerator
+    * and radicand (BigInt = the DECIMAL(38,0) path), one double division,
+    * same FLOOR rounding — so over a bounded in-order source the flagged
+    * rows hash-match the batch/DuckDB oracle. Late events older than the
+    * key's current second would need watermark-held scoring (the
+    * [[sessionRowsAppend]] treatment); this variant asserts the
+    * batch-equivalence contract instead. */
+  def anomalySummaries(spark: SparkSession, events: DataFrame,
+                       windowSeconds: Long, threshold: Double,
+                       minN: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(windowSeconds > 0, s"windowSeconds must be > 0: $windowSeconds")
+    events
+      .select(col("user_id"), tsSeconds(col("ts")).as("sec"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[Seq[(Long, Long)]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty).toVector // (sec, c)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double)]
+          // process whole same-second RUNS: every peer joins the buffer
+          // before any of them scores (the RANGE-frame peer rule)
+          it.toSeq.sortBy(r => (r._2, r._3)).groupBy(_._2).toSeq.sortBy(_._1)
+            .foreach { case (sec, run) =>
+              buf = buf.filter(_._1 >= sec - windowSeconds) ++
+                run.map(r => (sec, r._4))
+              val n = buf.size.toLong
+              val s = buf.iterator.map(_._2).sum
+              val scc = buf.iterator
+                .map(e => BigInt(e._2) * BigInt(e._2)).sum
+              val den = BigInt(n) * scc - BigInt(s) * BigInt(s)
+              run.sortBy(_._3).foreach { r =>
+                val c = r._4
+                if (n >= minN && den > 0) {
+                  val z = (n * c - s).toDouble / math.sqrt(den.toDouble)
+                  if (math.abs(z) > threshold)
+                    out += ((user, r._3, n,
+                      math.floor(z * 100000.0 + 0.5) / 100000.0))
+                }
+              }
+            }
+          state.update(buf)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "n_win", "z")
   }
 
   /** One row PER SESSION via `flatMapGroupsWithState` (the multi-row-output

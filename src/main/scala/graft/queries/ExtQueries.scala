@@ -463,6 +463,39 @@ object ExtQueries {
       (s, dir) => graft.ext.Streaming.ewmaSummaries(
         s, Tables(s, dir).events, alpha = 0.25)),
 
+    // ST: streaming anomaly detection — [[Streaming.anomalySummaries]],
+    // the bounded-state incremental twin of ts_anomaly (state = only the
+    // key's last hour of events; the batch RANGE window re-scans the
+    // partition). Shares ts_anomaly's oracle verbatim: the hash proves
+    // the evicting buffer reproduces the wall-clock frame — peers,
+    // minN, radicand bits and all.
+    Reg("stream_anomaly", Some(
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS sec,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, c,
+        |    COUNT(*) OVER win AS n, SUM(c) OVER win AS s,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) OVER win AS scc
+        |  FROM b WINDOW win AS (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT user_id, event_id, n,
+        |    CASE WHEN CAST(n AS HUGEINT) * scc
+        |              - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) > 0
+        |      THEN CAST(n * c - s AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS HUGEINT) * scc
+        |            - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE))
+        |      END AS zr
+        |  FROM w)
+        |SELECT user_id, event_id, CAST(n AS BIGINT) AS n_win,
+        |  CAST(FLOOR(zr * 100000 + 0.5) AS BIGINT) / 100000.0 AS z
+        |FROM z WHERE n >= 5 AND zr IS NOT NULL AND abs(zr) > 3.0"""
+        .stripMargin))(
+      (s, dir) => graft.ext.Streaming.anomalySummaries(
+        s, Tables(s, dir).events, windowSeconds = 3600L,
+        threshold = 3.0, minN = 5L)),
+
     // Funnel: ordered-step reach counts (signup → click → purchase, each
     // step at or after the user's earliest previous-step completion).
     Reg("funnel", Some(

@@ -216,6 +216,32 @@ class TimeseriesSpec extends SparkSpec {
     assert(got("alt")._1 == 29L)
   }
 
+  test("streaming anomalySummaries equals batch anomalies, including cross-batch-shaped state") {
+    val rnd = new scala.util.Random(11)
+    val base = 1704067200000L
+    // irregular spacing ACROSS the 1h window boundary + planted spikes +
+    // same-second peers — the cases where buffer eviction could diverge
+    val rows = for (k <- 1 to 3; i <- 1 to 120) yield {
+      val jitterMs = rnd.nextInt(90000)
+      val v = if (i % 37 == 0) 5000.0 else 40 + rnd.nextDouble() * 20
+      (k.toLong, new java.sql.Timestamp(base + i * 45000L + jitterMs),
+        (k * 1000 + i).toLong, v)
+    }
+    val peers = Seq( // two events in the same floor-second
+      (9L, new java.sql.Timestamp(base + 100), 9001L, 10.0),
+      (9L, new java.sql.Timestamp(base + 900), 9002L, 10.0))
+    val df = (rows ++ peers).toDF("user_id", "ts", "event_id", "value")
+    val stream = Streaming.anomalySummaries(spark, df, 3600L, 3.0, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_win"), r.getAs[Double]("z"))).toMap
+    val batchM = Timeseries.anomalies(df, "user_id", "ts", "event_id",
+        "value", 3600L, 3.0, 5L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("n_win"), r.getAs[Double]("z"))).toMap
+    assert(stream == batchM)
+    assert(stream.nonEmpty, "fixture must actually flag some spikes")
+  }
+
   test("streaming ewmaSummaries equals the batch ewma per key") {
     val rnd = new scala.util.Random(47)
     val rows = for (k <- 1 to 4; i <- 1 to 35) yield
