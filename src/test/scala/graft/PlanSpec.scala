@@ -327,4 +327,22 @@ class PlanSpec extends SparkSpec {
     assert(keptIds == rawIds, s"persisted=$keptIds raw=$rawIds")
     assert(keptIds == Seq(3L), s"expected only the fresh doc: $keptIds")
   }
+
+  test("feature encoders broadcast their stats — the fact table never sort-merge-joins") {
+    val te = graft.ext.Features.targetEncodeLoo(t.orders,
+      "o_orderkey", "o_orderpriority", "o_totalprice")
+    assert(physical(te).contains("BroadcastHashJoin") &&
+      !physical(te).contains("SortMergeJoin"), physical(te))
+    val st = graft.ext.Features.standardize(t.lineitem,
+      Seq("l_orderkey", "l_linenumber"), "l_returnflag", "l_extendedprice")
+    assert(physical(st).contains("BroadcastHashJoin") &&
+      !physical(st).contains("SortMergeJoin"), physical(st))
+    val qb = graft.ext.Features.quantileBin(t.lineitem, "l_extendedprice",
+      "l_returnflag", Seq("l_orderkey", "l_linenumber"), 4)
+    assert(physical(qb).contains("BroadcastHashJoin") &&
+      !physical(qb).contains("SortMergeJoin"), physical(qb))
+    val tr = graft.ext.Funnel.transitions(t.events,
+      "user_id", "ts", Seq("event_id"), "event_type")
+    assert(physical(tr).contains("BroadcastHashJoin"), physical(tr))
+  }
 }
