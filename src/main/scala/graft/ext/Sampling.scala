@@ -48,6 +48,36 @@ object Sampling {
     df.where(hashFrac(contentCol) < rate)
   }
 
+  /** Exact-k weighted sampling WITHOUT replacement per stratum — the
+    * Efraimidis–Spirakis reservoir rule (Inf. Proc. Letters 97(5), 2006)
+    * made deterministic: each row draws u from its content hash
+    * ([[hashFrac]]'s 52-bit integer, shifted to (0, 1]) and ranks by
+    * key = ln(u)/w; the top k keys per stratum are EXACTLY a weight-
+    * proportional sample without replacement. Fraction-based
+    * [[weightedBy]] cannot promise a sample SIZE; this cannot promise a
+    * rate — pick by which contract the pipeline needs. Rows with
+    * weight ≤ 0 are excluded (they cannot be drawn).
+    *
+    * Determinism: u is exact (52-bit int + 1, divided by 2^52 — both
+    * exact), so ln and the divide see identical doubles on every engine;
+    * ties (exact-duplicate content AND equal weight) break on `idCol`.
+    * Scale: the rank filter plans as WindowGroupLimit — each partition
+    * keeps its local top-k before the stratum shuffle, so the full
+    * corpus never moves. */
+  def weightedTopK(df: DataFrame, idCol: String, contentCol: Column,
+                   weight: Column, stratumCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(contentCol), 1, 13), 16, 10).cast("long")
+    val u = (h.cast("double") + 1.0) / lit(4503599627370496.0) // (0, 1]
+    val key = log(u) / weight
+    val w = Window.partitionBy(stratumCol).orderBy(key.desc, col(idCol))
+    df.where(weight > 0)
+      .select(col(stratumCol), col(idCol),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+  }
+
   /** Stratified sampling with per-stratum keep rates — the deterministic
     * replacement for `df.stat.sampleBy` (whose seeded per-partition RNG
     * ties the sample to the engine AND the physical partitioning, so the

@@ -336,6 +336,36 @@ object Timeseries {
         r5(col("__z")).as("z"))
   }
 
+  /** Time-weighted average per key (step interpolation): each value holds
+    * from its event until the key's next event; twap = Σ(durᵢ·cᵢ) / Σdurᵢ
+    * over the hold intervals — the irregular-spacing-correct mean (a plain
+    * AVG over-weights burst periods; TWAP weights each value by how long
+    * it was current). The last event has no hold interval and contributes
+    * nothing (TWAP over [first, last)); single-event keys are absent and
+    * all-same-second keys null. Durations are whole seconds (exact
+    * BIGINT), products DECIMAL(38,0) — one division + FLOOR rounding is
+    * the only float work. One lag window + a groupBy that reuses its key
+    * partitioning: one Exchange, unbounded keys welcome. */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol),
+      graft.functions.Time.tsSeconds(col(tsCol)).as("__sec"), col(idCol),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("__c"))
+    val w = Window.partitionBy(keyCol).orderBy(col("__sec"), col(idCol))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val agged = base
+      .withColumn("__d", lead(col("__sec"), 1).over(w) - col("__sec"))
+      .where(col("__d").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_holds"),
+        sum(dec(col("__d")) * dec(col("__c"))).as("__sdc"),
+        sum(col("__d")).as("__sd"))
+    agged.select(col(keyCol), col("n_holds"),
+      r5(when(col("__sd") > 0L,
+        col("__sdc").cast("double") / col("__sd").cast("double") / 100.0))
+        .as("twap"))
+  }
+
   /** Lag-1 autocorrelation per key: Pearson r between consecutive values in
     * event order — the persistence/mean-reversion screen (near +1: trending
     * series, near 0: noise, negative: oscillation). The (xᵢ₋₁, xᵢ) pairs

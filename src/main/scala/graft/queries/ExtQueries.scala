@@ -350,6 +350,47 @@ object ExtQueries {
       (s, dir) => graft.ext.Timeseries.acf1(Tables(s, dir).events,
         "user_id", "ts", "event_id", "value")),
 
+    // Time-weighted average ([[Timeseries.twap]]): step-interpolated mean
+    // over hold durations — exact BIGINT seconds × cents, one division.
+    // Single-event keys absent; all-same-second keys null.
+    Reg("ts_twap", Some(
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS sec,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (SELECT user_id, c,
+        |    lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |      - sec AS dur
+        |  FROM b),
+        |a AS (SELECT user_id, COUNT(*) AS nh,
+        |    SUM(CAST(dur AS HUGEINT) * CAST(c AS HUGEINT)) AS sdc,
+        |    SUM(dur) AS sd
+        |  FROM d WHERE dur IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(nh AS BIGINT) AS n_holds,
+        |  CAST(FLOOR((CASE WHEN sd > 0
+        |    THEN CAST(sdc AS DOUBLE) / CAST(sd AS DOUBLE) / 100.0 END)
+        |    * 100000 + 0.5) AS BIGINT) / 100000.0 AS twap
+        |FROM a""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.twap(Tables(s, dir).events,
+        "user_id", "ts", "event_id", "value")),
+
+    // Exact-k weighted sampling without replacement
+    // ([[Sampling.weightedTopK]], Efraimidis–Spirakis): 25 docs per
+    // source, weight = text length. The hash pins u-derivation, the
+    // ln(u)/w key, the DESC ranking and the tiebreak — the whole sample.
+    Reg("sample_weighted_topk", Some(
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY ln((CAST(CAST('0x' || substr(md5(text), 1, 13)
+        |          AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0)
+        |      / CAST(LENGTH(text) AS DOUBLE) DESC, doc_id) AS rn
+        |  FROM documents WHERE LENGTH(text) > 0)
+        |WHERE rn <= 25""".stripMargin))(
+      (s, dir) => graft.ext.Sampling.weightedTopK(Tables(s, dir).documents,
+        "doc_id", col("text"), length(col("text")).cast("double"),
+        "source", k = 25)),
+
     // Hour-of-day seasonal index ([[Timeseries.seasonal]]): bucket mean /
     // key mean, integer-first ratio (Σc_b·n_key)/(n_b·Σc_key) — two
     // multiplies and one divide are the only float ops.
@@ -1914,7 +1955,8 @@ object ExtQueries {
     graphPagerankReg,
     graphTrianglesReg,
     graphBfsReg,
-    graphLpaReg
+    graphLpaReg,
+    graphCcReg
   )
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
@@ -2104,6 +2146,40 @@ object ExtQueries {
         graft.ext.Graph.labelPropagation(edges, iters = 5)
       })
   }
+
+  // Connected components of the co-purchase part graph — the graph-family
+  // registration of [[graft.ext.Dedup.connectedComponents]]'s large-star/
+  // small-star engine (O(log n) rounds, the 100 TB CC algorithm), whose
+  // other oracled uses ride the dedup pair lists. component = min node id
+  // reachable — canonical, so the recursive-CTE closure replay must agree
+  // exactly. Exact integers, no float anywhere.
+  private def graphCcReg: Reg =
+    Reg("graph_cc", Some(
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |pairs AS (SELECT DISTINCT LEAST(x.p, y.p) AS a_id,
+        |            GREATEST(x.p, y.p) AS b_id
+        |          FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+        |und AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |        UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT u, v FROM und
+        |          UNION
+        |          SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS component
+        |         FROM reach GROUP BY u)
+        |SELECT node, component FROM comp""".stripMargin))(
+      (s, dir) => {
+        val op = Tables(s, dir).lineitem
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = op.as("x")
+          .join(op.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a_id"), col("y.p").as("b_id"))
+          .distinct()
+        graft.ext.Dedup.connectedComponents(pairs)
+          .select(col("id").as("node"), col("component"))
+      })
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -86,4 +86,31 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(math.abs(shares.getOrElse("train", 0L) / 110.0 - 0.8) < 0.12)
   }
+
+  test("weightedTopK draws exactly k per stratum, favors heavy weights, excludes w<=0") {
+    import org.apache.spark.sql.functions.{col, when}
+    // 100 docs per stratum; ids 1-5 (and 101-105) carry weight 1000 vs 1
+    val rows = for (s <- Seq("a", "b"); i <- 1 to 100) yield
+      (s, (if (s == "a") 0 else 100) + i.toLong, s"doc $s $i content")
+    val df = rows.toDF("src", "id", "text")
+      .withColumn("w",
+        when(col("id") % 100 <= 5 && col("id") % 100 >= 1, 1000.0)
+          .otherwise(1.0))
+    val got = Sampling.weightedTopK(df, "id", col("text"), col("w"), "src", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got.size == 20 && got.count(_._1 == "a") == 10)
+    // P(a specific heavy row beats a light one) ~ 1; all 5 heavies of each
+    // stratum should make the top 10 for any reasonable hash draw
+    val heavies = got.count { case (_, id) => id % 100 >= 1 && id % 100 <= 5 }
+    assert(heavies >= 8, s"expected ~10 heavy rows in the sample, got $heavies")
+    // determinism: a second invocation returns the identical sample
+    val again = Sampling.weightedTopK(df, "id", col("text"), col("w"), "src", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got.toSet == again.toSet)
+    // w <= 0 rows can never be drawn
+    val none = Sampling.weightedTopK(
+        df.withColumn("w", lit(0.0)), "id", col("text"), col("w"), "src", 10)
+      .count()
+    assert(none == 0L)
+  }
 }

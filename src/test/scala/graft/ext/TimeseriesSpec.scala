@@ -216,6 +216,24 @@ class TimeseriesSpec extends SparkSpec {
     assert(got("alt")._1 == 29L)
   }
 
+  test("twap weights values by hold duration; single-event keys absent, same-second keys null") {
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    val rows = Seq(
+      // holds: 10s at 10.0, 20s at 20.0; last value (40.0) never held
+      ("k", ts(0), 1L, 10.0), ("k", ts(10), 2L, 20.0), ("k", ts(30), 3L, 40.0),
+      ("lone", ts(0), 4L, 99.0),
+      ("burst", ts(5), 5L, 1.0), ("burst", ts(5), 6L, 2.0))
+      .toDF("k", "ts", "id", "v")
+    val got = Timeseries.twap(rows, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_holds"), Option(r.get(r.fieldIndex("twap"))))).toMap
+    // (10·10 + 20·20) / 30 = 16.666... -> r5
+    assert(got("k") == ((2L, Some(16.66667))))
+    assert(!got.contains("lone"), "single event has no hold interval")
+    assert(got("burst") == ((1L, None)),
+      "zero total duration -> null, not a blowup")
+  }
+
   test("streaming anomalySummaries equals batch anomalies, including cross-batch-shaped state") {
     val rnd = new scala.util.Random(11)
     val base = 1704067200000L
