@@ -146,6 +146,31 @@ object Funnel {
           .as("p"))
   }
 
+  /** Top-k 3-step paths across all users: the most common
+    * (type → type → type) sequences within user streams — the "top user
+    * journeys" product-analytics view and the order-3 extension of
+    * [[transitions]]. One window (two leads share it), one count, and a
+    * fully-tiebroken top-k (count desc, then the path lexicographically)
+    * so the boundary is deterministic on every engine. The TopK sort
+    * runs on the |types|³-bounded path table, not the events. */
+  def pathTrigrams(events: DataFrame, userCol: String, tsCol: String,
+                   tiebreak: Seq[String], typeCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsCol) +: tiebreak.map(col): _*)
+    events
+      .select(col(typeCol).as("t1"),
+        lead(col(typeCol), 1).over(w).as("t2"),
+        lead(col(typeCol), 2).over(w).as("t3"))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** Shannon entropy (nats) of each user's event-type distribution —
     * behavioral diversity: 0 for a one-trick user, ln(k) for a uniform
     * spread over k types. Factored for exactness as

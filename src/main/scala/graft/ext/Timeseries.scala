@@ -336,6 +336,106 @@ object Timeseries {
         r5(col("__z")).as("z"))
   }
 
+  /** Trailing wall-clock rolling MEDIAN per key — the robust sibling of
+    * [[rollingTime]]'s mean (one outlier in the window moves the mean,
+    * not the median). Exact by construction: the frame's cents collect
+    * into a sorted array and the LOWER median (element ⌈n/2⌉) is picked —
+    * never interpolated, so any engine picks the identical element.
+    * Same-second events are frame peers (RANGE semantics, as
+    * [[rollingTime]]).
+    *
+    * Cost contract: the frame's values materialize per row — O(window)
+    * memory and O(w log w) per row, unlike the O(1)-state sum/count
+    * frames. That is inherent to exact medians; size `windowSeconds` by
+    * key rate, or pre-aggregate to per-second rollups for hot keys (the
+    * [[anomalies]] guidance). One shuffle (the window partition). */
+  def rollingMedian(df: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valueCol: String,
+                    windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0: $windowSeconds")
+    val secs = graft.functions.Time.tsSeconds(col(tsCol))
+    val w = Window.partitionBy(keyCol).orderBy(secs)
+      .rangeBetween(-windowSeconds, 0)
+    val arr = sort_array(
+      collect_list(floor(col(valueCol) * 100 + 0.5).cast("long")).over(w))
+    df.select(col(keyCol), col(idCol), arr.as("__a"))
+      .select(col(keyCol), col(idCol),
+        size(col("__a")).cast("long").as("n_win"),
+        (element_at(col("__a"),
+          floor((size(col("__a")) + 1) / 2.0).cast("int"))
+          .cast("double") / 100.0).as("roll_median"))
+  }
+
+  /** Linear-interpolation resample per key: the series value at every
+    * `stepSeconds`-aligned grid point inside the key's [first, last] span,
+    * linearly interpolated between the surrounding events — the
+    * irregular-to-regular resampler (the step-function sibling is
+    * [[twap]]; the zero-fill count grid is `f_gapfill`). Multiple events
+    * in one second collapse to the second's LAST value (max id — the
+    * [[twap]] step convention); a grid point landing exactly on an event
+    * second returns that value.
+    *
+    * Exactness: v(g) = (c_prev·(t_next−g) + c_next·(g−t_prev)) /
+    * (t_next−t_prev) — integer numerator (DECIMAL(38,0)) and denominator,
+    * one double division + FLOOR rounding. Plan: the grid derives from a
+    * per-key span aggregate exploded through sequence() (never a driver
+    * collect); neighbors come from two directional IGNORE-NULLS windows
+    * over the union of events and grid rows — one Exchange on the key,
+    * two sorts, no join. Grid volume is span/step rows per key; pick
+    * `stepSeconds` accordingly. */
+  def interpolate(df: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valueCol: String,
+                  stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be > 0: $stepSeconds")
+    val persec = df
+      .select(col(keyCol),
+        graft.functions.Time.tsSeconds(col(tsCol)).as("__sec"),
+        struct(col(idCol),
+          floor(col(valueCol) * 100 + 0.5).cast("long").as("__c")).as("__p"))
+      .groupBy(col(keyCol), col("__sec"))
+      .agg(max(col("__p")).getField("__c").as("__c"))
+    val grid = persec.groupBy(col(keyCol))
+      .agg(min(col("__sec")).as("__s0"), max(col("__sec")).as("__s1"))
+      .select(col(keyCol),
+        // div = integer division (Spark's / on longs is true division)
+        expr(s"((__s0 + ${stepSeconds - 1}L) div ${stepSeconds}L)" +
+          s" * ${stepSeconds}L").as("__g0"),
+        expr(s"(__s1 div ${stepSeconds}L) * ${stepSeconds}L").as("__g1"))
+      .where(col("__g0") <= col("__g1"))
+      .select(col(keyCol),
+        explode(sequence(col("__g0"), col("__g1"), lit(stepSeconds)))
+          .as("__sec"))
+      .select(col(keyCol), col("__sec"), lit(null).cast("long").as("__c"),
+        lit(0).as("__real"))
+    val all = persec.withColumn("__real", lit(1))
+      .select(col(keyCol), col("__sec"), col("__c"), col("__real"))
+      .unionByName(grid)
+    val wPrev = Window.partitionBy(keyCol)
+      .orderBy(col("__sec"), col("__real").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCol)
+      .orderBy(col("__sec"), col("__real"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val evSec = when(col("__real") === 1, col("__sec"))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val neigh = all
+      .withColumn("__cp", last(col("__c"), ignoreNulls = true).over(wPrev))
+      .withColumn("__tp", last(evSec, ignoreNulls = true).over(wPrev))
+      .withColumn("__cn", first(col("__c"), ignoreNulls = true).over(wNext))
+      .withColumn("__tn", first(evSec, ignoreNulls = true).over(wNext))
+      .where(col("__real") === 0 &&
+        col("__cp").isNotNull && col("__cn").isNotNull)
+    neigh.select(col(keyCol), col("__sec").as("grid_sec"),
+      r5(when(col("__tn") === col("__tp"),
+        col("__cp").cast("double") / 100.0)
+        .otherwise(
+          (dec(col("__cp")) * dec(col("__tn") - col("__sec")) +
+            dec(col("__cn")) * dec(col("__sec") - col("__tp")))
+            .cast("double")
+            / (col("__tn") - col("__tp")).cast("double") / 100.0))
+        .as("interp"))
+  }
+
   /** Time-weighted average per key (step interpolation): each value holds
     * from its event until the key's next event; twap = Σ(durᵢ·cᵢ) / Σdurᵢ
     * over the hold intervals — the irregular-spacing-correct mean (a plain

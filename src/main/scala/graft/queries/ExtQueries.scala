@@ -350,6 +350,84 @@ object ExtQueries {
       (s, dir) => graft.ext.Timeseries.acf1(Tables(s, dir).events,
         "user_id", "ts", "event_id", "value")),
 
+    // Trailing-hour rolling MEDIAN ([[Timeseries.rollingMedian]]): exact
+    // lower median of the RANGE frame's cents — element, not interpolation,
+    // so both engines pick the identical value.
+    Reg("ts_rolling_median", Some(
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS sec,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events)
+        |SELECT user_id, event_id, CAST(len(a) AS BIGINT) AS n_win,
+        |  CAST(a[CAST((len(a) + 1) // 2 AS BIGINT)] AS DOUBLE) / 100.0
+        |    AS roll_median
+        |FROM (SELECT user_id, event_id,
+        |    list_sort(list(c) OVER (PARTITION BY user_id ORDER BY sec
+        |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) AS a
+        |  FROM b)""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.rollingMedian(Tables(s, dir).events,
+        "user_id", "ts", "event_id", "value", windowSeconds = 3600L)),
+
+    // Linear-interpolation resample ([[Timeseries.interpolate]]): hourly
+    // grid values per key; integer-exact interpolation numerator, two
+    // directional IGNORE-NULLS windows over events ∪ grid, no join.
+    Reg("ts_interp", Some(
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS sec,
+        |    event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |ps AS (SELECT user_id, sec, (MAX({'i': event_id, 'c': c})).c AS c
+        |       FROM b GROUP BY 1, 2),
+        |sp AS (SELECT user_id,
+        |    ((MIN(sec) + 3599) // 3600) * 3600 AS g0,
+        |    (MAX(sec) // 3600) * 3600 AS g1
+        |  FROM ps GROUP BY 1),
+        |g AS (SELECT user_id, CAST(u AS BIGINT) AS sec,
+        |    CAST(NULL AS BIGINT) AS c, 0 AS rl
+        |  FROM sp, UNNEST(generate_series(g0, g1, 3600)) AS t(u)
+        |  WHERE g0 <= g1),
+        |al AS (SELECT user_id, sec, c, 1 AS rl FROM ps
+        |       UNION ALL SELECT user_id, sec, c, rl FROM g),
+        |n AS (SELECT user_id, sec, rl,
+        |    last_value(c IGNORE NULLS) OVER wp AS cp,
+        |    last_value(CASE WHEN rl = 1 THEN sec END IGNORE NULLS)
+        |      OVER wp AS tp,
+        |    first_value(c IGNORE NULLS) OVER wn AS cn,
+        |    first_value(CASE WHEN rl = 1 THEN sec END IGNORE NULLS)
+        |      OVER wn AS tn
+        |  FROM al WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY sec, rl DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY sec, rl
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, sec AS grid_sec,
+        |  CAST(FLOOR((CASE WHEN tn = tp THEN CAST(cp AS DOUBLE) / 100.0
+        |    ELSE CAST(CAST(cp AS HUGEINT) * (tn - sec)
+        |        + CAST(cn AS HUGEINT) * (sec - tp) AS DOUBLE)
+        |      / CAST(tn - tp AS DOUBLE) / 100.0 END) * 100000 + 0.5)
+        |    AS BIGINT) / 100000.0 AS interp
+        |FROM n WHERE rl = 0 AND cp IS NOT NULL AND cn IS NOT NULL"""
+        .stripMargin))(
+      (s, dir) => graft.ext.Timeseries.interpolate(Tables(s, dir).events,
+        "user_id", "ts", "event_id", "value", stepSeconds = 3600L)),
+
+    // Top 3-step user journeys ([[Funnel.pathTrigrams]]): order-3 paths
+    // with a fully-tiebroken top-20 boundary.
+    Reg("seq_trigrams", Some(
+      """WITH s AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT t1, t2, t3, COUNT(*) AS n FROM s
+        |      WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, CAST(n AS BIGINT) AS n
+        |FROM c ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin))(
+      (s, dir) => graft.ext.Funnel.pathTrigrams(Tables(s, dir).events,
+        "user_id", "ts", Seq("event_id"), "event_type", k = 20)),
+
     // Time-weighted average ([[Timeseries.twap]]): step-interpolated mean
     // over hold durations — exact BIGINT seconds × cents, one division.
     // Single-event keys absent; all-same-second keys null.

@@ -76,6 +76,22 @@ class FunnelSpec extends SparkSpec {
       ("purchase", "view") -> (1L, 1.0)))
   }
 
+  test("pathTrigrams counts 3-step journeys with a deterministic top-k boundary") {
+    // user 1: a b c a b c -> abc×2, bca, cab; user 2: a b c -> abc
+    val rows = (Seq("a", "b", "c", "a", "b", "c").zipWithIndex
+        .map { case (t, i) => (1L, i.toLong, t) }) ++
+      (Seq("a", "b", "c").zipWithIndex.map { case (t, i) => (2L, i.toLong, t) })
+    val df = rows.map { case (u, i, t) =>
+      (u, new java.sql.Timestamp(1704067200000L + i * 1000), i, t)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.pathTrigrams(df, "user_id", "ts", Seq("event_id"),
+        "event_type", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n"))).toList
+    // abc: 3; then bca and cab tie at 1 -> lexicographic picks bca
+    assert(got == List(("a", "b", "c", 3L), ("b", "c", "a", 1L)))
+  }
+
   test("typeEntropy: uniform 2-type user = ln 2, one-trick user = 0, skew in between") {
     val rows =
       Seq((1L, "a"), (1L, "b"), (1L, "a"), (1L, "b")) ++ // uniform over 2

@@ -234,6 +234,42 @@ class TimeseriesSpec extends SparkSpec {
       "zero total duration -> null, not a blowup")
   }
 
+  test("rollingMedian picks the exact lower median of the trailing frame") {
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    // frame contents at each event (1h window):
+    // id1 [5] -> 5; id2 [3,5] -> 3 (lower); id3 [3,5,9] -> 5;
+    // id4 falls out of range of 1-3 -> [7] -> 7
+    val df = Seq(("k", ts(10), 1L, 5.0), ("k", ts(11), 2L, 3.0),
+      ("k", ts(12), 3L, 9.0), ("k", ts(9000), 4L, 7.0))
+      .toDF("k", "ts", "id", "v")
+    val got = Timeseries.rollingMedian(df, "k", "ts", "id", "v", 3600L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_win"), r.getAs[Double]("roll_median"))).toMap
+    assert(got == Map(1L -> ((1L, 5.0)), 2L -> ((2L, 3.0)),
+      3L -> ((3L, 5.0)), 4L -> ((1L, 7.0))))
+  }
+
+  test("interpolate: exact linear values on the grid, event-aligned points return the event") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // key "k": events at sec 3600 (v=10) and 10800 (v=30); grid 3600s →
+    // points 3600 (on-event: 10), 7200 (midpoint: 20), 10800 (on-event: 30)
+    // key "s": single event -> grid point on it returns the value
+    val df = Seq(("k", ts(3600), 1L, 10.0), ("k", ts(10800), 2L, 30.0),
+      ("s", ts(7200), 3L, 5.5),
+      ("dup", ts(3600), 4L, 1.0), ("dup", ts(3600), 5L, 9.0))
+      .toDF("k", "ts", "id", "v")
+    val got = Timeseries.interpolate(df, "k", "ts", "id", "v", 3600L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("grid_sec")) ->
+        r.getAs[Double]("interp")).toMap
+    assert(got(("k", 3600L)) == 10.0)
+    assert(got(("k", 7200L)) == 20.0)
+    assert(got(("k", 10800L)) == 30.0)
+    assert(got(("s", 7200L)) == 5.5)
+    // same-second events collapse to the max-id value (step convention)
+    assert(got(("dup", 3600L)) == 9.0)
+    assert(got.size == 5)
+  }
+
   test("streaming anomalySummaries equals batch anomalies, including cross-batch-shaped state") {
     val rnd = new scala.util.Random(11)
     val base = 1704067200000L
