@@ -258,11 +258,15 @@ object Graph {
     require(iters >= 1, s"labelPropagation needs >= 1 iteration: $iters")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be positive, got $checkpointInterval")
+    // materialized BEFORE bidirecting: und appears twice in the union, and
+    // an expensive caller derivation (e.g. a basket self-join) would
+    // otherwise execute twice inside e's first materialization — the same
+    // idiom as [[pagerank]]'s edge checkpoint
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
+      .distinct().localCheckpoint()
     val e = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).persist()

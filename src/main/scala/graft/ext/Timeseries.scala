@@ -394,6 +394,9 @@ object Timeseries {
           floor(col(valueCol) * 100 + 0.5).cast("long").as("__c")).as("__p"))
       .groupBy(col(keyCol), col("__sec"))
       .agg(max(col("__p")).getField("__c").as("__c"))
+      // materialized: consumed by the span/grid derivation AND the union —
+      // without it the per-second collapse scans the events twice
+      .localCheckpoint()
     val grid = persec.groupBy(col(keyCol))
       .agg(min(col("__sec")).as("__s0"), max(col("__sec")).as("__s1"))
       .select(col(keyCol),
@@ -413,16 +416,21 @@ object Timeseries {
     val wPrev = Window.partitionBy(keyCol)
       .orderBy(col("__sec"), col("__real").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // "next" = last over the REVERSED running frame, not first over a
+    // (currentRow, unboundedFollowing) frame: Spark evaluates
+    // unbounded-FOLLOWING frames by recomputing the aggregate per row —
+    // O(rows²) per key partition (measured 0.6 → 3.3 s at sf0.1 for the
+    // second window alone) — while both running frames stream in O(rows).
     val wNext = Window.partitionBy(keyCol)
-      .orderBy(col("__sec"), col("__real"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__sec").desc, col("__real").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val evSec = when(col("__real") === 1, col("__sec"))
     val dec = (x: Column) => x.cast("decimal(38,0)")
     val neigh = all
       .withColumn("__cp", last(col("__c"), ignoreNulls = true).over(wPrev))
       .withColumn("__tp", last(evSec, ignoreNulls = true).over(wPrev))
-      .withColumn("__cn", first(col("__c"), ignoreNulls = true).over(wNext))
-      .withColumn("__tn", first(evSec, ignoreNulls = true).over(wNext))
+      .withColumn("__cn", last(col("__c"), ignoreNulls = true).over(wNext))
+      .withColumn("__tn", last(evSec, ignoreNulls = true).over(wNext))
       .where(col("__real") === 0 &&
         col("__cp").isNotNull && col("__cn").isNotNull)
     neigh.select(col(keyCol), col("__sec").as("grid_sec"),

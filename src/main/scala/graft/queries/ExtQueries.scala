@@ -2250,11 +2250,14 @@ object ExtQueries {
         val op = Tables(s, dir).lineitem
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
+        // checkpointed: connectedComponents consumes its pair list from
+        // several subplans (node set + both star rounds), and the basket
+        // self-join re-executing per consumer was the measured bulk
         val pairs = op.as("x")
           .join(op.as("y"),
             col("x.o") === col("y.o") && col("x.p") < col("y.p"))
           .select(col("x.p").as("a_id"), col("y.p").as("b_id"))
-          .distinct()
+          .distinct().localCheckpoint()
         graft.ext.Dedup.connectedComponents(pairs)
           .select(col("id").as("node"), col("component"))
       })
