@@ -356,4 +356,82 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"trial $trial docs=$docs")
     }
   }
+
+  test("property: ewma/twap/rollingMedian/interpolate stay inside the key's value range") {
+    for (trial <- 1 to 3) {
+      val rows = for (k <- 1 to 4; i <- 1 to 40) yield
+        (k.toLong, new java.sql.Timestamp(1704067200000L +
+          (i * 500 + rnd.nextInt(120)) * 1000L),
+          (k * 1000 + i).toLong, rnd.nextInt(100000) / 100.0)
+      val df = rows.toDF("k", "ts", "id", "v").repartition(3 + trial)
+      val range = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> (rs.map(_._4).min, rs.map(_._4).max)
+      }
+      def within(m: Map[Long, Double], slack: Double = 1e-4): Unit =
+        m.foreach { case (k, v) =>
+          val (lo, hi) = range(k)
+          assert(v >= lo - slack && v <= hi + slack, s"key $k: $v !in [$lo,$hi]")
+        }
+      within(graft.ext.Timeseries.ewma(df, "k", Seq("ts", "id"), "v", 0.25)
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("ewma")).toMap)
+      within(graft.ext.Timeseries.twap(df, "k", "ts", "id", "v")
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("twap")).toMap)
+      // per-row ops: every emitted value must sit inside its key's range
+      graft.ext.Timeseries.rollingMedian(df, "k", "ts", "id", "v", 3600L)
+        .collect().foreach { r =>
+          val (lo, hi) = range(r.getLong(0))
+          val v = r.getAs[Double]("roll_median")
+          assert(v >= lo && v <= hi)
+        }
+      graft.ext.Timeseries.interpolate(df, "k", "ts", "id", "v", 600L)
+        .collect().foreach { r =>
+          val (lo, hi) = range(r.getLong(0))
+          val v = r.getAs[Double]("interp")
+          assert(v >= lo - 1e-4 && v <= hi + 1e-4)
+        }
+    }
+  }
+
+  test("property: transitions probabilities sum to ~1 per from-state; entropy bounded by ln(types)") {
+    for (trial <- 1 to 3) {
+      val types = Seq("a", "b", "c", "d")
+      val rows = for (u <- 1 to 6; i <- 1 to 30) yield
+        (u.toLong, new java.sql.Timestamp(1704067200000L + i * 1000L),
+          (u * 100 + i).toLong, types(rnd.nextInt(types.size)))
+      val df = rows.toDF("u", "ts", "id", "t").repartition(2 + trial)
+      val ps = graft.ext.Funnel.transitions(df, "u", "ts", Seq("id"), "t")
+        .groupBy("from_type").agg(sum(col("p")).as("sp"))
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("sp"))
+      ps.foreach { case (f, sp) =>
+        assert(math.abs(sp - 1.0) < 1e-3, s"$f sums to $sp") }
+      graft.ext.Funnel.typeEntropy(df, "u", "t")
+        .collect().foreach { r =>
+          val h = r.getAs[Double]("entropy")
+          assert(h >= 0 && h <= math.log(types.size) + 1e-9, s"H=$h")
+        }
+    }
+  }
+
+  test("property: standardize z-scores sum to ~0 per group; weightedTopK is a k-bounded subset") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.tabulate(120) { i =>
+        (i.toLong, s"g${i % 3}", rnd.nextInt(100000) / 100.0,
+          s"content $trial $i ${rnd.nextInt(1000)}")
+      }
+      val df = rows.toDF("id", "g", "v", "text").repartition(2 + trial)
+      val sums = graft.ext.Features.standardize(df, Seq("id"), "g", "v")
+        .groupBy("g").agg(sum(col("z")).as("sz"), count(col("z")).as("n"))
+        .collect()
+      sums.foreach { r =>
+        assert(math.abs(r.getAs[Double]("sz")) < 1e-2 * r.getAs[Long]("n"),
+          s"${r.getString(0)}: ${r.getAs[Double]("sz")}") }
+      val ids = rows.map(_._1).toSet
+      val sampled = graft.ext.Sampling.weightedTopK(df, "id", col("text"),
+          col("v") + 0.01, "g", 7)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(sampled.length == 21) // 3 strata × k=7 (each stratum has 40)
+      assert(sampled.forall { case (_, id) => ids(id) })
+      assert(sampled.groupBy(_._1).values.forall(_.length == 7))
+    }
+  }
 }
