@@ -69,6 +69,27 @@ object Features {
       .select((idCols :+ groupCol).map(col) :+ bin.as("bin"): _*)
   }
 
+  /** Rank (quantile) normalization: each row's value replaced by its rank
+    * fraction u = r/(n+1) within its group — the distribution-free
+    * rescaling (uniform marginals whatever the input distribution; feed
+    * u through an inverse normal CDF for the Gaussian-rank transform).
+    * Ranks come from row_number over (value, id), so exact-duplicate
+    * values take consecutive ranks in id order — deterministic on every
+    * engine, no averaged ties, no interpolation. u is one exact-integer
+    * division + FLOOR rounding. One window shuffle on the group key. */
+  def rankNormalize(df: DataFrame, idCol: String, groupCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    val wn = Window.partitionBy(groupCol)
+    df.select(col(idCol), col(groupCol),
+        row_number().over(w).cast("long").as("__r"),
+        count(lit(1)).over(wn).as("__n"))
+      .select(col(idCol), col(groupCol),
+        Timeseries.r5(col("__r").cast("double")
+          / (col("__n") + 1L).cast("double")).as("u"))
+  }
+
   /** Per-group z-score standardization: each row's value rescaled to
     * (x − μ_g)/σ_g (population σ) — the scale-free feature form. Computed
     * integer-first: z = (n·c − S) / √(n·Σc² − S²) over cents BIGINTs with

@@ -474,6 +474,41 @@ object Timeseries {
         .as("twap"))
   }
 
+  /** Cross-correlation between two event types per key: Pearson r between
+    * the types' per-bucket cents sums over the key's active time buckets —
+    * "do purchases move with clicks for this user?" A bucket enters the
+    * pair set when the key has ANY event in it (either type's sum may then
+    * be 0), so the pairing is a pure function of the key's event stream.
+    * Same exact-sum determinism as [[acf1]]: all six accumulators are
+    * integers (cents BIGINT, products DECIMAL(38,0)); zero variance on
+    * either side → null. Two partial-aggregable groupBys, both shuffling
+    * bucket-sized partials on the key — unbounded keys welcome. */
+  def crossCorr(df: DataFrame, keyCol: String, tsCol: String,
+                typeCol: String, valueCol: String, typeA: String,
+                typeB: String, bucket: String = "hour"): DataFrame = {
+    val c = floor(col(valueCol) * 100 + 0.5).cast("long")
+    val base = df.groupBy(col(keyCol),
+        date_trunc(bucket, col(tsCol)).as("__b"))
+      .agg(sum(when(col(typeCol) === typeA, c).otherwise(0L)).as("__a"),
+        sum(when(col(typeCol) === typeB, c).otherwise(0L)).as("__bv"))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val agged = base.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("n_buckets"),
+      sum(col("__a")).as("__sa"), sum(col("__bv")).as("__sb"),
+      sum(dec(col("__a")) * dec(col("__a"))).as("__saa"),
+      sum(dec(col("__bv")) * dec(col("__bv"))).as("__sbb"),
+      sum(dec(col("__a")) * dec(col("__bv"))).as("__sab"))
+    val nD = col("n_buckets").cast("double")
+    val (sa, sb) = (col("__sa").cast("double"), col("__sb").cast("double"))
+    val (saa, sbb, sab) = (col("__saa").cast("double"),
+      col("__sbb").cast("double"), col("__sab").cast("double"))
+    val da = nD * saa - sa * sa
+    val db = nD * sbb - sb * sb
+    agged.select(col(keyCol), col("n_buckets"),
+      r5(when(da === 0.0 or db === 0.0, null)
+        .otherwise((nD * sab - sa * sb) / sqrt(da * db))).as("xcorr"))
+  }
+
   /** Lag-1 autocorrelation per key: Pearson r between consecutive values in
     * event order — the persistence/mean-reversion screen (near +1: trending
     * series, near 0: noise, negative: oscillation). The (xᵢ₋₁, xᵢ) pairs

@@ -80,4 +80,22 @@ object Quality {
     * by construction. */
   def report(parts: Seq[DataFrame]): DataFrame =
     parts.reduce(_ unionAll _)
+
+  /** k-anonymity audit over a quasi-identifier tuple: every combination
+    * shared by FEWER than k rows, with its count — the re-identification
+    * risk surface a dataset release must clear (Sweeney, "k-anonymity: a
+    * model for protecting privacy", 2002). Empty result = the release
+    * passes at that k. This is the AUDIT; remediation (generalize,
+    * suppress, or drop the offending rows) is a policy choice the caller
+    * makes with this frame. Null quasi-values group together (SQL
+    * GROUP BY semantics) — a null is a value an attacker can match on.
+    * One partial-aggregable groupBy; output is bounded by the violating
+    * combination count, not the data. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 2, s"k must be >= 2 (k=1 is vacuous): $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") < k)
+  }
 }

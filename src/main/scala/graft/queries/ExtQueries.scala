@@ -469,6 +469,65 @@ object ExtQueries {
         "doc_id", col("text"), length(col("text")).cast("double"),
         "source", k = 25)),
 
+    // Rank normalization ([[Features.rankNormalize]]): value → rank
+    // fraction r/(n+1) within the group, row_number ranks with the id
+    // tiebreak — uniform marginals, zero ties ambiguity.
+    Reg("feat_rank_normalize", Some(
+      """WITH r AS (SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |  CAST(FLOOR(CAST(r AS DOUBLE) / CAST(n + 1 AS DOUBLE)
+        |    * 100000 + 0.5) AS BIGINT) / 100000.0 AS u
+        |FROM r""".stripMargin))(
+      (s, dir) => graft.ext.Features.rankNormalize(Tables(s, dir).events,
+        "event_id", "event_type", "value")),
+
+    // Cross-type correlation ([[Timeseries.crossCorr]]): click vs purchase
+    // hourly cents sums per user, six exact accumulators, null on zero
+    // variance — the acf1 determinism contract on a two-series pairing.
+    Reg("ts_xcorr", Some(
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bk,
+        |    SUM(CASE WHEN event_type = 'click'
+        |        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS a,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS bv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, COUNT(*) AS n, SUM(a) AS sa, SUM(bv) AS sb,
+        |    SUM(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS saa,
+        |    SUM(CAST(bv AS HUGEINT) * CAST(bv AS HUGEINT)) AS sbb,
+        |    SUM(CAST(a AS HUGEINT) * CAST(bv AS HUGEINT)) AS sab
+        |  FROM b GROUP BY 1),
+        |d AS (SELECT user_id, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+        |    CAST(saa AS DOUBLE) AS saad, CAST(sbb AS DOUBLE) AS sbbd,
+        |    CAST(sab AS DOUBLE) AS sabd
+        |  FROM g)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_buckets,
+        |  CAST(FLOOR((CASE WHEN nd * saad - sad * sad = 0
+        |           OR nd * sbbd - sbd * sbd = 0 THEN NULL
+        |    ELSE (nd * sabd - sad * sbd)
+        |      / sqrt((nd * saad - sad * sad) * (nd * sbbd - sbd * sbd))
+        |    END) * 100000 + 0.5) AS BIGINT) / 100000.0 AS xcorr
+        |FROM d""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.crossCorr(Tables(s, dir).events,
+        "user_id", "ts", "event_type", "value", "click", "purchase")),
+
+    // k-anonymity audit ([[Quality.kAnonymity]]): (customer, order-year)
+    // combinations carried by fewer than 5 orders — the
+    // re-identification surface of a quasi-identifier release.
+    Reg("dq_k_anonymity", Some(
+      """SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 HAVING COUNT(*) < 5""".stripMargin))(
+      (s, dir) => graft.ops.Quality.kAnonymity(
+        Tables(s, dir).orders.select(col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("y")),
+        Seq("o_custkey", "y"), k = 5L)),
+
     // Hour-of-day seasonal index ([[Timeseries.seasonal]]): bucket mean /
     // key mean, integer-first ratio (Σc_b·n_key)/(n_b·Σc_key) — two
     // multiplies and one divide are the only float ops.

@@ -42,6 +42,15 @@ class FeaturesSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("rankNormalize maps values to r/(n+1); duplicate values rank by id") {
+    val df = Seq((1L, "g", 30.0), (2L, "g", 10.0), (3L, "g", 20.0),
+      (4L, "g", 10.0)) // duplicate value: ids 2 then 4
+      .toDF("id", "grp", "v")
+    val got = Features.rankNormalize(df, "id", "grp", "v")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("u")).toMap
+    assert(got == Map(2L -> 0.2, 4L -> 0.4, 3L -> 0.6, 1L -> 0.8))
+  }
+
   test("standardize: population z-scores of {1,2,3}; constant group is null") {
     val df = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
       (4L, "c", 7.0), (5L, "c", 7.0))

@@ -216,6 +216,26 @@ class TimeseriesSpec extends SparkSpec {
     assert(got("alt")._1 == 29L)
   }
 
+  test("crossCorr: planted proportional series hit +1, anti-proportional -1, one-sided null") {
+    def ts(h: Long) = new java.sql.Timestamp(1704067200000L + h * 3600000L)
+    val rows =
+      // key "pos": purchase cents = 2x click cents per hour -> r = +1
+      (1 to 6).flatMap(h => Seq(("pos", ts(h), "click", h * 10.0),
+        ("pos", ts(h), "purchase", h * 20.0))) ++
+      // key "neg": purchase = 100 - click -> r = -1
+      (1 to 6).flatMap(h => Seq(("neg", ts(h), "click", h * 5.0),
+        ("neg", ts(h), "purchase", 100.0 - h * 5.0))) ++
+      // key "one": clicks only -> zero variance on purchase -> null
+      (1 to 6).map(h => ("one", ts(h), "click", h * 1.0))
+    val got = Timeseries.crossCorr(rows.toDF("k", "ts", "t", "v"),
+        "k", "ts", "t", "v", "click", "purchase")
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(r.fieldIndex("xcorr")))).toMap
+    assert(got("pos").contains(1.0))
+    assert(got("neg").contains(-1.0))
+    assert(got("one").isEmpty)
+  }
+
   test("twap weights values by hold duration; single-event keys absent, same-second keys null") {
     def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
     val rows = Seq(

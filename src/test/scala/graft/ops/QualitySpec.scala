@@ -88,4 +88,20 @@ class QualitySpec extends SparkSpec {
     assert(r.columns.toSeq == Seq("check", "n_rows", "n_bad", "pass"))
     assert(r.count() == 2)
   }
+
+  test("kAnonymity reports only under-k combos; nulls group as matchable values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(5)(("NY", "1980")) ++ Seq(("NY", "1990")) ++
+      Seq(("SF", null), ("SF", null), ("LA", "1970")))
+      .toDF("city", "yob")
+    val got = Quality.kAnonymity(df, Seq("city", "yob"), 3L)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getAs[Long]("n"))).toSet
+    // (NY,1980)x5 passes; the three small groups are the risk surface
+    assert(got == Set(("NY", Some("1990"), 1L), ("SF", None, 2L),
+      ("LA", Some("1970"), 1L)))
+    assertThrows[IllegalArgumentException](
+      Quality.kAnonymity(df, Seq("city"), 1L))
+  }
 }
