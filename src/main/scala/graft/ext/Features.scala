@@ -90,6 +90,27 @@ object Features {
           / (col("__n") + 1L).cast("double")).as("u"))
   }
 
+  /** Hashing-trick token features (Weinberger et al., "Feature hashing
+    * for large scale multitask learning", 2009): whitespace tokens hashed
+    * into `dims` buckets, one (id, bucket, n) row per non-empty bucket —
+    * the fixed-dimension text featurizer that needs NO vocabulary table,
+    * no fit step, and no driver state. The hash is the library's md5
+    * 52-bit integer (engine-neutral — the same bucket on Spark, DuckDB,
+    * or anything that can md5), not a JVM-private hash. Sparse row form
+    * on purpose: a dense array column hides bucket-level pruning and
+    * balloons IO at high `dims`; pivot downstream if a trainer wants
+    * dense. One explode + one partial-aggregable groupBy. */
+  def hashedCounts(df: DataFrame, idCol: String, textCol: String,
+                   dims: Int): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2: $dims")
+    val tok = explode(split(col(textCol), " "))
+    val h = conv(substring(md5(col("__tok")), 1, 13), 16, 10).cast("long")
+    df.select(col(idCol), tok.as("__tok"))
+      .select(col(idCol), (h % dims).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-group z-score standardization: each row's value rescaled to
     * (x − μ_g)/σ_g (population σ) — the scale-free feature form. Computed
     * integer-first: z = (n·c − S) / √(n·Σc² − S²) over cents BIGINTs with

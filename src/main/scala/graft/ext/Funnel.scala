@@ -50,6 +50,43 @@ object Funnel {
     counts.reduce(_.unionByName(_))
   }
 
+  /** Time-bounded funnel: [[funnel]] with a conversion window — step i+1
+    * counts only if it happens at-or-after the previous step's completion
+    * AND within `windowSeconds` of the user's STEP-1 completion (the
+    * anchor-window definition product analytics uses for "converted
+    * within 7 days"). The anchor rides along the per-step (user, t)
+    * frames, so the plan stays |steps| user-keyed joins; the window
+    * compare is in exact micros ([[sessionizeBatch]]'s precision
+    * argument). */
+  def funnelWindowed(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelWindowed needs at least one step")
+    require(windowSeconds > 0, s"windowSeconds must be > 0: $windowSeconds")
+    require(steps.sliding(2).forall(p => p.length < 2 || p(0) != p(1)),
+      "consecutive funnel steps must differ (one event would satisfy both)")
+    val winMicros = windowSeconds * 1000000L
+    var reached: DataFrame = null
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      val evs = events.where(col(typeCol) === st)
+        .select(col(userCol).as("u"), col(tsCol).as("t"))
+      reached =
+        (if (reached == null)
+           evs.groupBy("u").agg(min("t").as("t"))
+             .withColumn("t0u", tsMicros(col("t")))
+         else evs.join(reached.select(col("u"), col("t").as("tp"),
+             col("t0u")), Seq("u"))
+           .where(col("t") >= col("tp") &&
+             tsMicros(col("t")) - col("t0u") <= winMicros)
+           .groupBy("u").agg(min("t").as("t"), min("t0u").as("t0u"))
+        ).localCheckpoint()
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    counts.reduce(_.unionByName(_))
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` (the built-in
     * gap-merging window, usable in batch and streaming): one groupBy, no
     * lag/running-sum window pair — Catalyst plans a single aggregation

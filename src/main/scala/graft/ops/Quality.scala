@@ -98,4 +98,22 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .where(col("n") < k)
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s attribute-disclosure companion
+    * (Machanavajjhala et al., "l-diversity: privacy beyond k-anonymity",
+    * 2006): quasi-identifier combinations whose SENSITIVE column carries
+    * fewer than l distinct values. A group can be large enough to pass
+    * k-anonymity and still leak — if all 50 rows share one diagnosis,
+    * matching the quasi-tuple discloses it. Returns the violating combos
+    * with row and distinct-sensitive counts; empty = pass. One
+    * aggregation; output bounded by violating combos. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi column")
+    require(l >= 2, s"l must be >= 2 (l=1 is vacuous): $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_distinct"))
+      .where(col("n_distinct") < l)
+  }
 }

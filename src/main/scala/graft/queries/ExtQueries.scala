@@ -516,6 +516,64 @@ object ExtQueries {
       (s, dir) => graft.ext.Timeseries.crossCorr(Tables(s, dir).events,
         "user_id", "ts", "event_type", "value", "click", "purchase")),
 
+    // Time-bounded funnel ([[Funnel.funnelWindowed]]): signup → click →
+    // purchase where every later step lands within 1 day of the user's
+    // signup anchor — exact-micros window compare.
+    Reg("funnel_windowed", Some(
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0u
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t,
+        |    MIN(s1.t0u) AS t0u
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) >= s1.t
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - s1.t0u <= 86400000000
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t,
+        |    MIN(s2.t0u) AS t0u
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) >= s2.t
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - s2.t0u <= 86400000000
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3""".stripMargin))(
+      (s, dir) => graft.ext.Funnel.funnelWindowed(Tables(s, dir).events,
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"),
+        windowSeconds = 86400L)),
+
+    // Hashing-trick features ([[Features.hashedCounts]]): tokens → 64
+    // md5-hashed buckets, sparse (doc, bucket, n) rows — vocabulary-free
+    // and engine-neutral by construction (the hash-match proves it).
+    Reg("feat_hashed_counts", Some(
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT) % 64 AS bucket,
+        |  COUNT(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin))(
+      (s, dir) => graft.ext.Features.hashedCounts(Tables(s, dir).documents,
+        "doc_id", "text", dims = 64)),
+
+    // l-diversity audit ([[Quality.lDiversity]]): (customer, year) groups
+    // whose orders all share ONE priority — attribute disclosure the
+    // k-anonymity count alone can't see.
+    Reg("dq_l_diversity", Some(
+      """SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  COUNT(*) AS n, COUNT(DISTINCT o_orderpriority) AS n_distinct
+        |FROM orders GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT o_orderpriority) < 2""".stripMargin))(
+      (s, dir) => graft.ops.Quality.lDiversity(
+        Tables(s, dir).orders.select(col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          col("o_orderpriority")),
+        Seq("o_custkey", "y"), "o_orderpriority", l = 2L)),
+
     // k-anonymity audit ([[Quality.kAnonymity]]): (customer, order-year)
     // combinations carried by fewer than 5 orders — the
     // re-identification surface of a quasi-identifier release.

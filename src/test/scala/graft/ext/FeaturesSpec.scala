@@ -51,6 +51,22 @@ class FeaturesSpec extends SparkSpec {
     assert(got == Map(2L -> 0.2, 4L -> 0.4, 3L -> 0.6, 1L -> 0.8))
   }
 
+  test("hashedCounts: same token same bucket, counts add, totals preserved") {
+    val df = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("id", "text")
+    val rows = Features.hashedCounts(df, "id", "text", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n")))
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 64 })
+    // token totals survive the hashing (3 tokens doc1, 2 tokens doc2)
+    assert(rows.filter(_._1 == 1L).map(_._3).sum == 3L)
+    assert(rows.filter(_._1 == 2L).map(_._3).sum == 2L)
+    // 'beta' lands in the same bucket for both docs
+    val beta1 = rows.filter { case (id, _, n) => id == 1L && n == 1L }.map(_._2)
+    val beta2 = rows.filter(_._1 == 2L).map(_._2)
+    assert(beta1.exists(beta2.contains), "shared token must share a bucket")
+  }
+
   test("standardize: population z-scores of {1,2,3}; constant group is null") {
     val df = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
       (4L, "c", 7.0), (5L, "c", 7.0))

@@ -76,6 +76,27 @@ class FunnelSpec extends SparkSpec {
       ("purchase", "view") -> (1L, 1.0)))
   }
 
+  test("funnelWindowed counts only conversions inside the anchor window") {
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    val rows = Seq(
+      // user 1: converts fully within the hour
+      (1L, ts(0), "signup"), (1L, ts(100), "click"), (1L, ts(200), "purchase"),
+      // user 2: clicks inside the window, purchases after it closes
+      (2L, ts(0), "signup"), (2L, ts(3599), "click"), (2L, ts(5000), "purchase"),
+      // user 3: click arrives past the anchor window entirely
+      (3L, ts(0), "signup"), (3L, ts(4000), "click"), (3L, ts(4100), "purchase"))
+    val df = rows.toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelWindowed(df, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), windowSeconds = 3600L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // sanity: the unbounded funnel would convert everyone
+    val unbounded = Funnel.funnel(df, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_users")).toMap
+    assert(unbounded == Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("pathTrigrams counts 3-step journeys with a deterministic top-k boundary") {
     // user 1: a b c a b c -> abc×2, bca, cab; user 2: a b c -> abc
     val rows = (Seq("a", "b", "c", "a", "b", "c").zipWithIndex

@@ -104,4 +104,16 @@ class QualitySpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Quality.kAnonymity(df, Seq("city"), 1L))
   }
+
+  test("lDiversity flags homogeneous-sensitive groups even when k-anonymous") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("NY", "flu")) ++            // 5 rows, 1 diagnosis: leaks
+      Seq(("SF", "flu"), ("SF", "cold"), ("SF", "cold")))  // diverse: passes
+      .toDF("city", "dx")
+    val got = Quality.lDiversity(df, Seq("city"), "dx", 2L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Long]("n_distinct"))).toSet
+    assert(got == Set(("NY", 5L, 1L)),
+      "k-anonymous but homogeneous NY must flag; diverse SF must not")
+  }
 }
