@@ -116,4 +116,68 @@ object Quality {
         countDistinct(col(sensitiveCol)).as("n_distinct"))
       .where(col("n_distinct") < l)
   }
+
+  /** t-closeness audit — the distribution-skew member of the privacy trio
+    * (Li, Li & Venkatasubramanian, "t-closeness: privacy beyond k-anonymity
+    * and l-diversity", ICDE 2007): quasi-identifier combinations whose
+    * SENSITIVE-value distribution sits further than `t` (Earth Mover's
+    * Distance over the ordered sensitive domain) from the whole-table
+    * distribution. A group can pass l-diversity with l distinct values and
+    * still leak — if 95% of its rows share one diagnosis, matching the
+    * quasi-tuple discloses it probabilistically; EMD sees that, a distinct
+    * count cannot. Returns the violating combos with row count and EMD;
+    * empty = pass at that t.
+    *
+    * EMD for an ORDINAL domain of m values (ordered by the column's natural
+    * sort) is (1/(m-1))·Σᵢ|cumP(i) − cumQ(i)|. Computed in exact integers:
+    * each term is |cumGroup·N − cumGlobal·n_g| (BIGINT — counts times
+    * counts), the terms are summed as integers, and ONE float division by
+    * n_g·N·(m−1) happens at the end — so parallel vs sequential
+    * accumulation cannot differ and a SQL replay hash-matches bit-for-bit.
+    *
+    * Scale: one groupBy over the data for per-group value counts, a
+    * re-aggregation of THAT (never a second data scan) for group sizes, and
+    * the m-row global distribution broadcast-cross-joined onto the groups —
+    * per-group work is O(m) rows with m bounded by the sensitive domain.
+    * The per-group cumulative sum partitions by the quasi tuple (millions
+    * of tiny windows, never one global sort). Output is bounded by the
+    * violating combos. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi column")
+    require(t > 0.0 && t < 1.0, s"t must be in (0, 1): $t")
+    val quasi = quasiCols.map(col)
+    val base = df.select(quasi :+ col(sensitiveCol).as("__v"): _*)
+    // global distribution: m rows; the window sort is over those m rows only
+    val glob = base.groupBy(col("__v")).agg(count(lit(1)).as("__nv"))
+    val globCum = glob.select(col("__v"),
+      sum(col("__nv")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).as("__cumq"))
+      .crossJoin(glob.agg(sum(col("__nv")).as("__nt"),
+        count(lit(1)).as("__m"))) // 1-row side — broadcast
+    val gv = base.groupBy(quasi :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__ngv"))
+    val g = gv.groupBy(quasi: _*).agg(sum(col("__ngv")).as("__ng"))
+    // grid = groups × ordered domain (broadcast m-row side), zero-filled
+    val grid = g.crossJoin(broadcast(globCum))
+      .join(gv, quasiCols :+ "__v", "left")
+      .withColumn("__ngv", coalesce(col("__ngv"), lit(0L)))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasi: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = grid.withColumn("__cumg", sum(col("__ngv")).over(win))
+    val emd = cum.groupBy(quasi: _*)
+      .agg(first(col("__ng")).as("n"), first(col("__nt")).as("__nt"),
+        first(col("__m")).as("__m"),
+        sum(abs(col("__cumg") * col("__nt") - col("__cumq") * col("__ng")))
+          .as("__numsum"))
+      .withColumn("emd", col("__numsum").cast("double") /
+        (col("n") * col("__nt") * (col("__m") - 1L)).cast("double"))
+    emd.where(col("emd") > t)
+      .select(quasi ++ Seq(col("n"),
+        (floor(col("emd") * 1e6 + 0.5) / 1e6).as("emd")): _*)
+  }
 }

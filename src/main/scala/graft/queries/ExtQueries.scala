@@ -586,6 +586,46 @@ object ExtQueries {
           year(col("o_orderdate")).cast("long").as("y")),
         Seq("o_custkey", "y"), k = 5L)),
 
+    // t-closeness audit ([[Quality.tCloseness]]): (customer, year) groups
+    // whose priority distribution sits further than EMD 0.4 from the
+    // whole-table distribution — probabilistic disclosure that both the
+    // k-anonymity count and the l-diversity distinct count miss. Exact
+    // integer EMD numerators (counts × counts), summed as BIGINTs, ONE
+    // float division at the end — hash-stable by construction.
+    Reg("dq_t_closeness", Some(
+      """WITH b AS (SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        |             o_orderpriority AS v FROM orders),
+        |q AS (SELECT v, COUNT(*) AS nv FROM b GROUP BY v),
+        |qc AS (SELECT v, CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) AS cumq
+        |       FROM q),
+        |tm AS (SELECT CAST(SUM(nv) AS BIGINT) AS nt, COUNT(*) AS m FROM q),
+        |gv AS (SELECT o_custkey, y, v, COUNT(*) AS ngv FROM b GROUP BY 1,2,3),
+        |g AS (SELECT o_custkey, y, CAST(SUM(ngv) AS BIGINT) AS ng
+        |      FROM gv GROUP BY 1, 2),
+        |grid AS (SELECT g.o_custkey, g.y, g.ng, qc.v, qc.cumq,
+        |           COALESCE(gv.ngv, 0) AS ngv
+        |         FROM g CROSS JOIN qc
+        |         LEFT JOIN gv ON gv.o_custkey = g.o_custkey
+        |           AND gv.y = g.y AND gv.v = qc.v),
+        |c AS (SELECT o_custkey, y, ng, cumq,
+        |        CAST(SUM(ngv) OVER (PARTITION BY o_custkey, y ORDER BY v)
+        |          AS BIGINT) AS cumg
+        |      FROM grid),
+        |e AS (SELECT o_custkey, y, ng AS n, tm.nt, tm.m,
+        |        CAST(SUM(ABS(cumg * tm.nt - cumq * ng)) AS BIGINT) AS numsum
+        |      FROM c, tm GROUP BY 1, 2, 3, 4, 5)
+        |SELECT o_custkey, y, n,
+        |  FLOOR(CAST(numsum AS DOUBLE) / (CAST(n AS DOUBLE) * nt * (m - 1))
+        |    * 1000000 + 0.5) / 1000000.0 AS emd
+        |FROM e
+        |WHERE CAST(numsum AS DOUBLE) / (CAST(n AS DOUBLE) * nt * (m - 1))
+        |  > 0.4""".stripMargin))(
+      (s, dir) => graft.ops.Quality.tCloseness(
+        Tables(s, dir).orders.select(col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          col("o_orderpriority")),
+        Seq("o_custkey", "y"), "o_orderpriority", t = 0.4)),
+
     // Hour-of-day seasonal index ([[Timeseries.seasonal]]): bucket mean /
     // key mean, integer-first ratio (Σc_b·n_key)/(n_b·Σc_key) — two
     // multiplies and one divide are the only float ops.

@@ -116,4 +116,25 @@ class QualitySpec extends SparkSpec {
     assert(got == Set(("NY", 5L, 1L)),
       "k-anonymous but homogeneous NY must flag; diverse SF must not")
   }
+
+  test("tCloseness flags distribution skew; hand-checked ordinal EMD") {
+    import spark.implicits._
+    // global: a=5, b=1 (N=6, m=2, cum a=5 b=6)
+    // G1 (4×a):   |4·6−5·4| + |4·6−6·4| = 4 → emd = 4/(4·6·1) = 1/6
+    // G2 (a, b):  |1·6−5·2| + |2·6−6·2| = 4 → emd = 4/(2·6·1) = 1/3
+    val df = (Seq.fill(4)(("g1", "a")) ++ Seq(("g2", "a"), ("g2", "b")))
+      .toDF("grp", "dx")
+    val got = Quality.tCloseness(df, Seq("grp"), "dx", t = 0.25)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Double]("emd"))).toSet
+    assert(got == Set(("g2", 2L, 0.333333)),
+      "G2's 50/50 vs the 83/17 global exceeds t=0.25; G1's 1/6 does not")
+    // a group distributed exactly like the global has EMD 0 at every t
+    val uniform = Seq(("x", "a"), ("x", "b"), ("y", "a"), ("y", "b"))
+      .toDF("grp", "dx")
+    assert(Quality.tCloseness(uniform, Seq("grp"), "dx", t = 0.001)
+      .isEmpty, "group distribution == global must never flag")
+    assertThrows[IllegalArgumentException](
+      Quality.tCloseness(df, Seq("grp"), "dx", t = 1.5))
+  }
 }
