@@ -285,4 +285,60 @@ object Graph {
     e.unpersist()
     labels.select(col("node"), col("label").as("community"))
   }
+
+  /** k-core peeling over an undirected edge list (src, dst): repeatedly
+    * delete nodes of degree < k (each deletion can push neighbors below k —
+    * the cascade is the point), up to `rounds` synchronous rounds. Returns
+    * (node, deg) — every node still carrying ≥1 edge in the peeled
+    * subgraph, with its degree THERE. The k-core (Seidman, "Network
+    * structure and minimum degree", Social Networks 1983) is the classic
+    * dense-backbone extractor: spam/bot rings and boilerplate templates
+    * concentrate in high cores, the long sparse tail peels away.
+    *
+    * Fixed `rounds` budget, like [[labelPropagation]]: output is a pure
+    * function of (edges, k, rounds), so a fixed-unroll SQL replay
+    * hash-matches. Peeling is monotone (each round only removes), so once
+    * a round removes nothing the result is the true k-core and EVERY later
+    * round is a no-op — the early exit below therefore never changes the
+    * result vs a replay that runs all `rounds` rounds; budgets past the
+    * fixpoint are free.
+    *
+    * Scale: each round is one O(E) partial-aggregable degree count plus
+    * two semi-joins of the edge list against the O(V) survivor set —
+    * the Pregel-as-shuffle shape shared by the whole family; the survivor
+    * frame is what shrinks, the edge list never grows. Rounds
+    * localCheckpoint so lineage stays flat; the per-round fixpoint test is
+    * one count() on the frame just checkpointed (already materialized —
+    * no extra job over data). Self-loops dropped, duplicate/reversed
+    * edges deduplicated. */
+  def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    require(rounds >= 1, s"kCore needs >= 1 round, got $rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var nEdges = e.count()
+    var i = 1
+    var done = nEdges == 0L
+    while (i <= rounds && !done) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k)
+      val next = e
+        .join(keep.select(col("src").as("__keep_s")),
+          col("src") === col("__keep_s"), "left_semi")
+        .join(keep.select(col("src").as("__keep_d")),
+          col("dst") === col("__keep_d"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      if (n == nEdges) done = true // fixpoint: the true k-core, stop early
+      else { e = next; nEdges = n }
+      i += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -2191,7 +2191,8 @@ object ExtQueries {
     graphTrianglesReg,
     graphBfsReg,
     graphLpaReg,
-    graphCcReg
+    graphCcReg,
+    graphKcoreReg
   )
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
@@ -2418,6 +2419,48 @@ object ExtQueries {
         graft.ext.Dedup.connectedComponents(pairs)
           .select(col("id").as("node"), col("component"))
       })
+
+  // k-core peeling ([[Graph.kCore]]) over the REPEAT-co-purchase part
+  // graph (pairs sharing ≥2 distinct orders — the single-order graph is
+  // near-complete and peels nothing; the repeat graph has the sparse tail
+  // k-core exists to strip). k=3, 6 synchronous rounds; the oracle
+  // unrolls the SAME 6 rounds (degree filter → survivor semi-joins), so
+  // the hash pins the cascade order, not just the fixpoint. Exact
+  // integers end to end.
+  private def graphKcoreReg: Reg = {
+    val rounds = (1 to 6).map { i =>
+      s"""n$i AS (SELECT src FROM e${i - 1} GROUP BY src
+         |  HAVING COUNT(*) >= 3),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN n$i a ON e.src = a.src JOIN n$i b ON e.dst = b.src)"""
+        .stripMargin
+    }.mkString(",\n")
+    Reg("graph_kcore", Some(
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem),
+         |und AS (SELECT x.p AS a, y.p AS b
+         |        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+         |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+         |                    UNION ALL SELECT b, a FROM und),
+         |$rounds
+         |SELECT src AS node, COUNT(*) AS deg FROM e6 GROUP BY src"""
+        .stripMargin))(
+      (s, dir) => {
+        val op = Tables(s, dir).lineitem
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = op.as("x")
+          .join(op.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+          .agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2)
+          .select("src", "dst")
+        graft.ext.Graph.kCore(edges, k = 3L, rounds = 6)
+      })
+  }
 
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -145,4 +145,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(even == Map(10L -> 10L, 20L -> 20L))
   }
+
+  test("kCore peels the pendant chain in cascading rounds; fixpoint is budget-stable") {
+    import spark.implicits._
+    // triangle 1-2-3 with a pendant chain 3-4-5: at k=2, node 5 falls
+    // round 1, which drops node 4 below k in round 2 — the cascade
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (1L, 1L), (2L, 1L)) // self-loop + reversed duplicate: ignored
+      .toDF("src", "dst")
+    def run(rounds: Int) = Graph.kCore(g, k = 2L, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round: only node 5 is gone; 4 still holds its now-deg-1 edge
+    assert(run(1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // two rounds reach the true 2-core; a larger budget must not differ
+    val core = Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    assert(run(2) == core)
+    assert(run(10) == core, "rounds past the fixpoint are no-ops")
+    // k above the max degree peels everything
+    assert(Graph.kCore(g, k = 4L, rounds = 5).isEmpty)
+    assertThrows[IllegalArgumentException](Graph.kCore(g, 0L, 3))
+  }
 }
