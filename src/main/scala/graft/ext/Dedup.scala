@@ -322,6 +322,69 @@ object Dedup {
     pairs
   }
 
+  /** EXACT set-similarity self-join via global-frequency prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo, Ma & Srikant, "Scaling up all
+    * pairs similarity search", WWW'07): every pair with word-shingle
+    * Jaccard ≥ `threshold`, guaranteed complete — no banding probability,
+    * no blocking blind spots. The third member of the near-dup family:
+    * MinHash-LSH ([[nearDupPairs]]) is probabilistic, manual blocking
+    * ([[ngramJaccardPairs]]) trades recall for the block choice; this one
+    * is exact AND bounded, at the cost of a vocabulary pass.
+    *
+    * Why it is not all-pairs: order each document's shingles rarest-first
+    * by global document frequency and keep only the first
+    * p = s − ⌈τ·s⌉ + 1 as its PREFIX. If J(x,y) ≥ τ, the smallest common
+    * shingle must fall inside BOTH prefixes (otherwise the intersection
+    * fits in a suffix of size ⌈τ·s⌉ − 1 < τ·s ≤ |x∩y|), so joining on
+    * prefix shingles alone loses nothing. Rarest-FIRST is what bounds the
+    * fan-out: a stopword-grade shingle shared by a million documents sits
+    * at the END of every list and never enters a prefix unless a document
+    * is nearly all stopwords. The ⌈·⌉ is computed as ceil(τ·s − 1e-9):
+    * float error can only LENGTHEN the prefix (extra candidates, exact
+    * result), never shorten it (a 0.6·5 = 3.0000000000000004 double would
+    * otherwise drop a qualifying pair). The length filter (τ·|x| ≤ |y| ≤
+    * |x|/τ, same epsilon) prunes candidates before verification.
+    *
+    * Scale: the frequency table is one groupBy over exploded shingles; the
+    * candidate join is an equi-join on prefix shingles whose per-key
+    * fan-out the rarest-first order bounds; verification fetches the two
+    * shingle sets by id (two bounded joins over the candidate list, the
+    * [[ngramJaccardOverCandidates]] shape). Nothing quadratic in the
+    * corpus — the quadratic lives only inside a shared-rare-shingle
+    * bucket, which is exactly what "rare" bounds. */
+  def setSimJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val sets = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh")).persist()
+    val tok = sets.select(col("id"), explode(col("sh")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val pre = tok.join(freq, "t")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
+      .select(col("id"), size(col("st")).as("s"),
+        explode(slice(col("st.t"), lit(1),
+          (size(col("st")) - ceil(size(col("st")) * threshold - 1e-9) + 1)
+            .cast("int"))).as("t"))
+    val cands = pre.select(col("id").as("a_id"), col("s").as("sa"), col("t"))
+      .join(pre.select(col("id").as("b_id"), col("s").as("sb"), col("t")),
+        Seq("t"))
+      .where(col("a_id") < col("b_id") &&
+        col("sb") >= col("sa") * threshold - 1e-9 &&
+        col("sa") >= col("sb") * threshold - 1e-9)
+      .select("a_id", "b_id").distinct()
+    val pairs = cands
+      .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+      .localCheckpoint()
+    sets.unpersist()
+    pairs
+  }
+
   /** Char-n-gram Jaccard verification over an EXPLICIT candidate pair list
     * (e.g. [[nearDupCandidates]] MinHash-LSH output) — the
     * LSH-candidates-as-block variant of [[ngramJaccardPairs]]: prefix

@@ -297,6 +297,22 @@ object LlmQueries {
       (s, dir) => Dedup.nearDupPairs(Tables(s, dir).documents, "doc_id", "text",
         threshold = 0.7)),
 
+    // EXACT set-similarity join via rarest-first prefix filtering
+    // ([[Dedup.setSimJoinPrefix]], the AllPairs/PPJoin family): lossless by
+    // construction, so the oracle is plain brute force — any hash mismatch
+    // would mean the prefix/length filters dropped a qualifying pair.
+    Reg("dedup_setsim", Some(
+      s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"""
+        .stripMargin))(
+      (s, dir) => Dedup.setSimJoinPrefix(Tables(s, dir).documents,
+        "doc_id", "text", threshold = 0.5)),
+
     // The DEFENDED near-dup shape for clone-heavy corpora (SCALE.md
     // "Clone-heavy corpora"; sf10-measured 179.9 -> 3.3 s): exact-dup
     // pre-collapse to the min-id representative per content, then band

@@ -223,4 +223,35 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(11L))
   }
+
+  test("setSimJoinPrefix is exact: matches driver-side brute force, incl. the float-ceil boundary") {
+    // shingleK=1 → token set = word set, so expectations are hand-checkable.
+    // (1,2) sits EXACTLY at J = 3/5 = 0.6 with |x|=5: 0.6·5 is
+    // 3.0000000000000004 in doubles — a naive ceil/length filter drops it.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c"),            // J(1,2) = 3/5 = 0.6
+      (3L, "f g h i j"),
+      (4L, "f g h i k"),        // J(3,4) = 4/6 ≈ 0.667
+      (5L, "a z"),              // below threshold with everything
+      (6L, "f g h i k")         // exact dup of 4 → J = 1 with 4, 4/6 with 3
+    ).toDF("doc_id", "text")
+    val got = Dedup.setSimJoinPrefix(docs, "doc_id", "text",
+        threshold = 0.6, shingleK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6) / 1e6)).toSet
+    val expected = {
+      val sets = Map(1L -> "a b c d e", 2L -> "a b c", 3L -> "f g h i j",
+        4L -> "f g h i k", 5L -> "a z", 6L -> "f g h i k")
+        .view.mapValues(_.split(' ').toSet).toMap
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        i = (sets(a) & sets(b)).size
+        j = i.toDouble / (sets(a) | sets(b)).size if j >= 0.6
+      } yield (a, b, math.round(j * 1e6) / 1e6)).toSet
+    }
+    assert(got == expected, s"got $got, brute force says $expected")
+    assert(got.contains((1L, 2L, 0.6)),
+      "the J=0.6 boundary pair must survive the float ceil")
+  }
 }
