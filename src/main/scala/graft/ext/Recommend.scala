@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-to-item co-occurrence recommendation — the classic neighborhood
+  * model (Sarwar et al., "Item-based collaborative filtering recommendation
+  * algorithms", WWW'01; Linden, Smith & York, "Amazon.com recommendations",
+  * IEEE Internet Computing 2003): rank, for every item, the items most
+  * often sharing a basket with it, cosine-normalized so ubiquitous items
+  * don't dominate every list. The reference has no recommendation surface;
+  * this rides the same basket projection the graph family uses.
+  */
+object Recommend {
+
+  /** Top-k co-occurrence cosine neighbors per item over (basket, item)
+    * rows: sim(i,j) = n_ij / √(n_i·n_j), where n_ij counts baskets holding
+    * both and n_i baskets holding i. Returns (item, rec, sim, rk) with
+    * rk = 1..topK per item, ordered sim DESC then rec ASC (the unrounded
+    * sim is an exact function of three integers — one multiply, one IEEE
+    * sqrt, one divide — so the ordering is engine-stable; the emitted sim
+    * is rounded to 6 dp).
+    *
+    * `maxBasket` drops WHOLE over-cap baskets before pairing — the scale
+    * armor: a degenerate mega-basket (a crawler hitting every item, a
+    * shared account) contributes |basket|² pair rows and zero preference
+    * signal. Item frequencies n_i are counted over the SAME capped basket
+    * set, so sim stays a true cosine within the analyzed universe. Default
+    * uncapped — exact; at 100 TB set it to the p99.9 basket size.
+    *
+    * Scale: one distinct + one capped self-equi-join on the basket key
+    * (fan-out bounded by `maxBasket`), partial-aggregable counts, and a
+    * per-item top-k window the optimizer runs as WindowGroupLimit — no
+    * all-pairs item matrix is ever materialized beyond observed
+    * co-occurrences. */
+  def itemCooccur(df: DataFrame, basketCol: String, itemCol: String,
+                  topK: Int = 5, maxBasket: Int = Int.MaxValue): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    require(maxBasket >= 2, s"maxBasket below 2 pairs nothing: $maxBasket")
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val capped =
+      if (maxBasket == Int.MaxValue) bi.localCheckpoint() // 3 consumers
+      else {
+        val ok = bi.groupBy("b").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBasket).select("b")
+        bi.join(ok, Seq("b"), "left_semi").localCheckpoint()
+      }
+    val ni = capped.groupBy("i").agg(count(lit(1)).as("ni"))
+    val pairs = capped.as("x")
+      .join(capped.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("c"))
+      .agg(count(lit(1)).as("nij"))
+    val both = pairs.unionAll(
+      pairs.select(col("c").as("a"), col("a").as("c"), col("nij")))
+    val sims = both
+      .join(ni.select(col("i").as("a"), col("ni").as("na")), Seq("a"))
+      .join(ni.select(col("i").as("c"), col("ni").as("nc")), Seq("c"))
+      .withColumn("sim", col("nij").cast("double") /
+        sqrt((col("na") * col("nc")).cast("double")))
+    val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("c").asc)
+    sims.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("a").as("item"), col("c").as("rec"),
+        (floor(col("sim") * 1e6 + 0.5) / 1e6).as("sim"),
+        col("rk").cast("long").as("rk"))
+  }
+}

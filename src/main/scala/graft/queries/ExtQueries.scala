@@ -626,6 +626,29 @@ object ExtQueries {
           col("o_orderpriority")),
         Seq("o_custkey", "y"), "o_orderpriority", t = 0.4)),
 
+    // Item-to-item co-occurrence recommendations ([[Recommend.itemCooccur]])
+    // over order baskets: top-5 cosine neighbors per part. sim is three
+    // exact integers through one multiply/sqrt/divide — ordering and hash
+    // are engine-stable; ties break on the neighbor id.
+    Reg("rec_cooccur", Some(
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |            FROM lineitem),
+        |ni AS (SELECT i, COUNT(*) AS ni FROM bi GROUP BY i),
+        |p AS (SELECT x.i AS a, y.i AS c, COUNT(*) AS nij
+        |      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+        |bth AS (SELECT a, c, nij FROM p UNION ALL SELECT c, a, nij FROM p),
+        |s AS (SELECT a, c, CAST(nij AS DOUBLE) /
+        |        sqrt(CAST(na.ni * nc.ni AS DOUBLE)) AS sim
+        |      FROM bth JOIN ni na ON na.i = bth.a JOIN ni nc ON nc.i = bth.c),
+        |r AS (SELECT a, c, sim, row_number() OVER (PARTITION BY a
+        |        ORDER BY sim DESC, c) AS rk FROM s)
+        |SELECT a AS item, c AS rec,
+        |  FLOOR(sim * 1000000 + 0.5) / 1000000.0 AS sim,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin))(
+      (s, dir) => graft.ext.Recommend.itemCooccur(Tables(s, dir).lineitem,
+        "l_orderkey", "l_partkey", topK = 5)),
+
     // Hour-of-day seasonal index ([[Timeseries.seasonal]]): bucket mean /
     // key mean, integer-first ratio (Σc_b·n_key)/(n_b·Σc_key) — two
     // multiplies and one divide are the only float ops.
