@@ -626,6 +626,25 @@ object ExtQueries {
           col("o_orderpriority")),
         Seq("o_custkey", "y"), "o_orderpriority", t = 0.4)),
 
+    // Pareto front ([[Skyline.front2]]): parts undominated on (cheapest
+    // price, largest size) — exact-cents criteria so every dominance
+    // comparison is integer-exact; oracle is the NOT-EXISTS definition.
+    Reg("pareto_front", Some(
+      """WITH p0 AS (SELECT p_partkey,
+        |  CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |  CAST(p_size AS BIGINT) AS size FROM part)
+        |SELECT p_partkey, price_c, size FROM p0 a
+        |WHERE NOT EXISTS (SELECT 1 FROM p0 b
+        |  WHERE b.price_c <= a.price_c AND b.size >= a.size
+        |    AND (b.price_c < a.price_c OR b.size > a.size))"""
+        .stripMargin))(
+      (s, dir) => {
+        val p0 = Tables(s, dir).part.select(col("p_partkey"),
+          floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_c"),
+          col("p_size").cast("long").as("size"))
+        graft.ops.Skyline.front2(p0, "price_c", "size")
+      }),
+
     // Item-to-item co-occurrence recommendations ([[Recommend.itemCooccur]])
     // over order baskets: top-5 cosine neighbors per part. sim is three
     // exact integers through one multiply/sqrt/divide — ordering and hash
