@@ -137,4 +137,47 @@ object Features {
             .cast("double") / sqrt(den)))
           .as("z"): _*)
   }
+
+  /** Exponential-decay engagement score per key: Σ value·2^(−periods ago),
+    * the standard recency weighting (an event `halfLifeDays` old counts
+    * half of one today) — the feature a ranking/priority model wants from
+    * an event log, where a plain sum would let ancient activity dominate.
+    *
+    * EXACT by dyadic construction — the reason this isn't exp(−λΔt):
+    * float exp() sums are order-dependent and libm differs across engines.
+    * Here age collapses to whole halving periods e = min(d, horizon)/halfLife
+    * (integer division, d = days before the log's max date), each term is
+    * the BIGINT cents·2^(H−e) with H = horizon/halfLife (a left shift —
+    * exact), the per-key sum is an integer, and ONE division by 2^H at the
+    * end yields the score. Identical on 1 or 1000 executors and in a SQL
+    * replay; the step-function decay (floor to whole periods) is the
+    * documented trade for that exactness.
+    *
+    * Plan: one 1-row max-date aggregate broadcast onto the log, one
+    * partial-aggregable groupBy — the log is scanned once. `horizon` caps
+    * the shift (events older than it all get weight 1) and must keep
+    * H = horizon/halfLife ≤ 62 − log₂(max Σcents) to stay in BIGINT. */
+  def decayScore(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, halfLifeDays: Int = 7,
+                 horizonDays: Int = 84): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    require(horizonDays >= halfLifeDays && horizonDays % halfLifeDays == 0,
+      s"horizonDays must be a positive multiple of halfLifeDays: " +
+        s"$horizonDays / $halfLifeDays")
+    val h = horizonDays / halfLifeDays
+    require(h <= 40, s"2^$h decay weights overflow the BIGINT sum headroom")
+    val maxD = df.agg(max(to_date(col(tsCol))).as("__maxd"))
+    val d = datediff(col("__maxd"), to_date(col(tsCol)))
+    val e = least(greatest(d, lit(0)), lit(horizonDays)) / halfLifeDays
+    df.crossJoin(broadcast(maxD)) // 1-row side
+      .select(col(keyCol),
+        // 2^(H−e) via pow: exact in doubles for exponents ≤ 40 (the
+        // require above), then an exact long cast — a shift in effect
+        (pow(lit(2.0), lit(h) - e.cast("int")).cast("long") *
+          floor(col(valueCol) * 100 + 0.5).cast("long")).as("__w"))
+      .groupBy(col(keyCol))
+      .agg((sum(col("__w")).cast("double") /
+        lit(math.pow(2.0, h) * 100.0)).as("decay_score"))
+      .select(col(keyCol), Timeseries.r5(col("decay_score")).as("decay_score"))
+  }
 }

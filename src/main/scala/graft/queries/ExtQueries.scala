@@ -626,6 +626,24 @@ object ExtQueries {
           col("o_orderpriority")),
         Seq("o_custkey", "y"), "o_orderpriority", t = 0.4)),
 
+    // Dyadic half-life decay score ([[Features.decayScore]]): per-user
+    // recency-weighted engagement over events, halfLife 7 d / horizon 84 d
+    // → H = 12 halving periods. Weights are exact 2^k longs, the sum is
+    // one BIGINT, one division at the end — no float exp() anywhere.
+    Reg("feat_decay_score", Some(
+      """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+        |w AS (SELECT user_id,
+        |        (1::BIGINT << (12 - LEAST(GREATEST(
+        |            date_diff('day', CAST(ts AS DATE), maxd), 0), 84) // 7))
+        |          * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS w
+        |      FROM events, mx)
+        |SELECT user_id,
+        |  FLOOR(CAST(SUM(w) AS DOUBLE) / 409600.0 * 100000 + 0.5)
+        |    / 100000.0 AS decay_score
+        |FROM w GROUP BY user_id""".stripMargin))(
+      (s, dir) => graft.ext.Features.decayScore(Tables(s, dir).events,
+        "user_id", "ts", "value", halfLifeDays = 7, horizonDays = 84)),
+
     // Pareto front ([[Skyline.front2]]): parts undominated on (cheapest
     // price, largest size) — exact-cents criteria so every dominance
     // comparison is integer-exact; oracle is the NOT-EXISTS definition.

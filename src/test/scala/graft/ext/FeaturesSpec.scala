@@ -80,4 +80,28 @@ class FeaturesSpec extends SparkSpec {
     assert(got(4L).isEmpty && got(5L).isEmpty,
       "zero-variance group must yield null, not 0")
   }
+
+  test("decayScore: whole-period dyadic weights, horizon cap, hand-checked") {
+    import spark.implicits._
+    // halfLife 7 / horizon 84 → H=12. Events: today (w=2^12), exactly one
+    // period old (2^11), ancient 100d (capped to e=12, w=1):
+    // (4096 + 2048 + 1)·100c / (4096·100) = 6145/4096 = 1.500244…
+    val rows = Seq(
+      ("u", "2024-06-30 12:00:00", 1.0),
+      ("u", "2024-06-23 01:00:00", 1.0),
+      ("u", "2024-03-22 09:00:00", 1.0),
+      ("v", "2024-06-25 00:00:00", 2.0) // 5 days = 0 whole periods → full
+    ).toDF("k", "ts", "v")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp"))
+    val got = Features.decayScore(rows, "k", "ts", "v",
+        halfLifeDays = 7, horizonDays = 84)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("u") == 1.50024, s"got ${got("u")}")
+    assert(got("v") == 2.0, "ages under one half-life decay nothing")
+    assertThrows[IllegalArgumentException](
+      Features.decayScore(rows, "k", "ts", "v", 7, 85)) // not a multiple
+    assertThrows[IllegalArgumentException](
+      Features.decayScore(rows, "k", "ts", "v", 1, 60)) // 2^60 overflows
+  }
 }
