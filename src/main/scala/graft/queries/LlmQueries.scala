@@ -490,6 +490,53 @@ object LlmQueries {
       (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
         maxDist = 3, bits = 60, bands = 4, hash = TextOps.md5Hash60)),
 
+    // Ensemble dedup: the UNION of two independent near-dup signals
+    // (MinHash-LSH Jaccard ≥ 0.7, SimHash Hamming ≤ 3) feeds ONE
+    // connected-components pass — the production posture where any
+    // signal's edge merges groups, so a pair missed by one detector is
+    // still caught by the other. Oracle replays both pair generators and
+    // closes over their union with the recursive-CTE closure.
+    Reg("dedup_ensemble", Some {
+      val bits = 60
+      val bitSums = (0 until bits)
+        .map(b => s"SUM((h >> $b) & 1) AS b$b").mkString(",\n    ")
+      val packed = (0 until bits)
+        .map(b => s"CASE WHEN b$b * 2 > n THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $duckShingles AS sh
+         |                     FROM documents),
+         |mh AS ($duckPairs),
+         |wds AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM documents),
+         |agg AS (SELECT doc_id, COUNT(*) AS n, $bitSums
+         |        FROM wds GROUP BY doc_id),
+         |simh AS (SELECT doc_id, $packed AS sim FROM agg),
+         |hm AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |       FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+         |pairs AS (SELECT a_id, b_id FROM mh
+         |          UNION SELECT a_id, b_id FROM hm),
+         |$duckComponents
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+    })(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val p1 = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+          .select("a_id", "b_id")
+        val p2 = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3,
+          bits = 60, bands = 4, hash = TextOps.md5Hash60)
+          .select("a_id", "b_id")
+        docs.select("doc_id")
+          .join(Dedup.connectedComponents(p1.unionAll(p2).distinct())
+            .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+      }),
+
     // Embedding near-dup — the headline is the SCALE path: sign-LSH
     // buckets (2 planes → 4 buckets here; more planes → finer buckets at
     // corpus scale) bound the quadratic in-bucket pair cost by a PARAMETER
