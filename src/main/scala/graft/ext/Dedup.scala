@@ -385,6 +385,67 @@ object Dedup {
     pairs
   }
 
+  /** EXACT containment self-join: every pair whose shingle-set overlap
+    * covers at least `threshold` of the SMALLER set —
+    * C(A,B) = |A∩B| / min(|A|,|B|). The asymmetric companion to
+    * [[setSimJoinPrefix]]: a 200-word article pasted inside a 5000-word
+    * boilerplate wrapper has Jaccard ≈ 0.04 (invisible to every
+    * Jaccard-thresholded detector) but containment 1.0 — the wrapped-copy
+    * case a crawl corpus is full of.
+    *
+    * Candidates by the one-sided prefix rule: order shingles rarest-first
+    * (global document frequency); if C ≥ τ with A the smaller set, the
+    * smallest common shingle must fall in A's p = s_A − ⌈τ·s_A⌉ + 1 prefix
+    * (else the intersection fits in ⌈τ·s_A⌉ − 1 < τ·s_A ≤ |A∩B| tail
+    * positions). Unlike the symmetric Jaccard case nothing bounds WHERE
+    * the shingle sits in B, so the index side carries B's FULL list —
+    * candidate volume is Σ_{t ∈ prefixes} df(t), bounded by prefix
+    * RARITY, not a hard cap; the same FP-safe ceil as [[setSimJoinPrefix]]
+    * (ceil(τ·s − 1e-9) can only lengthen a prefix). No length filter
+    * exists here — size asymmetry is the point.
+    *
+    * Returns (a_id, b_id, containment) with a_id < b_id, exact. */
+  def containmentJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double,
+                            shingleK: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val sets = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh")).persist()
+    val tok = sets.select(col("id"), explode(col("sh")).as("t"))
+    val ordered = tok.join(tok.groupBy("t").agg(count(lit(1)).as("df")), "t")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
+      .select(col("id"), size(col("st")).as("s"), col("st.t").as("ts"))
+      .persist() // prefix side and full index side both read this
+    val prefix = ordered.select(col("id").as("x_id"), col("s").as("sx"),
+      explode(slice(col("ts"), lit(1),
+        (col("s") - ceil(col("s") * threshold - 1e-9) + 1).cast("int")))
+        .as("t"))
+    val full = ordered.select(col("id").as("y_id"), col("s").as("sy"),
+      explode(col("ts")).as("t"))
+    // orient so x is the (size, id)-smaller doc: its prefix is the one the
+    // completeness argument needs; (a_id, b_id) then re-orders by id alone
+    val cands = prefix.join(full, Seq("t"))
+      .where(col("sx") < col("sy") ||
+        (col("sx") === col("sy") && col("x_id") < col("y_id")))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
+    val pairs = cands
+      .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("containment",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          least(size(col("a_sh")), size(col("b_sh"))))
+      .where(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+      .localCheckpoint()
+    ordered.unpersist()
+    sets.unpersist()
+    pairs
+  }
+
   /** Char-n-gram Jaccard verification over an EXPLICIT candidate pair list
     * (e.g. [[nearDupCandidates]] MinHash-LSH output) — the
     * LSH-candidates-as-block variant of [[ngramJaccardPairs]]: prefix

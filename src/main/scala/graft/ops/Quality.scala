@@ -117,6 +117,49 @@ object Quality {
       .where(col("n_distinct") < l)
   }
 
+  /** Benford first-digit audit — the classic fabricated-numbers screen
+    * (Benford, "The law of anomalous numbers", 1938; standard forensic
+    * accounting practice): naturally-grown magnitudes (payments, counts,
+    * populations) put ~30.1% of first significant digits at 1, falling to
+    * 4.6% at 9; invented or systematically generated figures rarely do.
+    * Returns one row per digit 1–9 with the observed count, the Benford
+    * expectation for the column's row count, and their ratio — per-digit
+    * evidence, deliberately NOT a single χ² (summing 9 float terms would
+    * reintroduce the accumulation-order hazard the per-digit form avoids).
+    *
+    * Determinism: the digit comes from the CENTS INTEGER's decimal string
+    * (never floor(x/10^floor(log10 x)), whose float log flips digits at
+    * power-of-ten boundaries); counts are exact; each expectation is one
+    * int×literal multiply. The Benford constants are Scala-computed
+    * doubles whose shortest-round-trip literals the generated oracle SQL
+    * embeds — bit-identical on both engines. Zero/negative-cents rows are
+    * excluded (no first significant digit). One aggregation pass; output
+    * is 9 rows. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + 0.5).cast("long")
+    val digits = df.select(cents.as("__c")).where(col("__c") > 0L)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("__nt"))
+    val p = (1 to 9).map(d => d.toLong -> math.log10(1.0 + 1.0 / d))
+    val expected = p.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, pd)) => when(col("digit") === d, lit(pd)).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(total)) // 1-row side
+      .withColumn("__exp", col("__nt").cast("double") * expected)
+      .select(col("digit"), col("n"),
+        (floor(col("__exp") * 1e4 + 0.5) / 1e4).as("expected"),
+        (floor(col("n").cast("double") / col("__exp") * 1e4 + 0.5) / 1e4)
+          .as("ratio"))
+  }
+
+  /** The shortest-round-trip literals for log10(1+1/d) — embedded by the
+    * registry's generated oracle so both engines multiply by the SAME
+    * doubles. */
+  def benfordLiterals: Seq[(Int, String)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d).toString)
+
   /** t-closeness audit — the distribution-skew member of the privacy trio
     * (Li, Li & Venkatasubramanian, "t-closeness: privacy beyond k-anonymity
     * and l-diversity", ICDE 2007): quasi-identifier combinations whose

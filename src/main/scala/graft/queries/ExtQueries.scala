@@ -626,6 +626,29 @@ object ExtQueries {
           col("o_orderpriority")),
         Seq("o_custkey", "y"), "o_orderpriority", t = 0.4)),
 
+    // Benford first-digit audit ([[Quality.benford]]) over order totals:
+    // per-digit observed vs expected (constants embedded as shortest-
+    // round-trip literals so both engines multiply identical doubles).
+    Reg("dq_benford", Some {
+      val cases = graft.ops.Quality.benfordLiterals
+        .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+      s"""WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+         |             AS cc FROM orders),
+         |d AS (SELECT CAST(substr(CAST(cc AS VARCHAR), 1, 1) AS BIGINT)
+         |        AS digit FROM c WHERE cc > 0),
+         |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+         |t AS (SELECT SUM(n) AS nt FROM g)
+         |SELECT digit, n,
+         |  FLOOR(CAST(nt AS DOUBLE) * (CASE digit $cases END) * 10000 + 0.5)
+         |    / 10000.0 AS expected,
+         |  FLOOR(CAST(n AS DOUBLE) /
+         |    (CAST(nt AS DOUBLE) * (CASE digit $cases END)) * 10000 + 0.5)
+         |    / 10000.0 AS ratio
+         |FROM g, t""".stripMargin
+    })(
+      (s, dir) => graft.ops.Quality.benford(Tables(s, dir).orders,
+        "o_totalprice")),
+
     // Dyadic half-life decay score ([[Features.decayScore]]): per-user
     // recency-weighted engagement over events, halfLife 7 d / horizon 84 d
     // → H = 12 halving periods. Weights are exact 2^k longs, the sum is

@@ -490,6 +490,21 @@ object LlmQueries {
       (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
         maxDist = 3, bits = 60, bands = 4, hash = TextOps.md5Hash60)),
 
+    // Containment join ([[Dedup.containmentJoinPrefix]]): overlap over the
+    // SMALLER set — catches a doc pasted inside a bigger one where Jaccard
+    // stays near zero. Lossless prefix filtering again, so brute force IS
+    // the oracle.
+    Reg("dedup_containment", Some(
+      s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    LEAST(len(a.sh), len(b.sh)) AS containment
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    LEAST(len(a.sh), len(b.sh)) >= 0.8""".stripMargin))(
+      (s, dir) => Dedup.containmentJoinPrefix(Tables(s, dir).documents,
+        "doc_id", "text", threshold = 0.8)),
+
     // Ensemble dedup: the UNION of two independent near-dup signals
     // (MinHash-LSH Jaccard ≥ 0.7, SimHash Hamming ≤ 3) feeds ONE
     // connected-components pass — the production posture where any

@@ -254,4 +254,25 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 0.6)),
       "the J=0.6 boundary pair must survive the float ceil")
   }
+
+  test("containmentJoinPrefix finds the wrapped copy Jaccard misses") {
+    // doc 2 = doc 1 pasted inside heavy boilerplate. shingleK=1 → word
+    // sets: containment(1,2) = 4/4 = 1.0, Jaccard = 4/16 = 0.25.
+    val inner = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, inner),
+      (2L, (1 to 12).map(i => s"b$i").mkString(" ") + " " + inner),
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentJoinPrefix(docs, "doc_id", "text",
+        threshold = 0.9, shingleK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont == Set((1L, 2L, 1.0)),
+      s"containment must see the wrapped copy: $cont")
+    // the symmetric exact join at the same bar must NOT pair them
+    val jac = Dedup.setSimJoinPrefix(docs, "doc_id", "text",
+        threshold = 0.9, shingleK = 1)
+      .collect()
+    assert(jac.isEmpty, "Jaccard 0.25 must stay invisible at τ=0.9")
+  }
 }

@@ -137,4 +137,18 @@ class QualitySpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Quality.tCloseness(df, Seq("grp"), "dx", t = 1.5))
   }
+
+  test("benford: cents-string digits, zero/negative excluded, hand-checked expectation") {
+    import spark.implicits._
+    val df = Seq(1.00, 1.50, 2.00, 9.99, 0.0, -3.0, 0.004).toDF("v")
+    val got = Quality.benford(df, "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 9L),
+      "0, negative and sub-cent rows carry no first digit")
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L && got(9L)._1 == 1L)
+    // expected(1) = 4·log10(2) = 1.20412 → 1.2041 at 4 dp
+    assert(got(1L)._2 == 1.2041, s"got ${got(1L)._2}")
+    assert(got(9L)._3 > 5.0, "digit 9 at 25% observed vs 4.6% expected")
+  }
 }
