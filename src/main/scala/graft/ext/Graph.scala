@@ -311,6 +311,54 @@ object Graph {
     * one count() on the frame just checkpointed (already materialized —
     * no extra job over data). Self-loops dropped, duplicate/reversed
     * edges deduplicated. */
+  /** Per-node CORE NUMBERS by iterated h-index (Lü, Zhou, Zhang &
+    * Stanley, "The H-index of a network node and its relation to degree
+    * and coreness", Nature Communications 2016): h₀ = degree, hₖ(v) =
+    * H-index of v's neighbors' hₖ₋₁ values; the sequence is monotone
+    * non-increasing and converges to the coreness — the value
+    * [[kCore]] answers one threshold of, for ALL k at once.
+    *
+    * Fixed `rounds` budget like the rest of the family: the output is a
+    * pure function of (edges, rounds), monotone in rounds, and rounds
+    * past the fixpoint are no-ops — so a fixed-unroll SQL replay matches
+    * whether or not the budget reached convergence. The per-node H-index
+    * is tie-order-insensitive (equal neighbor values contribute the same
+    * h whatever their rank order), so row_number's arbitrary tie order
+    * cannot leak into the result.
+    *
+    * Scale: each round is one O(E) join of the persisted pre-partitioned
+    * edge list with the O(V) value frame, one per-node window rank over
+    * E rows, one partial-aggregable max — Pregel-as-shuffle, nothing
+    * collected. Self-loops dropped, duplicates/reversals deduplicated. */
+  def coreness(edges: DataFrame, rounds: Int = 4,
+               checkpointInterval: Int = 2): DataFrame = {
+    require(rounds >= 1, s"coreness needs >= 1 round, got $rounds")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be positive, got $checkpointInterval")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).persist()
+    var h = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("h"))
+      .localCheckpoint()
+    for (i <- 1 to rounds) {
+      val nb = e.join(h, e("src") === h("node"))
+        .select(e("dst").as("node"), col("h").as("nh"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("nh").desc)
+      h = nb.withColumn("r", row_number().over(w).cast("long"))
+        .groupBy("node")
+        .agg(max(when(col("nh") >= col("r"), col("r")).otherwise(0L)).as("h"))
+      if (i % checkpointInterval == 0 || i == rounds) h = h.localCheckpoint()
+    }
+    e.unpersist()
+    h.select(col("node"), col("h").as("coreness"))
+  }
+
   def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
     require(rounds >= 1, s"kCore needs >= 1 round, got $rounds")

@@ -2275,7 +2275,8 @@ object ExtQueries {
     graphBfsReg,
     graphLpaReg,
     graphCcReg,
-    graphKcoreReg
+    graphKcoreReg,
+    graphCorenessReg
   )
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
@@ -2542,6 +2543,47 @@ object ExtQueries {
           .where(col("c") >= 2)
           .select("src", "dst")
         graft.ext.Graph.kCore(edges, k = 3L, rounds = 6)
+      })
+  }
+
+  // Core numbers via iterated h-index ([[Graph.coreness]]) on the same
+  // repeat-co-purchase graph as graph_kcore — kcore answers ONE k,
+  // coreness ranks every node. 4 unrolled rounds in the oracle; the
+  // H-index is tie-order-insensitive so row_number's arbitrary tie order
+  // is safe on both engines. Exact integers end to end.
+  private def graphCorenessReg: Reg = {
+    val rounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, l.h AS nh
+         |  FROM l${i - 1} l JOIN e ON e.src = l.node),
+         |r$i AS (SELECT node, nh, row_number() OVER (PARTITION BY node
+         |  ORDER BY nh DESC) AS r FROM c$i),
+         |l$i AS (SELECT node, MAX(CASE WHEN nh >= r THEN r ELSE 0 END) AS h
+         |  FROM r$i GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    Reg("graph_coreness", Some(
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem),
+         |und AS (SELECT x.p AS a, y.p AS b
+         |        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+         |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+         |                   UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT src AS node, COUNT(*) AS h FROM e GROUP BY src),
+         |$rounds
+         |SELECT node, CAST(h AS BIGINT) AS coreness FROM l4"""
+        .stripMargin))(
+      (s, dir) => {
+        val op = Tables(s, dir).lineitem
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = op.as("x")
+          .join(op.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+          .agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2)
+          .select("src", "dst")
+        graft.ext.Graph.coreness(edges, rounds = 4)
       })
   }
 

@@ -165,4 +165,20 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(g, k = 4L, rounds = 5).isEmpty)
     assertThrows[IllegalArgumentException](Graph.kCore(g, 0L, 3))
   }
+
+  test("coreness: iterated h-index converges to core numbers on the triangle+chain") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    def run(r: Int) = Graph.coreness(g, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // triangle is the 2-core, the chain pendants are coreness 1
+    val expected = Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L)
+    assert(run(4) == expected)
+    assert(run(10) == expected, "rounds past the fixpoint are no-ops")
+    // the sequence is monotone non-increasing from degrees toward coreness
+    val r1 = run(1)
+    assert(expected.forall { case (n, c) => r1(n) >= c })
+    assertThrows[IllegalArgumentException](Graph.coreness(g, rounds = 0))
+  }
 }
