@@ -490,6 +490,34 @@ object LlmQueries {
       (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
         maxDist = 3, bits = 60, bands = 4, hash = TextOps.md5Hash60)),
 
+    // The DEFENDED exact-join shape for clone-heavy corpora: exact-dup
+    // pre-collapse to the min-id representative per content, THEN the
+    // prefix-filter join over representatives — identical clones are
+    // Jaccard-1 pairs by definition, so the within-group c² pair volume
+    // (the measured 14× sf0.1→sf1 blowup on the ×10-replica ScaleUp
+    // corpus, BASELINE.md) never exists. Same posture as
+    // dedup_near_collapsed.
+    Reg("dedup_setsim_collapsed", Some(
+      s"""WITH r AS (SELECT min(doc_id) AS doc_id FROM documents
+         |           GROUP BY text),
+         |s AS (SELECT doc_id, $duckShingles AS sh
+         |      FROM documents JOIN r USING (doc_id))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    >= 0.5""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val reps = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        Dedup.setSimJoinPrefix(docs.join(reps, Seq("doc_id"), "left_semi"),
+          "doc_id", "text", threshold = 0.5)
+      }),
+
     // Containment join ([[Dedup.containmentJoinPrefix]]): overlap over the
     // SMALLER set — catches a doc pasted inside a bigger one where Jaccard
     // stays near zero. Lossless prefix filtering again, so brute force IS
