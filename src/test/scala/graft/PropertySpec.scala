@@ -434,4 +434,91 @@ class PropertySpec extends SparkSpec {
       assert(sampled.groupBy(_._1).values.forall(_.length == 7))
     }
   }
+
+  test("property: skyline is idempotent and equals the brute-force dominance reference") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.tabulate(150)(i =>
+        (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val df = rows.toDF("id", "m", "x").repartition(2 + trial)
+      val front = graft.ops.Skyline.front2(df, "m", "x", buckets = 8)
+      val got = front.select("id").as[Long].collect().toSet
+      val ref = rows.filter { case (_, m, x) => !rows.exists { case (_, m2, x2) =>
+        m2 <= m && x2 >= x && (m2 < m || x2 > x) } }.map(_._1).toSet
+      assert(got == ref, s"trial $trial")
+      // idempotence: the front of the front is the front
+      val again = graft.ops.Skyline.front2(front, "m", "x", buckets = 8)
+        .select("id").as[Long].collect().toSet
+      assert(again == ref, s"trial $trial idempotence")
+    }
+  }
+
+  test("property: setsim pairs shrink as τ rises; containment dominates Jaccard; both match brute force") {
+    val vocab = Array("red", "blue", "green", "ox", "fox", "hen", "owl",
+      "sun", "moon", "sky", "sea", "ash", "elm", "oak")
+    for (trial <- 1 to 3) {
+      val docs = Seq.tabulate(40) { i =>
+        val n = 3 + rnd.nextInt(8)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+          .distinct.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text").repartition(2 + trial)
+      val sets = docs.map { case (id, t) => id -> t.split(' ').toSet }.toMap
+      def bruteJ(tau: Double) = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        i = (sets(a) & sets(b)).size
+        if i.toDouble / (sets(a) | sets(b)).size >= tau
+      } yield (a, b)).toSet
+      val lo = Dedup.setSimJoinPrefix(df, "doc_id", "text", 0.4, shingleK = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hi = Dedup.setSimJoinPrefix(df, "doc_id", "text", 0.7, shingleK = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lo == bruteJ(0.4) && hi == bruteJ(0.7), s"trial $trial")
+      assert(hi.subsetOf(lo), s"trial $trial monotone")
+      // C(A,B) ≥ J(A,B) always (min ≤ union) → the containment join at τ
+      // must find every Jaccard-τ pair
+      val cont = Dedup.containmentJoinPrefix(df, "doc_id", "text", 0.7,
+          shingleK = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hi.subsetOf(cont), s"trial $trial containment ⊇ jaccard")
+      val bruteC = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        i = (sets(a) & sets(b)).size
+        if i.toDouble / math.min(sets(a).size, sets(b).size) >= 0.7
+      } yield (a, b)).toSet
+      assert(cont == bruteC, s"trial $trial containment brute force")
+    }
+  }
+
+  test("property: kCore nests by k and agrees with converged coreness thresholds") {
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val df = edges.toDF("src", "dst").repartition(2 + trial)
+      def core(k: Long) = graft.ext.Graph.kCore(df, k, rounds = 40)
+        .select("node").as[Long].collect().toSet
+      val c2 = core(2); val c3 = core(3); val c4 = core(4)
+      assert(c4.subsetOf(c3) && c3.subsetOf(c2), s"trial $trial nesting")
+      // coreness(v) ≥ k  ⇔  v in the converged k-core (for k ≥ 2; run the
+      // h-index iteration well past convergence on 30 nodes)
+      val cn = graft.ext.Graph.coreness(df, rounds = 40)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (k <- 2L to 4L)
+        assert(cn.filter(_._2 >= k).keySet == core(k),
+          s"trial $trial coreness threshold k=$k")
+    }
+  }
+
+  test("property: itemCooccur sims are in (0,1]; self never recommended; pairs symmetric") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(150)(
+        (rnd.nextInt(25).toLong, s"i${rnd.nextInt(12)}"))
+      val df = rows.toDF("b", "i").repartition(2 + trial)
+      val recs = graft.ext.Recommend.itemCooccur(df, "b", "i", topK = 100)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      assert(recs.forall { case (a, c, s) => a != c && s > 0 && s <= 1.0001 })
+      val pairSet = recs.map { case (a, c, _) => (a, c) }.toSet
+      // topK=100 > item count → both directions of every pair are present
+      assert(pairSet.forall { case (a, c) => pairSet((c, a)) }, s"trial $trial")
+    }
+  }
 }
