@@ -23,6 +23,34 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Dynamic partition overwrite — the incremental daily-load sink:
+    * replace ONLY the partitions present in `df`, leaving every sibling
+    * partition untouched. Spark's default (`static`) overwrite mode drops
+    * the WHOLE table root first, so an incremental job carrying one day
+    * would silently erase the history — the classic production incident
+    * this mode exists to prevent. The conf is set for this write and the
+    * session's previous mode restored after (never leaked into other
+    * queries sharing the session).
+    *
+    * At 100 TB this is THE append-corrections pattern: the reload job
+    * computes the changed partitions only, and the write's cost is
+    * proportional to the changed data, not the table. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitions without partition columns would replace the table")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** S8 analog: copy every catalog table under `srcDir` to `destDir` —
     * the reference's full-DB copy loop (etl_io.py:203-219), one distributed
     * write per table instead of a driver-side row pump.

@@ -1333,6 +1333,34 @@ object ExtQueries {
         s.read.parquet(path)
       }),
 
+    // Dynamic partition overwrite ([[Sinks.overwritePartitions]]): full
+    // load partitioned by event_type, then an incremental job rewrites
+    // ONLY the click partition (values doubled). The read-back aggregate
+    // pins BOTH properties at once: sibling partitions untouched (their
+    // sums unchanged) and the target partition REPLACED, not appended
+    // (click's row count stays n, not 2n — static mode would have erased
+    // the siblings, append mode would double the count).
+    Reg("sink_partition_overwrite", Some(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${sqlDsum(
+              "CASE WHEN event_type = 'click' THEN value * 2 ELSE value END")}
+         |    AS sum_v
+         |FROM events GROUP BY event_type""".stripMargin))(
+      (s, dir) => {
+        val ev = Tables(s, dir).events.select("event_type", "value")
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_sink_dynpart_${Integer.toHexString(dir.hashCode)}",
+          "events.parquet").toString
+        graft.io.Sinks.parquet(ev, path, partitionCols = Seq("event_type"))
+        val incr = ev.where(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+        graft.io.Sinks.overwritePartitions(incr, path, Seq("event_type"))
+        s.read.parquet(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      }),
+
     // ST: Structured Streaming variant of the windowed A1/A2 aggregation —
     // readStream + watermark + tumbling 1-day window run to completion over
     // the bounded file source; must match the batch oracle exactly.

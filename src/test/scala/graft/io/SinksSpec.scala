@@ -45,4 +45,30 @@ class SinksSpec extends SparkSpec {
     val b = spark.read.parquet(dst).orderBy("id").collect()
     assert(a.sameElements(b))
   }
+
+  test("overwritePartitions replaces only the touched partition and restores the conf") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_dynpart")
+      .resolve("t.parquet").toString
+    val full = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "k", "v")
+    Sinks.parquet(full, path, partitionCols = Seq("k"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    // rewrite partition a with ONE corrected row; b must survive untouched
+    Sinks.overwritePartitions(
+      Seq((9L, "a", 99.0)).toDF("id", "k", "v"), path, Seq("k"))
+    assert(spark.conf.getOption(key) == before, "conf must be restored")
+    val back = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSet
+    assert(back == Set((9L, 99.0, "a"), (3L, 30.0, "b")),
+      s"a replaced (not appended), b untouched: $back")
+    assertThrows[IllegalArgumentException](
+      Sinks.overwritePartitions(full, path, Nil))
+    // conf restored even when the write fails (bad path)
+    intercept[Throwable](Sinks.overwritePartitions(
+      full.withColumnRenamed("id", "k2"), path, Seq("nope")))
+    assert(spark.conf.getOption(key) == before)
+  }
 }
