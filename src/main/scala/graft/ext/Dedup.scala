@@ -664,4 +664,49 @@ object Dedup {
                    hash: Column => Column = xxhash64(_)): DataFrame =
     signaturePairs(simhashes(df, idCol, textCol, bits, hash), maxDist, bits,
       bands, maxBucket)
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo, "The merge/purge
+    * problem for large databases", SIGMOD'95) — the third candidate-
+    * generation family next to hashing (LSH bands) and prefix filtering
+    * (AllPairs): sort the corpus on a discriminating key, slide a window
+    * of `window` rows, and verify only rank-adjacent pairs. Catches the
+    * near-dups that SHARE A PREFIX after normalization (retyped records,
+    * re-crawls with trailing edits) in exactly n·(window−1) candidate
+    * pairs — an a-priori bound no data-dependent bucketing gives.
+    *
+    * Sort key: the first `keyLen` chars of lowercased-alphanumeric text
+    * (classic SNM key construction), doc id as the uniqueness tiebreak.
+    * Returns (a_id, b_id, jaccard) for window pairs with shingle Jaccard
+    * ≥ `threshold`, a_id < b_id.
+    *
+    * Scale: the global sort position comes from [[graft.ops.Rank]]'s
+    * two-level prefix sum (no single-partition corpus window); window
+    * pairs come from an EQUALITY join on the rank block `⌊(rank−1)/w⌋` —
+    * each row joins its own block and its successor (a 2-row explode), so
+    * the shuffle is hash-parallel and the fan-out is exactly w−1 per row.
+    * Verification touches candidates only. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 4, threshold: Double = 0.5,
+                          keyLen: Int = 24, bucketLen: Int = 2): DataFrame = {
+    require(window >= 2, s"window below 2 pairs nothing: $window")
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("__key",
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, keyLen))
+    val ranked = graft.ops.Rank.globalRank(keyed, col("__key"), col("id"),
+        substring(col("__key"), 1, bucketLen), rankCol = "__r")
+      .withColumn("__g", floor((col("__r") - 1) / window))
+      .select(col("id"), col("__r"), col("__g"),
+        TextOps.shingles(col("text")).as("__sh"))
+      .localCheckpoint() // 2 consumers; rank must not be re-derived
+    val left = ranked.select(col("id").as("a_id"), col("__r").as("__ra"),
+        col("__sh").as("__sha"),
+        explode(array(col("__g"), col("__g") + 1)).as("__g"))
+    left.join(ranked.select(col("id").as("b_id"), col("__r").as("__rb"),
+        col("__sh").as("__shb"), col("__g")), Seq("__g"))
+      .where((col("__rb") - col("__ra")).between(lit(1), lit(window - 1)))
+      .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))
+      .where(col("jaccard") >= threshold)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("jaccard"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,5 +66,60 @@ object Recommend {
       .select(col("a").as("item"), col("c").as("rec"),
         (floor(col("sim") * 1e6 + 0.5) / 1e6).as("sim"),
         col("rk").cast("long").as("rk"))
+  }
+
+  /** Association rules over (basket, item) rows (Agrawal & Srikant,
+    * "Fast algorithms for mining association rules", VLDB'94 — the
+    * support/confidence framing; lift per Brin et al. SIGMOD'97): for every
+    * DIRECTED item pair (a → c) co-occurring in ≥ `minCount` baskets,
+    * support = n_ac/N, confidence = n_ac/n_a, lift = N·n_ac/(n_a·n_c).
+    * Confidence is what a recommender acts on ("of baskets with a, how
+    * many had c"); lift calibrates it against c's base rate. Counts are
+    * exact integers; the three emitted ratios are rounded to 6 dp at one
+    * site each.
+    *
+    * Scale: identical posture to [[itemCooccur]] — one distinct, one
+    * capped self-equi-join on the basket key (`maxBasket` drops degenerate
+    * mega-baskets WHOLE, and n_i/N are counted over the same capped
+    * universe so every ratio stays consistent), partial-aggregable counts,
+    * and a broadcast 1-row N. Rules far above single-pair support
+    * (classic Apriori pruning) fall out of the `minCount` filter — no
+    * candidate lattice is ever materialized beyond observed pairs. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minCount: Long = 2,
+                       maxBasket: Int = Int.MaxValue): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(maxBasket >= 2, s"maxBasket below 2 pairs nothing: $maxBasket")
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .where(col("i").isNotNull)
+      .distinct()
+    val capped =
+      if (maxBasket == Int.MaxValue) bi.localCheckpoint() // 4 consumers
+      else {
+        val ok = bi.groupBy("b").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBasket).select("b")
+        bi.join(ok, Seq("b"), "left_semi").localCheckpoint()
+      }
+    val nBaskets = capped.select(countDistinct(col("b")).as("N"))
+    val ni = capped.groupBy("i").agg(count(lit(1)).as("ni"))
+    val pairs = capped.as("x")
+      .join(capped.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("c"))
+      .agg(count(lit(1)).as("nij"))
+      .where(col("nij") >= minCount)
+    val directed = pairs.unionAll(
+      pairs.select(col("c").as("a"), col("a").as("c"), col("nij")))
+    val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    directed
+      .join(ni.select(col("i").as("a"), col("ni").as("na")), Seq("a"))
+      .join(ni.select(col("i").as("c"), col("ni").as("nc")), Seq("c"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a").as("antecedent"), col("c").as("consequent"),
+        col("nij").as("n_joint"),
+        r6(col("nij").cast("double") / col("N")).as("support"),
+        r6(col("nij").cast("double") / col("na")).as("confidence"),
+        r6(col("N").cast("double") * col("nij") /
+          (col("na") * col("nc"))).as("lift"))
   }
 }

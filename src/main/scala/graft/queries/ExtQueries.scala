@@ -709,6 +709,39 @@ object ExtQueries {
       (s, dir) => graft.ext.Recommend.itemCooccur(Tables(s, dir).lineitem,
         "l_orderkey", "l_partkey", topK = 5)),
 
+    // Association rules ([[Recommend.associationRules]], Agrawal & Srikant
+    // VLDB'94): directed support/confidence/lift over a DIFFERENT basket
+    // projection than rec_cooccur — customer × brand through the
+    // orders⋈lineitem⋈part star, the "buyers of brand A also buy brand B"
+    // shape. Counts exact; three ratio columns rounded at one site each.
+    Reg("rec_rules", Some(
+      """WITH bi AS (SELECT DISTINCT o_custkey AS b, p_brand AS i
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |            JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT COUNT(DISTINCT b) AS N FROM bi),
+        |ni AS (SELECT i, COUNT(*) AS ni FROM bi GROUP BY i),
+        |p AS (SELECT x.i AS a, y.i AS c, COUNT(*) AS nij
+        |      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 400),
+        |d AS (SELECT a, c, nij FROM p UNION ALL SELECT c, a, nij FROM p)
+        |SELECT a AS antecedent, c AS consequent, nij AS n_joint,
+        |  FLOOR(CAST(nij AS DOUBLE) / N * 1000000 + 0.5) / 1000000.0
+        |    AS support,
+        |  FLOOR(CAST(nij AS DOUBLE) / na.ni * 1000000 + 0.5) / 1000000.0
+        |    AS confidence,
+        |  FLOOR(CAST(N AS DOUBLE) * nij / (na.ni * nc.ni) * 1000000 + 0.5)
+        |    / 1000000.0 AS lift
+        |FROM d JOIN ni na ON na.i = d.a JOIN ni nc ON nc.i = d.c
+        |CROSS JOIN n""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val baskets = t.orders
+          .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+          .join(t.part, col("p_partkey") === col("l_partkey"))
+        graft.ext.Recommend.associationRules(baskets, "o_custkey", "p_brand",
+          minCount = 400)
+      }),
+
     // Hour-of-day seasonal index ([[Timeseries.seasonal]]): bucket mean /
     // key mean, integer-first ratio (Σc_b·n_key)/(n_b·Σc_key) — two
     // multiplies and one divide are the only float ops.
@@ -802,6 +835,19 @@ object ExtQueries {
       (s, dir) => graft.ext.Features.standardize(Tables(s, dir).lineitem,
         Seq("l_orderkey", "l_linenumber"), "l_returnflag",
         "l_extendedprice")),
+
+    // Surrogate-key assignment ([[graft.ops.Rank.surrogateIds]]): dense
+    // deterministic ids 1..N over a string dimension in key sort order —
+    // the warehouse "encode dimension" / vocabulary-id step. The engine
+    // side is the two-level-prefix-sum global rank (no single-partition
+    // corpus window; the ORDER BY window touches one row per 2-char key
+    // prefix); the oracle is the definition itself. Sort parity: p_name is
+    // ASCII, both engines compare binary.
+    Reg("dim_surrogate", Some(
+      """SELECT p_name, row_number() OVER (ORDER BY p_name) AS id
+        |FROM (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)"""
+        .stripMargin))(
+      (s, dir) => graft.ops.Rank.surrogateIds(Tables(s, dir).part, "p_name")),
 
     // ST: streaming EWMA — [[graft.ext.Streaming.ewmaSummaries]], the O(1)-
     // state incremental form of w8_ewma (the batch fold needs the key's

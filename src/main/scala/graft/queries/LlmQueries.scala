@@ -518,6 +518,33 @@ object LlmQueries {
           "doc_id", "text", threshold = 0.5)
       }),
 
+    // Sorted-neighborhood dedup ([[Dedup.sortedNeighborPairs]], Hernández
+    // & Stolfo SIGMOD'95): the third candidate family — sort on a
+    // normalized key prefix, verify only window-adjacent ranks. The oracle
+    // replays the identical semantics with a global row_number window:
+    // candidacy is a pure function of the sort ORDER (binary-identical on
+    // both engines — keys are lowercased [a-z0-9] only, doc_id tiebreak),
+    // so the two candidate sets match pair-for-pair.
+    Reg("dedup_snm", Some(
+      s"""WITH k AS (SELECT doc_id,
+         |        substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+         |               1, 24) AS key,
+         |        $duckShingles AS sh
+         |      FROM documents),
+         |r AS (SELECT doc_id, sh,
+         |        row_number() OVER (ORDER BY key, doc_id) AS rn FROM k)
+         |SELECT least(a.doc_id, b.doc_id) AS a_id,
+         |  greatest(a.doc_id, b.doc_id) AS b_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    AS jaccard
+         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    >= 0.5""".stripMargin))(
+      (s, dir) => Dedup.sortedNeighborPairs(Tables(s, dir).documents,
+        "doc_id", "text", window = 4, threshold = 0.5)),
+
     // Containment join ([[Dedup.containmentJoinPrefix]]): overlap over the
     // SMALLER set — catches a doc pasted inside a bigger one where Jaccard
     // stays near zero. Lossless prefix filtering again, so brute force IS

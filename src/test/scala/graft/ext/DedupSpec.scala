@@ -275,4 +275,44 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(jac.isEmpty, "Jaccard 0.25 must stay invisible at τ=0.9")
   }
+
+  test("sortedNeighborPairs: window-adjacent ranks only, threshold verified") {
+    // three docs sharing a sort-key prefix, every pair at Jaccard 0.5
+    // (shingles {r g b, g b y, b y X}: 2 shared of 4); sort order is
+    // key-ascending aaa < bbb < ccc, plus one far-away dissimilar doc.
+    val docs = Seq(
+      (1L, "red green blue yellow aaa"),
+      (2L, "red green blue yellow bbb"),
+      (3L, "red green blue yellow ccc"),
+      (9L, "zzz totally unrelated words here")
+    ).toDF("doc_id", "text")
+    def pairs(w: Int) =
+      Dedup.sortedNeighborPairs(docs, "doc_id", "text", window = w,
+          threshold = 0.5)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window 2: rank-adjacent only — (1,3) at rank distance 2 is invisible
+    assert(pairs(2) == Set((1L, 2L), (2L, 3L)))
+    // window 3 widens the neighborhood to include it
+    assert(pairs(3) == Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    assertThrows[IllegalArgumentException](
+      Dedup.sortedNeighborPairs(docs, "doc_id", "text", window = 1))
+  }
+
+  test("sortedNeighborPairs is deterministic across partition layouts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta egg"),
+      (2L, "alpha beta gamma delta fig"),
+      (3L, "!!!"), // normalizes to an empty key — must not crash
+      (4L, "other words entirely distinct")
+    ).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Dedup.sortedNeighborPairs(docs.repartition(parts), "doc_id", "text",
+          window = 3, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val one = run(1)
+    assert(one == run(7))
+    assert(one.contains((1L, 2L, 0.5)))
+  }
 }

@@ -42,4 +42,31 @@ class RecommendSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Recommend.itemCooccur(baskets, "b", "i", maxBasket = 1))
   }
+
+  test("associationRules: support/confidence/lift hand-checked") {
+    // baskets: b1={A,B,C} b2={A,B} b3={A,D}; N=3, n(A)=3 n(B)=2;
+    // only AB reaches minCount=2 (n_AB=2):
+    //   A→B: supp 2/3, conf 2/3, lift 3·2/(3·2)=1
+    //   B→A: supp 2/3, conf 2/2=1, lift 1
+    val got = Recommend.associationRules(baskets, "b", "i", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set(("A", "B"), ("B", "A")))
+    assert(got(("A", "B")) == ((2L, 0.666667, 0.666667, 1.0)))
+    assert(got(("B", "A")) == ((2L, 0.666667, 1.0, 1.0)))
+  }
+
+  test("associationRules: maxBasket drops whole baskets before counting") {
+    // cap 2 removes b1: bi = {b2:{A,B}, b3:{A,D}}; N=2, n(A)=2 n(B)=n(D)=1
+    //   A→B: supp 1/2, conf 1/2, lift 2·1/(2·1)=1; B→A: conf 1, lift 1
+    val got = Recommend.associationRules(baskets, "b", "i",
+        minCount = 1, maxBasket = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet ==
+      Set(("A", "B"), ("B", "A"), ("A", "D"), ("D", "A")))
+    assert(got(("A", "B")) == ((0.5, 0.5, 1.0)))
+    assert(got(("B", "A")) == ((0.5, 1.0, 1.0)))
+  }
 }
