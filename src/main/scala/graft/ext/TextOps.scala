@@ -707,6 +707,53 @@ object TextOps {
         log(col("cs") * col("n") / (col("ns") * col("cw")))), 6).as("kl"))
   }
 
+  /** Dunning G² log-likelihood keyness (Dunning, "Accurate methods for
+    * the statistics of surprise and coincidence", Computational
+    * Linguistics 1993): for every vocabulary term, how surprisingly often
+    * it appears in the `target` subcorpus vs the rest — the corpus-
+    * comparison statistic keyword/register analysis uses where PMI
+    * over-rewards rare terms and raw frequency ignores base rates.
+    *
+    * With a = count in target, b = count elsewhere, N₁/N₂ the subcorpus
+    * token totals: G² = 2·(a·ln(a·N/(N₁·(a+b))) + b·ln(b·N/(N₂·(a+b)))),
+    * zero-count cells contributing 0. `direction` is +1 when the term is
+    * over-represented in the target (a·N₂ ≥ b·N₁, exact integer
+    * cross-multiply in 38-digit decimals), −1 otherwise. Counts are exact;
+    * G² has ONE rounding site (5 dp) over the same factored expression on
+    * both engines. The denominators multiply in DOUBLE (N₁·(a+b) can
+    * overflow 64-bit at corpus scale; the quotient is far from the ln
+    * branch cut, so the double product is safe).
+    *
+    * Plan: one exploded-token scan, one vocabulary aggregation (the two
+    * cells come from conditional sums — no second pass), totals reduced to
+    * a broadcast 1-row frame; everything after the explode joins on the
+    * VOCABULARY. `minCount` bounds the output to analyzable terms. */
+  def keyness(docs: DataFrame, groupCol: String, target: String,
+              minCount: Long = 20, textCol: String = "text"): DataFrame = {
+    val tok = docs.select((col(groupCol) === lit(target)).as("__t"),
+      explode(words(col(textCol))).as("w"))
+    val cells = tok.groupBy("w").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("b"))
+      .where(col("a") + col("b") >= minCount)
+    val totals = tok.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("n2"))
+    def cell(x: Column, nx: Column): Column =
+      when(x > 0, x.cast("double") *
+        log(x.cast("double") * (col("n1") + col("n2")) /
+          (nx.cast("double") * (col("a") + col("b")))))
+        .otherwise(lit(0.0))
+    cells.crossJoin(broadcast(totals))
+      .select(col("w").as("token"), col("a").as("n_target"),
+        col("b").as("n_rest"),
+        (floor(lit(2.0) * (cell(col("a"), col("n1")) +
+          cell(col("b"), col("n2"))) * 100000 + 0.5) / 100000.0).as("g2"),
+        when(col("a").cast("decimal(19,0)") * col("n2") >=
+          col("b").cast("decimal(19,0)") * col("n1"), 1L)
+          .otherwise(-1L).as("direction"))
+  }
+
   /** Apply a trained linear classifier (logistic regression — the
     * fastText-style quality-classifier shape) to per-row features:
     * sigmoid(bias + Σ wᵢ·fᵢ), rounded to 6 decimals (exp differs across

@@ -107,6 +107,26 @@ object LlmQueries {
     }
   }
 
+  /** Stage the corpus inverted index ([[TextOps.invertedIndex]]) once per
+    * corpus — the write-once search artifact term lookups read back, so
+    * query-time cost tracks the queried postings, never the corpus text. */
+  private def stagedInvertedIndex(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val sig =
+      try {
+        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
+        val sz = java.nio.file.Files.walk(src).filter(
+          java.nio.file.Files.isRegularFile(_)).count()
+        s"${mt}_$sz"
+      } catch { case _: Exception => "nosig" }
+    CoreQueries.stageOnce(s"invidx_$sig", dir) { path =>
+      graft.io.Sinks.parquet(
+        TextOps.invertedIndex(Tables(s, dir).documents),
+        s"$path/postings.parquet")
+    }
+  }
+
   /** Stage the trained BPE merge table once per corpus (written through
     * [[graft.io.Sinks.parquet]]) — the train-once-at-ingest artifact the
     * persisted encode path reads back. */
@@ -787,6 +807,36 @@ object LlmQueries {
         |FROM sc JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN n
         |GROUP BY source""".stripMargin))(
       (s, dir) => TextOps.sourceDrift(Tables(s, dir).documents)),
+
+    // Dunning G² keyness ([[TextOps.keyness]]): per-term log-likelihood of
+    // over/under-representation in one source vs the rest — the corpus-
+    // comparison twin of drift_kl (which scores whole sources, not terms).
+    // Same factored-ln + one-rounding-site discipline as text_pmi; the
+    // direction sign is an exact integer cross-multiply (HUGEINT ↔
+    // DECIMAL(38,0)).
+    Reg("text_keyness", Some(
+      """WITH tok AS (SELECT (source = 'src0') AS t,
+        |               unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |c AS (SELECT w, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS a,
+        |        SUM(CASE WHEN t THEN 0 ELSE 1 END) AS b
+        |      FROM tok GROUP BY w HAVING COUNT(*) >= 20),
+        |n AS (SELECT SUM(CASE WHEN t THEN 1 ELSE 0 END) AS n1,
+        |        SUM(CASE WHEN t THEN 0 ELSE 1 END) AS n2 FROM tok)
+        |SELECT w AS token, a AS n_target, b AS n_rest,
+        |  CAST(FLOOR(2.0 * (
+        |    CASE WHEN a > 0 THEN CAST(a AS DOUBLE) *
+        |      ln(CAST(a AS DOUBLE) * (n1 + n2)
+        |         / (CAST(n1 AS DOUBLE) * (a + b))) ELSE 0.0 END +
+        |    CASE WHEN b > 0 THEN CAST(b AS DOUBLE) *
+        |      ln(CAST(b AS DOUBLE) * (n1 + n2)
+        |         / (CAST(n2 AS DOUBLE) * (a + b))) ELSE 0.0 END
+        |  ) * 100000 + 0.5) AS BIGINT) / 100000.0 AS g2,
+        |  CASE WHEN CAST(a AS HUGEINT) * n2 >= CAST(b AS HUGEINT) * n1
+        |    THEN 1 ELSE -1 END AS direction
+        |FROM c CROSS JOIN n""".stripMargin))(
+      (s, dir) => TextOps.keyness(Tables(s, dir).documents, "source", "src0",
+        minCount = 20)),
 
     // TextRank keywords: PageRank over the word co-occurrence graph
     // (adjacent-word edges, bidirected, deduplicated) — Mihalcea & Tarau's
@@ -1907,6 +1957,29 @@ object LlmQueries {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))(
       (s, dir) => TextOps.searchAnd(
         TextOps.invertedIndex(Tables(s, dir).documents),
+        Seq("spark", "merge", "window"), k = 20)),
+
+    // The index-at-rest search path: same AND semantics and oracle as
+    // text_search, but the postings come from the PERSISTED inverted index
+    // (staged once per corpus) — the production posture where the index is
+    // written at ingest and query-time cost is the queried terms' postings
+    // (IN-list pushed to the postings scan; PlanSpec pins it), never a
+    // corpus re-tokenization.
+    Reg("text_search_indexed", Some(
+      """WITH idx AS (
+        |  SELECT t.token AS token, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) t
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT doc_id, COUNT(DISTINCT token) AS hits,
+        |    CAST(SUM(tf) AS BIGINT) AS score
+        |  FROM idx WHERE token IN ('spark', 'merge', 'window') GROUP BY 1
+        |)
+        |SELECT doc_id, score FROM m WHERE hits = 3
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))(
+      (s, dir) => TextOps.searchAnd(
+        s.read.parquet(s"${stagedInvertedIndex(s, dir)}/postings.parquet"),
         Seq("spark", "merge", "window"), k = 20)),
 
     // Sliding-window chunking (chunk 32, stride 24 — small enough that

@@ -345,4 +345,36 @@ class PlanSpec extends SparkSpec {
       "user_id", "ts", Seq("event_id"), "event_type")
     assert(physical(tr).contains("BroadcastHashJoin"), physical(tr))
   }
+
+  test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
+    // the 100 TB lever for star joins over partitioned lakes: the dim
+    // filter must reach the FACT SCAN as a runtime partition filter, so
+    // only matching partitions are listed/read — not post-scan filtered
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    t.lineitem.select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag")
+      .parquet(s"$dir/fact")
+    spark.createDataFrame(Seq(("R", "keep"), ("A", "drop")))
+      .toDF("flag", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val q = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").where(col("tag") === "keep"),
+        col("l_returnflag") === col("flag"))
+    val plan = physical(q)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+  }
+
+  test("persisted postings scan prunes to the queried terms (IN-list pushed)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    graft.io.Sinks.parquet(
+      graft.ext.TextOps.invertedIndex(t.documents),
+      s"$dir/postings.parquet")
+    val q = graft.ext.TextOps.searchAnd(
+      spark.read.parquet(s"$dir/postings.parquet"),
+      Seq("spark", "merge"), k = 5)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("In(token"),
+      s"term IN-list not pushed to the postings scan:\n$scan")
+  }
 }

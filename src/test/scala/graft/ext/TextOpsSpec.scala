@@ -313,4 +313,20 @@ class TextOpsSpec extends SparkSpec {
     // into one contiguous [1,60) — all of s2 goes
     assert(out2(12L) == " tail12", s"got ${out2(12L)}")
   }
+
+  test("keyness: Dunning G² hand-checked on a two-cell contingency") {
+    // target "x x y", rest "x y y": a(x)=2 b(x)=1, N1=N2=3, N=6
+    // G²(x) = 2·(2·ln(12/9) + 1·ln(6/9)) = 0.3397980… → 0.3398 at 5 dp;
+    // x over-represented (+1), y the mirror image (−1)
+    val docs = Seq(("g1", "x x y"), ("g2", "x y y")).toDF("source", "text")
+    val got = TextOps.keyness(docs, "source", "g1", minCount = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == Set("x", "y"))
+    assert(got("x") == ((2L, 1L, 0.3398, 1L)))
+    assert(got("y") == ((1L, 2L, 0.3398, -1L)))
+    // below minCount nothing is scored
+    assert(TextOps.keyness(docs, "source", "g1", minCount = 4)
+      .collect().isEmpty)
+  }
 }
