@@ -665,6 +665,51 @@ object Dedup {
     signaturePairs(simhashes(df, idCol, textCol, bits, hash), maxDist, bits,
       bands, maxBucket)
 
+  /** Survivorship / golden-record fusion — the master-data-management
+    * step AFTER duplicate groups are known: fuse each group's rows into
+    * one record, each attribute surviving by its own rule rather than one
+    * winner row taking all (the distinction from
+    * [[dropNearDupGroupsKeepBest]]).
+    * `df` carries `groupCol` already (the CC component, an exact content
+    * hash — any assignment). Emitted per group: `n_members`, `keep_id`
+    * (min id), plus one column per rule:
+    *
+    *  - `longestCols`: the value from the row maximizing (length, min id)
+    *    — "fullest value survives", ties to the smallest id;
+    *  - `modalCols`: the group's most frequent value, ties to the
+    *    smallest value — "consensus survives";
+    *  - `maxCols`: plain max — for monotone gauges (latest ts, max size).
+    *
+    * `idCol` must be numeric (the tiebreak negates it into a struct-max).
+    * Plan: ONE partial-aggregable groupBy for count/min/max/longest
+    * (argmax as struct-max, no window), plus one two-level count
+    * aggregation per modal column joined back on the group key — each
+    * shuffle carries a row per (group[, value]), never the corpus. */
+  def goldenRecords(df: DataFrame, idCol: String, groupCol: String,
+                    longestCols: Seq[String] = Nil,
+                    modalCols: Seq[String] = Nil,
+                    maxCols: Seq[String] = Nil): DataFrame = {
+    val aggs =
+      count(lit(1)).as("n_members") +:
+        min(col(idCol)).as("keep_id") +:
+        (maxCols.map(c => max(col(c)).as(c)) ++
+          longestCols.map(c => max(struct(length(col(c)).as("l"),
+            (lit(0L) - col(idCol)).as("nid"), col(c).as("v")))
+            .as(s"__lg_$c")))
+    val base = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val withLongest = longestCols.foldLeft(base)((acc, c) =>
+      acc.withColumn(c, col(s"__lg_$c.v")).drop(s"__lg_$c"))
+    modalCols.foldLeft(withLongest) { (acc, c) =>
+      val m = df.groupBy(col(groupCol), col(c))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col(groupCol))
+        .agg(min(struct((lit(0L) - col("__n")).as("nn"), col(c).as("v")))
+          .as("__m"))
+        .select(col(groupCol), col("__m.v").as(c))
+      acc.join(m, Seq(groupCol))
+    }
+  }
+
   /** Sorted-neighborhood dedup (Hernández & Stolfo, "The merge/purge
     * problem for large databases", SIGMOD'95) — the third candidate-
     * generation family next to hashing (LSH bands) and prefix filtering

@@ -183,6 +183,32 @@ object Funnel {
           .as("p"))
   }
 
+  /** Gapped order-2 sequential patterns (the support counts of GSP /
+    * PrefixSpan at length 2 — Srikant & Agrawal, "Mining sequential
+    * patterns: generalizations and performance improvements", EDBT'96):
+    * for every ordered type pair (x, y), how many users have SOME x event
+    * strictly before SOME y event — subsequence containment with
+    * arbitrary gaps, where [[transitions]] counts only CONSECUTIVE steps.
+    * (x, x) counts users with ≥ 2 x-occurrences at distinct times.
+    *
+    * Containment collapses to a two-scalar test — first(x) < last(y) —
+    * so the engine never materializes event pairs: ONE partial-aggregable
+    * (user, type) min/max aggregation, then a self-equi-join on the user
+    * whose fan-out is bounded by (distinct types per user)², independent
+    * of the user's event count. At 100 TB with an unbounded type
+    * vocabulary, cap types per user first (the same armor as
+    * [[Recommend.itemCooccur]]'s maxBasket). */
+  def gappedPairs(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String): DataFrame = {
+    val ut = events.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("f"), max(col(tsCol)).as("l"))
+      .localCheckpoint() // self-joined: derive the (user, type) frame once
+    ut.select(col("u"), col("t").as("x"), col("f"))
+      .join(ut.select(col("u"), col("t").as("y"), col("l")), Seq("u"))
+      .where(col("f") < col("l"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Top-k 3-step paths across all users: the most common
     * (type → type → type) sequences within user streams — the "top user
     * journeys" product-analytics view and the order-3 extension of

@@ -532,6 +532,33 @@ object TextOps {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal
+    * rank fusion outperforms Condorcet and individual rank learning
+    * methods", SIGIR'09): merge several top-k rankings into one list by
+    * RRF(d) = Σ_lists 1/(k0 + rank_list(d)) — the standard score-free
+    * fusion for hybrid search (BM25 + dense, here BM25 + boolean).
+    * Each input must carry (`idCol`, `score`); ranks are derived as
+    * (score desc, id asc) so ties are deterministic. Returns
+    * (`idCol`, rrf, n_lists), rrf rounded at one site.
+    *
+    * The rank windows are global but run over ALREADY top-k-bounded
+    * lists (≤ k rows each — that is what a ranking is), so the
+    * single-partition sort is constant-sized at any corpus scale. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score").desc, col(idCol).asc)
+    val ranked = rankings.map(
+      _.withColumn("__r", row_number().over(w).cast("long"))
+        .select(col(idCol), col("__r")))
+    ranked.reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg((floor(sum(lit(1.0) / (lit(k0.toDouble) + col("__r"))) * 1e6
+        + 0.5) / 1e6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+  }
+
   /** Sliding-window document chunking — the context-window splitter every
     * RAG / pretraining pipeline runs between cleaning and embedding:
     * each doc becomes overlapping windows of `chunkTokens` tokens whose

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,31 @@ object Cdc {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tsCol)
+  }
+
+  /** Reconstruct the table state AS OF `asOf` from a full change log —
+    * the time-travel read lakehouse formats answer from their version
+    * history, here answered from the raw CDC stream: per key, the latest
+    * change at or before `asOf` wins; if it is an upsert ("U") the key is
+    * alive with that payload, if a delete ("D") the key is absent. A key
+    * whose first change postdates `asOf` never existed yet.
+    *
+    * `(key, tsCol)` must be unique (same contract as [[scd2]]; pre-
+    * aggregate colliding timestamps). Plan: the time predicate prunes the
+    * log scan (partition-prunable on date-partitioned logs), then ONE
+    * partial-aggregable per-key struct-max — no window, no self-join, so
+    * the shuffle carries one row per surviving key, not the log. */
+  def snapshotAsOf(changeLog: DataFrame, key: String, tsCol: String,
+                   asOf: Column, opCol: String = "op"): DataFrame = {
+    val payload = changeLog.columns
+      .filterNot(c => c == key || c == tsCol || c == opCol)
+    val pick = changeLog.where(col(tsCol) <= asOf)
+      .groupBy(col(key))
+      .agg(max(struct(col(tsCol) +: col(opCol) +: payload.map(col)
+        .toIndexedSeq: _*)).as("__last"))
+    pick.where(col(s"__last.$opCol") === "U")
+      .select(col(key) +: col(s"__last.$tsCol").as(tsCol) +:
+        payload.map(c => col(s"__last.$c").as(c)).toIndexedSeq: _*)
   }
 
   /** Seq-RESPECTING merge with TOMBSTONES: like [[applyChanges]], but the

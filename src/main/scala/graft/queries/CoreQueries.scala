@@ -698,6 +698,36 @@ object CoreQueries {
             col("is_current"))
       }),
 
+    // Time-travel read ([[Cdc.snapshotAsOf]]): reconstruct per-key state
+    // as of a past instant from the raw change log — latest change ≤ T
+    // wins, deletes erase the key, later-born keys are absent. The engine
+    // answers with ONE partial-aggregable struct-max (no window over the
+    // log); the oracle replays the definition with a row_number window.
+    Reg("cdc_snapshot_asof", Some(
+      """WITH log AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    CASE WHEN MAX(event_type) = 'view' THEN 'D' ELSE 'U' END AS op,
+        |    MAX(value) AS value
+        |  FROM events GROUP BY 1, 2
+        |), last AS (
+        |  SELECT user_id, tsu, op, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC) AS rn
+        |  FROM log WHERE tsu <= TIMESTAMP '2024-01-15 00:00:00'
+        |)
+        |SELECT user_id, strftime(tsu, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  value
+        |FROM last WHERE rn = 1 AND op = 'U'""".stripMargin))(
+      (s, dir) => {
+        val log = Tables(s, dir).events.groupBy("user_id", "ts").agg(
+          when(max("event_type") === "view", "D").otherwise("U").as("op"),
+          max("value").as("value"))
+        graft.ops.Cdc.snapshotAsOf(log, "user_id", "ts",
+            lit("2024-01-15 00:00:00").cast("timestamp"))
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("value"))
+      }),
+
     // Column profiling — the describe/data-quality pass, one distributed
     // aggregation for ALL columns, unpivoted to a row per column.
     Reg("profile_orders", Some {

@@ -2294,6 +2294,21 @@ object ExtQueries {
       (s, dir) => graft.ext.Funnel.transitions(Tables(s, dir).events,
         "user_id", "ts", Seq("event_id"), "event_type")),
 
+    // Gapped sequential patterns ([[Funnel.gappedPairs]]): per ordered
+    // type pair, users with some x STRICTLY before some y — subsequence
+    // containment (any gap), vs seq_transitions' consecutive-step counts.
+    // Containment = first(x) < last(y), so both engines reduce to the
+    // same (user, type) min/max frame before pairing.
+    Reg("seq_patterns", Some(
+      """WITH ut AS (SELECT user_id, event_type, MIN(ts) AS f, MAX(ts) AS l
+        |            FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS x, b.event_type AS y,
+        |  COUNT(*) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.f < b.l
+        |GROUP BY 1, 2""".stripMargin))(
+      (s, dir) => graft.ext.Funnel.gappedPairs(Tables(s, dir).events,
+        "user_id", "ts", "event_type")),
+
     // Leave-one-out target encoding ([[Features.targetEncodeLoo]]):
     // priority → mean total price of the OTHER orders in the priority —
     // the leakage-safe mean encoding. BIGINT-cents sums; singleton

@@ -448,6 +448,48 @@ object LlmQueries {
           .select("doc_id", "lang", "source")
       }),
 
+    // Survivorship golden record ([[Dedup.goldenRecords]]): fuse each
+    // near-dup CC group into one record, each attribute by its own rule —
+    // longest text (tie → min id), modal lang (tie → smallest), max
+    // n_chars — vs keep_best's one-winner-row policy. The oracle replays
+    // the closure plus one window per rule.
+    Reg("dedup_golden", Some(
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |pairs AS ($duckPairs),
+         |$duckComponents,
+         |asg AS (SELECT d.*, coalesce(c.component, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |base AS (SELECT component, COUNT(*) AS n_members,
+         |           MIN(doc_id) AS keep_id, MAX(n_chars) AS n_chars
+         |         FROM asg GROUP BY 1),
+         |tx AS (SELECT component, text FROM (
+         |         SELECT component, text, row_number() OVER (
+         |           PARTITION BY component
+         |           ORDER BY length(text) DESC, doc_id) AS rn FROM asg)
+         |       WHERE rn = 1),
+         |lg AS (SELECT component, lang FROM (
+         |         SELECT component, lang, row_number() OVER (
+         |           PARTITION BY component
+         |           ORDER BY cnt DESC, lang) AS rn
+         |         FROM (SELECT component, lang, COUNT(*) AS cnt
+         |               FROM asg GROUP BY 1, 2))
+         |       WHERE rn = 1)
+         |SELECT component, n_members, keep_id, n_chars, text, lang
+         |FROM base JOIN tx USING (component) JOIN lg USING (component)"""
+        .stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+        val comp = docs.select("doc_id")
+          .join(Dedup.connectedComponents(pairs)
+            .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+        Dedup.goldenRecords(docs.join(comp, Seq("doc_id")),
+          "doc_id", "component", longestCols = Seq("text"),
+          modalCols = Seq("lang"), maxCols = Seq("n_chars"))
+      }),
+
     // Char-n-gram Jaccard with LSH candidates AS the block: closes the
     // prefix-20 recall hole (near-dups differing in the first 20 chars are
     // invisible to prefix blocking; LSH candidacy is edit-position-blind).
@@ -1705,6 +1747,38 @@ object LlmQueries {
           .select("doc_id", "lang", "n_tokens", "q_score")
       }),
 
+    // Row-level drop provenance — the "why did my document disappear"
+    // debug view of pipeline_clean_corpus: every doc gets an independent
+    // boolean per drop reason (exact-dup loser, quality below bar) plus
+    // the final kept verdict, so a corpus owner can audit the pipeline
+    // without re-running it stage by stage. Same predicates as the
+    // pipeline, evaluated for ALL rows (reasons are not short-circuited).
+    Reg("pipeline_drop_reasons", Some(
+      s"""WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents
+         |              GROUP BY text),
+         |q AS (SELECT doc_id,
+         |  least(CAST(len(string_split(text,' ')) AS BIGINT) / 100.0, 1.0) * 0.5
+         |    + (1.0 - least((CAST(len(list_filter(string_split(text,' '), w -> w IN $duckStop)) AS DOUBLE)
+         |                    / len(string_split(text,' '))) * 2.0, 1.0)) * 0.3
+         |    + least((CAST(length(replace(text,' ','')) AS DOUBLE)
+         |             / len(string_split(text,' '))) / 8.0, 1.0) * 0.2 AS qs
+         |  FROM documents)
+         |SELECT d.doc_id, (k.doc_id IS NULL) AS is_exact_dup,
+         |  (qs < 0.5) AS quality_fail,
+         |  (k.doc_id IS NOT NULL AND qs >= 0.5) AS kept
+         |FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |LEFT JOIN kept k ON k.doc_id = d.doc_id""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val winners = Dedup.exactDedupGroups(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"), lit(true).as("__w"))
+        TextOps.qualityColumns(docs, "text")
+          .join(winners, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("__w").isNull.as("is_exact_dup"),
+            (col("q_score") < 0.5).as("quality_fail"),
+            (col("__w").isNotNull && col("q_score") >= 0.5).as("kept"))
+      }),
+
     // Media near-dup via perceptual hash: 64-bit average-hash over the
     // (stub-sampled) payload, banded candidate join + exact Hamming verify
     // — SimHash's machinery pointed at the multimodal column. The oracle
@@ -2034,6 +2108,60 @@ object LlmQueries {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))(
       (s, dir) => TextOps.searchBM25(Tables(s, dir).documents,
         Seq("spark", "merge", "window"), k = 20)),
+
+    // Reciprocal-rank fusion ([[TextOps.rrfFuse]]): BM25 and boolean-AND
+    // top-20s fused by Σ 1/(60+rank) — the hybrid-search merge. The two
+    // RRF addends are a deterministic 2-term IEEE sum; one rounding site.
+    Reg("search_rrf", Some(
+      """WITH post AS (
+        |  SELECT token, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) t
+        |  WHERE token IN ('spark', 'merge', 'window')
+        |  GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df FROM post GROUP BY 1
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+        |           AS avgdl
+        |  FROM documents
+        |), bm AS (
+        |  SELECT doc_id,
+        |    ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM post JOIN dfreq USING (token) JOIN dl USING (doc_id), stats
+        |  GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20
+        |), am AS (
+        |  SELECT doc_id, score FROM (
+        |    SELECT doc_id, COUNT(DISTINCT token) AS hits,
+        |      CAST(SUM(tf) AS BIGINT) AS score
+        |    FROM post GROUP BY 1)
+        |  WHERE hits = 3 ORDER BY score DESC, doc_id LIMIT 20
+        |), u AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM am
+        |)
+        |SELECT doc_id,
+        |  CAST(FLOOR(SUM(1.0 / (60 + r)) * 1000000 + 0.5) AS BIGINT)
+        |    / 1000000.0 AS rrf,
+        |  COUNT(*) AS n_lists
+        |FROM u GROUP BY 1""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val terms = Seq("spark", "merge", "window")
+        TextOps.rrfFuse(Seq(
+          TextOps.searchBM25(docs, terms, k = 20),
+          TextOps.searchAnd(TextOps.invertedIndex(docs), terms, k = 20)))
+      }),
 
     // Per-domain cap: keep at most 5 docs per source, preferring longer
     // ones — the Common-Crawl-style guard against one domain dominating

@@ -299,6 +299,26 @@ class DedupSpec extends SparkSpec {
       Dedup.sortedNeighborPairs(docs, "doc_id", "text", window = 1))
   }
 
+  test("goldenRecords: per-attribute survivorship, not one winner row") {
+    // group 1 fuses across rows: longest text ties at len 5 → min id (2)
+    // wins "bbbbb"; modal lang "de" (2 of 3); max n = 9 comes from the
+    // SHORT-text row — no single row holds all surviving values
+    val rows = Seq(
+      (1L, 10L, "aaaa", "en", 9L),
+      (2L, 10L, "bbbbb", "de", 5L),
+      (3L, 10L, "ccccc", "de", 4L),
+      (7L, 20L, "solo", "fr", 1L)
+    ).toDF("id", "grp", "text", "lang", "n")
+    val got = Dedup.goldenRecords(rows, "id", "grp",
+        longestCols = Seq("text"), modalCols = Seq("lang"),
+        maxCols = Seq("n"))
+      .select("grp", "n_members", "keep_id", "n", "text", "lang")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSet
+    assert(got == Set(
+      (10L, 3L, 1L, 9L, "bbbbb", "de"),
+      (20L, 1L, 7L, 1L, "solo", "fr")))
+  }
+
   test("sortedNeighborPairs is deterministic across partition layouts") {
     val docs = Seq(
       (1L, "alpha beta gamma delta egg"),

@@ -127,4 +127,16 @@ class FunnelSpec extends SparkSpec {
     // H(3/4, 1/4) = ln4 - (3 ln3)/4 = 0.56233514... -> r5 0.56234
     assert(got(3L)._2 == 0.56234)
   }
+
+  test("gappedPairs: subsequence containment, not adjacency") {
+    // user 1: A@1, B@3, A@5 — (A,B) via 1<3, (B,A) via 3<5 (gapped over
+    // the intervening A), (A,A) via 1<5; (B,B) needs two B's — absent.
+    // user 2: a single A — no repeat, contributes nothing.
+    val ev = Seq((1L, 1L, "A"), (1L, 3L, "B"), (1L, 5L, "A"), (2L, 1L, "A"))
+      .toDF("user_id", "t", "typ")
+    val got = Funnel.gappedPairs(ev, "user_id", "t", "typ")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("A", "B") -> 1L, ("B", "A") -> 1L, ("A", "A") -> 1L))
+  }
 }

@@ -329,4 +329,17 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.keyness(docs, "source", "g1", minCount = 4)
       .collect().isEmpty)
   }
+
+  test("rrfFuse: reciprocal ranks summed across lists, hand-checked") {
+    // list 1 ranks d1=1, d2=2; list 2 ranks d2=1, d3=2 (by score desc)
+    // d2 = 1/62 + 1/61 = 0.0325224… → 0.032522; d1 = 1/61 → 0.016393
+    val r1 = Seq((1L, 3.0), (2L, 2.0)).toDF("doc_id", "score")
+    val r2 = Seq((2L, 9.0), (3L, 1.0)).toDF("doc_id", "score")
+    val got = TextOps.rrfFuse(Seq(r1, r2))
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((0.016393, 1L)))
+    assert(got(2L) == ((0.032522, 2L)))
+    assert(got(3L) == ((0.016129, 1L)))
+  }
 }

@@ -115,4 +115,21 @@ class CdcSpec extends SparkSpec {
       .as[(Option[Long], String, Long, String)].collect().toSet
     assert(out == Set((Some(1L), "U", 1L, "a"), (None, "U", 5L, "n")))
   }
+
+  test("snapshotAsOf: latest change <= T wins; deletes erase; later births absent") {
+    val log = Seq(
+      (1L, 10L, "U", "v1"), (1L, 20L, "D", "x"), (1L, 30L, "U", "v3"),
+      (2L, 40L, "U", "late"), // born after T
+      (3L, 5L, "U", "alive")
+    ).toDF("k", "t", "op", "v")
+    def at(ts: Long) = Cdc.snapshotAsOf(log, "k", "t", lit(ts))
+      .as[(Long, Long, String)].collect().toSet
+    // T=25: key 1's latest change is the delete — absent; key 2 unborn
+    assert(at(25L) == Set((3L, 5L, "alive")))
+    // T=35: key 1 re-inserted by the t=30 upsert
+    assert(at(35L) == Set((1L, 30L, "v3"), (3L, 5L, "alive")))
+    // T=45: everything alive
+    assert(at(45L) ==
+      Set((1L, 30L, "v3"), (2L, 40L, "late"), (3L, 5L, "alive")))
+  }
 }
