@@ -46,6 +46,34 @@ object Features {
             / (col("__n") - 1).cast("double"))).as("te_loo"))
   }
 
+  /** Weight-of-evidence encoding (the credit-scoring categorical encoder;
+    * Siddiqi, "Credit Risk Scorecards", 2006): per category i of
+    * `catCol`, WOE_i = ln( ((pos_i+s)/POS) / ((neg_i+s)/NEG) ) against a
+    * boolean `labelCol`, with additive smoothing `s` so single-class
+    * categories stay finite. Also emits the category's information-value
+    * contribution iv_i = ((pos_i+s)/POS − (neg_i+s)/NEG) · WOE_i — summed
+    * over categories it is the feature's IV, the standard screening
+    * statistic. Counts are exact integers; WOE is ONE factored ln of
+    * integer-built doubles and iv one product, each rounded at one site.
+    *
+    * Plan: one partial-aggregable conditional-count aggregation, totals
+    * reduced from it (broadcast 1-row) — category-table-sized after the
+    * scan, no second pass over the data. */
+  def woeEncode(df: DataFrame, catCol: String, labelCol: Column,
+                smooth: Double = 0.5): DataFrame = {
+    val cells = df.groupBy(col(catCol))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("n_neg"))
+    val totals = cells.agg(sum(col("n_pos")).as("__p"),
+      sum(col("n_neg")).as("__n"))
+    val pr = (col("n_pos") + smooth) / col("__p")
+    val nr = (col("n_neg") + smooth) / col("__n")
+    cells.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_pos"), col("n_neg"),
+        Timeseries.r5(log(pr / nr)).as("woe"),
+        Timeseries.r5((pr - nr) * log(pr / nr)).as("iv"))
+  }
+
   /** Equal-frequency discretization: assign each row the quantile bin
     * (1..nBins) of its value WITHIN its group, cuts at p = k/nBins from
     * [[Clean.percentileCuts]] — discrete group elements, never

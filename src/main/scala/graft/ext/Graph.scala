@@ -286,6 +286,90 @@ object Graph {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar, "Friends and neighbors
+    * on the web", Social Networks 2003): score every NON-adjacent node
+    * pair sharing ≥ `minCommon` neighbors by Σ_z 1/ln(deg(z)) over the
+    * common neighbors z — common-neighbor counting where rare shared
+    * contacts weigh more than hubs. Returns (u, w, n_common, aa), u < w,
+    * the standard "who should be connected next" ranking.
+    *
+    * Scale: wedge enumeration is inherent to the score (one addend per
+    * wedge), so the armor is `maxDeg`: centers above it are dropped WHOLE
+    * before pairing — a hub's addend 1/ln(deg) is the smallest possible
+    * while its wedge fan-out is deg², the worst cost/signal row in the
+    * graph (same rationale as [[graft.ext.Recommend.itemCooccur]]'s
+    * maxBasket). Candidate volume is then Σ_capped deg(z)² ≤ V·maxDeg²;
+    * everything is equality-joined and partial-aggregable; existing edges
+    * leave via one anti-join. Degree-1 centers form no wedge, so
+    * ln(deg) ≥ ln 2 — no division hazard. */
+  def adamicAdar(edges: DataFrame, maxDeg: Long = 30,
+                 minCommon: Long = 2): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg below 2 centers nothing: $maxDeg")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint() // 3 consumers: degrees, wedges, anti
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val ctr = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxDeg && col("d") >= 2)
+    val half = e.join(ctr, Seq("src"))
+    val scored = half.as("x")
+      .join(half.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("u"), col("y.dst").as("w"),
+        col("x.d").as("d"))
+      .groupBy("u", "w")
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("d").cast("double"))).as("__aa"))
+      .where(col("n_common") >= minCommon)
+    scored.join(und,
+        scored("u") === und("a") && scored("w") === und("b"), "left_anti")
+      .select(col("u"), col("w"), col("n_common"),
+        Timeseries.r5(col("__aa")).as("aa"))
+  }
+
+  /** Newman modularity of a community assignment (Newman & Girvan,
+    * "Finding and evaluating community structure in networks", Phys. Rev.
+    * E 2004): per community c, q_c = e_c/m − (d_c/2m)², where m counts
+    * undirected edges, e_c the intra-community edges and d_c the summed
+    * degree; Σ q_c is the partition's modularity Q. The quality gauge for
+    * [[labelPropagation]]'s output — communities are only as good as the
+    * Q they achieve. Returns (community, n_nodes, e_intra, d_tot, q).
+    *
+    * All counts are exact BIGINTs; q is two divisions and one multiply at
+    * ONE rounding site. Plan: two vocabulary-sized joins of the edge list
+    * against the label frame (labels are V-sized), partial-aggregable
+    * counts, m broadcast as a 1-row frame — nothing beyond O(E) moves. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint() // consumers: m, intra, degrees
+    val m = und.agg(count(lit(1)).as("m"))
+    val la = labels.select(col("node").as("a"), col("community").as("ca"))
+    val lb = labels.select(col("node").as("b"), col("community").as("cb"))
+    val intra = und.join(la, Seq("a")).join(lb, Seq("b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_intra"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val byC = deg.join(labels, Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("d_tot"))
+    val half = col("d_tot").cast("double") / (lit(2) * col("m"))
+    byC.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("e_intra"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("e_intra"),
+        col("d_tot"),
+        Timeseries.r5(col("e_intra").cast("double") / col("m")
+          - half * half).as("q"))
+  }
+
   /** k-core peeling over an undirected edge list (src, dst): repeatedly
     * delete nodes of degree < k (each deletion can push neighbors below k —
     * the cascade is the point), up to `rounds` synchronous rounds. Returns

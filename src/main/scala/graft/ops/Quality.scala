@@ -99,6 +99,24 @@ object Quality {
       .where(col("n") < k)
   }
 
+  /** Functional-dependency audit: determinant combinations where a claimed
+    * FD X → Y breaks (more than one distinct Y per X tuple) — the
+    * data-quality check behind "order key determines customer",
+    * "zip determines state". Returns each violating X with the row count,
+    * the distinct-Y count, and the min/max conflicting Y values as
+    * evidence; empty = the FD holds. One partial-aggregable aggregation;
+    * output bounded by violating determinants, never the table. */
+  def fdViolations(df: DataFrame, determinant: Seq[String],
+                   dependent: String): DataFrame = {
+    require(determinant.nonEmpty, "fdViolations needs a determinant")
+    df.groupBy(determinant.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(dependent)).as("n_distinct"),
+        min(col(dependent)).as("y_min"),
+        max(col(dependent)).as("y_max"))
+      .where(col("n_distinct") > 1)
+  }
+
   /** l-diversity audit — [[kAnonymity]]'s attribute-disclosure companion
     * (Machanavajjhala et al., "l-diversity: privacy beyond k-anonymity",
     * 2006): quasi-identifier combinations whose SENSITIVE column carries

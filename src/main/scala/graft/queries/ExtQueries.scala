@@ -586,6 +586,39 @@ object ExtQueries {
           year(col("o_orderdate")).cast("long").as("y")),
         Seq("o_custkey", "y"), k = 5L)),
 
+    // Functional-dependency audit ([[Quality.fdViolations]]): determinants
+    // where the claimed FD customer → priority breaks, with min/max
+    // conflicting values as evidence. One aggregation, violator-bounded
+    // output.
+    Reg("dq_fd_violations", Some(
+      """SELECT o_custkey, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderpriority) AS n_distinct,
+        |  MIN(o_orderpriority) AS y_min, MAX(o_orderpriority) AS y_max
+        |FROM orders GROUP BY 1
+        |HAVING COUNT(DISTINCT o_orderpriority) > 1""".stripMargin))(
+      (s, dir) => graft.ops.Quality.fdViolations(Tables(s, dir).orders,
+        Seq("o_custkey"), "o_orderpriority")),
+
+    // Weight-of-evidence encoding ([[Features.woeEncode]]): per event
+    // type, smoothed ln of the positive-rate ratio against the
+    // value ≥ 50 label, plus the information-value contribution — exact
+    // integer cells, one factored ln, r5 rounding on both engines.
+    Reg("feat_woe", Some(
+      """WITH c AS (SELECT event_type,
+        |    SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS n_pos,
+        |    SUM(CASE WHEN value >= 50 THEN 0 ELSE 1 END) AS n_neg
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n_pos) AS p, SUM(n_neg) AS n FROM c)
+        |SELECT event_type, n_pos, n_neg,
+        |  CAST(FLOOR(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n))
+        |    * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS woe,
+        |  CAST(FLOOR((((n_pos + 0.5) / p) - ((n_neg + 0.5) / n))
+        |    * ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n))
+        |    * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS iv
+        |FROM c CROSS JOIN t""".stripMargin))(
+      (s, dir) => graft.ext.Features.woeEncode(Tables(s, dir).events,
+        "event_type", col("value") >= 50)),
+
     // t-closeness audit ([[Quality.tCloseness]]): (customer, year) groups
     // whose priority distribution sits further than EMD 0.4 from the
     // whole-table distribution — probabilistic disclosure that both the
@@ -2365,7 +2398,9 @@ object ExtQueries {
     graphLpaReg,
     graphCcReg,
     graphKcoreReg,
-    graphCorenessReg
+    graphCorenessReg,
+    graphAdamicAdarReg,
+    graphModularityReg
   )
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
@@ -2525,8 +2560,10 @@ object ExtQueries {
   // recursive CTE cannot aggregate per step, the fixed unroll can. Exact
   // integers end to end; the hash pins canonicalization, the sync update
   // rule, AND the tiebreak.
-  private def graphLpaReg: Reg = {
-    val rounds = (1 to 5).map { i =>
+  /** The unrolled synchronous-LPA CTE rounds (count → per-node argmax),
+    * shared by graph_lpa and graph_modularity's oracle replays. */
+  private def lpaRoundsSql(n: Int): String =
+    (1 to n).map { i =>
       s"""c$i AS (SELECT e.dst AS node, l.label, COUNT(*) AS n
          |  FROM l${i - 1} l JOIN e ON e.src = l.node GROUP BY 1, 2),
          |l$i AS (SELECT node, label FROM (
@@ -2534,6 +2571,9 @@ object ExtQueries {
          |    ORDER BY n DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
         .stripMargin
     }.mkString(",\n")
+
+  private def graphLpaReg: Reg = {
+    val rounds = lpaRoundsSql(5)
     Reg("graph_lpa", Some(
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |            FROM lineitem),
@@ -2555,6 +2595,84 @@ object ExtQueries {
         graft.ext.Graph.labelPropagation(edges, iters = 5)
       })
   }
+
+  /** The co-purchase part-graph edge derivation every graph_* entry
+    * shares, as a Spark frame (bidirected; the library ops canonicalize). */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val op = Tables(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    op.as("x")
+      .join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+  }
+
+  // Adamic–Adar link prediction ([[Graph.adamicAdar]]): non-adjacent part
+  // pairs scored Σ 1/ln(deg) over common neighbors, hub centers dropped
+  // whole by the maxDeg armor (their wedge fan-out is deg² for the
+  // smallest possible addend). The oracle replays cap, wedge join,
+  // anti-join, and the one r5 rounding site.
+  private def graphAdamicAdarReg: Reg =
+    Reg("graph_adamic_adar", Some(
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |                   UNION ALL SELECT b, a FROM e0),
+        |ctr AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1
+        |        HAVING COUNT(*) BETWEEN 2 AND 30),
+        |h AS (SELECT e.src, e.dst, c.d FROM e JOIN ctr c USING (src)),
+        |s AS (SELECT x.dst AS u, y.dst AS w, COUNT(*) AS n_common,
+        |        SUM(1.0 / ln(CAST(x.d AS DOUBLE))) AS aa0
+        |      FROM h x JOIN h y ON x.src = y.src AND x.dst < y.dst
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT u, w, n_common,
+        |  CAST(FLOOR(aa0 * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS aa
+        |FROM s LEFT JOIN e0 ON e0.a = s.u AND e0.b = s.w
+        |WHERE e0.a IS NULL""".stripMargin))(
+      (s, dir) => graft.ext.Graph.adamicAdar(copurchaseEdges(s, dir),
+        maxDeg = 30, minCommon = 2))
+
+  // Newman modularity of the LPA-5 communities ([[Graph.modularity]]):
+  // per-community q_c = e_c/m − (d_c/2m)² — the quality gauge for
+  // graph_lpa's output. Exact integer counts; one rounding site. The
+  // oracle replays the SAME 5 LPA rounds (shared generator) plus the
+  // modularity aggregation.
+  private def graphModularityReg: Reg =
+    Reg("graph_modularity", Some(
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem),
+         |e0 AS (SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+         |       FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |                   UNION ALL SELECT b, a FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${lpaRoundsSql(5)},
+         |lab AS (SELECT node, label AS community FROM l5),
+         |m AS (SELECT COUNT(*) AS m FROM e0),
+         |intra AS (SELECT la.community, COUNT(*) AS e_intra
+         |          FROM e0 JOIN lab la ON la.node = e0.a
+         |          JOIN lab lb ON lb.node = e0.b
+         |          WHERE la.community = lb.community GROUP BY 1),
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
+         |byc AS (SELECT community, COUNT(*) AS n_nodes, SUM(d) AS d_tot
+         |        FROM deg JOIN lab USING (node) GROUP BY 1)
+         |SELECT byc.community, n_nodes, coalesce(e_intra, 0) AS e_intra,
+         |  d_tot,
+         |  CAST(FLOOR((CAST(coalesce(e_intra, 0) AS DOUBLE) / m
+         |    - (CAST(d_tot AS DOUBLE) / (2 * m))
+         |      * (CAST(d_tot AS DOUBLE) / (2 * m)))
+         |    * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS q
+         |FROM byc LEFT JOIN intra USING (community) CROSS JOIN m"""
+        .stripMargin))(
+      (s, dir) => {
+        val edges = copurchaseEdges(s, dir).localCheckpoint()
+        graft.ext.Graph.modularity(edges,
+          graft.ext.Graph.labelPropagation(edges, iters = 5))
+      })
 
   // Connected components of the co-purchase part graph — the graph-family
   // registration of [[graft.ext.Dedup.connectedComponents]]'s large-star/

@@ -104,4 +104,20 @@ class FeaturesSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Features.decayScore(rows, "k", "ts", "v", 1, 60)) // 2^60 overflows
   }
+
+  test("woeEncode: smoothed WOE and IV hand-checked") {
+    // A: pos 2 / neg 1, B: pos 0 / neg 3; P=2, N=4, s=0.5
+    // woe(A) = ln((2.5/2)/(1.5/4)) = ln(10/3) = 1.2039728 → 1.20397
+    // iv(A)  = (1.25 − 0.375)·1.2039728 = 1.0534762 → 1.05348
+    // woe(B) = ln((0.5/2)/(3.5/4)) = −1.2527630 → −1.25276
+    // iv(B)  = (0.25 − 0.875)·(−1.2527630) = 0.7829769 → 0.78298
+    val df = Seq(("A", true), ("A", true), ("A", false),
+      ("B", false), ("B", false), ("B", false)).toDF("cat", "lbl")
+    val got = Features.woeEncode(df, "cat",
+        org.apache.spark.sql.functions.col("lbl"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("A") == ((2L, 1L, 1.20397, 1.05348)))
+    assert(got("B") == ((0L, 3L, -1.25276, 0.78298)))
+  }
 }

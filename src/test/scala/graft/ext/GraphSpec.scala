@@ -181,4 +181,39 @@ class GraphSpec extends SparkSpec {
     assert(expected.forall { case (n, c) => r1(n) >= c })
     assertThrows[IllegalArgumentException](Graph.coreness(g, rounds = 0))
   }
+
+  test("adamicAdar: common-neighbor scoring, adjacency excluded") {
+    import spark.implicits._
+    // square 2-1-3, 2-4-3: (2,3) and (1,4) each share two degree-2
+    // neighbors → aa = 2/ln2 = 2.885390… → 2.88539
+    val sq = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.adamicAdar(sq, maxDeg = 30, minCommon = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map((2L, 3L) -> ((2L, 2.88539)),
+      (1L, 4L) -> ((2L, 2.88539))))
+    // closing (2,3) removes it from the candidates; (1,4) now scores
+    // through two degree-3 centers: 2/ln3 = 1.820478… → 1.82048
+    val closed = sq.unionAll(Seq((2L, 3L)).toDF("src", "dst"))
+    val got2 = Graph.adamicAdar(closed, maxDeg = 30, minCommon = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got2 == Map((1L, 4L) -> 1.82048), s"got $got2")
+  }
+
+  test("modularity: two bridged triangles hand-checked") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "community")
+    // m=7; each triangle: e_intra 3, d_tot 7 →
+    // q = 3/7 − (7/14)² = 0.178571… → 0.17857; Q = 2·q ≈ 0.357
+    val got = Graph.modularity(tri, labels)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 3L, 7L, 0.17857)))
+    assert(got(4L) == ((3L, 3L, 7L, 0.17857)))
+  }
 }

@@ -151,4 +151,15 @@ class QualitySpec extends SparkSpec {
     assert(got(1L)._2 == 1.2041, s"got ${got(1L)._2}")
     assert(got(9L)._3 > 5.0, "digit 9 at 25% observed vs 4.6% expected")
   }
+
+  test("fdViolations: only determinants with conflicting dependents surface") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "c"))
+      .toDF("k", "y")
+    val got = Quality.fdViolations(df, Seq("k"), "y")
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 2L, "a", "b")),
+      s"key 2 holds the FD and must not appear: ${got.toSeq}")
+    assertThrows[IllegalArgumentException](
+      Quality.fdViolations(df, Nil, "y"))
+  }
 }
