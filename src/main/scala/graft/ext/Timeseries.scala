@@ -542,4 +542,43 @@ object Timeseries {
       r5(when(da === 0.0 or db === 0.0, null)
         .otherwise((nD * sab - sa * sb) / sqrt(da * db))).as("acf1"))
   }
+
+  /** Theil–Sen robust slope per key (Theil 1950 / Sen, "Estimates of the
+    * regression coefficient based on Kendall's tau", JASA 1968): the
+    * MEDIAN of all pairwise slopes (v_j − v_i)/(t_j − t_i) over the key's
+    * points with t_i < t_j — the outlier-resistant alternative to
+    * [[linreg]]'s OLS (one wild point moves OLS arbitrarily; Theil–Sen
+    * tolerates ~29% contamination). Same-second pairs are excluded (Δt=0
+    * has no slope). Returns (key, n_pairs, slope).
+    *
+    * Determinism: values enter as exact cents, times as whole epoch
+    * seconds, so each pairwise slope is ONE double division of integers —
+    * bit-identical on every engine; the median is a lower-median ELEMENT
+    * pick ([[rollingMedian]]'s rule), never an interpolation, so no
+    * rounding site is needed at all. Ties in the slope order cannot leak:
+    * equal slopes are equal VALUES, so whichever tie row_number picks at
+    * the median position carries the same answer.
+    *
+    * Scale: the pair join is inherently O(points²) PER KEY — correct and
+    * cheap for per-entity series (points in the hundreds), quadratic for
+    * mega-keys; cap or sample points per key upstream, or fall back to
+    * [[linreg]] where p99 group size is unbounded (SCALE.md). The window
+    * ranks within one key's pairs — parallel across keys. */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String): DataFrame = {
+    val pts = df.select(col(keyCol).as("k"),
+      graft.functions.Time.tsSeconds(col(tsCol)).as("t"),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("c"))
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+      .select(col("a.k").as("k"),
+        ((col("b.c") - col("a.c")).cast("double") /
+          (lit(100.0) * (col("b.t") - col("a.t")))).as("slope"))
+    val n = pairs.groupBy("k").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy("k").orderBy("slope")
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .join(n, Seq("k"))
+      .where(col("rn") === floor((col("n_pairs") + 1) / lit(2)).cast("long"))
+      .select(col("k").as(keyCol), col("n_pairs"), col("slope"))
+  }
 }

@@ -2327,6 +2327,31 @@ object ExtQueries {
       (s, dir) => graft.ext.Funnel.transitions(Tables(s, dir).events,
         "user_id", "ts", Seq("event_id"), "event_type")),
 
+    // Theil–Sen robust slope ([[Timeseries.theilSen]]): median of pairwise
+    // slopes per user — OLS's outlier-proof sibling (ts_linreg registers
+    // that). Each slope is one double division of exact ints; the median
+    // is an element pick, so the hash needs NO rounding site. Registered
+    // over a 5% user subset: the pair join is O(points²) per key by
+    // definition (documented scale cap).
+    Reg("ts_theilsen", Some(
+      """WITH pts AS (SELECT user_id AS k,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS t,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE user_id % 20 = 0),
+        |pr AS (SELECT a.k,
+        |    CAST((b.c - a.c) AS DOUBLE) / (100.0 * (b.t - a.t)) AS slope
+        |  FROM pts a JOIN pts b ON a.k = b.k AND a.t < b.t),
+        |n AS (SELECT k, COUNT(*) AS n_pairs FROM pr GROUP BY 1),
+        |r AS (SELECT k, slope,
+        |    row_number() OVER (PARTITION BY k ORDER BY slope) AS rn
+        |  FROM pr)
+        |SELECT r.k AS user_id, n_pairs, slope
+        |FROM r JOIN n USING (k) WHERE rn = (n_pairs + 1) // 2"""
+        .stripMargin))(
+      (s, dir) => graft.ext.Timeseries.theilSen(
+        Tables(s, dir).events.where(col("user_id") % 20 === 0),
+        "user_id", "ts", "value")),
+
     // Gapped sequential patterns ([[Funnel.gappedPairs]]): per ordered
     // type pair, users with some x STRICTLY before some y — subsequence
     // containment (any gap), vs seq_transitions' consecutive-step counts.

@@ -521,4 +521,130 @@ class PropertySpec extends SparkSpec {
       assert(pairSet.forall { case (a, c) => pairSet((c, a)) }, s"trial $trial")
     }
   }
+
+  test("property: snapshotAsOf(T) equals applyChanges of the log prefix onto an empty base") {
+    import graft.ops.Cdc
+    for (trial <- 1 to 3) {
+      // unique (key, t): shuffle a (k, t) grid, random op/payload
+      val log = rnd.shuffle(
+        (for (k <- 0L to 7L; t <- 1L to 12L) yield (k, t)).toSeq)
+        .take(60)
+        .map { case (k, t) =>
+          (k, t, if (rnd.nextBoolean()) "U" else "D", s"v${rnd.nextInt(99)}")
+        }
+      val df = log.toDF("k", "t", "op", "v").repartition(2 + trial)
+      val tCut = 3L + rnd.nextInt(8)
+      val snap = Cdc.snapshotAsOf(df, "k", "t", lit(tCut))
+        .select("k", "v").as[(Long, String)].collect().toSet
+      val base = Seq.empty[(Long, String, Long, String)]
+        .toDF("k", "op", "t", "v").select("k", "v")
+      val merged = Cdc.applyChanges(base,
+          df.where(col("t") <= tCut).select("k", "op", "t", "v"),
+          "k", opCol = "op", seqCol = "t")
+        .as[(Long, String)].collect().toSet
+      assert(snap == merged, s"trial $trial cut=$tCut")
+    }
+  }
+
+  test("property: sortedNeighborPairs at window >= n equals brute force") {
+    val vocab = Array("red", "green", "blue", "kiwi", "plum", "lime")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 14L).map(i =>
+        (i, Seq.fill(4 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")))
+      val df = docs.toDF("doc_id", "text").repartition(1 + trial)
+      def shingleSet(s: String): Set[String] = {
+        val w = s.split(" ").toSeq
+        if (w.length < 3) Set(w.mkString(" "))
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val brute = (for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        a = shingleSet(ti); b = shingleSet(tj)
+        jac = a.intersect(b).size.toDouble / a.union(b).size
+        if jac >= 0.5
+      } yield (i, j)).toSet
+      val full = Dedup.sortedNeighborPairs(df, "doc_id", "text",
+          window = docs.length, threshold = 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(full == brute, s"trial $trial")
+      // and the window is monotone: w=2 candidates are a subset of w=4's
+      def snm(w: Int) = Dedup.sortedNeighborPairs(df, "doc_id", "text",
+          window = w, threshold = 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(snm(2).subsetOf(snm(4)), s"trial $trial monotonicity")
+    }
+  }
+
+  test("property: modularity is 0 for the whole-graph community, negative for singletons") {
+    import graft.ext.Graph
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(40)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("src", "dst").repartition(1 + trial)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val one = nodes.map(n => (n, 0L)).toDF("node", "community")
+      val qOne = Graph.modularity(df, one).as[(Long, Long, Long, Long, Double)]
+        .collect()
+      assert(qOne.length == 1 && qOne.head._5 == 0.0,
+        s"trial $trial: whole-graph community must score exactly 0: ${qOne.toSeq}")
+      val solo = nodes.map(n => (n, n)).toDF("node", "community")
+      val qSolo = Graph.modularity(df, solo)
+        .agg(sum(col("q"))).head.getDouble(0)
+      assert(qSolo < 0.0, s"trial $trial: all-singleton Q must be negative")
+    }
+  }
+
+  test("property: adamicAdar is canonicalization-invariant and never scores an existing edge") {
+    import graft.ext.Graph
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(30)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("src", "dst")
+      // duplicates + reversals + self-loops must not change the answer
+      val noisy = (edges ++ edges.map(_.swap) ++ Seq((3L, 3L)))
+        .toDF("src", "dst").repartition(3)
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Graph.adamicAdar(d, maxDeg = 30, minCommon = 1)
+          .as[(Long, Long, Long, Double)].collect().toSet
+      assert(run(df) == run(noisy), s"trial $trial")
+      val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .toSet
+      assert(run(df).forall { case (u, w, _, _) => !und((u, w)) },
+        s"trial $trial: an adjacent pair leaked into the candidates")
+    }
+  }
+
+  test("property: WOE information-value contributions are never negative") {
+    import graft.ext.Features
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(200)(
+        (s"c${rnd.nextInt(6)}", rnd.nextInt(3) == 0))
+      val df = rows.toDF("cat", "lbl").repartition(1 + trial)
+      val ivs = Features.woeEncode(df, "cat", col("lbl"))
+        .select("iv").as[Double].collect()
+      // each term is (a−b)·ln(a/b) with a,b > 0 — non-negative by AM–GM
+      assert(ivs.forall(_ >= 0.0), s"trial $trial: ${ivs.toSeq}")
+    }
+  }
+
+  test("property: theilSen slope is invariant under constant value shifts") {
+    import graft.ext.Timeseries
+    for (trial <- 1 to 3) {
+      val pts = (0 until 20).map(i =>
+        ("u", i.toLong, rnd.nextInt(10000) / 100.0))
+      val shift = rnd.nextInt(500).toDouble
+      def slope(rows: Seq[(String, Long, Double)]) =
+        Timeseries.theilSen(
+          rows.toDF("k", "sec", "v")
+            .select(col("k"), col("sec").cast("timestamp").as("ts"),
+              col("v")),
+          "k", "ts", "v")
+          .select("slope").as[Double].head()
+      assert(slope(pts) == slope(pts.map(p => p.copy(_3 = p._3 + shift))),
+        s"trial $trial shift=$shift")
+    }
+  }
 }

@@ -377,4 +377,27 @@ class TimeseriesSpec extends SparkSpec {
     assert(Timeseries.ewma(many, "k", Seq("seq"), "v", 1.0)
       .collect().head.getAs[Double]("ewma") == 9.5)
   }
+
+  test("theilSen: lower-median pairwise slope, same-second pairs excluded") {
+    import org.apache.spark.sql.functions.col
+    // points (0s, 0.00) (1s, 1.00) (2s, 0.50): slopes 1.0, 0.25, -0.5 —
+    // lower median 0.25 (OLS on the same points gives 0.25 too, but one
+    // wild point would move OLS, not this)
+    val pts = Seq(("u", 0L, 0.00), ("u", 1L, 1.00), ("u", 2L, 0.50))
+      .toDF("k", "sec", "v")
+      .select(col("k"), col("sec").cast("timestamp").as("ts"), col("v"))
+    val got = Timeseries.theilSen(pts, "k", "ts", "v")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("u", 3L, 0.25)))
+    // even count picks the LOWER median: 6 slopes sorted, position 3
+    val pts4 = Seq(("u", 0L, 0.00), ("u", 1L, 1.00), ("u", 2L, 0.50),
+      ("u", 3L, 3.50)).toDF("k", "sec", "v")
+      .select(col("k"), col("sec").cast("timestamp").as("ts"), col("v"))
+    assert(Timeseries.theilSen(pts4, "k", "ts", "v")
+      .as[(String, Long, Double)].collect().toSeq == Seq(("u", 6L, 1.0)))
+    // a key whose points share one second has no slope at all
+    val flat = Seq(("w", 5L, 1.0), ("w", 5L, 9.0)).toDF("k", "sec", "v")
+      .select(col("k"), col("sec").cast("timestamp").as("ts"), col("v"))
+    assert(Timeseries.theilSen(flat, "k", "ts", "v").collect().isEmpty)
+  }
 }
