@@ -341,9 +341,22 @@ object Graph {
     * All counts are exact BIGINTs; q is two divisions and one multiply at
     * ONE rounding site. Plan: two vocabulary-sized joins of the edge list
     * against the label frame (labels are V-sized), partial-aggregable
-    * counts, m broadcast as a 1-row frame — nothing beyond O(E) moves. */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val und = edges
+    * counts, m broadcast as a 1-row frame — nothing beyond O(E) moves.
+    *
+    * `canonical = true` asserts `edges` is ALREADY the deduplicated
+    * undirected (a ≤ b) pair list — typically the frame the caller also
+    * fed [[labelPropagation]] — and skips this function's own
+    * canonicalize + localCheckpoint. That matters when composing: each
+    * localCheckpoint of an E-sized frame is NON-EVICTABLE storage
+    * (truncated lineage cannot be recomputed), and stacking three copies
+    * (caller's, LPA's, this one's) starves execution memory at scale —
+    * the sf10 OOM that motivated the flag. */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 canonical: Boolean = false): DataFrame = {
+    val und = if (canonical)
+      edges.select(col(edges.columns(0)).as("a"),
+        col(edges.columns(1)).as("b"))
+    else edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))

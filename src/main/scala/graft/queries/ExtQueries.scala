@@ -2694,9 +2694,17 @@ object ExtQueries {
          |FROM byc LEFT JOIN intra USING (community) CROSS JOIN m"""
         .stripMargin))(
       (s, dir) => {
-        val edges = copurchaseEdges(s, dir).localCheckpoint()
-        graft.ext.Graph.modularity(edges,
-          graft.ext.Graph.labelPropagation(edges, iters = 5))
+        // ONE canonical checkpointed pair list shared by LPA and the
+        // modularity aggregations (canonical = true skips a second
+        // E-sized non-evictable checkpoint — the sf10 OOM lesson)
+        val und = copurchaseEdges(s, dir)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .where(col("a") =!= col("b")).distinct().localCheckpoint()
+        val asEdges = und.select(col("a").as("src"), col("b").as("dst"))
+        graft.ext.Graph.modularity(und,
+          graft.ext.Graph.labelPropagation(asEdges, iters = 5),
+          canonical = true)
       })
 
   // Connected components of the co-purchase part graph — the graph-family
