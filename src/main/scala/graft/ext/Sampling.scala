@@ -90,6 +90,33 @@ object Sampling {
                    rates: Map[String, Double]): DataFrame =
     mixSources(df, contentCol, stratumCol, rates, default = 0.0)
 
+  /** Class-balanced EXACT downsampling: keep exactly k rows per class,
+    * where k is the minority class size — the imbalanced-training fix
+    * where [[stratifiedBy]]'s proportional rates are the wrong tool
+    * (proportional keeps the imbalance; balanced equalizes it). Which
+    * rows survive is decided by content-hash order with an id tiebreak —
+    * deterministic across runs, engines, and partitionings, like every
+    * sampler here. Null-content rows are dropped (no stable identity to
+    * order on — the [[hashFrac]] contract).
+    *
+    * Plan: one class-count aggregation reduced to a broadcast 1-row min,
+    * one per-class rank window (parallel across classes; the rank filter
+    * is WindowGroupLimit-shaped once k is known). No corpus shuffle
+    * beyond the class partition. */
+  def balancedSample(df: DataFrame, contentCol: Column, classCol: Column,
+                     idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.where(contentCol.isNotNull).withColumn("__cls", classCol)
+    val k = d.groupBy("__cls").agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__k"))
+    val w = Window.partitionBy(col("__cls"))
+      .orderBy(hashFrac(contentCol).asc, col(idCol).asc)
+    d.withColumn("__rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(k))
+      .where(col("__rn") <= col("__k"))
+      .drop("__rn", "__k", "__cls")
+  }
+
   /** Temperature-based source rebalancing — the multilingual-pretraining
     * mixing rule (target share ∝ natural share^tau; tau < 1 flattens the
     * distribution toward the tail). A filter can only DOWN-sample, so the

@@ -49,6 +49,27 @@ object Profile {
       s"stack(${cols.size}, $arms) AS (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
   }
 
+  /** Snapshot drift report: [[profile]] two versions of a table and diff
+    * the per-column statistics — the schema/content drift monitor run
+    * between ingest vintages (row-count shifts, distinct-cardinality
+    * jumps, range drift, a column going null-heavy). One row per column
+    * with both sides' metrics plus delta columns; `range_changed` is a
+    * null-safe string compare of the min/max evidence. Two single-pass
+    * profile aggregations and a column-count-sized join — the frames are
+    * scanned once each regardless of width. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, p: String) = profile(df, cols).select(
+      col("col_name"), col("n_rows").as(s"${p}_rows"),
+      col("n_nonnull").as(s"${p}_nonnull"),
+      col("n_distinct").as(s"${p}_distinct"),
+      col("min_val").as(s"${p}_min"), col("max_val").as(s"${p}_max"))
+    side(a, "a").join(side(b, "b"), Seq("col_name"))
+      .withColumn("rows_delta", col("b_rows") - col("a_rows"))
+      .withColumn("distinct_delta", col("b_distinct") - col("a_distinct"))
+      .withColumn("range_changed",
+        !(col("a_min") <=> col("b_min")) || !(col("a_max") <=> col("b_max")))
+  }
+
   /** Fixed-width histogram of `c` over [lo, hi): `bins` equal bins, the
     * top edge clamped into the last bin. One aggregation (shuffle on the
     * computed bin id, at most `bins` groups after map-side combine — the

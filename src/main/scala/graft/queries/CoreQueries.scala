@@ -742,6 +742,40 @@ object CoreQueries {
       (s, dir) => graft.ops.Profile.profile(Tables(s, dir).orders,
         Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
 
+    // Snapshot drift report ([[Profile.snapshotDiff]]): per-column profile
+    // DELTAS between two table vintages — j_full_outer_diff classifies
+    // rows, this classifies COLUMNS (cardinality jumps, range drift).
+    // The b vintage drops %10 keys and shifts prices, so every delta
+    // column exercises.
+    Reg("dq_snapshot_diff", Some {
+      def arm(tbl: String, c: String, p: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS ${p}_rows,
+           |  COUNT($c) AS ${p}_nonnull, COUNT(DISTINCT $c) AS ${p}_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS ${p}_min,
+           |  CAST(MAX($c) AS VARCHAR) AS ${p}_max FROM $tbl""".stripMargin
+      val cs = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_orderpriority,
+         |    o_totalprice + 1000 AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 10 <> 0),
+         |pa AS (${cs.map(arm("orders", _, "a")).mkString("\nUNION ALL\n")}),
+         |pb AS (${cs.map(arm("b", _, "b")).mkString("\nUNION ALL\n")})
+         |SELECT col_name, a_rows, a_nonnull, a_distinct, a_min, a_max,
+         |  b_rows, b_nonnull, b_distinct, b_min, b_max,
+         |  b_rows - a_rows AS rows_delta,
+         |  b_distinct - a_distinct AS distinct_delta,
+         |  (NOT (a_min IS NOT DISTINCT FROM b_min))
+         |    OR (NOT (a_max IS NOT DISTINCT FROM b_max)) AS range_changed
+         |FROM pa JOIN pb USING (col_name)""".stripMargin
+    })(
+      (s, dir) => {
+        val a = Tables(s, dir).orders
+        val b = a.where(col("o_orderkey") % 10 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        graft.ops.Profile.snapshotDiff(a, b,
+          Seq("o_orderkey", "o_orderpriority", "o_totalprice"))
+      }),
+
     // J-full-outer: table DIFF / reconciliation — two snapshots full-outer
     // joined on the key, every row classified added/removed/changed/same,
     // then counted. The snapshots derive deterministically from orders

@@ -1026,6 +1026,25 @@ object LlmQueries {
           Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
         .select("doc_id", "lang")),
 
+    // Class-balanced exact downsampling ([[Sampling.balancedSample]]):
+    // exactly min-class-size rows per lang, survivors chosen by
+    // content-hash order with doc_id tiebreak — deterministic on any
+    // engine or partitioning; the oracle replays the identical rank.
+    Reg("sample_balanced", Some(
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) AS DOUBLE)
+        |      / 4503599627370496.0 AS hf
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT MIN(n) AS k
+        |      FROM (SELECT COUNT(*) AS n FROM d GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hf, doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, lang FROM r CROSS JOIN k WHERE rn <= k"""
+        .stripMargin))(
+      (s, dir) => Sampling.balancedSample(Tables(s, dir).documents,
+        col("text"), col("lang"), "doc_id").select("doc_id", "lang")),
+
     // Language-ID heuristic: the marker-argmax is deterministic CASE logic,
     // so it IS oracle-able — ties break lexicographically-last, which the
     // SQL encodes by checking languages in reverse lexicographic order.

@@ -113,4 +113,20 @@ class SamplingSpec extends SparkSpec {
       .count()
     assert(none == 0L)
   }
+
+  test("balancedSample: exactly min-class-size rows per class, deterministic") {
+    val rows = Seq(
+      (1L, "t1", "A"), (2L, "t2", "A"), (3L, "t3", "A"),
+      (4L, "t4", "B"), (5L, "t5", "B"),
+      (6L, null.asInstanceOf[String], "A") // null content never sampled
+    ).toDF("id", "text", "cls")
+    def run(parts: Int) = Sampling.balancedSample(
+        rows.repartition(parts), col("text"), col("cls"), "id")
+      .select("id", "cls").as[(Long, String)].collect().toSet
+    val got = run(1)
+    // minority class B has 2 rows → exactly 2 per class survive
+    assert(got.count(_._2 == "A") == 2 && got.count(_._2 == "B") == 2)
+    assert(!got.exists(_._1 == 6L), "null-content row must be dropped")
+    assert(got == run(5), "partitioning must not change the kept set")
+  }
 }

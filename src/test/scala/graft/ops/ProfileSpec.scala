@@ -54,4 +54,20 @@ class ProfileSpec extends SparkSpec {
     val t = Profile.quantileHistogram(ties, "v", "g", nBuckets = 4).collect()
     assert(t.length == 1 && t.head.getLong(2) == 6L)
   }
+
+  test("snapshotDiff: per-column deltas and null-safe range compare") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("k", "v")
+    val b = Seq((1L, "x"), (2L, "z")).toDF("k", "v")
+    val got = Profile.snapshotDiff(a, b, Seq("k", "v"))
+      .select("col_name", "rows_delta", "distinct_delta", "range_changed")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("k") == ((-1L, -1L, true)), "max k moved 3 → 2")
+    assert(got("v") == ((-1L, 0L, true)), "max v moved y → z, distinct 2 → 2")
+    // identical snapshots: zero deltas, no range change
+    val same = Profile.snapshotDiff(a, a, Seq("k"))
+      .select("rows_delta", "distinct_delta", "range_changed")
+      .as[(Long, Long, Boolean)].head()
+    assert(same == ((0L, 0L, false)))
+  }
 }
