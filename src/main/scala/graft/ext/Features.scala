@@ -60,10 +60,19 @@ object Features {
     * reduced from it (broadcast 1-row) — category-table-sized after the
     * scan, no second pass over the data. */
   def woeEncode(df: DataFrame, catCol: String, labelCol: Column,
-                smooth: Double = 0.5): DataFrame = {
-    val cells = df.groupBy(col(catCol))
-      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("n_pos"),
-        sum(when(labelCol, 0L).otherwise(1L)).as("n_neg"))
+                smooth: Double = 0.5): DataFrame =
+    woeFromCells(
+      df.groupBy(col(catCol))
+        .agg(sum(when(labelCol, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(labelCol, 0L).otherwise(1L)).as("n_neg")),
+      catCol, smooth)
+
+  /** The WOE/IV projection over pre-aggregated (category, n_pos, n_neg)
+    * cells — split out so the STREAMING twin (incremental conditional
+    * counts, stream_woe) scores its final cell table with the exact same
+    * expression tree as the batch path. */
+  def woeFromCells(cells: DataFrame, catCol: String,
+                   smooth: Double = 0.5): DataFrame = {
     val totals = cells.agg(sum(col("n_pos")).as("__p"),
       sum(col("n_neg")).as("__n"))
     val pr = (col("n_pos") + smooth) / col("__p")

@@ -25,7 +25,7 @@ object Timeseries {
     * ops any engine reproduces bit-for-bit — DuckDB twin:
     * `CAST(FLOOR(x * 100000 + 0.5) AS BIGINT) / 100000.0`. Half-cases round
     * toward +∞ for negatives; that convention is part of the contract. */
-  private[ext] def r5(c: Column): Column =
+  private[graft] def r5(c: Column): Column =
     floor(c * 100000.0 + 0.5).cast("long") / 100000.0
 
   /** Exponentially-weighted moving average per key, seeded with the key's

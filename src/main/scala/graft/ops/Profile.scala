@@ -70,6 +70,46 @@ object Profile {
         !(col("a_min") <=> col("b_min")) || !(col("a_max") <=> col("b_max")))
   }
 
+  /** Population stability index between a baseline vintage `a` and a
+    * candidate vintage `b` (the model-monitoring drift gauge; rule of
+    * thumb: Σpsi < 0.1 stable, > 0.25 shifted): bin BOTH vintages on the
+    * BASELINE's `nBins` quantile cuts ([[graft.ops.Clean.percentileCuts]]
+    * — discrete elements, engine-exact), then per bin
+    * psi = (p_b − p_a)·ln(p_b/p_a) over `smooth`-smoothed proportions
+    * (p = (n + s)/(N + s·bins), so empty candidate bins stay finite and
+    * each side's proportions still sum to 1). Returns one row per
+    * OCCUPIED bin with both counts and the psi contribution — sum for the
+    * headline number.
+    *
+    * Plan: the cut table is one distinct-value histogram over the
+    * baseline (the documented quantile machinery), broadcast to both
+    * vintages; two O(bins)-group aggregations; totals ride a broadcast
+    * 1-row frame. No shuffle beyond the bin counts. */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String, nBins: Int = 10,
+          smooth: Double = 0.5): DataFrame = {
+    require(nBins >= 2, s"psi needs at least 2 bins: $nBins")
+    val ps = (1 until nBins).map(k => (s"c$k", k.toDouble / nBins))
+    val cuts = Clean.percentileCuts(a.withColumn("__g", lit(1)),
+      valueCol, "__g", ps).drop("__g")
+    def binned(df: DataFrame, p: String) = {
+      val bin = (1 until nBins)
+        .map(k => when(col(valueCol) > col(s"c$k"), 1).otherwise(0))
+        .foldLeft(lit(1): Column)(_ + _).cast("long")
+      df.crossJoin(broadcast(cuts))
+        .select(bin.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(s"n_$p"))
+    }
+    val totals = a.agg(count(lit(1)).as("__na"))
+      .crossJoin(b.agg(count(lit(1)).as("__nb")))
+    val pa = (col("n_a") + smooth) / (col("__na") + smooth * nBins)
+    val pb = (col("n_b") + smooth) / (col("__nb") + smooth * nBins)
+    binned(a, "a").join(binned(b, "b"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        graft.ext.Timeseries.r5((pb - pa) * log(pb / pa)).as("psi"))
+  }
+
   /** Fixed-width histogram of `c` over [lo, hi): `bins` equal bins, the
     * top edge clamped into the last bin. One aggregation (shuffle on the
     * computed bin id, at most `bins` groups after map-side combine — the

@@ -776,6 +776,47 @@ object CoreQueries {
           Seq("o_orderkey", "o_orderpriority", "o_totalprice"))
       }),
 
+    // Population stability index ([[Profile.psi]]): both vintages binned
+    // on the BASELINE's decile cuts (discrete elements, engine-exact),
+    // per-bin (p_b − p_a)·ln(p_b/p_a) over smoothed proportions — the
+    // model-monitoring companion to dq_snapshot_diff over the same
+    // synthetic vintage pair.
+    Reg("drift_psi", Some {
+      val cutDefs = (1 to 9).map(k =>
+        s"""MIN(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.$k * n) AS BIGINT))
+           |  THEN x END) AS c$k""".stripMargin).mkString(",\n")
+      def binExpr = (1 to 9).map(k =>
+        s"(CASE WHEN v > c$k THEN 1 ELSE 0 END)").mkString(" + ")
+      def p(nc: String, tot: String) = s"(($nc + 0.5) / ($tot + 5.0))"
+      val (pa, pb) = (p("COALESCE(n_a, 0)", "na"), p("COALESCE(n_b, 0)", "nb"))
+      s"""WITH av AS (SELECT o_totalprice AS v FROM orders),
+         |bv AS (SELECT o_totalprice + 1000 AS v FROM orders
+         |       WHERE o_orderkey % 10 <> 0),
+         |h AS (SELECT v AS x, COUNT(*) AS c FROM av GROUP BY 1),
+         |cum AS (SELECT x, c, SUM(c) OVER (ORDER BY x) AS cum,
+         |          SUM(c) OVER () AS n FROM h),
+         |cuts AS (SELECT
+         |$cutDefs
+         |FROM cum),
+         |ba AS (SELECT CAST(1 + $binExpr AS BIGINT) AS bucket,
+         |         COUNT(*) AS n_a FROM av, cuts GROUP BY 1),
+         |bb AS (SELECT CAST(1 + $binExpr AS BIGINT) AS bucket,
+         |         COUNT(*) AS n_b FROM bv, cuts GROUP BY 1),
+         |t AS (SELECT (SELECT COUNT(*) FROM av) AS na,
+         |        (SELECT COUNT(*) FROM bv) AS nb)
+         |SELECT bucket, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |  CAST(FLOOR(($pb - $pa) * ln($pb / $pa) * 100000.0 + 0.5)
+         |    AS BIGINT) / 100000.0 AS psi
+         |FROM ba FULL OUTER JOIN bb USING (bucket) CROSS JOIN t"""
+        .stripMargin
+    })(
+      (s, dir) => {
+        val a = Tables(s, dir).orders
+        val b = a.where(col("o_orderkey") % 10 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        graft.ops.Profile.psi(a, b, "o_totalprice", nBins = 10)
+      }),
+
     // J-full-outer: table DIFF / reconciliation — two snapshots full-outer
     // joined on the key, every row classified added/removed/changed/same,
     // then counted. The snapshots derive deterministically from orders

@@ -1888,6 +1888,37 @@ object ExtQueries {
           name)
       }),
 
+    // ST: streaming WOE — the encoder's incremental twin: the conditional
+    // counts accumulate as O(1)-per-category streaming state (complete
+    // mode over the bounded source), and the final cell table is scored by
+    // the SAME projection as feat_woe ([[Features.woeFromCells]]). Shares
+    // feat_woe's oracle verbatim: the hash proves the microbatch counts
+    // equal the batch aggregation cell for cell.
+    Reg("stream_woe", Some(
+      """WITH c AS (SELECT event_type,
+        |    SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS n_pos,
+        |    SUM(CASE WHEN value >= 50 THEN 0 ELSE 1 END) AS n_neg
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n_pos) AS p, SUM(n_neg) AS n FROM c)
+        |SELECT event_type, n_pos, n_neg,
+        |  CAST(FLOOR(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n))
+        |    * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS woe,
+        |  CAST(FLOOR((((n_pos + 0.5) / p) - ((n_neg + 0.5) / n))
+        |    * ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n))
+        |    * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS iv
+        |FROM c CROSS JOIN t""".stripMargin))(
+      (s, dir) => {
+        val name = s"stream_woe_${streamRunCounter.incrementAndGet()}"
+        val cells = graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.readEvents(
+              graft.ext.Streaming.streamingSession(s), dir)
+            .groupBy(col("event_type"))
+            .agg(sum(when(col("value") >= 50, 1L).otherwise(0L)).as("n_pos"),
+              sum(when(col("value") >= 50, 0L).otherwise(1L)).as("n_neg")),
+          name)
+        graft.ext.Features.woeFromCells(cells, "event_type")
+      }),
+
     // Skew diagnostic: the heaviest join-key values and their ratio to the
     // mean per-key count — the measurement that decides between a plain
     // join, AQE skew splitting, and Relational.saltedJoin. The global mean

@@ -70,4 +70,22 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].head()
     assert(same == ((0L, 0L, false)))
   }
+
+  test("psi: zero for identical vintages, non-negative terms, empty bins finite") {
+    val a = (1 to 40).map(i => (i % 10).toDouble).toDF("v")
+    val zero = Profile.psi(a, a, "v", nBins = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(zero.nonEmpty && zero.forall(r => r._2 == r._3 && r._4 == 0.0),
+      s"identical vintages must score 0: ${zero.toSeq}")
+    // b concentrated in the top of a's range: every term (p_b−p_a)·ln(p_b/p_a)
+    // has matching signs, so psi is non-negative per bin — and a's low bins
+    // are EMPTY in b yet stay finite through the smoothing
+    val b = (1 to 30).map(_ => 9.0).toDF("v")
+    val shifted = Profile.psi(a, b, "v", nBins = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(shifted.forall(_._4 >= 0.0), s"psi terms: ${shifted.toSeq}")
+    assert(shifted.exists(r => r._3 == 0L),
+      "expected an empty candidate bin in this construction")
+    assert(shifted.map(_._4).sum > 0.25, "a wholesale shift must flag")
+  }
 }
