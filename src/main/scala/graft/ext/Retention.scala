@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cohort-retention and rolling-active-user analytics over an event/order
@@ -68,5 +68,64 @@ object Retention {
       .join(broadcast(days), Seq("day"), "left_semi")
       .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
       .agg(countDistinct(col("e")).as("n_active"))
+  }
+
+  /** Kaplan–Meier survival estimator (Kaplan & Meier, "Nonparametric
+    * estimation from incomplete observations", JASA 1958) over entity
+    * lifetimes: S(t) = Π_{j ≤ t} (1 − d_j/n_j), with d_j the entities
+    * whose lifetime ended at day j and n_j those still at risk. An entity
+    * lives from its first to its last observed day; entities whose last
+    * day IS the corpus's final day are right-CENSORED (still alive —
+    * they leave the risk set without counting as churn). The churn curve
+    * analytics teams actually want, where [[cohortRetention]] reports raw
+    * comeback rates. Returns one row per observed lifetime t:
+    * (t_days, n_at_risk, n_deaths, n_censored, survival).
+    *
+    * Determinism: d, n are exact integers; each factor is one double
+    * division and the running product folds in ascending-t order on both
+    * engines (DuckDB's windowed product replays it), one r5 site.
+    *
+    * Scale: one (entity) aggregation for lifetimes, one day-level
+    * aggregation; the running-sum/product windows touch the LIFETIME
+    * table (≤ observed-day-range rows), never entities — the same
+    * bucket-totals-only pattern as Packing's prefix sum. */
+  def kaplanMeier(df: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val life = df.groupBy(col(entityCol))
+      .agg(to_date(min(col(tsCol))).as("__f"), to_date(max(col(tsCol))).as("__l"))
+    val endDay = life.agg(max(col("__l")).as("__end"))
+    val lt = life.crossJoin(broadcast(endDay))
+      .select(datediff(col("__l"), col("__f")).cast("long").as("t"),
+        (col("__l") === col("__end")).as("__cens"))
+    val agg = lt.groupBy("t").agg(
+      sum(when(col("__cens"), 0L).otherwise(1L)).as("d"),
+      sum(when(col("__cens"), 1L).otherwise(0L)).as("c"))
+    val total = lt.agg(count(lit(1)).as("__n"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = agg.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("__n") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    // running product in ascending-t order: fold over the (tiny) sorted
+    // lifetime table — Spark has no product window, the fold multiplies
+    // in exactly the order DuckDB's product() OVER (ORDER BY t) does
+    def term(r: Column) = lit(1.0) - r.getField("d").cast("double") /
+      r.getField("n_at_risk")
+    def out(r: Column, s: Column) = struct(r.getField("t").as("t"),
+      r.getField("d").as("d"), r.getField("c").as("c"),
+      r.getField("n_at_risk").as("n"), s.as("s"))
+    risk
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"),
+        col("n_at_risk")))).as("__rows"))
+      .select(explode(aggregate(
+        slice(col("__rows"), lit(2), size(col("__rows")) - 1),
+        array(out(element_at(col("__rows"), 1),
+          term(element_at(col("__rows"), 1)))),
+        (acc, r) => concat(acc,
+          array(out(r, element_at(acc, -1).getField("s") * term(r))))))
+        .as("__r"))
+      .select(col("__r.t").as("t_days"), col("__r.n").as("n_at_risk"),
+        col("__r.d").as("n_deaths"), col("__r.c").as("n_censored"),
+        Timeseries.r5(col("__r.s")).as("survival"))
   }
 }

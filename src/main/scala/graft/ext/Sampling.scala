@@ -117,6 +117,38 @@ object Sampling {
       .drop("__rn", "__k", "__cls")
   }
 
+  /** Deterministic negative sampling for contrastive training: every
+    * anchor row gets `k` negatives drawn by content-hash RANK adjacency —
+    * rank all rows by (hashFrac(content), id), negative j of the anchor
+    * at rank r is the row at rank ((r−1+j) mod N)+1. Hash order is
+    * uniform-pseudorandom w.r.t. content yet exactly reproducible, so the
+    * pairing survives re-runs, engines, and repartitioning — the property
+    * RNG-based negative samplers lose. Self-pairings (possible only when
+    * N ≤ k wraps the ring) are dropped. Returns (anchor_id, j, neg_id).
+    *
+    * Scale: one [[graft.ops.Rank.globalRank]] two-level rank (hash-prefix
+    * buckets), a k-way explode, one equality self-join on the target rank
+    * — fan-out exactly k per row, no sampling shuffle of content. */
+  def negativeSample(df: DataFrame, idCol: String, contentCol: Column,
+                     k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val keyed = df.where(contentCol.isNotNull)
+      .select(col(idCol).as("id"), hashFrac(contentCol).as("__hf"))
+    val ranked = graft.ops.Rank.globalRank(keyed, col("__hf"), col("id"),
+        floor(col("__hf") * 64).cast("long"), rankCol = "__r")
+      .select(col("id"), col("__r"))
+      .localCheckpoint() // self-joined + counted: rank derived once
+    val n = ranked.agg(count(lit(1)).as("__N"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("id").as("anchor_id"), col("__r"), col("__N"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__tr", pmod(col("__r") - 1 + col("j"), col("__N")) + 1)
+      .join(ranked.select(col("id").as("neg_id"), col("__r").as("__tr")),
+        Seq("__tr"))
+      .where(col("anchor_id") =!= col("neg_id"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"))
+  }
+
   /** Temperature-based source rebalancing — the multilingual-pretraining
     * mixing rule (target share ∝ natural share^tau; tau < 1 flattens the
     * distribution toward the tail). A filter can only DOWN-sample, so the

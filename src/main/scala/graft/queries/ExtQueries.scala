@@ -2033,6 +2033,44 @@ object ExtQueries {
     // month, counted in every month they reorder): 51 cohorts × offsets on
     // this corpus. The oracle replays cohort assignment, the distinct
     // activity matrix, and exact month arithmetic.
+    // Kaplan–Meier survival ([[Retention.kaplanMeier]]): churn curve over
+    // user lifetimes with right-censoring at the corpus's final day —
+    // cohort_retention's statistically-honest sibling. Counts exact; the
+    // running product folds ascending-t on both engines (the oracle
+    // replays it as a sequential list_reduce, never a reassociating
+    // window aggregate); one r5 site.
+    Reg("user_survival", Some(
+      """WITH u AS (SELECT user_id,
+        |    CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS f,
+        |    CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS l
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT MAX(l) AS endd FROM u),
+        |lt AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+        |         (l = endd) AS cens FROM u, e),
+        |agg AS (SELECT t, SUM(CASE WHEN cens THEN 0 ELSE 1 END) AS d,
+        |          SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS c
+        |        FROM lt GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM lt),
+        |risk AS (SELECT t, d, c,
+        |    n - COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk
+        |  FROM agg, tot),
+        |terms AS (SELECT list(struct_pack(t := t, d := d, c := c,
+        |    n := n_at_risk,
+        |    x := 1.0 - CAST(d AS DOUBLE) / n_at_risk) ORDER BY t) AS xs
+        |  FROM risk),
+        |idx AS (SELECT xs, unnest(generate_series(1, len(xs))) AS i
+        |        FROM terms)
+        |SELECT xs[i].t AS t_days, xs[i].n AS n_at_risk,
+        |  xs[i].d AS n_deaths, xs[i].c AS n_censored,
+        |  CAST(FLOOR(list_reduce(list_transform(xs[1:i], s -> s.x),
+        |    (a, b) -> a * b) * 100000.0 + 0.5) AS BIGINT) / 100000.0
+        |    AS survival
+        |FROM idx""".stripMargin))(
+      (s, dir) => graft.ext.Retention.kaplanMeier(Tables(s, dir).events,
+        "user_id", "ts")),
+
     Reg("cohort_retention", Some(
       """WITH firsts AS (
         |  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cm

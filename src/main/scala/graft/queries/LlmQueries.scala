@@ -1045,6 +1045,27 @@ object LlmQueries {
       (s, dir) => Sampling.balancedSample(Tables(s, dir).documents,
         col("text"), col("lang"), "doc_id").select("doc_id", "lang")),
 
+    // Deterministic negative sampling ([[Sampling.negativeSample]]):
+    // k=3 contrastive negatives per anchor via content-hash rank
+    // adjacency on the ring — reproducible on any engine/partitioning
+    // where RNG samplers are not; the oracle replays the ring walk.
+    Reg("sample_negatives", Some(
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) AS DOUBLE)
+        |      / 4503599627370496.0 AS hf
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT id, row_number() OVER (ORDER BY hf, id) AS rk FROM d),
+        |n AS (SELECT COUNT(*) AS nn FROM r),
+        |a AS (SELECT r.id AS anchor_id, r.rk, g.j
+        |      FROM r CROSS JOIN generate_series(1, 3) AS g(j)),
+        |x AS (SELECT anchor_id, j, ((rk - 1 + j) % nn) + 1 AS tr
+        |      FROM a, n)
+        |SELECT anchor_id, CAST(j AS BIGINT) AS j, r2.id AS neg_id
+        |FROM x JOIN r r2 ON r2.rk = x.tr
+        |WHERE r2.id <> x.anchor_id""".stripMargin))(
+      (s, dir) => Sampling.negativeSample(Tables(s, dir).documents,
+        "doc_id", col("text"), k = 3)),
+
     // Language-ID heuristic: the marker-argmax is deterministic CASE logic,
     // so it IS oracle-able — ties break lexicographically-last, which the
     // SQL encodes by checking languages in reverse lexicographic order.

@@ -44,4 +44,25 @@ class RetentionSpec extends SparkSpec {
     assert(Retention.cohortRetention(empty, "u", "t").count() == 0)
     assert(Retention.rollingActive(empty, "u", "t").count() == 0)
   }
+
+  test("kaplanMeier: hand-checked curve with right-censoring at corpus end") {
+    import org.apache.spark.sql.functions.col
+    // u1 dies t=0, u2 dies t=1, u3 (t=3) and u4 (t=2) end on the corpus's
+    // final day → censored; S = 3/4 at t=0, then ×(1−1/3) = 1/2, flat after
+    def ts(s: String) = s"$s 10:00:00"
+    val ev = Seq(
+      (1L, ts("2024-01-01")),
+      (2L, ts("2024-01-01")), (2L, ts("2024-01-02")),
+      (3L, ts("2024-01-01")), (3L, ts("2024-01-04")),
+      (4L, ts("2024-01-02")), (4L, ts("2024-01-04"))
+    ).toDF("u", "t").select(col("u"), col("t").cast("timestamp").as("t"))
+    val got = Retention.kaplanMeier(ev, "u", "t")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      0L -> ((4L, 1L, 0L, 0.75)),
+      1L -> ((3L, 1L, 0L, 0.5)),
+      2L -> ((2L, 0L, 1L, 0.5)),
+      3L -> ((1L, 0L, 1L, 0.5))))
+  }
 }

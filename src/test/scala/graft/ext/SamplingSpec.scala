@@ -129,4 +129,25 @@ class SamplingSpec extends SparkSpec {
     assert(!got.exists(_._1 == 6L), "null-content row must be dropped")
     assert(got == run(5), "partitioning must not change the kept set")
   }
+
+  test("negativeSample: k ring negatives per anchor, no self-pairs, deterministic") {
+    val docs = (1L to 7L).map(i => (i, s"doc body $i")).toDF("id", "text")
+    def run(parts: Int) = Sampling.negativeSample(
+        docs.repartition(parts), "id", col("text"), k = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = run(1)
+    assert(got == run(4), "pairing must survive repartitioning")
+    assert(got.size == 14, "every anchor gets exactly k=2 negatives")
+    assert(got.forall { case (a, j, n) => a != n && (j == 1L || j == 2L) })
+    // ring structure: each anchor's two negatives are distinct rows
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._3).size == 2, s"anchor $a negatives not distinct")
+    }
+    // tiny corpus where the ring wraps onto the anchor: self-pair dropped
+    val two = Seq((1L, "x"), (2L, "y")).toDF("id", "text")
+    val wrapped = Sampling.negativeSample(two, "id", col("text"), k = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(wrapped.forall(r => r._1 != r._3))
+    assert(wrapped.length == 2, "k=2 on N=2 wraps one j onto the anchor")
+  }
 }
