@@ -379,6 +379,74 @@ object CoreQueries {
           dsumProd2(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_revenue"),
           count(lit(1)).as("n_rows"))),
 
+    // The two canonical TPC-H star-join shapes, exact-cents revenue
+    // (dsumProd2 ↔ the cents-product SQL twin). Q3 "shipping priority":
+    // dim-filtered customer broadcast into orders, date-pruned lineitem,
+    // fully-tiebroken top-10. Q5 "local supplier volume": the 6-way join
+    // with BOTH ends pinned to one region (c_nationkey = s_nationkey),
+    // nation-count-sized output.
+    Reg("tpch_q3", Some {
+      val rev = """CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  |  * CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT))
+                  |  AS DOUBLE) / 10000.0""".stripMargin
+      s"""SELECT l_orderkey, $rev AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1997-06-01'
+         |  AND l_shipdate > TIMESTAMP '1997-06-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    })(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.where(col("c_mktsegment") === "BUILDING")
+          .join(t.orders, col("c_custkey") === col("o_custkey"))
+          .where(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+          .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(dsumProd2(col("l_extendedprice"),
+            lit(1) - col("l_discount")).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+      }),
+
+    Reg("tpch_q5", Some {
+      val rev = """CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  |  * CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT))
+                  |  AS DOUBLE) / 10000.0""".stripMargin
+      s"""SELECT n_name, $rev AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name""".stripMargin
+    })(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"))
+          .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+          .join(t.supplier, col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+          .join(t.region, col("n_regionkey") === col("r_regionkey")
+            && col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(dsumProd2(col("l_extendedprice"),
+            lit(1) - col("l_discount")).as("revenue"))
+      }),
+
     // A2: group-by COUNT (etl_io.py:537).
     Reg("a2_groupcount", Some(
       "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority"))(

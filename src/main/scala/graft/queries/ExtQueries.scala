@@ -2352,6 +2352,40 @@ object ExtQueries {
             ignoreNulls = true).over(w).as("v_locf"))
       }),
 
+    // W9: longest consecutive-active-day streak per user — the classic
+    // gaps-and-islands form (island id = day − row_number days, constant
+    // exactly while days are consecutive). One distinct, one per-user
+    // window, two aggregations; the longest-streak pick is a struct-max
+    // with a deterministic later-start tiebreak.
+    Reg("w9_streaks", Some(
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |i AS (SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |             AS INTEGER) AS island
+        |  FROM d),
+        |s AS (SELECT user_id, COUNT(*) AS len, MIN(d) AS start
+        |      FROM i GROUP BY user_id, island)
+        |SELECT user_id, CAST(len AS BIGINT) AS streak_days,
+        |  strftime(start, '%Y-%m-%d') AS streak_start
+        |FROM (SELECT user_id, len, start, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY len DESC, start DESC) AS rn
+        |      FROM s) WHERE rn = 1""".stripMargin))(
+      (s, dir) => {
+        val days = Tables(s, dir).events
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        days
+          .withColumn("__island",
+            date_sub(col("d"), row_number().over(w)))
+          .groupBy("user_id", "__island")
+          .agg(count(lit(1)).as("len"), min(col("d")).as("start"))
+          .groupBy("user_id")
+          .agg(max(struct(col("len"), col("start"))).as("__m"))
+          .select(col("user_id"), col("__m.len").as("streak_days"),
+            date_format(col("__m.start"), "yyyy-MM-dd").as("streak_start"))
+      }),
+
     // A16: per-group MODE with a DETERMINISTIC tiebreak (count desc, then
     // smallest value) — engine mode() tie semantics differ, so both sides
     // replay the same count→rank→first pipeline; same argmax-by-rank

@@ -346,6 +346,19 @@ class PlanSpec extends SparkSpec {
     assert(physical(tr).contains("BroadcastHashJoin"), physical(tr))
   }
 
+  test("TPC-H Q5 six-way join: dims broadcast, no cartesian, filters pushed") {
+    val q5 = graft.SparkEntry.queries("tpch_q5")(spark, "/root/testdata/sf0.001")
+    val plan = physical(q5)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val scans = q5.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("o_orderdate") &&
+      s.contains("GreaterThanOrEqual(o_orderdate")),
+      s"date range not pushed to the orders scan:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("EqualTo(r_name,ASIA)")),
+      s"region filter not pushed:\n${scans.mkString("\n")}")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
     // the 100 TB lever for star joins over partitioned lakes: the dim
     // filter must reach the FACT SCAN as a runtime partition filter, so
