@@ -122,6 +122,62 @@ object Timeseries {
         r5(col("__st.l") + col("__st.b")).as("forecast"))
   }
 
+  /** Holt–Winters ADDITIVE triple exponential smoothing per key (Winters,
+    * "Forecasting sales by exponentially weighted moving averages",
+    * Management Science 1960): level + trend + a `period`-slot seasonal
+    * index, the seasonal upgrade from [[holt]]. Seeded l₁ = x₁, b₁ = 0,
+    * s = 0⃗ (the simple seed — a contract, documented, replayed by the
+    * oracle); for i ≥ 2 with slot = (i−1) mod period:
+    * l ← α(x − s[slot]) + (1−α)(l+b); b ← β(l−l_prev) + (1−β)b;
+    * s[slot] ← γ(x − l) + (1−γ)s[slot]. One row per key:
+    * (key, n_events, level, trend, season = next step's seasonal index,
+    * forecast = level + trend + season), r5-rounded. Dyadic α/β/γ keep
+    * every pre-rounding double bit-identical across engines. Same
+    * one-shuffle bounded-history contract as [[ewma]]. */
+  def holtWinters(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                  valueCol: String, alpha: Double, beta: Double,
+                  gamma: Double, period: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(beta > 0 && beta <= 1, s"beta must be in (0, 1]: $beta")
+    require(gamma > 0 && gamma <= 1, s"gamma must be in (0, 1]: $gamma")
+    require(period >= 2, s"period must be >= 2: $period")
+    require(orderCols.nonEmpty, "holtWinters needs an ordering column")
+    val (da, db, dg) = (1 - alpha, 1 - beta, 1 - gamma)
+    val ordered = sort_array(collect_list(struct(
+      orderCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)))
+    def step(acc: Column, x: Column): Column = {
+      val i = acc.getField("i") + 1
+      val idx0 = ((i - 1) % period).cast("int")
+      val sv = element_at(acc.getField("s"), idx0 + 1)
+      val nl = (x - sv) * lit(alpha) +
+        (acc.getField("l") + acc.getField("b")) * lit(da)
+      val nb = (nl - acc.getField("l")) * lit(beta) +
+        acc.getField("b") * lit(db)
+      val ns = concat(
+        slice(acc.getField("s"), lit(1), idx0),
+        array((x - nl) * lit(gamma) + sv * lit(dg)),
+        slice(acc.getField("s"), idx0 + 2, lit(period) - idx0 - 1))
+      struct(nl.as("l"), nb.as("b"), ns.as("s"), i.as("i"))
+    }
+    val nextSlot = ((col("n_events") % period) + 1).cast("int")
+    df.groupBy(col(keyCol))
+      .agg(ordered.as("__s"), count(lit(1)).cast("long").as("n_events"))
+      .withColumn("__st", aggregate(
+        slice(transform(col("__s"), s => s.getField("__v")),
+          lit(2), size(col("__s")) - 1),
+        struct(element_at(col("__s"), 1).getField("__v").as("l"),
+          lit(0.0).as("b"),
+          array_repeat(lit(0.0), period).as("s"),
+          lit(1L).as("i")),
+        step))
+      .select(col(keyCol), col("n_events"),
+        r5(col("__st.l")).as("level"),
+        r5(col("__st.b")).as("trend"),
+        r5(element_at(col("__st.s"), nextSlot)).as("season"),
+        r5(col("__st.l") + col("__st.b") +
+          element_at(col("__st.s"), nextSlot)).as("forecast"))
+  }
+
   /** Two-sided CUSUM change detection per key (Page 1954): standardized
     * residuals zᵢ = (xᵢ−μ)/σ folded through S⁺ᵢ = max(0, S⁺ᵢ₋₁+zᵢ−k) and
     * S⁻ᵢ = min(0, S⁻ᵢ₋₁+zᵢ+k); a large max S⁺ / min S⁻ flags a sustained

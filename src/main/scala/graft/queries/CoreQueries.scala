@@ -48,6 +48,33 @@ object CoreQueries {
     Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  /** Stage the merge-on-read base + delta artifacts once per corpus —
+    * the append-only write side of the sink_merge_on_read pattern. */
+  private def stagedMergeOnRead(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "orders.parquet")
+    val sig =
+      try s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      catch { case _: Exception => "nosig" }
+    stageOnce(s"mor_$sig", dir) { path =>
+      val o = graft.io.Tables(s, dir).orders
+      val base = o.select("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus")
+      val c1 = o.where((col("o_orderkey") % 10).isin(0, 1, 2))
+        .select(col("o_orderkey"), lit("U").as("op"), lit(1).as("seq"),
+          col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice"),
+          col("o_orderstatus"))
+      val c2 = o.where((col("o_orderkey") % 10).isin(1, 2, 3))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 3, "D").otherwise("U").as("op"),
+          lit(2).as("seq"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderstatus"))
+      graft.io.Sinks.parquet(base, s"$path/base.parquet")
+      graft.io.Sinks.parquet(c1.unionByName(c2), s"$path/delta.parquet")
+    }
+  }
+
   private[queries] def stageOnce(kind: String, dir: String)(create: String => Unit): String =
     stageCache.computeIfAbsent(s"$kind:$dir", { _ =>
       import java.nio.file.{Files, StandardCopyOption}
@@ -730,6 +757,47 @@ object CoreQueries {
             lit(2).as("seq"), col("o_custkey"),
             (col("o_totalprice") * 2).as("o_totalprice"), col("o_orderstatus"))
         graft.ops.Cdc.applyChanges(base, c1.unionByName(c2), "o_orderkey")
+      }),
+
+    // Merge-on-read ([[graft.ops.Cdc.applyChanges]] over PERSISTED files):
+    // the lakehouse pattern where a base snapshot and a delta change log
+    // live as separate parquet artifacts and the merge happens AT READ
+    // TIME — writes stay append-only and cheap, readers pay one window +
+    // anti-join. Base and delta are staged once through Sinks (the
+    // write-side is exercised, not simulated); same oracle as cdc_merge,
+    // so the hash also proves the parquet round-trip changed nothing.
+    Reg("sink_merge_on_read", Some(
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |), c1 AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_custkey,
+        |    o_totalprice + 1000 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+        |), c2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END AS op,
+        |    2 AS seq, o_custkey,
+        |    o_totalprice * 2 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |                                 ORDER BY seq DESC) AS rn
+        |    FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+        |  ) WHERE rn = 1
+        |)
+        |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus
+        |FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |                  WHERE l.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM latest WHERE op = 'U'""".stripMargin))(
+      (s, dir) => {
+        val staged = stagedMergeOnRead(s, dir)
+        graft.ops.Cdc.applyChanges(
+          s.read.parquet(s"$staged/base.parquet"),
+          s.read.parquet(s"$staged/delta.parquet"), "o_orderkey")
       }),
 
     // SCD2: type-2 dimension build from a change log — one window pass

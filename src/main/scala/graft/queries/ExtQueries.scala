@@ -185,6 +185,48 @@ object ExtQueries {
       (s, dir) => graft.ext.Timeseries.holt(Tables(s, dir).events,
         "user_id", Seq("ts", "event_id"), "value", alpha = 0.25, beta = 0.5)),
 
+    // Holt–Winters additive triple smoothing ([[Timeseries.holtWinters]]):
+    // level + trend + 4-slot seasonal index, dyadic α=0.25 β=0.5 γ=0.5 so
+    // every pre-rounding double is bit-identical; the oracle replays the
+    // fold rank-to-rank with the seasonal LIST carried through the
+    // recursive CTE (the slot update is two slices + a singleton).
+    Reg("ts_holtwinters", Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, value AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, rn, n, v AS l, CAST(0.0 AS DOUBLE) AS b,
+        |    [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0] AS s
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b2.user_id, b2.rn, b2.n,
+        |    (b2.v - r.s[((b2.rn - 1) % 4) + 1]) * 0.25 + (r.l + r.b) * 0.75,
+        |    ((b2.v - r.s[((b2.rn - 1) % 4) + 1]) * 0.25 + (r.l + r.b) * 0.75
+        |      - r.l) * 0.5 + r.b * 0.5,
+        |    list_concat(list_concat(
+        |      r.s[1:((b2.rn - 1) % 4)],
+        |      [(b2.v - ((b2.v - r.s[((b2.rn - 1) % 4) + 1]) * 0.25
+        |          + (r.l + r.b) * 0.75)) * 0.5
+        |        + r.s[((b2.rn - 1) % 4) + 1] * 0.5]),
+        |      r.s[(((b2.rn - 1) % 4) + 2):4])
+        |  FROM rec r JOIN base b2
+        |    ON b2.user_id = r.user_id AND b2.rn = r.rn + 1
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(FLOOR(l * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS level,
+        |  CAST(FLOOR(b * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS trend,
+        |  CAST(FLOOR(s[(n % 4) + 1] * 100000.0 + 0.5) AS BIGINT) / 100000.0
+        |    AS season,
+        |  CAST(FLOOR((l + b + s[(n % 4) + 1]) * 100000.0 + 0.5) AS BIGINT)
+        |    / 100000.0 AS forecast
+        |FROM rec WHERE rn = n""".stripMargin))(
+      (s, dir) => graft.ext.Timeseries.holtWinters(Tables(s, dir).events,
+        "user_id", Seq("ts", "event_id"), "value",
+        alpha = 0.25, beta = 0.5, gamma = 0.5, period = 4)),
+
     // Two-sided CUSUM level-shift detection ([[Timeseries.cusum]]). μ/σ come
     // from exact integer-cents sums, so the standardized residuals entering
     // the fold are bit-identical across engines; the fold itself replays in
@@ -1345,6 +1387,22 @@ object ExtQueries {
 
     // F-date: calendar part extraction (int parts cast to BIGINT to match
     // DuckDB's year/month/day return type).
+    // F-ext: ordered distinct string aggregation — the report-friendly
+    // "list the values" rollup. collect_set order is partition-dependent,
+    // so the sort before the join is the determinism contract.
+    Reg("f_string_agg", Some(
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  COUNT(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders GROUP BY 1""".stripMargin))(
+      (s, dir) => Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"))),
+
     Reg("f_date_parts", Some(
       """SELECT event_id, year(ts) AS y, month(ts) AS m, day(ts) AS d
         |FROM events""".stripMargin))(

@@ -378,6 +378,21 @@ class TimeseriesSpec extends SparkSpec {
       .collect().head.getAs[Double]("ewma") == 9.5)
   }
 
+  test("holtWinters: hand-checked additive triple smoothing, period 2") {
+    // x = [4, 6, 8], α=β=γ=0.5: i=2 slot2 → l=5 b=0.5 s=[0,0.5];
+    // i=3 slot1 → l=6.75 b=1.125 s=[0.625,0.5]; next slot = 2 →
+    // season 0.5, forecast 6.75+1.125+0.5 = 8.375
+    val rows = Seq(("u", 1L, 4.0), ("u", 2L, 6.0), ("u", 3L, 8.0))
+      .toDF("k", "seq", "v")
+    val got = Timeseries.holtWinters(rows, "k", Seq("seq"), "v",
+        alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(got == (("u", 3L, 6.75, 1.125, 0.5, 8.375)), s"got $got")
+    assertThrows[IllegalArgumentException](
+      Timeseries.holtWinters(rows, "k", Seq("seq"), "v", 0.5, 0.5, 0.5,
+        period = 1))
+  }
+
   test("theilSen: lower-median pairwise slope, same-second pairs excluded") {
     import org.apache.spark.sql.functions.col
     // points (0s, 0.00) (1s, 1.00) (2s, 0.50): slopes 1.0, 0.25, -0.5 —
