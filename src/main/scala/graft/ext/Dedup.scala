@@ -665,6 +665,24 @@ object Dedup {
     signaturePairs(simhashes(df, idCol, textCol, bits, hash), maxDist, bits,
       bands, maxBucket)
 
+  /** Cross-source priority dedup — the multi-dump mixing rule: when the
+    * same content arrives from several sources (an old crawl dump, a
+    * curated set, a re-scrape), keep the copy from the HIGHEST-priority
+    * source (smallest `priority`), ids as the final tiebreak — not an
+    * arbitrary survivor. Returns one row per distinct content:
+    * (keep_id, n_copies, n_priorities). One sha2 groupBy; the argmin is a
+    * partial-aggregable struct-min, same shape as [[exactDedupGroups]]. */
+  def dedupeByPriority(df: DataFrame, textCol: String, idCol: String,
+                       priority: Column): DataFrame =
+    df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+        priority.as("__pr"))
+      .groupBy(sha2(col("__t"), 256).as("content_hash"))
+      .agg(min(struct(col("__pr"), col("__id"))).as("__k"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("__pr")).as("n_priorities"))
+      .select(col("__k.__id").as("keep_id"), col("n_copies"),
+        col("n_priorities"))
+
   /** Survivorship / golden-record fusion — the master-data-management
     * step AFTER duplicate groups are known: fuse each group's rows into
     * one record, each attribute surviving by its own rule rather than one

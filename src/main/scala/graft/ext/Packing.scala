@@ -46,6 +46,20 @@ object Packing {
   def packChunks(docs: DataFrame, idCol: String, lenCol: Column,
                  capacity: Long, bucketWidth: Long = 65536): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    starts(docs, idCol, lenCol, bucketWidth)
+      .withColumn("chunk_id", explode(sequence(
+        floor(col("__start") / capacity),
+        floor((col("__start") + col("__len") - 1) / capacity))))
+      .select(col("__id").as(idCol), col("chunk_id"),
+        greatest(col("__start"), col("chunk_id") * capacity).as("tok_start"),
+        least(col("__start") + col("__len"), (col("chunk_id") + 1) * capacity)
+          .as("tok_end"))
+  }
+
+  /** The shared two-level prefix sum: each doc's global token start on the
+    * laid-out axis, as (__id, __len, __start). */
+  private def starts(docs: DataFrame, idCol: String, lenCol: Column,
+                     bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val d = docs.select(col(idCol).as("__id"), lenCol.cast("long").as("__len"))
       .where(col("__len") > 0)
@@ -59,13 +73,23 @@ object Packing {
     d.join(broadcast(offsets), Seq("__b"))
       .withColumn("__start",
         col("__boff") + coalesce(sum("__len").over(wIn), lit(0L)))
-      .withColumn("chunk_id", explode(sequence(
-        floor(col("__start") / capacity),
-        floor((col("__start") + col("__len") - 1) / capacity))))
-      .select(col("__id").as(idCol), col("chunk_id"),
-        greatest(col("__start"), col("chunk_id") * capacity).as("tok_start"),
-        least(col("__start") + col("__len"), (col("chunk_id") + 1) * capacity)
-          .as("tok_end"))
+  }
+
+  /** Split-free packing: each doc goes WHOLE into the chunk containing its
+    * global start — next-fit bin assignment in id order, the variant for
+    * objectives that cannot split a document (RAG contexts, eval shards).
+    * A chunk's token load may exceed `capacity` by at most one document's
+    * overhang (the reader pads or truncates — that is the documented
+    * trade against [[packChunks]]'s exact fills). Returns per-doc
+    * (idCol, chunk_id, n_tokens); aggregate for per-chunk loads. Same
+    * prefix-sum machinery and scale posture as [[packChunks]]. */
+  def packWholeDocs(docs: DataFrame, idCol: String, lenCol: Column,
+                    capacity: Long, bucketWidth: Long = 65536): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    starts(docs, idCol, lenCol, bucketWidth)
+      .select(col("__id").as(idCol),
+        floor(col("__start") / capacity).as("chunk_id"),
+        col("__len").as("n_tokens"))
   }
 
   /** Per-chunk packing stats: docs touched, tokens filled, fill ratio.

@@ -1066,6 +1066,44 @@ object LlmQueries {
       (s, dir) => Sampling.negativeSample(Tables(s, dir).documents,
         "doc_id", col("text"), k = 3)),
 
+    // Cross-source priority dedup ([[Dedup.dedupeByPriority]]): identical
+    // content from several dumps keeps the copy from the smallest source
+    // index — the curated-beats-crawl mixing rule, vs dedup_exact's
+    // min-id-wins. Exact integers; the oracle replays the argmin rank.
+    Reg("mix_dedup_priority", Some(
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS pr
+        |  FROM documents),
+        |s AS (SELECT text, COUNT(*) AS n_copies,
+        |        COUNT(DISTINCT pr) AS n_priorities
+        |      FROM d GROUP BY 1),
+        |k AS (SELECT text, doc_id AS keep_id, row_number() OVER (
+        |        PARTITION BY text ORDER BY pr, doc_id) AS rn FROM d)
+        |SELECT keep_id, n_copies, n_priorities
+        |FROM k JOIN s USING (text) WHERE rn = 1""".stripMargin))(
+      (s, dir) => Dedup.dedupeByPriority(Tables(s, dir).documents,
+        "text", "doc_id",
+        regexp_extract(col("source"), "([0-9]+)", 1).cast("int"))),
+
+    // Split-free packing ([[Packing.packWholeDocs]]): next-fit whole-doc
+    // bin assignment in id order — per-chunk loads may overhang capacity
+    // by one doc (the documented trade vs pack_chunks' exact fills).
+    Reg("pack_whole_docs", Some(
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents
+        |           WHERE length(text) > 0),
+        |c AS (SELECT doc_id, len,
+        |    CAST(COALESCE(SUM(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM d)
+        |SELECT CAST(s // 2048 AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(len) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin))(
+      (s, dir) => graft.ext.Packing.packWholeDocs(Tables(s, dir).documents,
+          "doc_id", length(col("text")), capacity = 2048)
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))),
+
     // Language-ID heuristic: the marker-argmax is deterministic CASE logic,
     // so it IS oracle-able — ties break lexicographically-last, which the
     // SQL encodes by checking languages in reverse lexicographic order.

@@ -299,6 +299,16 @@ class DedupSpec extends SparkSpec {
       Dedup.sortedNeighborPairs(docs, "doc_id", "text", window = 1))
   }
 
+  test("dedupeByPriority: highest-priority source wins, id breaks ties") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "x", 2), (2L, "x", 1), (3L, "x", 1), (4L, "y", 5))
+      .toDF("id", "t", "pr")
+    val got = Dedup.dedupeByPriority(rows, "t", "id", col("pr"))
+      .as[(Long, Long, Long)].collect().toSet
+    // "x": (pr 1, id 2) beats (1,3) and (2,1); 3 copies over 2 priorities
+    assert(got == Set((2L, 3L, 2L), (4L, 1L, 1L)))
+  }
+
   test("goldenRecords: per-attribute survivorship, not one winner row") {
     // group 1 fuses across rows: longest text ties at len 5 → min id (2)
     // wins "bbbbb"; modal lang "de" (2 of 3); max n = 9 comes from the

@@ -52,4 +52,17 @@ class PackingSpec extends SparkSpec {
       ref.as[(Long, Long, Long, Long)].collect().toSet)
     assert(fast.where(col("doc_id").isin(0L)).count() == 0) // len(doc 0) = 0
   }
+
+  test("packWholeDocs: next-fit whole-doc assignment, one-doc overhang allowed") {
+    // lens 5, 4, 3 at capacity 6: starts 0, 5, 9 → doc 2 stays WHOLE in
+    // chunk 0 (load 9 overhangs by its own tail), doc 3 opens chunk 1
+    val docs = Seq((1L, 5L), (2L, 4L), (3L, 3L)).toDF("doc_id", "len")
+    val got = Packing.packWholeDocs(docs, "doc_id", col("len"), capacity = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 5L), (2L, 0L, 4L), (3L, 1L, 3L)))
+    // vs packChunks, which SPLITS doc 2 across the boundary
+    val split = Packing.packChunks(docs, "doc_id", col("len"), capacity = 6)
+      .where(col("doc_id") === 2L).count()
+    assert(split == 2L)
+  }
 }
