@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative link-graph analytics over edge lists — the authority-scoring
@@ -328,6 +328,47 @@ object Graph {
         scored("u") === und("a") && scored("w") === und("b"), "left_anti")
       .select(col("u"), col("w"), col("n_common"),
         Timeseries.r5(col("__aa")).as("aa"))
+  }
+
+  /** Degree assortativity coefficient (Newman, "Assortative mixing in
+    * networks", Phys. Rev. Lett. 2002): the Pearson correlation of
+    * endpoint degrees over the BIDIRECTED edge list — positive means hubs
+    * link to hubs (social graphs), negative means hubs link to leaves
+    * (the web, co-purchase graphs). One summary row:
+    * (n_edges, assortativity).
+    *
+    * All five correlation sums are exact integers (degrees are counts;
+    * products in 38-digit decimals), so the single final expression is
+    * the only float site — r5-rounded, engine-identical. Plan: one degree
+    * aggregation, two V-sized joins back to the edges, one global
+    * partial-aggregable sum — O(E), no window, nothing collected. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint() // degrees + both endpoint joins
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val xy = e
+      .join(deg.select(col("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("y")), Seq("dst"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val (n, sx, sy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"))
+    val (sxy, sxx, syy) = (col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val num = n * sxy - sx * sy
+    val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    s.select((col("n") / 2).cast("long").as("n_edges"),
+      Timeseries.r5(when(den === 0.0, null).otherwise(num / den))
+        .as("assortativity"))
   }
 
   /** Newman modularity of a community assignment (Newman & Girvan,

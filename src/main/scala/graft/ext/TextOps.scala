@@ -468,6 +468,25 @@ object TextOps {
           least(col("mean_tok_len") / 8.0, lit(1.0)) * 0.2)
   }
 
+  /** Per-source hapax legomena profile: vocabulary size, token total, and
+    * the count/share of once-occurring types — the classic lexical-richness
+    * signal (a machine-generated or template-heavy source shows an
+    * abnormally LOW hapax share; OCR noise shows an abnormally high one).
+    * Counts exact; the ratio is one int/int double division. One token
+    * explode + two partial-aggregable aggregations, vocabulary-sized
+    * shuffle. */
+  def hapax(docs: DataFrame, srcCol: String = "source"): DataFrame = {
+    val wc = docs
+      .select(col(srcCol).as("source"), explode(words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("source").agg(
+      count(lit(1)).as("n_types"),
+      sum(col("c")).as("n_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_ratio",
+        col("n_hapax").cast("double") / col("n_types"))
+  }
+
   /** Grouped corpus statistics per (lang, source): doc count, exact char
     * and token sums. Map-side partial aggregation applies; one shuffle on
     * the two low-cardinality keys. */

@@ -99,6 +99,37 @@ object Quality {
       .where(col("n") < k)
   }
 
+  /** Daily-volume anomaly audit: flag days whose row count deviates from
+    * the median by more than `k`·MAD — the robust ingest monitor (mean/σ
+    * would let one outage day drag the baseline toward itself). Median and
+    * MAD are lower-median ELEMENT picks over the day table, so the whole
+    * audit is exact integer logic — no float anywhere, deterministic on
+    * every engine. Returns every day with (n_rows, med, mad, is_anomaly).
+    *
+    * Plan: one day-level count aggregation; the median/MAD windows rank
+    * the DAY table (≤ date-range rows — the bucket-totals-only pattern),
+    * and the two 1-row scalars broadcast back. */
+  def volumeAnomalies(df: DataFrame, tsCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val cnt = days.agg(count(lit(1)).as("__c"))
+    def lowerMedian(d: DataFrame, v: String): DataFrame =
+      d.withColumn("__rn",
+          row_number().over(Window.orderBy(col(v), col("day"))).cast("long"))
+        .crossJoin(broadcast(cnt))
+        .where(col("__rn") === floor((col("__c") + 1) / lit(2)).cast("long"))
+        .select(col(v))
+    val med = lowerMedian(days, "n").select(col("n").as("med"))
+    val dev = days.crossJoin(broadcast(med))
+      .withColumn("dv", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev, "dv").select(col("dv").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_rows"), col("med"), col("mad"),
+        (col("dv") > lit(k) * col("mad")).as("is_anomaly"))
+  }
+
   /** Functional-dependency audit: determinant combinations where a claimed
     * FD X → Y breaks (more than one distinct Y per X tuple) — the
     * data-quality check behind "order key determines customer",

@@ -628,6 +628,26 @@ object ExtQueries {
           year(col("o_orderdate")).cast("long").as("y")),
         Seq("o_custkey", "y"), k = 5L)),
 
+    // Daily-volume anomaly audit ([[Quality.volumeAnomalies]]): |day count
+    // − median| > 3·MAD, median and MAD as lower-median ELEMENT picks —
+    // exact integer logic end to end, no rounding site at all.
+    Reg("dq_volume_anomaly", Some(
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             COUNT(*) AS n FROM events GROUP BY 1),
+        |c AS (SELECT COUNT(*) AS cnt FROM d),
+        |m AS (SELECT n AS med FROM (
+        |        SELECT n, row_number() OVER (ORDER BY n, day) AS rn FROM d)
+        |      , c WHERE rn = (cnt + 1) // 2),
+        |dev AS (SELECT day, n, ABS(n - med) AS dv, med FROM d, m),
+        |md AS (SELECT dv AS mad FROM (
+        |         SELECT dv, day, row_number() OVER (ORDER BY dv, day) AS rn
+        |         FROM dev), c WHERE rn = (cnt + 1) // 2)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n_rows,
+        |  med, mad, (ABS(n - med) > 3 * mad) AS is_anomaly
+        |FROM dev, md""".stripMargin))(
+      (s, dir) => graft.ops.Quality.volumeAnomalies(Tables(s, dir).events,
+        "ts", k = 3)),
+
     // Functional-dependency audit ([[Quality.fdViolations]]): determinants
     // where the claimed FD customer → priority breaks, with min/max
     // conflicting values as evidence. One aggregation, violator-bounded
@@ -2586,7 +2606,8 @@ object ExtQueries {
     graphKcoreReg,
     graphCorenessReg,
     graphAdamicAdarReg,
-    graphModularityReg
+    graphModularityReg,
+    graphAssortativityReg
   )
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
@@ -2746,6 +2767,42 @@ object ExtQueries {
   // recursive CTE cannot aggregate per step, the fixed unroll can. Exact
   // integers end to end; the hash pins canonicalization, the sync update
   // rule, AND the tiebreak.
+  // Degree assortativity ([[Graph.assortativity]]): Pearson r of endpoint
+  // degrees over the bidirected co-purchase edges — one exact-integer
+  // summary row; the only float site is the final correlation expression,
+  // mirrored term for term.
+  private def graphAssortativityReg: Reg =
+    Reg("graph_assortativity", Some(
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |                   UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        |xy AS (SELECT dx.d AS x, dy.d AS y FROM e
+        |       JOIN deg dx ON dx.src = e.src
+        |       JOIN deg dy ON dy.src = e.dst),
+        |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |        SUM(CAST(y AS HUGEINT) * y) AS syy FROM xy)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  CAST(FLOOR((CASE WHEN sqrt(
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0.0 THEN NULL
+        |    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    END) * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS assortativity
+        |FROM s""".stripMargin))(
+      (s, dir) => graft.ext.Graph.assortativity(copurchaseEdges(s, dir)))
+
   /** The unrolled synchronous-LPA CTE rounds (count → per-node argmax),
     * shared by graph_lpa and graph_modularity's oracle replays. */
   private def lpaRoundsSql(n: Int): String =

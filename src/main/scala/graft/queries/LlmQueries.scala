@@ -747,6 +747,22 @@ object LlmQueries {
         "vec_id", "embedding", "label", threshold = 0.4)),
 
     // Grouped corpus statistics.
+    // Lexical richness ([[TextOps.hapax]]): per-source vocabulary size and
+    // hapax-legomena share — template-heavy sources score low, noisy OCR
+    // high. Exact counts; the ratio is one int/int division.
+    Reg("text_hapax", Some(
+      """WITH wc AS (
+        |  SELECT source, w, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_types,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS hapax_ratio
+        |FROM wc GROUP BY 1""".stripMargin))(
+      (s, dir) => TextOps.hapax(Tables(s, dir).documents)),
+
     Reg("text_stats", Some(
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -202,6 +202,21 @@ class GraphSpec extends SparkSpec {
     assert(got2 == Map((1L, 4L) -> 1.82048), s"got $got2")
   }
 
+  test("assortativity: star is -1, regular graph has no variance (null)") {
+    import spark.implicits._
+    // K1,3: every edge joins the deg-3 hub to a deg-1 leaf — perfectly
+    // disassortative, r = −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = Graph.assortativity(star)
+      .as[(Long, Option[Double])].collect().head
+    assert(s == ((3L, Some(-1.0))))
+    // K3: all degrees equal → zero variance → undefined (null), not NaN
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Graph.assortativity(tri)
+      .as[(Long, Option[Double])].collect().head
+    assert(t == ((3L, None)))
+  }
+
   test("modularity: two bridged triangles hand-checked") {
     import spark.implicits._
     val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),

@@ -152,6 +152,24 @@ class QualitySpec extends SparkSpec {
     assert(got(9L)._3 > 5.0, "digit 9 at 25% observed vs 4.6% expected")
   }
 
+  test("volumeAnomalies: element-pick median/MAD, spike flagged") {
+    import org.apache.spark.sql.functions.col
+    // day counts [10, 10, 11, 50, 10]: median 10, deviations
+    // [0,0,1,40,0] → MAD 0, so ANY deviation flags (the integer-data
+    // semantics of k·MAD with MAD = 0)
+    def day(d: Int, n: Int) = (1 to n).map(_ => s"2024-02-0$d 08:00:00")
+    val ev = (day(1, 10) ++ day(2, 10) ++ day(3, 11) ++ day(4, 50) ++
+      day(5, 10)).toDF("t")
+      .select(col("t").cast("timestamp").as("ts"))
+    val got = Quality.volumeAnomalies(ev, "ts")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("2024-02-04") == ((50L, 10L, 0L, true)))
+    assert(got("2024-02-03") == ((11L, 10L, 0L, true)))
+    assert(got("2024-02-01") == ((10L, 10L, 0L, false)))
+    assert(got.size == 5)
+  }
+
   test("fdViolations: only determinants with conflicting dependents surface") {
     val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "c"))
       .toDF("k", "y")
