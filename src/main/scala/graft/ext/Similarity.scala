@@ -88,6 +88,68 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Exact maximum-inner-product top-k — the retrieval objective when
+    * MAGNITUDES carry signal (recommendation scores, learned rerankers,
+    * unnormalized embeddings), where [[bruteForceTopK]]'s cosine would
+    * erase it. Same contract otherwise: query side broadcast, score
+    * rounded before ranking, neighbor-id tiebreak. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    val d = pdot(corpus) _
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(q).where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(d(col("q_vec"), col("n_vec")), roundTo).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.select(col("q_id"), col("n_id"), col("score"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= k)
+  }
+
+  /** Approximate MIPS via the angular reduction (Bachrach et al., "Speeding
+    * up the Xbox recommender system using a Euclidean transformation for
+    * inner-product spaces", RecSys 2014; Neyshabur & Srebro, ICML 2015):
+    * append sqrt(M² − |x|²) to every corpus vector (M = max corpus norm)
+    * and a 0 to queries — all augmented corpus vectors then share norm M,
+    * so inner-product ORDER becomes cosine order on the augmented space
+    * and sign-LSH (an angular family that cannot see magnitudes) buckets
+    * a MIPS problem correctly. Candidates come from the augmented-space
+    * buckets (OR-construction over `tables` plane sets, equality join,
+    * never all-pairs); scoring is the RAW inner product on the original
+    * vectors, identical to [[mipsTopK]]'s rank contract. */
+  def mipsLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nPlanes: Int = 6, dim: Int = 64,
+                  tables: Int = 4, roundTo: Int = 4,
+                  seed: Long = 142L): DataFrame = {
+    val d = pdot(corpus) _
+    val dvec = (c: Column) => transform(c, x => x.cast("double"))
+    val m2 = corpus.agg(max(d(col(vecCol), col(vecCol))).as("__m2"))
+    def bucketArr(aug: Column) = array((0 until tables).map(t =>
+      lshBucket(aug, nPlanes, dim + 1, dot, seed = seed + t)): _*)
+    val bc = corpus.crossJoin(broadcast(m2))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        posexplode(bucketArr(concat(dvec(col(vecCol)),
+          array(sqrt(greatest(col("__m2") - d(col(vecCol), col(vecCol)),
+            lit(0.0))))))).as(Seq("tbl", "bucket")))
+    val bq = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        posexplode(bucketArr(concat(dvec(col(vecCol)), array(lit(0.0)))))
+          .as(Seq("tbl", "bucket")))
+    val cands = bc.join(bq, Seq("tbl", "bucket"))
+      .where(col("n_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(d(col("q_vec"), col("n_vec")), roundTo).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    cands.select(col("q_id"), col("n_id"), col("score"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic random-hyperplane components, seeded driver-side — the
     * planes are bounded (nPlanes × dim doubles) and travel as a literal. */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {

@@ -1425,6 +1425,74 @@ object LlmQueries {
           "vec_id", "embedding", k = 5, nPlanes = 6)
       }),
 
+    // Exact maximum-inner-product top-k ([[Similarity.mipsTopK]]): the
+    // retrieval objective when magnitudes carry signal — cosine's rank
+    // order is provably different on unnormalized embeddings.
+    Reg("topk_mips", Some(
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings WHERE vec_id < 20)
+        |SELECT q_id, n_id, score, rank FROM (
+        |  SELECT q_id, vec_id AS n_id,
+        |    ROUND(list_dot_product(q_vec, CAST(embedding AS DOUBLE[])), 4)
+        |      AS score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY ROUND(list_dot_product(q_vec,
+        |        CAST(embedding AS DOUBLE[])), 4) DESC, vec_id) AS rank
+        |  FROM q JOIN embeddings ON vec_id <> q_id
+        |) WHERE rank <= 5""".stripMargin))(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        Similarity.mipsTopK(e, e.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+      }),
+
+    // Approximate MIPS via the ANGULAR REDUCTION ([[Similarity.mipsLshTopK]],
+    // Bachrach et al. RecSys'14): corpus vectors augmented to a common norm
+    // with sqrt(M²−|x|²), queries with 0 — inner-product order becomes
+    // cosine order, so sign-LSH buckets a MIPS problem. The oracle replays
+    // the max-norm scalar, the augmentation, the 65-dim seeded planes, the
+    // OR-construction, and the raw-dot ranking.
+    Reg("topk_mips_lsh", Some {
+      val buckets = (0 until 4).map { t =>
+        val bucketExpr = Similarity.lshPlanes(nPlanes = 6, dim = 65,
+          seed = 142L + t).zipWithIndex.map { case (p, i) =>
+            s"(CASE WHEN list_dot_product(aug, [${p.mkString(", ")}]) >= 0" +
+              s" THEN ${1L << i} ELSE 0 END)"
+          }.mkString(" + ")
+        s"WHEN $t THEN $bucketExpr"
+      }.mkString(" ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |m AS (SELECT MAX(list_dot_product(emb, emb)) AS m2 FROM e),
+         |ec AS (SELECT vec_id, emb, list_concat(emb,
+         |         [sqrt(greatest(m2 - list_dot_product(emb, emb), 0.0))])
+         |         AS aug FROM e, m),
+         |eq AS (SELECT vec_id, emb, list_concat(emb, [0.0]) AS aug
+         |       FROM e WHERE vec_id < 20),
+         |bc AS (SELECT vec_id, emb, t.tbl AS tbl,
+         |         CASE t.tbl $buckets END AS bucket
+         |       FROM ec, (VALUES (0), (1), (2), (3)) t(tbl)),
+         |bq AS (SELECT vec_id, emb, t.tbl AS tbl,
+         |         CASE t.tbl $buckets END AS bucket
+         |       FROM eq, (VALUES (0), (1), (2), (3)) t(tbl)),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+         |           q.emb AS q_emb, c.emb AS n_emb
+         |         FROM bq q JOIN bc c ON q.tbl = c.tbl
+         |           AND q.bucket = c.bucket AND c.vec_id <> q.vec_id)
+         |SELECT q_id, n_id, score, rank FROM (
+         |  SELECT q_id, n_id,
+         |    ROUND(list_dot_product(q_emb, n_emb), 4) AS score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ROUND(list_dot_product(q_emb, n_emb), 4) DESC,
+         |        n_id) AS rank
+         |  FROM cand) WHERE rank <= 5""".stripMargin
+    })(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        Similarity.mipsLshTopK(e, e.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nPlanes = 6)
+      }),
+
     // Approximate top-k via IVF cells — hash-oracled: with the LABEL column
     // as the cell assignment, the centroid is a per-dimension mean DuckDB
     // can replay (AVG per (label, dim) → ordered list), unitization divides

@@ -105,4 +105,25 @@ class AnnRecallSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") == 1.0)
     assert(row.getAs[Long]("n_hits") == row.getAs[Long]("n_exact"))
   }
+
+  test("MIPS angular reduction: LSH recall@5 vs exact inner-product top-5") {
+    val mipsExact = Similarity
+      .mipsTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").localCheckpoint()
+    val approx = Similarity.mipsLshTopK(e, q, "vec_id", "embedding",
+      k = 5, nPlanes = 4, tables = 16)
+    val r = Similarity.overlapStats(mipsExact, approx, "mips")
+      .collect().head.getAs[Double]("recall")
+    info(s"MIPS-LSH recall@5 = $r")
+    assert(r >= 0.85, s"MIPS-LSH recall@5 = $r < 0.85")
+    // and the reduction scores are the TRUE inner products: every returned
+    // pair must carry the exact arm's score for that pair
+    val joined = Similarity.mipsLshTopK(e, q, "vec_id", "embedding", k = 5,
+        nPlanes = 4, tables = 16)
+      .select(col("q_id"), col("n_id"), col("score").as("a"))
+      .join(Similarity.mipsTopK(e, q, "vec_id", "embedding", k = 1000)
+        .select(col("q_id"), col("n_id"), col("score").as("b")),
+        Seq("q_id", "n_id"))
+    assert(joined.where(col("a") =!= col("b")).count() == 0)
+  }
 }
