@@ -330,6 +330,46 @@ object Graph {
         Timeseries.r5(col("__aa")).as("aa"))
   }
 
+  /** HITS hubs and authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) over a DIRECTED edge list —
+    * the two-sided centrality for bipartite interaction graphs (buyers →
+    * products, queries → documents): a node is a good authority when good
+    * hubs point at it, a good hub when it points at good authorities.
+    * Fixed `iters` synchronous rounds, each side L1-normalized per round
+    * (a deterministic contract an unrolled-SQL replay can mirror; the
+    * textbook L2 norm adds a sqrt for no ranking difference). Returns
+    * (node, role ∈ {hub, authority}, score) with r5 rounding.
+    *
+    * Scale: each half-round is ONE O(E) equi-join with the O(V) score
+    * frame plus a partial-aggregable sum — the family's Pregel-as-shuffle
+    * shape; the normalizer is a broadcast 1-row frame. Scores
+    * localCheckpoint per round so lineage stays flat. */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"hits needs >= 1 iteration: $iters")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    def normalize(df: DataFrame, c: String): DataFrame = {
+      val s = df.agg(sum(col(c)).as("__s"))
+      df.crossJoin(broadcast(s))
+        .select(col("node"), (col(c) / col("__s")).as(c))
+        .localCheckpoint()
+    }
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0)).localCheckpoint()
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = normalize(
+        e.join(h, e("src") === h("node"))
+          .groupBy(e("dst").as("node")).agg(sum(col("h")).as("a")), "a")
+      h = normalize(
+        e.join(a, e("dst") === a("node"))
+          .groupBy(e("src").as("node")).agg(sum(col("a")).as("h")), "h")
+    }
+    h.select(col("node"), lit("hub").as("role"),
+        Timeseries.r5(col("h")).as("score"))
+      .unionAll(a.select(col("node"), lit("authority").as("role"),
+        Timeseries.r5(col("a")).as("score")))
+  }
+
   /** Degree assortativity coefficient (Newman, "Assortative mixing in
     * networks", Phys. Rev. Lett. 2002): the Pearson correlation of
     * endpoint degrees over the BIDIRECTED edge list — positive means hubs

@@ -2607,7 +2607,8 @@ object ExtQueries {
     graphCorenessReg,
     graphAdamicAdarReg,
     graphModularityReg,
-    graphAssortativityReg
+    graphAssortativityReg,
+    graphHitsReg
   )
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
@@ -2767,6 +2768,42 @@ object ExtQueries {
   // recursive CTE cannot aggregate per step, the fixed unroll can. Exact
   // integers end to end; the hash pins canonicalization, the sync update
   // rule, AND the tiebreak.
+  // HITS ([[Graph.hits]]) over the DIRECTED customer→part purchase
+  // bipartite graph: hub customers (broad, well-targeted baskets) and
+  // authority parts (bought by the best hubs) — 3 unrolled rounds, each
+  // side L1-normalized; the oracle replays round for round.
+  private def graphHitsReg: Reg = {
+    val rounds = (1 to 3).map { i =>
+      s"""a${i}r AS (SELECT e.dst AS node, SUM(h) AS a FROM e
+         |  JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY 1),
+         |a$i AS (SELECT node, a / (SELECT SUM(a) FROM a${i}r) AS a
+         |        FROM a${i}r),
+         |h${i}r AS (SELECT e.src AS node, SUM(a) AS h FROM e
+         |  JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+         |h$i AS (SELECT node, h / (SELECT SUM(h) FROM h${i}r) AS h
+         |        FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    Reg("graph_hits", Some(
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+         |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM e),
+         |$rounds
+         |SELECT node, 'hub' AS role,
+         |  CAST(FLOOR(h * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS score
+         |FROM h3
+         |UNION ALL
+         |SELECT node, 'authority' AS role,
+         |  CAST(FLOOR(a * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS score
+         |FROM a3""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val edges = t.orders
+          .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+        graft.ext.Graph.hits(edges, iters = 3)
+      })
+  }
+
   // Degree assortativity ([[Graph.assortativity]]): Pearson r of endpoint
   // degrees over the bidirected co-purchase edges — one exact-integer
   // summary row; the only float site is the final correlation expression,

@@ -202,6 +202,21 @@ class GraphSpec extends SparkSpec {
     assert(got2 == Map((1L, 4L) -> 1.82048), s"got $got2")
   }
 
+  test("hits: bipartite hubs/authorities hand-checked over 3 rounds") {
+    import spark.implicits._
+    // u1→{p1,p2}, u2→{p1}: after 3 L1-normalized rounds
+    // hubs (0.617647, 0.382353), authorities (0.619048, 0.380952)
+    val e = Seq((10L, 1L), (10L, 2L), (20L, 1L)).toDF("src", "dst")
+    val got = Graph.hits(e, iters = 3)
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (10L, "hub") -> 0.61765, (20L, "hub") -> 0.38235,
+      (1L, "authority") -> 0.61905, (2L, "authority") -> 0.38095),
+      s"got $got")
+    assertThrows[IllegalArgumentException](Graph.hits(e, iters = 0))
+  }
+
   test("assortativity: star is -1, regular graph has no variance (null)") {
     import spark.implicits._
     // K1,3: every edge joins the deg-3 hub to a deg-1 leaf — perfectly
