@@ -204,6 +204,33 @@ object Similarity {
     scoreRankTopK(cands, d, k, roundTo)
   }
 
+  /** NDCG@k of a candidate ranking against a ground-truth ranking — the
+    * graded upgrade of [[overlapStats]]'s recall (which cannot see WHERE
+    * in the list the hits landed). Both inputs carry (q_id, n_id, rank);
+    * truth rank r is graded rel = k+1−r, candidate position i discounts
+    * by log2(i+1), and the ideal DCG is the k-term constant embedded as
+    * one shortest-round-trip literal on both engines. Returns
+    * (q_id, ndcg) r5-rounded; 1.0 = the candidate reproduced the truth
+    * order exactly. Plan: one k-bounded join per query + one aggregation
+    * — evaluation never touches the corpus. */
+  def ndcgByQuery(truth: DataFrame, candidate: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val rel = truth.select(col("q_id"), col("n_id"),
+      (lit(k + 1) - col("rank")).cast("double").as("__rel"))
+    val idcg = idcgAt(k)
+    candidate.join(rel, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(graft.ext.Timeseries.r5(
+        sum(coalesce(col("__rel"), lit(0.0)) / log2(col("rank") + 1))
+          / lit(idcg)).as("ndcg"))
+  }
+
+  /** The ideal DCG@k constant (Σ (k+1−i)/log2(i+1)) — public so an oracle
+    * replay embeds the SAME shortest-round-trip literal the engine uses. */
+  def idcgAt(k: Int): Double = (1 to k)
+    .map(i => (k + 1 - i).toDouble / (math.log(i + 1.0) / math.log(2.0)))
+    .sum
+
   /** Recall-style overlap of an approximate top-k result against the exact
     * one: one row (method, n_hits, n_exact, recall). Both inputs are
     * (q_id, n_id[, ...]) top-k frames; the semi-join and the counts are

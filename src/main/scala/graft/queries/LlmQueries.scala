@@ -147,6 +147,20 @@ object LlmQueries {
     }
   }
 
+  /** DuckDB fragment: the seeded sign-LSH bucket CASE over `tables` plane
+    * sets — shared by every LSH oracle replay (cosine, MIPS-augmented,
+    * NDCG eval) so the plane literals cannot drift between them. */
+  private def lshBucketCaseSql(nPlanes: Int, dim: Int, seedBase: Long,
+                               vec: String, tables: Int = 4): String =
+    (0 until tables).map { t =>
+      val bucketExpr = Similarity.lshPlanes(nPlanes, dim, seedBase + t)
+        .zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product($vec, [${p.mkString(", ")}]) >= 0" +
+            s" THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      s"WHEN $t THEN $bucketExpr"
+    }.mkString(" ")
+
   /** DuckDB fragment: the brute-force verified near-dup pair list (same
     * predicate as the dedup_near oracle, ids only) — the input both engines
     * agree on before any grouping. */
@@ -1394,14 +1408,8 @@ object LlmQueries {
     // reproduces bucket assignment, the OR-construction candidate set,
     // and the rounded-cosine/row_number ranking exactly.
     Reg("topk_sim_lsh", Some {
-      val buckets = (0 until 4).map { t =>
-        val bucketExpr = Similarity.lshPlanes(nPlanes = 6, dim = 64,
-          seed = 42L + t).zipWithIndex.map { case (p, i) =>
-            s"(CASE WHEN list_dot_product(emb, [${p.mkString(", ")}]) >= 0" +
-              s" THEN ${1L << i} ELSE 0 END)"
-          }.mkString(" + ")
-        s"WHEN $t THEN $bucketExpr"
-      }.mkString(" ")
+      val buckets = lshBucketCaseSql(nPlanes = 6, dim = 64, seedBase = 42L,
+        vec = "emb")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |           FROM embeddings),
          |b AS (SELECT vec_id, emb, t.tbl AS tbl, CASE t.tbl $buckets END AS bucket
@@ -1424,6 +1432,77 @@ object LlmQueries {
         Similarity.lshTopK(e, e.where(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nPlanes = 6)
       }),
+
+    // NDCG@5 of the LSH ranking against the exact cosine top-5
+    // ([[Similarity.ndcgByQuery]]): the GRADED retrieval-quality gauge —
+    // recall says a hit landed, NDCG says where. Truth rel = 6−rank,
+    // log2 position discount, ideal DCG embedded as one shared literal.
+    Reg("eval_ndcg", Some {
+      val buckets = lshBucketCaseSql(nPlanes = 6, dim = 64, seedBase = 42L,
+        vec = "emb")
+      val idcg = Similarity.idcgAt(5)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e
+         |      WHERE vec_id < 20),
+         |truth AS (SELECT q_id, n_id, rank FROM (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ROUND(list_cosine_similarity(q_vec, emb), 4) DESC,
+         |        e.vec_id) AS rank
+         |  FROM q JOIN e ON e.vec_id <> q_id) WHERE rank <= 5),
+         |b AS (SELECT vec_id, emb, t.tbl AS tbl,
+         |        CASE t.tbl $buckets END AS bucket
+         |      FROM e, (VALUES (0), (1), (2), (3)) t(tbl)),
+         |cand0 AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+         |            q.emb AS q_emb, c.emb AS n_emb
+         |          FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |          WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |cand AS (SELECT q_id, n_id, rank FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ROUND(list_cosine_similarity(q_emb, n_emb), 4) DESC,
+         |      n_id) AS rank
+         |  FROM cand0) WHERE rank <= 5)
+         |SELECT c.q_id,
+         |  CAST(FLOOR(SUM(CAST(COALESCE(6 - t.rank, 0) AS DOUBLE)
+         |      / log2(c.rank + 1)) / $idcg * 100000.0 + 0.5) AS BIGINT)
+         |    / 100000.0 AS ndcg
+         |FROM cand c LEFT JOIN truth t
+         |  ON t.q_id = c.q_id AND t.n_id = c.n_id
+         |GROUP BY c.q_id""".stripMargin
+    })(
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val q = e.where(col("vec_id") < 20)
+        Similarity.ndcgByQuery(
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+            nPlanes = 6),
+          k = 5)
+      }),
+
+    // Lang-id confusion matrix: predicted vs labeled language, the
+    // standard classifier-eval artifact over the heuristic marker-argmax.
+    // Exact counts only.
+    Reg("eval_langid_confusion", Some {
+      val markers = TextOps.langMarkers.toSeq.sortBy(_._1)
+      def hits(m: Seq[String]) =
+        s"len(list_filter(string_split(lower(text),' '), w -> w IN (${m.map("'" + _ + "'").mkString(",")})))"
+      val best = s"greatest(${markers.map(m => hits(m._2)).mkString(", ")})"
+      val cases = markers.reverse
+        .map { case (lang, m) => s"WHEN ${hits(m)} = $best THEN '$lang'" }
+        .mkString("\n    ")
+      s"""SELECT lang AS true_lang,
+         |  CASE WHEN $best = 0 THEN 'und'
+         |    $cases
+         |  END AS pred_lang,
+         |  COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    })(
+      (s, dir) => Tables(s, dir).documents
+        .select(col("lang").as("true_lang"),
+          TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))),
 
     // Exact maximum-inner-product top-k ([[Similarity.mipsTopK]]): the
     // retrieval objective when magnitudes carry signal — cosine's rank
@@ -1453,14 +1532,8 @@ object LlmQueries {
     // the max-norm scalar, the augmentation, the 65-dim seeded planes, the
     // OR-construction, and the raw-dot ranking.
     Reg("topk_mips_lsh", Some {
-      val buckets = (0 until 4).map { t =>
-        val bucketExpr = Similarity.lshPlanes(nPlanes = 6, dim = 65,
-          seed = 142L + t).zipWithIndex.map { case (p, i) =>
-            s"(CASE WHEN list_dot_product(aug, [${p.mkString(", ")}]) >= 0" +
-              s" THEN ${1L << i} ELSE 0 END)"
-          }.mkString(" + ")
-        s"WHEN $t THEN $bucketExpr"
-      }.mkString(" ")
+      val buckets = lshBucketCaseSql(nPlanes = 6, dim = 65, seedBase = 142L,
+        vec = "aug")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |           FROM embeddings),
          |m AS (SELECT MAX(list_dot_product(emb, emb)) AS m2 FROM e),
