@@ -671,15 +671,25 @@ object Dedup {
     * source (smallest `priority`), ids as the final tiebreak — not an
     * arbitrary survivor. Returns one row per distinct content:
     * (keep_id, n_copies, n_priorities). One sha2 groupBy; the argmin is a
-    * partial-aggregable struct-min, same shape as [[exactDedupGroups]]. */
+    * partial-aggregable struct-min, same shape as [[exactDedupGroups]].
+    *
+    * Null contract: a NULL `priority` (e.g. a regexp_extract that matched
+    * nothing, cast to int) sorts LOWEST — i.e. it would silently WIN the
+    * struct-min under Spark's nulls-first ordering while losing under an
+    * ANSI `ORDER BY pr` (nulls last). Nulls are therefore coalesced to
+    * Long.MaxValue: an unknown-priority copy survives only when no known
+    * copy exists, and both engines agree. */
   def dedupeByPriority(df: DataFrame, textCol: String, idCol: String,
                        priority: Column): DataFrame =
     df.select(col(idCol).as("__id"), col(textCol).as("__t"),
-        priority.as("__pr"))
+        coalesce(priority.cast("long"), lit(Long.MaxValue)).as("__pr"),
+        priority.as("__pr0"))
       .groupBy(sha2(col("__t"), 256).as("content_hash"))
       .agg(min(struct(col("__pr"), col("__id"))).as("__k"),
         count(lit(1)).as("n_copies"),
-        countDistinct(col("__pr")).as("n_priorities"))
+        // distinct of the RAW priority: an ANSI COUNT(DISTINCT pr)
+        // ignores nulls, and the sentinel must not surface as a priority
+        countDistinct(col("__pr0")).as("n_priorities"))
       .select(col("__k.__id").as("keep_id"), col("n_copies"),
         col("n_priorities"))
 
@@ -718,13 +728,19 @@ object Dedup {
     val withLongest = longestCols.foldLeft(base)((acc, c) =>
       acc.withColumn(c, col(s"__lg_$c.v")).drop(s"__lg_$c"))
     modalCols.foldLeft(withLongest) { (acc, c) =>
-      val m = df.groupBy(col(groupCol), col(c))
+      // null contract: null values do not vote for the mode — a group
+      // that is all-null keeps null (left join), matching an ANSI
+      // mode()/ORDER BY replay where nulls sort last and count as no
+      // consensus; without the filter Spark's nulls-first struct-min
+      // would let a single null beat every real value on ties
+      val m = df.where(col(c).isNotNull)
+        .groupBy(col(groupCol), col(c))
         .agg(count(lit(1)).as("__n"))
         .groupBy(col(groupCol))
         .agg(min(struct((lit(0L) - col("__n")).as("nn"), col(c).as("v")))
           .as("__m"))
         .select(col(groupCol), col("__m.v").as(c))
-      acc.join(m, Seq(groupCol))
+      acc.join(m, Seq(groupCol), "left")
     }
   }
 

@@ -254,15 +254,22 @@ object Graph {
     * measured on [[pagerank]], both every-round and never lose to the
     * interval. Self-loops dropped, duplicate/reversed edges deduplicated. */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-                       checkpointInterval: Int = 2): DataFrame = {
+                       checkpointInterval: Int = 2,
+                       canonical: Boolean = false): DataFrame = {
     require(iters >= 1, s"labelPropagation needs >= 1 iteration: $iters")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be positive, got $checkpointInterval")
     // materialized BEFORE bidirecting: und appears twice in the union, and
     // an expensive caller derivation (e.g. a basket self-join) would
     // otherwise execute twice inside e's first materialization — the same
-    // idiom as [[pagerank]]'s edge checkpoint
-    val und = edges
+    // idiom as [[pagerank]]'s edge checkpoint. `canonical = true` asserts
+    // the caller already passes the deduplicated a ≤ b pair list (usually
+    // one it also feeds [[modularity]]) — skipping a full E-sized distinct
+    // shuffle AND a second non-evictable checkpoint (the sf10 OOM lesson).
+    val und = if (canonical)
+      edges.select(col(edges.columns(0)).as("a"),
+        col(edges.columns(1)).as("b"))
+    else edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
@@ -445,18 +452,22 @@ object Graph {
     val m = und.agg(count(lit(1)).as("m"))
     val la = labels.select(col("node").as("a"), col("community").as("ca"))
     val lb = labels.select(col("node").as("b"), col("community").as("cb"))
-    val intra = und.join(la, Seq("a")).join(lb, Seq("b"))
-      .where(col("ca") === col("cb"))
-      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_intra"))
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("__d"))
-    val byC = deg.join(labels, Seq("node"))
-      .groupBy(col("community"))
-      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("d_tot"))
+    // ONE E⋈V⋈V label join feeds BOTH per-community sums: each edge emits
+    // its two endpoint communities (an endpoint in c adds 1 to c's degree
+    // total), carrying an intra flag that both endpoints of an
+    // intra-community edge set — so Σ flag = 2·e_intra exactly. This
+    // replaces the former separate intra join + per-node degree
+    // aggregation (two more E-sized shuffles) with one join + one
+    // partial-aggregable pass.
+    val endpoints = und.join(la, Seq("a")).join(lb, Seq("b"))
+      .select(explode(array(col("ca"), col("cb"))).as("community"),
+        when(col("ca") === col("cb"), 1L).otherwise(0L).as("__intra"))
+    val sums = endpoints.groupBy("community")
+      .agg(count(lit(1)).as("d_tot"), (sum(col("__intra")) / 2)
+        .cast("long").as("e_intra"))
+    val nNodes = labels.groupBy("community").agg(count(lit(1)).as("n_nodes"))
     val half = col("d_tot").cast("double") / (lit(2) * col("m"))
-    byC.join(intra, Seq("community"), "left")
-      .na.fill(0L, Seq("e_intra"))
+    nNodes.join(sums, Seq("community"))
       .crossJoin(broadcast(m))
       .select(col("community"), col("n_nodes"), col("e_intra"),
         col("d_tot"),

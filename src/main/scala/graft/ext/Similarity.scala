@@ -218,12 +218,26 @@ object Similarity {
     val rel = truth.select(col("q_id"), col("n_id"),
       (lit(k + 1) - col("rank")).cast("double").as("__rel"))
     val idcg = idcgAt(k)
+    // the discount takes only k distinct values (ranks 1..k), so embed
+    // exact per-rank double literals instead of calling log2 at runtime:
+    // Spark computes log2 as ln(x)/ln(2) while DuckDB uses native log2 —
+    // a last-ulp difference there sits one FLOOR away from a hash flip
+    // (the same fragility class the r5 sites guard everywhere else)
+    val discount = discountAt(k).zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (d, i)) => when(col("rank") === (i + 1), lit(d)).otherwise(acc)
+    }
     candidate.join(rel, Seq("q_id", "n_id"), "left")
       .groupBy("q_id")
       .agg(graft.ext.Timeseries.r5(
-        sum(coalesce(col("__rel"), lit(0.0)) / log2(col("rank") + 1))
+        sum(coalesce(col("__rel"), lit(0.0)) / discount)
           / lit(idcg)).as("ndcg"))
   }
+
+  /** The per-rank log2(i+1) discount constants for ranks 1..k — public so
+    * an oracle replay embeds the SAME shortest-round-trip literals instead
+    * of each engine's own log2 kernel (which differ in the last ulp). */
+  def discountAt(k: Int): Seq[Double] =
+    (1 to k).map(i => math.log(i + 1.0) / math.log(2.0))
 
   /** The ideal DCG@k constant (Σ (k+1−i)/log2(i+1)) — public so an oracle
     * replay embeds the SAME shortest-round-trip literal the engine uses. */

@@ -1026,8 +1026,8 @@ object CoreQueries {
         |  FROM orders WHERE o_totalprice >= 0.0 AND o_totalprice <= 500000.0
         |)
         |SELECT bin_id, COUNT(*) AS n,
-        |  bin_id * 25000.0 + 0.0 AS bin_lo,
-        |  (bin_id + 1) * 25000.0 + 0.0 AS bin_hi
+        |  CAST(bin_id AS DOUBLE) * 25000.0 + 0.0 AS bin_lo,
+        |  CAST(bin_id + 1 AS DOUBLE) * 25000.0 + 0.0 AS bin_hi
         |FROM b GROUP BY bin_id""".stripMargin))(
       (s, dir) => graft.ops.Profile.histogram(Tables(s, dir).orders,
         col("o_totalprice"), lo = 0.0, hi = 500000.0, bins = 20)),

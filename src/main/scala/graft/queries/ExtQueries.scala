@@ -671,7 +671,8 @@ object ExtQueries {
         |    SUM(CASE WHEN value >= 50 THEN 0 ELSE 1 END) AS n_neg
         |  FROM events GROUP BY 1),
         |t AS (SELECT SUM(n_pos) AS p, SUM(n_neg) AS n FROM c)
-        |SELECT event_type, n_pos, n_neg,
+        |SELECT event_type, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
         |  CAST(FLOOR(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n))
         |    * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS woe,
         |  CAST(FLOOR((((n_pos + 0.5) / p) - ((n_neg + 0.5) / n))
@@ -1978,7 +1979,8 @@ object ExtQueries {
         |    SUM(CASE WHEN value >= 50 THEN 0 ELSE 1 END) AS n_neg
         |  FROM events GROUP BY 1),
         |t AS (SELECT SUM(n_pos) AS p, SUM(n_neg) AS n FROM c)
-        |SELECT event_type, n_pos, n_neg,
+        |SELECT event_type, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
         |  CAST(FLOOR(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n))
         |    * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS woe,
         |  CAST(FLOOR((((n_pos + 0.5) / p) - ((n_neg + 0.5) / n))
@@ -2134,8 +2136,9 @@ object ExtQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS n_at_risk
         |  FROM agg, tot),
-        |terms AS (SELECT list(struct_pack(t := t, d := d, c := c,
-        |    n := n_at_risk,
+        |terms AS (SELECT list(struct_pack(t := t,
+        |    d := CAST(d AS BIGINT), c := CAST(c AS BIGINT),
+        |    n := CAST(n_at_risk AS BIGINT),
         |    x := 1.0 - CAST(d AS DOUBLE) / n_at_risk) ORDER BY t) AS xs
         |  FROM risk),
         |idx AS (SELECT xs, unnest(generate_series(1, len(xs))) AS i
@@ -2938,7 +2941,8 @@ object ExtQueries {
          |          JOIN lab lb ON lb.node = e0.b
          |          WHERE la.community = lb.community GROUP BY 1),
          |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
-         |byc AS (SELECT community, COUNT(*) AS n_nodes, SUM(d) AS d_tot
+         |byc AS (SELECT community, COUNT(*) AS n_nodes,
+         |          CAST(SUM(d) AS BIGINT) AS d_tot
          |        FROM deg JOIN lab USING (node) GROUP BY 1)
          |SELECT byc.community, n_nodes, coalesce(e_intra, 0) AS e_intra,
          |  d_tot,
@@ -2956,9 +2960,9 @@ object ExtQueries {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .where(col("a") =!= col("b")).distinct().localCheckpoint()
-        val asEdges = und.select(col("a").as("src"), col("b").as("dst"))
         graft.ext.Graph.modularity(und,
-          graft.ext.Graph.labelPropagation(asEdges, iters = 5),
+          graft.ext.Graph.labelPropagation(und, iters = 5,
+            canonical = true),
           canonical = true)
       })
 

@@ -771,7 +771,7 @@ object LlmQueries {
         |    FROM documents) GROUP BY 1, 2)
         |SELECT source, COUNT(*) AS n_types,
         |  CAST(SUM(c) AS BIGINT) AS n_tokens,
-        |  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
         |    AS hapax_ratio
         |FROM wc GROUP BY 1""".stripMargin))(
@@ -895,7 +895,8 @@ object LlmQueries {
         |      FROM tok GROUP BY w HAVING COUNT(*) >= 20),
         |n AS (SELECT SUM(CASE WHEN t THEN 1 ELSE 0 END) AS n1,
         |        SUM(CASE WHEN t THEN 0 ELSE 1 END) AS n2 FROM tok)
-        |SELECT w AS token, a AS n_target, b AS n_rest,
+        |SELECT w AS token, CAST(a AS BIGINT) AS n_target,
+        |  CAST(b AS BIGINT) AS n_rest,
         |  CAST(FLOOR(2.0 * (
         |    CASE WHEN a > 0 THEN CAST(a AS DOUBLE) *
         |      ln(CAST(a AS DOUBLE) * (n1 + n2)
@@ -1441,6 +1442,10 @@ object LlmQueries {
       val buckets = lshBucketCaseSql(nPlanes = 6, dim = 64, seedBase = 42L,
         vec = "emb")
       val idcg = Similarity.idcgAt(5)
+      // per-rank discount literals, NOT log2() at runtime: Spark's
+      // ln(x)/ln 2 and DuckDB's native log2 differ in the last ulp
+      val disc = Similarity.discountAt(5).zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |           FROM embeddings),
          |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e
@@ -1465,8 +1470,8 @@ object LlmQueries {
          |  FROM cand0) WHERE rank <= 5)
          |SELECT c.q_id,
          |  CAST(FLOOR(SUM(CAST(COALESCE(6 - t.rank, 0) AS DOUBLE)
-         |      / log2(c.rank + 1)) / $idcg * 100000.0 + 0.5) AS BIGINT)
-         |    / 100000.0 AS ndcg
+         |      / (CASE c.rank $disc END)) / $idcg * 100000.0 + 0.5)
+         |    AS BIGINT) / 100000.0 AS ndcg
          |FROM cand c LEFT JOIN truth t
          |  ON t.q_id = c.q_id AND t.n_id = c.n_id
          |GROUP BY c.q_id""".stripMargin

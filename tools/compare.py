@@ -59,8 +59,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             entry["rows"] = [len(spark_df), len(duck_df)]
             entry["rows_match"] = len(spark_df) == len(duck_df)
             entry["schema_match"] = list(spark_df.columns) == list(duck_df.columns)
+            # TYPE-STRICT (round-10 lesson): an uncast DuckDB HUGEINT/
+            # DECIMAL output fetches as float64, so a Spark BIGINT column
+            # hash-mismatches at the driver even when float(a) == int(b)
+            # here. Mirror that: an int-kind vs float-kind column is a fail.
+            if entry["schema_match"]:
+                kind_bad = [
+                    (c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                    for c in spark_df.columns
+                    if {spark_df[c].dtype.kind, duck_df[c].dtype.kind}
+                    == {"i", "f"}]
+                if kind_bad:
+                    entry["schema_match"] = False
+                    entry["cols"] = [f"dtype_mismatch:{x}" for x in kind_bad]
             if not entry["schema_match"]:
-                entry["cols"] = [list(spark_df.columns), list(duck_df.columns)]
+                entry.setdefault(
+                    "cols", [list(spark_df.columns), list(duck_df.columns)])
             match = entry["rows_match"] and entry["schema_match"]
             if match:
                 mismatches = []
