@@ -164,9 +164,19 @@ object Dedup {
     * shape hashes each shingle exactly `numHashes` times, parallelizes
     * across partitions, and scales to 100 TB (one shuffle on id). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleK)).as("s"))
+                        numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    minhashSignaturesFromSets(
+      df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh")),
+      numHashes)
+
+  /** [[minhashSignatures]] over a pre-built `(id, sh)` shingle-set frame —
+    * the entry point for pipelines that shingle once and feed several
+    * consumers (candidate generation AND exact verification, or an
+    * ensemble's multiple detectors) from one persisted frame instead of
+    * re-splitting the corpus per consumer. */
+  def minhashSignaturesFromSets(sets: DataFrame,
+                                numHashes: Int = 64): DataFrame = {
+    val exploded = sets.select(col("id"), explode(col("sh")).as("s"))
     val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
     exploded.groupBy("id").agg(mins.head, mins.tail: _*)
   }
@@ -177,10 +187,18 @@ object Dedup {
     * banding: P(candidate) = 1-(1-J^r)^b). */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   shingleK: Int = 3): DataFrame = {
+                   shingleK: Int = 3): DataFrame =
+    minhashBandsFromSets(
+      df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh")),
+      numHashes, bands)
+
+  /** [[minhashBands]] over a pre-built `(id, sh)` shingle-set frame
+    * (see [[minhashSignaturesFromSets]]). */
+  def minhashBandsFromSets(sets: DataFrame, numHashes: Int = 64,
+                           bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val r = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    val sig = minhashSignaturesFromSets(sets, numHashes)
     val bandHashes = array((0 until bands).map { j =>
       xxhash64((j * r until (j + 1) * r).map(i => col(s"h$i")): _*)
     }: _*)
@@ -226,7 +244,16 @@ object Dedup {
     * because such buckets are boilerplate clusters. */
   def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleK: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                        shingleK: Int = 3, maxBucket: Int = 10000): DataFrame =
+    nearDupCandidatesFromSets(
+      df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh")),
+      numHashes, bands, maxBucket)
+
+  /** [[nearDupCandidates]] over a pre-built `(id, sh)` shingle-set frame
+    * (see [[minhashSignaturesFromSets]] for why the split matters). */
+  def nearDupCandidatesFromSets(sets: DataFrame, numHashes: Int = 64,
+                                bands: Int = 16,
+                                maxBucket: Int = 10000): DataFrame = {
     // persist: both self-join sides read the bands; without it the whole
     // shingle→hash→min pipeline runs twice (the broadcast side cannot
     // reuse the other side's exchange). The candidate set — far smaller
@@ -239,7 +266,7 @@ object Dedup {
     // 100 TB sees) would buffer whole inside ONE WindowExec task with no
     // AQE remedy, while the aggregate combines map-side and the join-back
     // is AQE-skew-splittable.
-    val bands0 = minhashBands(df, idCol, textCol, numHashes, bands, shingleK)
+    val bands0 = minhashBandsFromSets(sets, numHashes, bands)
       .persist()
     val stats = bands0.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("__bsz"), min(col("id")).as("__rep"))
@@ -276,23 +303,37 @@ object Dedup {
                    threshold: Double = 0.7, numHashes: Int = 64,
                    bands: Int = 16, shingleK: Int = 3,
                    maxBucket: Int = 10000): DataFrame = {
-    val cands = nearDupCandidates(df, idCol, textCol, numHashes, bands,
-      shingleK, maxBucket)
-    // persisted: BOTH verification join sides read this frame — without the
-    // persist each side re-runs shingles() over the full corpus (the same
-    // hygiene ngramJaccardPairs applies); released once the (small) verified
-    // pair set is materialized
-    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    // persisted: candidate generation AND both verification join sides
+    // read this frame — without the persist each consumer re-runs
+    // shingles() over the full corpus (the same hygiene ngramJaccardPairs
+    // applies); released once the (small) verified pair set is
+    // materialized
+    val sets = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleK).as("sh"))
       .persist()
-    val pairs = cands
+    val pairs = nearDupPairsFromSets(sets, threshold, numHashes, bands,
+      maxBucket)
+    sets.unpersist()
+    pairs
+  }
+
+  /** [[nearDupPairs]] over a pre-built `(id, sh)` shingle-set frame that
+    * the CALLER persists (it is read by candidate generation and by both
+    * exact-verification join sides): the shared-tokenization entry point
+    * an ensemble uses so its detectors split the corpus once. Returns
+    * eagerly (the pair set localCheckpoints), so the caller may unpersist
+    * `sets` as soon as every arm has been built. */
+  def nearDupPairsFromSets(sets: DataFrame, threshold: Double = 0.7,
+                           numHashes: Int = 64, bands: Int = 16,
+                           maxBucket: Int = 10000): DataFrame = {
+    val cands = nearDupCandidatesFromSets(sets, numHashes, bands, maxBucket)
+    cands
       .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
       .localCheckpoint()
-    sets.unpersist()
-    pairs
   }
 
   /** Character-n-gram Jaccard near-dup pairs within a blocking key: exact
@@ -483,9 +524,18 @@ object Dedup {
     * this shape is ~1 s and scales out). */
   def simhashes(df: DataFrame, idCol: String, textCol: String,
                 bits: Int = 32,
-                hash: Column => Column = xxhash64(_)): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+                hash: Column => Column = xxhash64(_)): DataFrame =
+    simhashesFromTokens(
+      df.select(col(idCol).as("id"), split(col(textCol), " ").as("w")),
+      bits, hash)
+
+  /** [[simhashes]] over a pre-split `(id, w)` token-array frame — the
+    * shared-tokenization entry point (see
+    * [[graft.ext.TextOps.ngramsFromTokens]]). */
+  def simhashesFromTokens(tok: DataFrame, bits: Int = 32,
+                          hash: Column => Column = xxhash64(_)): DataFrame = {
+    val hashed = tok
+      .select(col("id"), explode(col("w")).as("w"))
       .select(col("id"), hash(col("w")).as("h"))
     val bitSums = (0 until bits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
@@ -522,7 +572,12 @@ object Dedup {
       .union(pairs.select(col(bCol).as("id"))).distinct()
 
     // large-star: every neighbor LARGER than u links to the min of u's
-    // closed neighborhood; keeps connectivity, strictly shrinks big stars
+    // closed neighborhood; keeps connectivity, strictly shrinks big stars.
+    // NO distinct here: the output flows straight into smallStar, whose
+    // min-groupBy is duplicate-insensitive and whose own distinct dedups
+    // the round's result — the dropped exchange is one less stage of
+    // latency per round with no row inflation (each undirected edge
+    // emits exactly one oriented row either way).
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val m = und.groupBy("u").agg(min(col("v")).as("mv"))
@@ -531,7 +586,6 @@ object Dedup {
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
     }
 
     // small-star: orient edges larger->smaller, then every smaller
@@ -549,22 +603,23 @@ object Dedup {
 
     var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    var edgeCount = edges.count()
-    var converged = edgeCount == 0
+    var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // a changed edge COUNT proves instability for free (both frames are
-      // already checkpointed, so count() is a local scan — no shuffle);
-      // only equal counts pay the exact set compare, which remains
-      // necessary because equal counts do not imply equal sets. The exact
-      // check is ONE job: both set differences unioned (both sides are
-      // distinct, so empty symmetric difference == equal).
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      // stop at the first STAR-FOREST state — no node is both a child
+      // (some u) and a root (some v). smallStar only emits downward
+      // edges (v < u by construction), so 2-level ⇒ stars rooted at
+      // their minimum; both operations preserve components (Kiveris et
+      // al.), so those stars ARE the original components and the state
+      // is the algorithm's fixpoint. One semi-join job on the frame
+      // just checkpointed — and it fires the round convergence HAPPENS,
+      // a full round earlier than the previous two-consecutive-equal-
+      // edge-set criterion.
+      converged = next.select("u")
+        .join(next.select(col("v").as("u")), Seq("u"), "left_semi")
+        .isEmpty
       edges = next
-      edgeCount = nextCount
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
@@ -663,6 +718,15 @@ object Dedup {
                    maxBucket: Int = 10000,
                    hash: Column => Column = xxhash64(_)): DataFrame =
     signaturePairs(simhashes(df, idCol, textCol, bits, hash), maxDist, bits,
+      bands, maxBucket)
+
+  /** [[simhashPairs]] over a pre-split `(id, w)` token-array frame that
+    * the caller persists — the ensemble's shared-tokenization arm. */
+  def simhashPairsFromTokens(tok: DataFrame, maxDist: Int = 3,
+                             bits: Int = 32, bands: Int = 4,
+                             maxBucket: Int = 10000,
+                             hash: Column => Column = xxhash64(_)): DataFrame =
+    signaturePairs(simhashesFromTokens(tok, bits, hash), maxDist, bits,
       bands, maxBucket)
 
   /** Cross-source priority dedup — the multi-dump mixing rule: when the

@@ -32,14 +32,18 @@ object TextOps {
     * the whole text for EVERY shingle index in the interpreted HOF path,
     * turning an O(tokens) row into O(tokens²); at corpus scale that is the
     * difference between milliseconds and minutes per partition. */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val w = words(c)
-    // the occurrence stream comes from ngramTokens — ONE copy of the
-    // zipped-shifts construction, so a fix to that HOF shape (this file's
-    // documented pitfall area) cannot drift between the two
+  def shingles(c: Column, k: Int = 3): Column =
+    shinglesFromTokens(words(c), k)
+
+  /** [[shingles]] over an already-split token array (see
+    * [[ngramsFromTokens]] for when that matters). The occurrence stream
+    * comes from ngramsFromTokens — ONE copy of the zipped-shifts
+    * construction, so a fix to that HOF shape (this file's documented
+    * pitfall area) cannot drift between the two. */
+  def shinglesFromTokens(w: Column, k: Int = 3): Column =
     array_distinct(
-      when(size(w) < k, array(array_join(w, " "))).otherwise(ngramTokens(c, k)))
-  }
+      when(size(w) < k, array(array_join(w, " ")))
+        .otherwise(ngramsFromTokens(w, k)))
 
   /** Distinct character k-grams of `text` (the n-gram-Jaccard dedup
     * family). One `substr` per start offset — each element is O(k) work,
@@ -74,11 +78,21 @@ object TextOps {
     * Docs shorter than n words yield none. Same zipped-shifts shape as
     * [[shingles]] (each shift evaluated once per row; never the
     * re-split-per-index interpreted-HOF trap). */
-  def ngramTokens(c: Column, n: Int): Column = {
-    val w = words(c)
+  def ngramTokens(c: Column, n: Int): Column = ngramsFromTokens(words(c), n)
+
+  /** [[ngramTokens]] over an ALREADY-SPLIT token array — the entry point
+    * for pipelines that tokenize once and feed several downstream
+    * operators (e.g. [[graft.ext.Dedup]]'s ensemble, where MinHash
+    * shingles and SimHash word hashes share one persisted token frame
+    * instead of each re-splitting the corpus). */
+  def ngramsFromTokens(w: Column, n: Int): Column = {
+    // each shift aliased to its index: arrays_zip names struct fields
+    // after its input expressions, so a NAMED token column (vs the
+    // anonymous split() this body historically received) would otherwise
+    // surface as a field called "w" and break the positional getField
     val shifted = (0 until n).map {
-      case 0 => w
-      case i => slice(w, lit(i + 1), size(w))
+      case 0 => w.as("0")
+      case i => slice(w, lit(i + 1), size(w)).as(s"$i")
     }
     val zipped = arrays_zip(shifted: _*)
     transform(

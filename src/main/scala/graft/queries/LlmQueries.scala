@@ -671,11 +671,24 @@ object LlmQueries {
     })(
       (s, dir) => {
         val docs = Tables(s, dir).documents
-        val p1 = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+        // ONE tokenization pass feeds both detectors: the MinHash arm's
+        // shingle sets derive from the persisted token frame and the
+        // SimHash arm hashes the same tokens — previously each arm
+        // re-split the corpus from raw text (three split passes total:
+        // signatures, verification sets, simhash). Both arms return
+        // eagerly (their pair sets localCheckpoint), so the caches
+        // release before the CC pass runs.
+        val tok = docs.select(col("doc_id").as("id"),
+          TextOps.words(col("text")).as("w")).persist()
+        val sets = tok.select(col("id"),
+          TextOps.shinglesFromTokens(col("w"), 3).as("sh")).persist()
+        val p1 = Dedup.nearDupPairsFromSets(sets, threshold = 0.7)
           .select("a_id", "b_id")
-        val p2 = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3,
+        val p2 = Dedup.simhashPairsFromTokens(tok, maxDist = 3,
           bits = 60, bands = 4, hash = TextOps.md5Hash60)
           .select("a_id", "b_id")
+        sets.unpersist()
+        tok.unpersist()
         docs.select("doc_id")
           .join(Dedup.connectedComponents(p1.unionAll(p2).distinct())
             .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
