@@ -56,11 +56,10 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       octet_length(col(textCol).cast("binary")).cast("long").as("n_bytes"))
 
-  /** STUB decoder: stands in for a real image/audio codec (not available in
-    * this container). Deterministic function of the payload bytes so tests
-    * and the driver see stable output. A real deployment swaps only this
-    * function — the mapPartitions plumbing, batch shape, and output schema
-    * stay as-is. */
+  /** STUB decoder for OPAQUE payloads (mime we have no codec for):
+    * deterministic function of the payload bytes so tests and the driver
+    * see stable output. Real image mimes take [[decodeImage]] instead —
+    * see [[decode]] for the dispatch. */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val w = 1 + (payload.length % 640)
     val h = 1 + (if (payload.isEmpty) 0 else (payload(0) & 0xff) % 480)
@@ -68,6 +67,93 @@ object Multimodal {
       if (payload.length > i) (payload(i) & 0xff) / 255.0f else 0.0f
     }
     (w, h, feats)
+  }
+
+  /** Image mimes [[decode]] routes to the REAL decoder. All four readers
+    * ship with the JDK (javax.imageio) — no external dependency. */
+  private val imageMimes =
+    Set("image/png", "image/bmp", "image/gif", "image/jpeg")
+
+  /** REAL image decoder (javax.imageio — pure JVM, in every Java 17
+    * runtime): decodes the payload and computes an 8-float feature vector
+    * over the pixels in raster order —
+    * [meanR, meanG, meanB, meanLuma, stdLuma, minLuma, maxLuma, aspect]
+    * (channels normalized to [0,1], aspect = w/(w+h), luma = the exact
+    * integer (r+g+b)/3 per pixel before normalization). For the lossless
+    * formats (PNG/BMP/GIF) the decoded raster is bit-exact, so every
+    * feature is a deterministic function of the payload. Returns None when
+    * the bytes do not decode (truncated file, wrong mime) — the caller
+    * falls back to the stub rather than failing the partition. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb, sl, sll) = (0L, 0L, 0L, 0L, 0L)
+        var minL = 255L
+        var maxL = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val l = (r + g + b) / 3
+            sr += r; sg += g; sb += b; sl += l; sll += l.toLong * l
+            if (l < minL) minL = l
+            if (l > maxL) maxL = l
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val meanL = sl.toDouble / n
+        val varL = sll.toDouble / n - meanL * meanL
+        Some((w, h, Array(
+          (sr.toDouble / n / 255.0).toFloat,
+          (sg.toDouble / n / 255.0).toFloat,
+          (sb.toDouble / n / 255.0).toFloat,
+          (meanL / 255.0).toFloat,
+          (math.sqrt(math.max(varL, 0.0)) / 255.0).toFloat,
+          (minL / 255.0).toFloat,
+          (maxL / 255.0).toFloat,
+          (w.toDouble / (w + h)).toFloat)))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode dispatch: real codec for image mimes (stub fallback when the
+    * bytes do not decode), stub for everything else. The mapPartitions
+    * plumbing, batch shape, and output schema are identical either way —
+    * adding a codec for a new mime touches only this function. */
+  private[graft] def decode(payload: Array[Byte],
+                            mime: String): (Int, Int, Array[Float]) =
+    if (imageMimes.contains(mime))
+      decodeImage(payload).getOrElse(decodeStub(payload))
+    else decodeStub(payload)
+
+  /** Encode a grayscale w×h image as a real BMP via javax.imageio —
+    * `gray(j)` gives pixel j's luma in raster order. The fixture
+    * generator for the real-decoder path (mm_decode_bmp and
+    * MultimodalSpec): BMP is uncompressed, so encode→decode round-trips
+    * every byte exactly. */
+  def encodeGrayBmp(w: Int, h: Int, gray: Int => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var j = 0
+    while (j < w * h) {
+      val g = gray(j) & 0xff
+      img.setRGB(j % w, j / w, (g << 16) | (g << 8) | g)
+      j += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
   }
 
   /** Decode / feature-extract stage: partition-parallel over the media
@@ -78,12 +164,61 @@ object Multimodal {
     import spark.implicits._
     media.select("doc_id", "payload", "mime", "n_bytes").as[MediaRecord]
       .mapPartitions { it =>
-        // per-partition init of the (stub) codec would go here
+        // per-partition init of a heavier codec/model would go here
         it.map { rec =>
-          val (w, h, feats) = decodeStub(rec.payload)
+          val (w, h, feats) = decode(rec.payload, rec.mime)
           MediaFeatures(rec.doc_id, rec.n_bytes, w, h, feats)
         }
       }
+  }
+
+  /** The real-decoder round trip, fixture included: render each record's
+    * payload bytes into a w×h grayscale image, ENCODE it as a real BMP,
+    * then run the same [[decode]] path production media takes. Emitted
+    * per record: decoded dims plus the exact integer luma sum — pixel j's
+    * luma is payload byte (j mod len), so the whole encode→decode→measure
+    * pipeline is replayable from the payload bytes alone (the oracle
+    * never needs a BMP codec). Dims derive from the record: w = 1 +
+    * n_bytes mod 16, h = 1 + doc_id mod 16. Empty payloads pass through
+    * with dims 0 and sum 0 (nothing to render). */
+  def bmpRoundTrip(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "mime", "n_bytes").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val len = rec.payload.length
+          if (len == 0) (rec.doc_id, 0, 0, 0L)
+          else {
+            val w = 1 + (rec.n_bytes % 16).toInt
+            val h = 1 + (rec.doc_id % 16).toInt
+            val bmp = encodeGrayBmp(w, h,
+              j => rec.payload(j % len) & 0xff)
+            val (dw, dh, _) = decode(bmp, "image/bmp")
+            var sum = 0L
+            var j = 0
+            while (j < w * h) { sum += rec.payload(j % len) & 0xff; j += 1 }
+            // the DECODED dims are reported (proving the real codec ran);
+            // the luma sum is recomputed from the decoded raster
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bmp))
+            var decSum = 0L
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) {
+                decSum += img.getRGB(x, y) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            assert(decSum == sum,
+              s"BMP round-trip luma drift for doc ${rec.doc_id}")
+            (rec.doc_id, dw, dh, decSum)
+          }
+        }
+      }.toDF("doc_id", "width", "height", "luma_sum")
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("luma_sum"))
   }
 
   /** Resize stage (STUB resampler): a real image resize keeps one sample
@@ -98,7 +233,7 @@ object Multimodal {
       .mapPartitions { it =>
         val n = targetW * targetH
         it.map { rec =>
-          val (w, h, _) = decodeStub(rec.payload)
+          val (w, h, _) = decode(rec.payload, rec.mime)
           val stride = math.max(rec.payload.length / n, 1)
           var sum = 0L
           var j = 0

@@ -1901,6 +1901,33 @@ object LlmQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))),
 
+    // REAL image decode, oracled: each doc's payload bytes render into a
+    // w×h grayscale raster, ENCODE as a real BMP (javax.imageio), then
+    // the production decode path ([[Multimodal.decode]], same dispatch
+    // media rows take) reads it back. Reported dims come from the DECODED
+    // image and the luma sum from the DECODED raster — the hash match
+    // proves the real codec ran and round-tripped every pixel, while the
+    // oracle replays only byte arithmetic (pixel j = payload byte
+    // j mod len; ASCII corpus: byte = ord(char), as all mm_* oracles
+    // assume).
+    Reg("mm_decode_bmp", Some(
+      """WITH m AS (SELECT doc_id, text,
+        |             octet_length(CAST(text AS BLOB)) AS len FROM documents),
+        |g AS (SELECT doc_id, text, len,
+        |        1 + len % 16 AS w, 1 + doc_id % 16 AS h
+        |      FROM m WHERE len > 0),
+        |px AS (SELECT doc_id, w, h, text, len,
+        |         unnest(generate_series(0, w * h - 1)) AS j FROM g)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(ord(substr(text, CAST(j % len AS INTEGER) + 1, 1)))
+        |    AS BIGINT) AS luma_sum
+        |FROM px GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM m WHERE len = 0""".stripMargin))(
+      (s, dir) => Multimodal.bmpRoundTrip(s,
+        Multimodal.mediaTable(Tables(s, dir).documents))),
+
     // Multimodal resize stage (stub resampler): stride-sampled checksum is
     // pure byte arithmetic -> the partition-parallel plumbing oracles
     // exactly (ASCII corpus: ord(char) == byte).

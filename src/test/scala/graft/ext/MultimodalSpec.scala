@@ -50,4 +50,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out1.head.features.sameElements(out2.head.features)) // deterministic
     assert(out1(1).width == 1 && out1(1).features.forall(_ == 0.0f)) // empty payload
   }
+
+  test("decodeImage reads a real BMP exactly: dims, channel means, luma stats") {
+    // 4x2 gradient: pixel j has gray value 10*j -> every stat is hand-computable
+    val bmp = Multimodal.encodeGrayBmp(4, 2, j => 10 * j)
+    val Some((w, h, f)) = Multimodal.decodeImage(bmp)
+    assert(w == 4 && h == 2)
+    val grays = (0 until 8).map(10 * _)
+    val mean = grays.sum / 8.0
+    assert(math.abs(f(0) - mean / 255.0) < 1e-6) // meanR == gray mean
+    assert(f(0) == f(1) && f(1) == f(2) && f(2) == f(3)) // grayscale: all channels equal
+    assert(math.abs(f(5) - 0.0f) < 1e-6) // min luma 0
+    assert(math.abs(f(6) - 70 / 255.0) < 1e-6) // max luma 70
+    assert(math.abs(f(7) - 4.0 / 6.0) < 1e-6) // aspect w/(w+h)
+  }
+
+  test("decodeImage reads a real PNG (second JDK codec) and rejects garbage") {
+    val img = new java.awt.image.BufferedImage(
+      3, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 15).foreach(j => img.setRGB(j % 3, j / 3, 0x00ff00)) // pure green
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val Some((w, h, f)) = Multimodal.decodeImage(out.toByteArray)
+    assert(w == 3 && h == 5)
+    assert(f(0) == 0.0f && f(1) == 1.0f && f(2) == 0.0f) // R=0, G=255, B=0
+    assert(math.abs(f(3) - 85 / 255.0) < 1e-6) // luma (0+255+0)/3 = 85
+    assert(math.abs(f(4)) < 1e-6) // constant image: zero std
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("bmpRoundTrip: encode->real decode returns exact dims and luma sum") {
+    val rt = Multimodal.bmpRoundTrip(spark, Multimodal.mediaTable(docs))
+      .orderBy("doc_id").collect()
+    // doc 1: "hello world" (11 bytes) -> w = 1+11%16 = 12, h = 1+1%16 = 2
+    val b = "hello world".getBytes.map(_ & 0xff)
+    val expected = (0 until 24).map(j => b(j % 11)).sum.toLong
+    assert(rt(0).getLong(1) == 12L && rt(0).getLong(2) == 2L)
+    assert(rt(0).getLong(3) == expected)
+    // doc 2: empty payload passes through with zero dims
+    assert(rt(1).getLong(1) == 0L && rt(1).getLong(3) == 0L)
+  }
 }
