@@ -139,6 +139,109 @@ object Sinks {
       .orc(path)
   }
 
+  /** S9: `to_excel` sink — the reference left it a TODO (etl_io.py:947);
+    * here it is a real single-sheet .xlsx writer with no dependency beyond
+    * the JDK: xlsx is a zip of five XML parts, written through
+    * `java.util.zip.ZipOutputStream`.
+    *
+    * Scale contract: xlsx is a REPORT format — the file format itself caps
+    * a sheet at 1,048,576 rows, so this sink is for aggregated outputs
+    * (the only thing a spreadsheet consumer can open anyway), never the
+    * corpus. Rows STREAM through `toLocalIterator` (one partition
+    * materialized on the driver at a time, never the whole frame), the
+    * sheet XML streams straight into the zip entry, and the hard cap
+    * throws — loudly, not truncating — if the frame exceeds it.
+    *
+    * Cell mapping: numeric and boolean columns write as native xlsx types;
+    * everything else (strings, dates, timestamps) writes as an inline
+    * string of Spark's canonical string form — exact, self-describing,
+    * and free of the shared-strings table a minimal writer doesn't need.
+    * Header row = column names. */
+  def xlsx(df: DataFrame, path: String, sheet: String = "Sheet1"): Unit = {
+    val maxRows = 1048575 // xlsx row limit minus the header row
+    def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
+      case c => c.toString
+    }
+    val schema = df.schema
+    val numeric = schema.fields.map(_.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => 1
+      case org.apache.spark.sql.types.BooleanType => 2
+      case _ => 0
+    })
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))))
+    def entry(name: String, body: String): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(body.getBytes("UTF-8"))
+      out.closeEntry()
+    }
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin)
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      entry("xl/workbook.xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           |<sheets><sheet name="${esc(sheet)}" sheetId="1" r:id="rId1"/></sheets>
+           |</workbook>""".stripMargin)
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      out.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      def write(s: String): Unit = out.write(s.getBytes("UTF-8"))
+      write("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
+        "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
+      def inlineStr(v: String): String =
+        s"<c t=\"inlineStr\"><is><t xml:space=\"preserve\">${esc(v)}</t></is></c>"
+      write("<row>" +
+        schema.fieldNames.map(inlineStr).mkString + "</row>")
+      var n = 0
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        n += 1
+        if (n > maxRows)
+          throw new IllegalArgumentException(
+            s"xlsx sheet cap is $maxRows data rows — aggregate before " +
+              "exporting a report, or use a scalable sink (parquet/csv)")
+        val cells = new StringBuilder("<row>")
+        var i = 0
+        while (i < numeric.length) {
+          if (row.isNullAt(i)) cells.append("<c/>")
+          else numeric(i) match {
+            case 1 => cells.append(s"<c t=\"n\"><v>${row.get(i)}</v></c>")
+            case 2 => cells.append(
+              s"<c t=\"b\"><v>${if (row.getBoolean(i)) 1 else 0}</v></c>")
+            case _ => cells.append(inlineStr(String.valueOf(row.get(i))))
+          }
+          i += 1
+        }
+        cells.append("</row>")
+        write(cells.result())
+      }
+      write("</sheetData></worksheet>")
+      out.closeEntry()
+    } finally out.close()
+  }
+
   /** JDBC sink (SQLite/Postgres/...): the direct `to_sql` analog. The
     * `numPartitions` cap bounds concurrent connections against the target —
     * via `repartition`, NOT `coalesce`: coalesce fuses into the upstream

@@ -126,6 +126,47 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** S9 read side: scan a single-sheet .xlsx written by
+    * [[graft.io.Sinks.xlsx]] (or any workbook whose first sheet is at the
+    * standard part path with inline strings). DELIBERATELY driver-side:
+    * xlsx caps a sheet at ~1M rows, so this is report-reingestion, not a
+    * corpus scan — the file parses once on the driver (JDK zip + DOM, no
+    * dependency) and lands as a normal DataFrame. `schema` gives the
+    * column types; empty cells are NULL. */
+  def xlsx(spark: SparkSession, path: String,
+           schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val zf = new java.util.zip.ZipFile(path)
+    val rowsOut = try {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+      val rows = doc.getElementsByTagName("row")
+      (1 until rows.getLength).map { r => // row 0 is the header
+        val cs = rows.item(r).getChildNodes
+        org.apache.spark.sql.Row.fromSeq(schema.fields.zipWithIndex.map {
+          case (f, i) =>
+            val c = cs.item(i).asInstanceOf[org.w3c.dom.Element]
+            if (!c.hasChildNodes) null
+            else {
+              val v = c.getTextContent
+              f.dataType match {
+                case LongType => v.toLong
+                case IntegerType => v.toInt
+                case DoubleType => v.toDouble
+                case BooleanType => v == "1" || v == "true"
+                case _ => v
+              }
+            }
+        }.toSeq)
+      }
+    } finally zf.close()
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rowsOut).asJava),
+      schema)
+  }
+
   /** S1: JDBC scan with full query pushdown (reference pushes templated SQL
     * over ODBC, etl_io.py:185-198; Spark pushes the query to the source). */
   def jdbc(spark: SparkSession, url: String, query: String): DataFrame =

@@ -1491,6 +1491,33 @@ object ExtQueries {
         s.read.parquet(path)
       }),
 
+    // S9: to_excel round trip ([[Sinks.xlsx]] → [[Sources.xlsx]]) — the
+    // reference's unimplemented TODO (etl_io.py:947), closed as a real
+    // single-sheet xlsx writer (zip-of-XML via the JDK, typed cells,
+    // 1M-row report cap) plus its reader. The aggregate exports, the
+    // workbook re-reads, and the hash match proves every cell (string,
+    // BIGINT count, exact cents sum) survived the spreadsheet byte-for-
+    // byte.
+    Reg("xlsx_roundtrip", Some(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders GROUP BY 1""".stripMargin))(
+      (s, dir) => {
+        val out = Tables(s, dir).orders
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+              .as("cents"))
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_xlsx_roundtrip_${Integer.toHexString(dir.hashCode)}")
+        java.nio.file.Files.createDirectories(p)
+        val path = p.resolve("report.xlsx").toString
+        graft.io.Sinks.xlsx(out, path, sheet = "orders")
+        graft.io.Sources.xlsx(s, path, out.schema)
+      }),
+
     // Dynamic partition overwrite ([[Sinks.overwritePartitions]]): full
     // load partitioned by event_type, then an incremental job rewrites
     // ONLY the click partition (values doubled). The read-back aggregate

@@ -71,4 +71,49 @@ class SinksSpec extends SparkSpec {
       full.withColumnRenamed("id", "k2"), path, Seq("nope")))
     assert(spark.conf.getOption(key) == before)
   }
+
+  test("xlsx sink writes a valid single-sheet workbook that round-trips values") {
+    val df = Seq(
+      (1L, "plain", 1.5, true),
+      (2L, "escape <&> \"quote\"", -2.0, false),
+      (3L, null.asInstanceOf[String], 0.25, true)
+    ).toDF("id", "label", "score", "flag")
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx")
+      .resolve("report.xlsx").toString
+    Sinks.xlsx(df, path, sheet = "report")
+
+    // read back with nothing but the JDK: unzip + DOM-parse the sheet
+    val zf = new java.util.zip.ZipFile(path)
+    val names = {
+      val e = zf.entries(); val b = Seq.newBuilder[String]
+      while (e.hasMoreElements) b += e.nextElement().getName
+      b.result().toSet
+    }
+    assert(names == Set("[Content_Types].xml", "_rels/.rels",
+      "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+      "xl/worksheets/sheet1.xml"))
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+    zf.close()
+    val rows = doc.getElementsByTagName("row")
+    assert(rows.getLength == 4) // header + 3 data rows
+    def cells(r: Int): Seq[org.w3c.dom.Element] = {
+      val cs = rows.item(r).getChildNodes
+      (0 until cs.getLength).map(cs.item(_).asInstanceOf[org.w3c.dom.Element])
+    }
+    assert(cells(0).map(_.getTextContent) ==
+      Seq("id", "label", "score", "flag"))
+    // typed cells: numbers native, booleans 1/0, strings inline (escaped
+    // in the XML, exact after parse), null as an empty cell
+    val r1 = cells(1)
+    assert(r1(0).getAttribute("t") == "n" && r1(0).getTextContent == "1")
+    assert(r1(1).getAttribute("t") == "inlineStr" &&
+      r1(1).getTextContent == "plain")
+    assert(r1(2).getTextContent == "1.5")
+    assert(r1(3).getAttribute("t") == "b" && r1(3).getTextContent == "1")
+    assert(cells(2)(1).getTextContent == "escape <&> \"quote\"")
+    assert(cells(2)(3).getTextContent == "0")
+    assert(!cells(3)(1).hasChildNodes) // null -> <c/>
+  }
 }
