@@ -122,6 +122,69 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED SET —
+    * Haveliwala, "Topic-sensitive PageRank", WWW'02): like [[pagerank]]
+    * but the teleport mass lands uniformly on `seeds` instead of all of
+    * V, so rank measures proximity to the seeds — the "more like these"
+    * primitive (seed = curated docs, ranked = crawl; seed = one nation's
+    * customers, ranked = the supplier graph around them). Returns every
+    * node with its rank; seeds-only restart means rank decays with
+    * distance from the seed set.
+    *
+    * Contract: `edges` must leave no dangling nodes (every node needs
+    * outdeg ≥ 1 — automatic for a bidirected edge list, which is what
+    * every caller here feeds); dangling mass would otherwise leak out of
+    * the distribution. `seeds` is a 1-column frame of node ids (a subset
+    * of V; ids absent from the graph contribute teleport mass nowhere
+    * and are dropped).
+    *
+    * Plan: identical Pregel-as-shuffle shape to [[pagerank]] — the O(E)
+    * out-degree-annotated edge list persists PRE-PARTITIONED on the join
+    * key, each round shuffles only the O(V) rank frame, interval
+    * checkpoints keep lineage flat. The seed indicator rides the node
+    * frame as a 0/1 column, so the restart term is a projection, not a
+    * join. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 10, damping: Double = 0.85,
+                           checkpointInterval: Int = 4): DataFrame = {
+    require(iters >= 1, s"personalizedPagerank needs >= 1 iteration: $iters")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be positive, got $checkpointInterval")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val out = e.join(
+      e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
+      Seq("src")).repartition(col("src")).persist()
+    val seedSet = seeds.select(col(seeds.columns(0)).as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.select(col("node"), lit(1.0).as("__seed")),
+        Seq("node"), "left")
+      .na.fill(0.0, Seq("__seed"))
+      .repartition(col("node")).persist()
+    val nSeeds = nodes.agg(sum(col("__seed"))).head().getDouble(0)
+    require(nSeeds > 0, "no seed id present in the graph")
+    // restart vector: 1/|S| on seeds, 0 elsewhere
+    val restart = col("__seed") / nSeeds
+    var ranks = nodes.select(col("node"), col("__seed"),
+      restart.as("rank"))
+    var i = 1
+    while (i <= iters) {
+      val contrib = out.join(ranks, out("src") === ranks("node"))
+        .groupBy(out("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("cin"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("__seed"),
+          ((lit(1.0) - damping) * restart
+            + lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
+      if (i % checkpointInterval == 0 || i == iters)
+        ranks = ranks.localCheckpoint()
+      i += 1
+    }
+    out.unpersist()
+    nodes.unpersist()
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED edge list (src, dst) —
     * the clustering-structure primitive (community density, spam-farm
     * detection) complementing [[pagerank]]'s centrality.

@@ -501,6 +501,42 @@ object TextOps {
         col("n_hapax").cast("double") / col("n_types"))
   }
 
+  /** Per-source Gini coefficient of the token-frequency distribution —
+    * the concentration gauge complementing [[hapax]]'s richness ratio: a
+    * template/boilerplate-heavy source concentrates its token mass in few
+    * types (Gini → 1), diverse prose spreads it (lower Gini). Computed on
+    * ascending-sorted frequencies f₍₁₎ ≤ … ≤ f₍ₙ₎ as
+    * G = (2·Σ i·f₍ᵢ₎ − (n+1)·Σf) / (n·Σf) — every term an EXACT integer
+    * (products in 38-digit decimals so a 100 TB vocabulary cannot
+    * overflow), ONE double division at the end, r6-rounded. Ties rank
+    * deterministically by (freq, token); Gini is tie-order-insensitive
+    * anyway (equal f values contribute the same Σ i·f over any
+    * permutation of their ranks... summed across the tied block), so the
+    * tiebreak is for the replay, not the value.
+    *
+    * Plan: token explode → (source, token) count, one per-source window
+    * rank over the VOCABULARY (not the corpus — zipf keeps per-source
+    * vocabularies bounded), one partial-aggregable final aggregation. */
+  def tokenGini(docs: DataFrame, srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs
+      .select(col(srcCol).as("source"), explode(words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val ranked = wc.withColumn("rk", row_number().over(
+      Window.partitionBy("source").orderBy(col("c"), col("w"))))
+    ranked.groupBy("source").agg(
+      count(lit(1)).as("n_types"),
+      sum(col("c")).as("n_tokens"),
+      sum(dec(col("rk")) * dec(col("c"))).as("__srf"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        Timeseries.r6(
+          (lit(2) * col("__srf") - dec(col("n_types") + 1) * dec(col("n_tokens")))
+            .cast("double")
+            / (dec(col("n_types")) * dec(col("n_tokens"))).cast("double"))
+          .as("gini"))
+  }
+
   /** Grouped corpus statistics per (lang, source): doc count, exact char
     * and token sums. Map-side partial aggregation applies; one shuffle on
     * the two low-cardinality keys. */

@@ -28,6 +28,9 @@ object Timeseries {
   private[graft] def r5(c: Column): Column =
     floor(c * 100000.0 + 0.5).cast("long") / 100000.0
 
+  private[graft] def r6(c: Column): Column =
+    floor(c * 1000000.0 + 0.5).cast("long") / 1000000.0
+
   /** Exponentially-weighted moving average per key, seeded with the key's
     * first value: y₁ = x₁, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁ over events ordered by
     * `orderCols` (which must form a total order within a key — pass a

@@ -2026,6 +2026,25 @@ object ExtQueries {
         graft.ext.Features.woeFromCells(cells, "event_type")
       }),
 
+    // ST: streaming heavy hitters — per-user counts accumulate as
+    // complete-mode streaming state over the bounded source, then the
+    // top 20 by (count desc, user_id) leave the microbatch table. The
+    // deterministic tiebreak makes the LIMIT boundary engine-stable; the
+    // hash match proves the streamed counts equal the batch aggregation.
+    Reg("stream_topk", Some(
+      """SELECT user_id, n FROM (
+        |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+        |ORDER BY n DESC, user_id LIMIT 20""".stripMargin))(
+      (s, dir) => {
+        val name = s"stream_topk_${streamRunCounter.incrementAndGet()}"
+        graft.ext.Streaming.runToTable(s,
+          graft.ext.Streaming.readEvents(
+              graft.ext.Streaming.streamingSession(s), dir)
+            .groupBy(col("user_id")).agg(count(lit(1)).as("n")),
+          name)
+          .orderBy(col("n").desc, col("user_id")).limit(20)
+      }),
+
     // Skew diagnostic: the heaviest join-key values and their ratio to the
     // mean per-key count — the measurement that decides between a plain
     // join, AQE skew splitting, and Relational.saltedJoin. The global mean
@@ -2638,8 +2657,164 @@ object ExtQueries {
     graphAdamicAdarReg,
     graphModularityReg,
     graphAssortativityReg,
-    graphHitsReg
+    graphHitsReg,
+    graphPprReg,
+    sketchCmsReg,
+    erFsReg
   )
+
+  /** Unrolled PERSONALIZED-PageRank CTE stack — [[duckPagerankCtes]] with
+    * a seed-restart vector: `seedSql` selects the seed node ids (one
+    * `node` column); teleport mass lands on seeds only (`seed / nS`, the
+    * parenthesization matching the engine's `(1−d)·(seed/nS)` exactly).
+    * Callers append a final SELECT over r`iters` / nn. */
+  private[queries] def duckPprCtes(e0Sql: String, seedSql: String,
+                                   iters: Int = 10,
+                                   damping: Double = 0.85): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  ${1.0 - damping} * (n.seed / (SELECT ns FROM nsd))
+         |    + $damping * COALESCE(s.c, 0) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank / d.outdeg) AS c
+         |    FROM r${i - 1} r JOIN e ON e.src = r.node
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($e0Sql),
+       |sd AS ($seedSql),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |n0 AS (SELECT DISTINCT src AS node FROM e),
+       |n AS (SELECT n0.node,
+       |        CASE WHEN sd.node IS NULL THEN 0.0 ELSE 1.0 END AS seed
+       |      FROM n0 LEFT JOIN sd ON sd.node = n0.node),
+       |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+       |        FROM e GROUP BY src),
+       |nsd AS (SELECT SUM(seed) AS ns FROM n),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM n),
+       |r0 AS (SELECT node, seed / (SELECT ns FROM nsd) AS rank FROM n),
+       |$steps""".stripMargin
+  }
+
+  // Personalized PageRank ([[Graph.personalizedPagerank]]): random walk
+  // with restart to nation-0's customers over the bidirected purchase
+  // graph — rank = proximity to the seed cohort, the "more like these"
+  // expansion primitive. Same integer node encoding, relative-rank
+  // reporting, and unrolled-CTE oracle discipline as graph_pagerank.
+  private def graphPprReg: Reg =
+    Reg("graph_ppr", Some(
+      duckPprCtes(
+        """SELECT DISTINCT
+          |    o_custkey * 2 AS src,
+          |    l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey"""
+          .stripMargin,
+        "SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0") +
+      """
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+        |  ROUND(rank * (SELECT nv FROM nn), 6) AS rank_rel
+        |FROM r10""".stripMargin))(
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e0 = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct().localCheckpoint()
+        val seeds = t.customer.where(col("c_nationkey") === 0)
+          .select((col("c_custkey") * 2).as("node"))
+        val pr = graft.ext.Graph.personalizedPagerank(
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+          seeds, iters = 10, damping = 0.85)
+        val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
+        pr.crossJoin(broadcast(nv))
+          .select(
+            when(col("node") % 2 === 0,
+              concat(lit("c"), (col("node") / 2).cast("long").cast("string")))
+              .otherwise(
+                concat(lit("s"), (col("node") / 2).cast("long").cast("string")))
+              .as("node"),
+            round(col("rank") * col("nv"), 6).as("rank_rel"))
+      })
+
+  // Count-min sketch ([[graft.ext.CountMin]]): the CONSTANT-size
+  // frequency summary (depth × width counters, partial-aggregable,
+  // merge = counter sum) vs the cardinality-sized exact count table —
+  // the 100 TB frequent-items posture. Every key's estimate joins its
+  // exact count: overcount ≥ 0 is the sketch's defining guarantee, and
+  // unlike HLL/KLL the whole sketch replays in the oracle (md5-derived
+  // engine-neutral hashes), so it is hash-checked, not rows-only.
+  private def sketchCmsReg: Reg =
+    Reg("sketch_cms", Some(
+      """WITH b AS (SELECT user_id, unnest(generate_series(0, 3)) AS d
+        |           FROM events),
+        |h AS (SELECT d,
+        |        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+        |          || ':' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 512
+        |          AS bucket
+        |      FROM b),
+        |sk AS (SELECT d, bucket, COUNT(*) AS n FROM h GROUP BY 1, 2),
+        |t AS (SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY 1),
+        |q AS (SELECT user_id, true_n,
+        |        unnest(generate_series(0, 3)) AS d FROM t),
+        |qh AS (SELECT user_id, true_n, d,
+        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+        |           || ':' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 512
+        |           AS bucket
+        |       FROM q)
+        |SELECT user_id, true_n, MIN(n) AS est_n,
+        |  MIN(n) - true_n AS overcount
+        |FROM qh JOIN sk USING (d, bucket)
+        |GROUP BY user_id, true_n""".stripMargin))(
+      (s, dir) => graft.ext.CountMin.estimateVsTruth(
+        Tables(s, dir).events, "user_id", width = 512, depth = 4))
+
+  // Fellegi–Sunter record linkage ([[graft.ext.Linkage.selfLinkPairs]]):
+  // blocked candidate pairs over part scored by per-field log-likelihood
+  // weights — agreement on type and the first two name tokens, (m, u)
+  // priors compiled into LITERAL weights so the score is a fixed-order
+  // sum of identical doubles on both engines (no runtime ln anywhere).
+  // Blocking on (brand, size) bounds the quadratic by design.
+  private def erFsReg: Reg = {
+    val fields = Seq(
+      graft.ext.Linkage.FieldSpec("p_type", 0.95, 0.02),
+      graft.ext.Linkage.FieldSpec("tok1", 0.90, 0.05),
+      graft.ext.Linkage.FieldSpec("tok2", 0.90, 0.05))
+    val duckField = Map("p_type" -> "p_type", "tok1" -> "tok1", "tok2" -> "tok2")
+    val agreeSum = fields.map(f =>
+      s"CASE WHEN a.${duckField(f.field)} = b.${duckField(f.field)} THEN 1 ELSE 0 END")
+      .mkString("\n      + ")
+    // CAST each weight literal to DOUBLE: DuckDB otherwise types a
+    // 17-digit literal DECIMAL, summing in decimal (and overflowing the
+    // FLOOR multiply); the cast reconstructs the exact double Scala
+    // computed, so the sum is the same IEEE chain as the engine's
+    val scoreSum = fields.map(f =>
+      s"CASE WHEN a.${duckField(f.field)} = b.${duckField(f.field)} " +
+        s"THEN CAST(${f.agreeWeight} AS DOUBLE) " +
+        s"ELSE CAST(${f.disagreeWeight} AS DOUBLE) END")
+      .mkString("\n      + ")
+    Reg("er_fs", Some(
+      s"""WITH p AS (SELECT p_partkey AS id,
+         |    p_brand || '|' || CAST(p_size AS VARCHAR) AS blk,
+         |    p_type, string_split(p_name, ' ')[1] AS tok1,
+         |    string_split(p_name, ' ')[2] AS tok2 FROM part),
+         |s AS (SELECT a.id AS a_id, b.id AS b_id,
+         |  CAST($agreeSum AS BIGINT) AS n_agree,
+         |  CAST(FLOOR(($scoreSum) * 100000.0 + 0.5) AS BIGINT) / 100000.0
+         |    AS score
+         |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
+         |SELECT a_id, b_id, n_agree, score FROM s
+         |WHERE score >= 5.0""".stripMargin))(
+      (s, dir) => graft.ext.Linkage.selfLinkPairs(
+        Tables(s, dir).part.select(
+          col("p_partkey"), col("p_brand"), col("p_size"), col("p_type"),
+          element_at(split(col("p_name"), " "), 1).as("tok1"),
+          element_at(split(col("p_name"), " "), 2).as("tok2")),
+        "p_partkey",
+        concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
+        fields, threshold = 5.0))
+  }
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
     * `e0Sql` supplies the directed edge query (columns src, dst); the

@@ -790,6 +790,30 @@ object LlmQueries {
         |FROM wc GROUP BY 1""".stripMargin))(
       (s, dir) => TextOps.hapax(Tables(s, dir).documents)),
 
+    // Token-frequency Gini ([[TextOps.tokenGini]]): per-source mass
+    // concentration — boilerplate/template sources concentrate token mass
+    // in few types. Exact integer numerators (38-digit decimal products),
+    // one division, r6; the rank window replays with the same (freq,
+    // token) tiebreak (Gini itself is tie-order-insensitive).
+    Reg("text_gini", Some(
+      """WITH wc AS (SELECT source, w, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        |r AS (SELECT source, c,
+        |        row_number() OVER (PARTITION BY source ORDER BY c, w) AS rk
+        |      FROM wc),
+        |a AS (SELECT source, COUNT(*) AS n_types,
+        |        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        SUM(CAST(rk AS HUGEINT) * c) AS srf
+        |      FROM r GROUP BY 1)
+        |SELECT source, n_types, n_tokens,
+        |  CAST(FLOOR(CAST(2 * srf - (n_types + 1) * CAST(n_tokens AS HUGEINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(n_types AS HUGEINT) * n_tokens AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS gini
+        |FROM a""".stripMargin))(
+      (s, dir) => TextOps.tokenGini(Tables(s, dir).documents)),
+
     Reg("text_stats", Some(
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

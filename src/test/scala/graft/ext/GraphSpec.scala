@@ -246,4 +246,30 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) == ((3L, 3L, 7L, 0.17857)))
     assert(got(4L) == ((3L, 3L, 7L, 0.17857)))
   }
+
+  test("personalizedPagerank: mass conserved, decays with distance from the seed") {
+    import spark.implicits._
+    // bidirected chain 1-2-3-4, seed {1}
+    val chain = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L)).toDF("src", "dst")
+    val pr = Graph.personalizedPagerank(chain, Seq(Tuple1(1L)).toDF("node"),
+        iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9) // no dangling leak
+    // the degree-1 seed funnels its whole mass to node 2, so 2 out-ranks
+    // the seed itself (stationary r2 ≈ 1.185·r1); beyond the seed's
+    // neighborhood rank decays monotonically with distance
+    assert(pr(2L) > pr(1L) && pr(2L) > pr(3L) && pr(3L) > pr(4L))
+    assert(pr(1L) > pr(3L))
+    // uniform seeds over ALL nodes on a regular graph = plain uniform rank
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L),
+      (1L, 3L)).toDF("src", "dst")
+    val uni = Graph.personalizedPagerank(ring,
+        Seq(1L, 2L, 3L).toDF("node"), iters = 10)
+      .collect().map(_.getDouble(1))
+    assert(uni.forall(r => math.abs(r - 1.0 / 3) < 1e-12))
+    // a seed id absent from the graph is an error, not silent zero mass
+    intercept[IllegalArgumentException](Graph.personalizedPagerank(
+      ring, Seq(99L).toDF("node"), iters = 2))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq(
+    Linkage.FieldSpec("ty", 0.95, 0.02),
+    Linkage.FieldSpec("tk", 0.90, 0.05))
+
+  private val rows = Seq(
+    (1L, "B1", "steel", "red"),    // 1-2: same block, both fields agree
+    (2L, "B1", "steel", "red"),
+    (3L, "B1", "steel", "blue"),   // agrees with 1/2 on ty only
+    (4L, "B2", "steel", "red"),    // other block: never paired with 1-3
+    (5L, "B1", null, "red")        // null field: never agrees
+  ).toDF("id", "blk", "ty", "tk")
+
+  private def score(agree: Seq[Boolean]): Double =
+    fields.zip(agree).map { case (f, a) =>
+      if (a) f.agreeWeight else f.disagreeWeight
+    }.sum
+
+  test("blocked pairs score as the literal log-likelihood sum") {
+    val out = Linkage.selfLinkPairs(rows, "id", col("blk"), fields,
+        threshold = -100.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(p => (p._1, p._2))
+    // block B1 has ids {1,2,3,5} -> 6 pairs; id 4 pairs with nobody
+    assert(out.length == 6)
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+    val full = out.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(full._3 == 2L)
+    assert(math.abs(full._4 - score(Seq(true, true))) < 1e-5)
+    val half = out.find(p => (p._1, p._2) == (1L, 3L)).get
+    assert(half._3 == 1L)
+    assert(math.abs(half._4 - score(Seq(true, false))) < 1e-5)
+  }
+
+  test("null fields never agree (null == null is a disagreement)") {
+    val p15 = Linkage.selfLinkPairs(rows, "id", col("blk"), fields,
+        threshold = -100.0)
+      .where(col("a_id") === 1 && col("b_id") === 5).head()
+    assert(p15.getLong(2) == 1L) // tk agrees, null ty does not
+  }
+
+  test("threshold keeps only above-score pairs; priors validate") {
+    // the emitted score is r5-rounded, so threshold against the rounded
+    // value (can sit up to 5e-6 below the exact sum)
+    val linked = Linkage.selfLinkPairs(rows, "id", col("blk"), fields,
+      threshold = score(Seq(true, true)) - 1e-4)
+    assert(linked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    intercept[IllegalArgumentException](Linkage.FieldSpec("x", 0.1, 0.5))
+  }
+}
