@@ -2026,6 +2026,49 @@ object ExtQueries {
         graft.ext.Features.woeFromCells(cells, "event_type")
       }),
 
+    // Last-touch attribution: every purchase credits the LATEST preceding
+    // touch event (click/view/signup) by the same user within a 7-day
+    // lookback — the marketing-analytics sibling of funnel, built on the
+    // SAME union+carry-forward [[graft.ops.Relational.asofJoin]] (one
+    // key shuffle, never a per-user range cross join). Touches pre-dedup
+    // per (user, ts) by max event_id (asofJoin's uniqueness contract);
+    // purchases with no in-window touch attribute to 'none'. Value sums
+    // as exact BIGINT cents.
+    Reg("attribution_last_touch", Some(
+      """WITH t0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    struct_extract(max(ROW(event_id, event_type)), 2) AS channel
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')
+        |  GROUP BY 1, 2),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT CASE WHEN t0.ts IS NOT NULL
+        |         AND p.ts - t0.ts <= INTERVAL 7 DAY
+        |         THEN t0.channel ELSE 'none' END AS channel,
+        |  COUNT(*) AS n_conversions,
+        |  CAST(SUM(p.cents) AS BIGINT) AS value_cents
+        |FROM p ASOF LEFT JOIN t0
+        |  ON p.user_id = t0.user_id AND p.ts >= t0.ts
+        |GROUP BY 1""".stripMargin))(
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val touches = e
+          .where(col("event_type").isin("click", "view", "signup"))
+          .groupBy("user_id", "ts")
+          .agg(max(struct(col("event_id"), col("event_type"))).as("__m"))
+          .select(col("user_id"), col("ts"),
+            col("__m.event_type").as("channel"))
+        graft.ops.Relational.asofJoin(purchases, touches, "user_id", "ts",
+            Seq("channel"), how = "left",
+            maxGap = Some(expr("INTERVAL 7 DAYS")))
+          .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_conversions"),
+            sum(col("cents")).as("value_cents"))
+      }),
+
     // ST: streaming heavy hitters — per-user counts accumulate as
     // complete-mode streaming state over the bounded source, then the
     // top 20 by (count desc, user_id) leave the microbatch table. The
@@ -2043,6 +2086,51 @@ object ExtQueries {
             .groupBy(col("user_id")).agg(count(lit(1)).as("n")),
           name)
           .orderBy(col("n").desc, col("user_id")).limit(20)
+      }),
+
+    // ST: streaming count-min — the sketch IS the streaming state: depth ×
+    // width counters accumulate in complete mode (O(1) state whatever the
+    // key cardinality does — the bounded-state answer to stream_topk's
+    // per-key counts), and the microbatch sketch then scores the batch
+    // truth table through the SAME estimate path as sketch_cms. Shares
+    // sketch_cms's oracle verbatim: the hash proves the streamed counters
+    // equal the batch sketch cell for cell.
+    Reg("stream_cms", Some(
+      """WITH b AS (SELECT user_id, unnest(generate_series(0, 3)) AS d
+        |           FROM events),
+        |h AS (SELECT d,
+        |        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+        |          || ':' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 512
+        |          AS bucket
+        |      FROM b),
+        |sk AS (SELECT d, bucket, COUNT(*) AS n FROM h GROUP BY 1, 2),
+        |t AS (SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY 1),
+        |q AS (SELECT user_id, true_n,
+        |        unnest(generate_series(0, 3)) AS d FROM t),
+        |qh AS (SELECT user_id, true_n, d,
+        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+        |           || ':' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 512
+        |           AS bucket
+        |       FROM q)
+        |SELECT user_id, true_n, MIN(n) AS est_n,
+        |  MIN(n) - true_n AS overcount
+        |FROM qh JOIN sk USING (d, bucket)
+        |GROUP BY user_id, true_n""".stripMargin))(
+      (s, dir) => {
+        val name = s"stream_cms_${streamRunCounter.incrementAndGet()}"
+        val sketch = graft.ext.Streaming.runToTable(s,
+          graft.ext.CountMin.build(
+            graft.ext.Streaming.readEvents(
+              graft.ext.Streaming.streamingSession(s), dir),
+            "user_id", width = 512, depth = 4),
+          name)
+        val truth = Tables(s, dir).events
+          .groupBy("user_id").agg(count(lit(1)).as("true_n"))
+        truth.join(
+            graft.ext.CountMin.estimate(sketch, truth, "user_id", 512, 4),
+            Seq("user_id"))
+          .select(col("user_id"), col("true_n"), col("est_n"),
+            (col("est_n") - col("true_n")).as("overcount"))
       }),
 
     // Skew diagnostic: the heaviest join-key values and their ratio to the
