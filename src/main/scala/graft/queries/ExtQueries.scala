@@ -661,6 +661,64 @@ object ExtQueries {
       (s, dir) => graft.ops.Quality.fdViolations(Tables(s, dir).orders,
         Seq("o_custkey"), "o_orderpriority")),
 
+    // Chi-square independence ([[graft.ops.Stats.chiSquare]]): is event
+    // type associated with day-of-week? Exact integer contingency counts
+    // and marginals; each cell term is pure IEEE arithmetic (no
+    // transcendental), summed over the 35-cell TABLE (not the data) and
+    // r6-rounded (the profile_corr accumulation-order precedent).
+    Reg("stat_chi2", Some(
+      """WITH o AS (SELECT event_type AS a,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS b,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM o GROUP BY 1),
+        |rb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS rb FROM o GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt,
+        |        COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb FROM o),
+        |g AS (SELECT ra.a, rb.b, ra.ra, rb.rb,
+        |        COALESCE(o.n, 0) AS n
+        |      FROM ra CROSS JOIN rb LEFT JOIN o USING (a, b))
+        |SELECT CAST(FLOOR(SUM(
+        |    (CAST(n AS DOUBLE)
+        |      - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(tt AS DOUBLE))
+        |    * (CAST(n AS DOUBLE)
+        |      - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(tt AS DOUBLE))
+        |    / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(tt AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS chi2,
+        |  CAST((MIN(ka) - 1) * (MIN(kb) - 1) AS BIGINT) AS dof,
+        |  MIN(tt) AS n
+        |FROM g CROSS JOIN t""".stripMargin))(
+      (s, dir) => graft.ops.Stats.chiSquare(Tables(s, dir).events,
+        col("event_type"), dayofweek(col("ts")).cast("long"))),
+
+    // Two-sample Kolmogorov–Smirnov ([[graft.ops.Stats.ksTest]]): largest
+    // CDF gap between click and error values. The numerator is EXACT
+    // (cumulative-count cross-products in 38-digit decimals, emitted as
+    // d_num); cumulative counts ride the two-level prefix sum — no
+    // single-partition global window at any scale.
+    Reg("stat_ks", Some(
+      """WITH f AS (SELECT value AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1),
+        |c AS (SELECT
+        |    SUM(c1) OVER (ORDER BY v) AS cc1,
+        |    SUM(c2) OVER (ORDER BY v) AS cc2
+        |  FROM f),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |        CAST(SUM(c2) AS BIGINT) AS n2 FROM f),
+        |m AS (SELECT n1, n2,
+        |        MAX(ABS(CAST(cc1 AS HUGEINT) * n2
+        |          - CAST(cc2 AS HUGEINT) * n1)) AS dn
+        |      FROM c, t GROUP BY n1, n2)
+        |SELECT n1, n2, CAST(dn AS BIGINT) AS d_num,
+        |  CAST(FLOOR(CAST(dn AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS d
+        |FROM m""".stripMargin))(
+      (s, dir) => graft.ops.Stats.ksTest(Tables(s, dir).events,
+        "value", "event_type", "click", "error")),
+
     // Weight-of-evidence encoding ([[Features.woeEncode]]): per event
     // type, smoothed ln of the positive-rate ratio against the
     // value ≥ 50 label, plus the information-value contribution — exact
