@@ -129,24 +129,27 @@ object Dedup {
                                     threshold: Double = 0.7, numHashes: Int = 64,
                                     bands: Int = 16, shingleK: Int = 3,
                                     maxBucket: Int = 10000): DataFrame = {
-    val bBands = minhashBands(batch, idCol, textCol, numHashes, bands, shingleK)
+    // ONE batch shingle pass feeds everything (round-10 reshape): the
+    // persisted set frame derives the cross-corpus bands, the exact
+    // cross verify's batch side, AND the whole within-batch nearDupPairs
+    // (candidates + both verify sides) — previously the batch text was
+    // re-split three times.
+    val bSets = batch.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleK).as("sh"))
       .persist()
+    val bBands = minhashBandsFromSets(bSets, numHashes, bands).persist()
     val crossCands =
       crossBandCandidates(bBands, corpusBandSide(corpusBands, maxBucket))
         .localCheckpoint()
     bBands.unpersist()
-    // exact verify: each shingle side feeds exactly one join in the lazy
-    // hitCorpus plan (nearDupPairs derives its own shingles internally),
-    // so there is nothing to persist here — a cache would be written once
-    // and never re-read
-    val bSets = batch.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
     val hitCorpus = crossCands
       .join(bSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .join(corpusShingles.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
       .where(jaccard(col("b_sh"), col("c_sh")) >= threshold)
-      .select(col("b_id").as(idCol)).distinct()
-    val withinPairs = nearDupPairs(batch, idCol, textCol, threshold,
-      numHashes, bands, shingleK, maxBucket)
+      .select(col("b_id").as(idCol)).distinct().localCheckpoint()
+    val withinPairs = nearDupPairsFromSets(bSets, threshold, numHashes,
+      bands, maxBucket)
+    bSets.unpersist()
     batch
       .join(hitCorpus, Seq(idCol), "left_anti")
       .join(withinPairs.select(col("b_id").as(idCol)), Seq(idCol), "left_anti")

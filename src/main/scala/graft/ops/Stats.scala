@@ -49,6 +49,53 @@ object Stats {
         first(col("__t")).as("n"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between `valueCol`'s values in
+    * groups `g1` and `g2`, one row: (n1, n2, u1_x2, auc). Ranks use
+    * midranks for ties; every quantity is kept DOUBLED so tie halves stay
+    * integers: a value block starting after `prev` earlier observations
+    * with cnt members has 2·midrank = 2·prev + cnt + 1 (exact), so
+    * 2·R1 = Σ c1·(2·prev + cnt + 1) and 2·U1 = 2·R1 − n1·(n1+1) are exact
+    * 38-digit-decimal integers. `auc` = U1/(n1·n2) =
+    * P(x₁ > x₂) + ½·P(tie), the rank-biserial/common-language effect size
+    * (the label-free AUC), r6-rounded — ONE division over exact integers.
+    *
+    * Plan: identical shape to [[ksTest]] — one per-value aggregation
+    * holding both groups' counts, exclusive prefix totals via the
+    * two-level prefix sum (no global single-partition window), one final
+    * reduce. */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+                  g1: String, g2: String): DataFrame = {
+    val f = df.where(col(groupCol).isin(g1, g2))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === g1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col(groupCol) === g2, 1L).otherwise(0L)).as("__c2"))
+    val d = f.withColumn("__gb", floor(col("__v")))
+      .withColumn("__cnt", col("__c1") + col("__c2"))
+    val wB = Window.orderBy("__gb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = d.groupBy("__gb").agg(sum(col("__cnt")).as("__bn"))
+      .select(col("__gb"),
+        coalesce(sum(col("__bn")).over(wB), lit(0L)).as("__off"))
+    val wIn = Window.partitionBy("__gb").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val prev = sum(col("__cnt")).over(wIn) - col("__cnt") + col("__off")
+    val tot = f.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    d.join(broadcast(offs), Seq("__gb"))
+      .select((dec(col("__c1")) *
+        dec(lit(2L) * prev + col("__cnt") + 1L)).as("__r1x2"))
+      .agg(sum(col("__r1x2")).as("__sr1x2"))
+      .crossJoin(broadcast(tot))
+      .select(col("__n1").as("n1"), col("__n2").as("n2"),
+        (col("__sr1x2") - dec(col("__n1")) * dec(col("__n1") + 1L))
+          .cast("decimal(38,0)").as("__u1x2"))
+      .select(col("n1"), col("n2"),
+        col("__u1x2").cast("long").as("u1_x2"),
+        graft.ext.Timeseries.r6(col("__u1x2").cast("double")
+          / (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+          .as("auc"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between `valueCol`'s
     * distributions in groups `g1` and `g2` of `groupCol`, one row:
     * (n1, n2, d_num, d). D = max over observed values of

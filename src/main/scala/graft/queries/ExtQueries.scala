@@ -691,6 +691,33 @@ object ExtQueries {
       (s, dir) => graft.ops.Stats.chiSquare(Tables(s, dir).events,
         col("event_type"), dayofweek(col("ts")).cast("long"))),
 
+    // Mann–Whitney U / rank AUC ([[graft.ops.Stats.mannWhitney]]): the
+    // rank-based effect size between click and error values — doubled
+    // midrank arithmetic keeps tie halves exact integers end to end;
+    // ONE division yields auc = P(click > error) + ½·P(tie).
+    Reg("stat_mwu", Some(
+      """WITH f AS (SELECT value AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1),
+        |c AS (SELECT c1, c1 + c2 AS cnt,
+        |        COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS prev
+        |      FROM f),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |        CAST(SUM(c2) AS BIGINT) AS n2 FROM f),
+        |s AS (SELECT SUM(CAST(c1 AS HUGEINT) * (2 * prev + cnt + 1))
+        |        AS r1x2 FROM c)
+        |SELECT n1, n2,
+        |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+        |  CAST(FLOOR(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+        |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS auc
+        |FROM s, t""".stripMargin))(
+      (s, dir) => graft.ops.Stats.mannWhitney(Tables(s, dir).events,
+        "value", "event_type", "click", "error")),
+
     // Two-sample Kolmogorov–Smirnov ([[graft.ops.Stats.ksTest]]): largest
     // CDF gap between click and error values. The numerator is EXACT
     // (cumulative-count cross-products in 38-digit decimals, emitted as

@@ -40,4 +40,24 @@ class StatsSpec extends SparkSpec {
     val extra = hand.union(Seq(("g3", 100.0)).toDF("g", "v"))
     assert(Stats.ksTest(extra, "v", "g", "g1", "g2").head().getLong(2) == 3L)
   }
+
+  test("mannWhitney: hand case with midrank ties, symmetry, extremes") {
+    // g1 = {1, 2}, g2 = {2, 3}: ranks 1, 2.5, 2.5, 4 -> R1 = 3.5,
+    // U1 = 3.5 - 3 = 0.5 (one tie pair), auc = 0.5 / 4 = 0.125
+    val hand = (Seq(("g1", 1.0), ("g1", 2.0)) ++
+      Seq(("g2", 2.0), ("g2", 3.0))).toDF("g", "v")
+    val r = Stats.mannWhitney(hand, "v", "g", "g1", "g2").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L) // 2*U1
+    assert(math.abs(r.getDouble(3) - 0.125) < 1e-9)
+    // swapped groups: auc' = 1 - auc (tie half splits symmetrically)
+    val rs = Stats.mannWhitney(hand, "v", "g", "g2", "g1").head()
+    assert(math.abs(rs.getDouble(3) - 0.875) < 1e-9)
+    // complete separation: every g1 above g2 -> auc 1; identical -> 0.5
+    val sep = (Seq(("g1", 10.0), ("g1", 11.0)) ++
+      Seq(("g2", 1.0), ("g2", 2.0))).toDF("g", "v")
+    assert(Stats.mannWhitney(sep, "v", "g", "g1", "g2").head().getDouble(3) == 1.0)
+    val eq = (Seq(("g1", 5.0), ("g2", 5.0))).toDF("g", "v")
+    assert(Stats.mannWhitney(eq, "v", "g", "g1", "g2").head().getDouble(3) == 0.5)
+  }
 }
