@@ -400,6 +400,52 @@ object Graph {
         Timeseries.r5(col("__aa")).as("aa"))
   }
 
+  /** Neighbor-set Jaccard link prediction (Liben-Nowell & Kleinberg,
+    * "The link prediction problem for social networks", CIKM'03):
+    * non-adjacent pairs scored |N(u)∩N(v)| / |N(u)∪N(v)| — the
+    * normalized sibling of [[adamicAdar]] (which weights common
+    * neighbors by rarity; this one normalizes by combined neighborhood
+    * size, so high-degree nodes do not dominate). Returns
+    * (u, w, n_common, jaccard), u < w. Exact integer counts, ONE
+    * division at the r5 site.
+    *
+    * Same wedge armor as [[adamicAdar]]: centers above `maxDeg` are
+    * dropped whole before pairing (deg² fan-out), so n_common counts
+    * common neighbors THROUGH bounded-degree centers — the documented
+    * recall trade; the u/w degrees in the denominator stay FULL
+    * (uncapped), so the score never inflates from the cap. */
+  def neighborJaccard(edges: DataFrame, maxDeg: Long = 30,
+                      minCommon: Long = 2): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg below 2 centers nothing: $maxDeg")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint() // consumers: degrees, wedges, anti
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val ctr = deg.where(col("d") <= maxDeg && col("d") >= 2)
+      .select(col("src"))
+    val half = e.join(ctr, Seq("src"))
+    val scored = half.as("x")
+      .join(half.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("u"), col("y.dst").as("w"))
+      .groupBy("u", "w")
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+    val du = deg.select(col("src").as("u"), col("d").as("__du"))
+    val dw = deg.select(col("src").as("w"), col("d").as("__dw"))
+    scored.join(und,
+        scored("u") === und("a") && scored("w") === und("b"), "left_anti")
+      .join(du, Seq("u")).join(dw, Seq("w"))
+      .select(col("u"), col("w"), col("n_common"),
+        Timeseries.r5(col("n_common").cast("double")
+          / (col("__du") + col("__dw") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** HITS hubs and authorities (Kleinberg, "Authoritative sources in a
     * hyperlinked environment", JACM 1999) over a DIRECTED edge list —
     * the two-sided centrality for bipartite interaction graphs (buyers →

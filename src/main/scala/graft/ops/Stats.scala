@@ -46,7 +46,15 @@ object Stats {
       .agg(
         graft.ext.Timeseries.r6(sum(term)).as("chi2"),
         ((first(col("__ka")) - 1) * (first(col("__kb")) - 1)).as("dof"),
-        first(col("__t")).as("n"))
+        first(col("__t")).as("n"),
+        // Cramér's V = sqrt(chi2 / (n·min(ka−1, kb−1))) — the [0,1]
+        // effect size that makes chi2 comparable across table shapes.
+        // sqrt is IEEE-correctly-rounded (unlike ln/log2), so the only
+        // cross-engine slack is the chi2 sum itself — same r6 site.
+        graft.ext.Timeseries.r6(sqrt(sum(term)
+          / (first(col("__t")).cast("double")
+            * least(first(col("__ka")) - 1, first(col("__kb")) - 1)
+              .cast("double")))).as("cramers_v"))
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) between `valueCol`'s values in

@@ -686,7 +686,16 @@ object ExtQueries {
         |    / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(tt AS DOUBLE)))
         |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS chi2,
         |  CAST((MIN(ka) - 1) * (MIN(kb) - 1) AS BIGINT) AS dof,
-        |  MIN(tt) AS n
+        |  MIN(tt) AS n,
+        |  CAST(FLOOR(sqrt(SUM(
+        |    (CAST(n AS DOUBLE)
+        |      - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(tt AS DOUBLE))
+        |    * (CAST(n AS DOUBLE)
+        |      - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(tt AS DOUBLE))
+        |    / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(tt AS DOUBLE)))
+        |    / (CAST(MIN(tt) AS DOUBLE)
+        |      * CAST(LEAST(MIN(ka) - 1, MIN(kb) - 1) AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cramers_v
         |FROM g CROSS JOIN t""".stripMargin))(
       (s, dir) => graft.ops.Stats.chiSquare(Tables(s, dir).events,
         col("event_type"), dayofweek(col("ts")).cast("long"))),
@@ -2828,6 +2837,7 @@ object ExtQueries {
     graphKcoreReg,
     graphCorenessReg,
     graphAdamicAdarReg,
+    graphJaccardReg,
     graphModularityReg,
     graphAssortativityReg,
     graphHitsReg,
@@ -3292,6 +3302,36 @@ object ExtQueries {
         |FROM s LEFT JOIN e0 ON e0.a = s.u AND e0.b = s.w
         |WHERE e0.a IS NULL""".stripMargin))(
       (s, dir) => graft.ext.Graph.adamicAdar(copurchaseEdges(s, dir),
+        maxDeg = 30, minCommon = 2))
+
+  // Neighbor-Jaccard link prediction ([[Graph.neighborJaccard]]):
+  // adamic_adar's normalized sibling over the same co-purchase graph —
+  // exact common/union counts, one r5 division, identical wedge cap and
+  // anti-join replayed by the oracle (u/w degrees stay UNCAPPED).
+  private def graphJaccardReg: Reg =
+    Reg("graph_jaccard", Some(
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |                   UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        |ctr AS (SELECT src FROM deg WHERE d BETWEEN 2 AND 30),
+        |h AS (SELECT e.src, e.dst FROM e JOIN ctr USING (src)),
+        |s AS (SELECT x.dst AS u, y.dst AS w, COUNT(*) AS n_common
+        |      FROM h x JOIN h y ON x.src = y.src AND x.dst < y.dst
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT u, w, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(FLOOR(CAST(n_common AS DOUBLE)
+        |    / CAST(du.d + dw.d - n_common AS DOUBLE)
+        |    * 100000.0 + 0.5) AS BIGINT) / 100000.0 AS jaccard
+        |FROM s
+        |JOIN deg du ON du.src = s.u
+        |JOIN deg dw ON dw.src = s.w
+        |LEFT JOIN e0 ON e0.a = s.u AND e0.b = s.w
+        |WHERE e0.a IS NULL""".stripMargin))(
+      (s, dir) => graft.ext.Graph.neighborJaccard(copurchaseEdges(s, dir),
         maxDeg = 30, minCommon = 2))
 
   // Newman modularity of the LPA-5 communities ([[Graph.modularity]]):

@@ -18,6 +18,9 @@ class StatsSpec extends SparkSpec {
       .toDF("a", "b")
     val r1 = Stats.chiSquare(dep, col("a"), col("b")).head()
     assert(math.abs(r1.getDouble(0) - 10.0) < 1e-6)
+    // Cramér's V: 0 under independence, 1 under perfect association
+    assert(r0.getDouble(3) == 0.0)
+    assert(math.abs(r1.getDouble(3) - 1.0) < 1e-6)
   }
 
   test("ksTest: identical samples D=0, disjoint supports D=1, hand case exact") {
