@@ -309,12 +309,22 @@ class PlanSpec extends SparkSpec {
     assert(!candPlan.contains("corpus_docs"),
       s"candidate generation re-scanned corpus text:\n$candPlan")
 
-    // full operator: the verify join must read the PERSISTED shingle
-    // table, not corpus text
+    // full operator: corpus TEXT must appear nowhere. Since round 10 the
+    // cross-verify hit list eagerly localCheckpoints inside the operator
+    // (so the shared batch shingle cache can release before the caller
+    // materializes), which means the corpus_shingles scan runs at
+    // checkpoint time and the FINAL plan shows the checkpointed RDD —
+    // assert the shingle read on the verify stage directly instead.
+    val verifyPlan = Dedup.crossBandCandidates(
+        Dedup.minhashBands(batch, "doc_id", "text"),
+        Dedup.corpusBandSide(idxBands, maxBucket = 10000))
+      .join(idxSets.select(col("id").as("c_id"), col("sh").as("c_sh")),
+        Seq("c_id"))
+      .queryExecution.executedPlan.toString
+    assert(verifyPlan.contains("corpus_shingles"), verifyPlan)
     val kept = Dedup.incrementalNearDedupPersisted(
       idxBands, idxSets, batch, "doc_id", "text", threshold = 0.7)
     val plan = kept.queryExecution.executedPlan.toString
-    assert(plan.contains("corpus_shingles"), plan)
     assert(!plan.contains("corpus_docs"),
       s"verification re-scanned corpus text:\n$plan")
 
