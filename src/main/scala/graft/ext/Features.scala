@@ -46,6 +46,42 @@ object Features {
             / (col("__n") - 1).cast("double"))).as("te_loo"))
   }
 
+  /** K-fold (cross-fit) target encoding — the OTHER leakage-safe mean
+    * encoder: rows are assigned a deterministic fold by content hash of
+    * their id (engine-neutral [[TextOps.md5Hash60]] mod `folds`, so the
+    * assignment survives any repartitioning, rerun, or engine), and each
+    * row's encoding is the target mean over the same category EXCLUDING
+    * ITS OWN FOLD: te(i) = (S_cat − S_cat,fold(i)) / (n_cat − n_cat,fold(i)),
+    * NULL when the category exists only in the row's fold. Compared to
+    * [[targetEncodeLoo]]: LOO leaks the category's n−1 conditional
+    * distribution into every row (fine for reporting, risky for
+    * high-cardinality categories); the k-fold form is what sklearn/target
+    * encoders do under cross-validation, and the fold is reusable as the
+    * CV split itself.
+    *
+    * Exactness: BIGINT-cents sums per (category, fold); one double
+    * division + r5 per row. Plan: ONE groupBy over (category × folds)
+    * broadcast back to the fact scan — same never-shuffle-the-facts
+    * posture as LOO. */
+  def targetEncodeKFold(df: DataFrame, idCol: String, catCol: String,
+                        targetCol: String, folds: Int = 5): DataFrame = {
+    require(folds >= 2, s"need >= 2 folds, got $folds")
+    val rows = df.select(col(idCol), col(catCol),
+      floor(col(targetCol) * 100 + 0.5).cast("long").as("__c"),
+      pmod(TextOps.md5Hash60(col(idCol).cast("string")), lit(folds.toLong))
+        .as("fold"))
+    val cf = rows.groupBy(col(catCol), col("fold"))
+      .agg(sum(col("__c")).as("__sf"), count(lit(1)).as("__nf"))
+    val cat = cf.groupBy(col(catCol))
+      .agg(sum(col("__sf")).as("__s"), sum(col("__nf")).as("__n"))
+    val stats = cf.join(cat, Seq(catCol))
+    rows.join(broadcast(stats), Seq(catCol, "fold"))
+      .select(col(idCol), col(catCol), col("fold"),
+        Timeseries.r5(when(col("__n") > col("__nf"),
+          (col("__s") - col("__sf")).cast("double") / 100.0
+            / (col("__n") - col("__nf")).cast("double"))).as("te_kfold"))
+  }
+
   /** Weight-of-evidence encoding (the credit-scoring categorical encoder;
     * Siddiqi, "Credit Risk Scorecards", 2006): per category i of
     * `catCol`, WOE_i = ln( ((pos_i+s)/POS) / ((neg_i+s)/NEG) ) against a

@@ -2798,6 +2798,33 @@ object ExtQueries {
       (s, dir) => graft.ext.Features.targetEncodeLoo(Tables(s, dir).orders,
         "o_orderkey", "o_orderpriority", "o_totalprice")),
 
+    // K-fold target encoding ([[Features.targetEncodeKFold]]): the
+    // cross-fit mean encoder — deterministic md5 fold per order id, each
+    // row scored on the other folds' category mean. Exact cents sums per
+    // (category, fold); the oracle replays fold assignment and the one
+    // r5 division.
+    Reg("feat_target_kfold", Some(
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+        |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS fold
+        |  FROM orders),
+        |cf AS (SELECT o_orderpriority, fold, CAST(SUM(c) AS BIGINT) AS sf,
+        |         COUNT(*) AS nf
+        |       FROM b GROUP BY 1, 2),
+        |a AS (SELECT o_orderpriority, CAST(SUM(sf) AS BIGINT) AS s,
+        |        CAST(SUM(nf) AS BIGINT) AS n
+        |      FROM cf GROUP BY 1)
+        |SELECT o_orderkey, b.o_orderpriority, b.fold,
+        |  CAST(FLOOR((CASE WHEN n > nf
+        |      THEN CAST(s - sf AS DOUBLE) / 100.0 / CAST(n - nf AS DOUBLE)
+        |      END) * 100000 + 0.5) AS BIGINT) / 100000.0 AS te_kfold
+        |FROM b JOIN cf USING (o_orderpriority, fold)
+        |JOIN a USING (o_orderpriority)""".stripMargin))(
+      (s, dir) => graft.ext.Features.targetEncodeKFold(Tables(s, dir).orders,
+        "o_orderkey", "o_orderpriority", "o_totalprice", folds = 5)),
+
     // Equal-frequency binning ([[Features.quantileBin]]): quartile bin of
     // each lineitem's price within its returnflag group. Cuts are the
     // DISCRETE percentileCuts elements (rank ceil(p·n) replayed via

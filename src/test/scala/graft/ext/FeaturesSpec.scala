@@ -120,4 +120,36 @@ class FeaturesSpec extends SparkSpec {
     assert(got("A") == ((2L, 1L, 1.20397, 1.05348)))
     assert(got("B") == ((0L, 3L, -1.25276, 0.78298)))
   }
+
+  test("targetEncodeKFold: own fold excluded, single-fold category NULL, deterministic") {
+    val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+      (4L, "A", 40.0), (5L, "B", 7.0)).toDF("id", "cat", "y")
+    val out = Features.targetEncodeKFold(df, "id", "cat", "y", folds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // replay the hash fold assignment and the exclusion by hand
+    def fold(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2
+    }
+    val cents = Map(1L -> 1000L, 2L -> 2000L, 3L -> 3000L, 4L -> 4000L)
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val mine = fold(id)
+      assert(out(id)._1 == mine)
+      val others = cents.filter { case (j, _) => fold(j) != mine }.values
+      if (others.isEmpty) assert(out(id)._2.isEmpty)
+      else {
+        val exp = math.floor(others.sum / 100.0 / others.size * 100000 + 0.5) / 100000.0
+        assert(out(id)._2.contains(exp), s"id=$id got ${out(id)._2} want $exp")
+      }
+    }
+    // B exists only in id 5's fold -> its own fold is the whole category
+    assert(out(5L)._2.isEmpty)
+    // the assignment is content-determined: a reshuffled frame agrees
+    val out2 = Features.targetEncodeKFold(df.repartition(7), "id", "cat", "y",
+      folds = 2).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 5L).forall(id => out2(id) == out(id)._1))
+  }
 }
