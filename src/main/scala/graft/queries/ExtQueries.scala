@@ -2870,7 +2870,8 @@ object ExtQueries {
     graphHitsReg,
     graphPprReg,
     sketchCmsReg,
-    erFsReg
+    erFsReg,
+    erFsGroupsReg
   )
 
   /** Unrolled PERSONALIZED-PageRank CTE stack — [[duckPagerankCtes]] with
@@ -2986,24 +2987,39 @@ object ExtQueries {
   // priors compiled into LITERAL weights so the score is a fixed-order
   // sum of identical doubles on both engines (no runtime ln anywhere).
   // Blocking on (brand, size) bounds the quadratic by design.
+  // Shared Fellegi–Sunter configuration for the er_* queries: the field
+  // priors, and the SQL fragments replaying the agreement count and the
+  // literal-weight score.
+  // lazy: referenced from Regs built during the object's `all` list
+  // initialization, which runs BEFORE this declaration site
+  private lazy val erFields = Seq(
+    graft.ext.Linkage.FieldSpec("p_type", 0.95, 0.02),
+    graft.ext.Linkage.FieldSpec("tok1", 0.90, 0.05),
+    graft.ext.Linkage.FieldSpec("tok2", 0.90, 0.05))
+  private def erAgreeSumSql: String = erFields.map(f =>
+    s"CASE WHEN a.${f.field} = b.${f.field} THEN 1 ELSE 0 END")
+    .mkString("\n      + ")
+  // CAST each weight literal to DOUBLE: DuckDB otherwise types a
+  // 17-digit literal DECIMAL, summing in decimal (and overflowing the
+  // FLOOR multiply); the cast reconstructs the exact double Scala
+  // computed, so the sum is the same IEEE chain as the engine's
+  private def erScoreSumSql: String = erFields.map(f =>
+    s"CASE WHEN a.${f.field} = b.${f.field} " +
+      s"THEN CAST(${f.agreeWeight} AS DOUBLE) " +
+      s"ELSE CAST(${f.disagreeWeight} AS DOUBLE) END")
+    .mkString("\n      + ")
+  private def erParts(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir).part.select(
+      col("p_partkey"), col("p_brand"), col("p_size"), col("p_type"),
+      col("p_name"),
+      element_at(split(col("p_name"), " "), 1).as("tok1"),
+      element_at(split(col("p_name"), " "), 2).as("tok2"))
+
   private def erFsReg: Reg = {
-    val fields = Seq(
-      graft.ext.Linkage.FieldSpec("p_type", 0.95, 0.02),
-      graft.ext.Linkage.FieldSpec("tok1", 0.90, 0.05),
-      graft.ext.Linkage.FieldSpec("tok2", 0.90, 0.05))
-    val duckField = Map("p_type" -> "p_type", "tok1" -> "tok1", "tok2" -> "tok2")
-    val agreeSum = fields.map(f =>
-      s"CASE WHEN a.${duckField(f.field)} = b.${duckField(f.field)} THEN 1 ELSE 0 END")
-      .mkString("\n      + ")
-    // CAST each weight literal to DOUBLE: DuckDB otherwise types a
-    // 17-digit literal DECIMAL, summing in decimal (and overflowing the
-    // FLOOR multiply); the cast reconstructs the exact double Scala
-    // computed, so the sum is the same IEEE chain as the engine's
-    val scoreSum = fields.map(f =>
-      s"CASE WHEN a.${duckField(f.field)} = b.${duckField(f.field)} " +
-        s"THEN CAST(${f.agreeWeight} AS DOUBLE) " +
-        s"ELSE CAST(${f.disagreeWeight} AS DOUBLE) END")
-      .mkString("\n      + ")
+    val fields = erFields
+    val agreeSum = erAgreeSumSql
+    val scoreSum = erScoreSumSql
     Reg("er_fs", Some(
       s"""WITH p AS (SELECT p_partkey AS id,
          |    p_brand || '|' || CAST(p_size AS VARCHAR) AS blk,
@@ -3025,6 +3041,59 @@ object ExtQueries {
         concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
         fields, threshold = 5.0))
   }
+
+  // The COMPLETE entity-resolution pipeline in one query: Fellegi–Sunter
+  // pairs (er_fs's exact configuration) → connected-components grouping →
+  // golden-record fusion per cluster (longest name, modal type, max size,
+  // min-id survivor). The oracle replays blocking, literal weights, the
+  // recursive-CTE closure, and every survivorship rule — the MDM shape
+  // [[graft.ext.Linkage]] exists to feed.
+  private def erFsGroupsReg: Reg =
+    Reg("er_fs_groups", Some(
+      s"""WITH RECURSIVE p AS (SELECT p_partkey AS id,
+         |    p_brand || '|' || CAST(p_size AS VARCHAR) AS blk,
+         |    p_type, p_name, p_size,
+         |    string_split(p_name, ' ')[1] AS tok1,
+         |    string_split(p_name, ' ')[2] AS tok2 FROM part),
+         |s AS (SELECT a.id AS a_id, b.id AS b_id
+         |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+         |  WHERE CAST(FLOOR(($erScoreSumSql) * 100000.0 + 0.5) AS BIGINT)
+         |    / 100000.0 >= 5.0),
+         |und AS (SELECT a_id AS u, b_id AS v FROM s
+         |        UNION SELECT b_id, a_id FROM s),
+         |reach AS (SELECT u, v FROM und
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+         |         FROM reach GROUP BY u),
+         |m AS (SELECT comp.component, p.id, p.p_type, p.p_name, p.p_size
+         |      FROM p JOIN comp USING (id)),
+         |tc AS (SELECT component, p_type, COUNT(*) AS cnt
+         |       FROM m GROUP BY 1, 2),
+         |md AS (SELECT component,
+         |         struct_extract(min(ROW(-cnt, p_type)), 2) AS p_type
+         |       FROM tc GROUP BY 1),
+         |g AS (SELECT component, COUNT(*) AS n_members, MIN(id) AS keep_id,
+         |        MAX(p_size) AS p_size,
+         |        struct_extract(max(ROW(length(p_name), -id, p_name)), 3)
+         |          AS p_name
+         |      FROM m GROUP BY 1)
+         |SELECT g.component, g.n_members, g.keep_id, g.p_size, g.p_name,
+         |  md.p_type
+         |FROM g JOIN md USING (component)""".stripMargin))(
+      (s, dir) => {
+        val p = erParts(s, dir)
+        val pairs = graft.ext.Linkage.selfLinkPairs(p, "p_partkey",
+            concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
+            erFields, threshold = 5.0)
+          .select("a_id", "b_id")
+        val comp = graft.ext.Dedup.connectedComponents(pairs)
+          .withColumnRenamed("id", "p_partkey")
+        graft.ext.Dedup.goldenRecords(
+          p.join(comp, Seq("p_partkey")), "p_partkey", "component",
+          longestCols = Seq("p_name"), modalCols = Seq("p_type"),
+          maxCols = Seq("p_size"))
+      })
 
   /** Unrolled power-iteration PageRank CTE stack for a DuckDB oracle —
     * `e0Sql` supplies the directed edge query (columns src, dst); the
