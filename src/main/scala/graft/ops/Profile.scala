@@ -129,6 +129,27 @@ object Profile {
       .withColumn("bin_hi", (col("bin_id") + 1) * width + lo)
   }
 
+  /** 2-D fixed-bin histogram — the heatmap feed ([[histogram]] with a
+    * second axis): rows outside either range drop, edge values clamp into
+    * the last bin exactly like the 1-D form, and only NON-EMPTY cells
+    * return (at 100 TB a dense binsX×binsY grid materializes client-side,
+    * not here). One partial-aggregable groupBy on the two bin ids. */
+  def histogram2d(df: DataFrame, x: Column, y: Column,
+                  xLo: Double, xHi: Double, xBins: Int,
+                  yLo: Double, yHi: Double, yBins: Int): DataFrame = {
+    require(xBins > 0 && yBins > 0, "bins must be positive")
+    require(xHi > xLo && yHi > yLo, "hi must exceed lo")
+    val xw = (xHi - xLo) / xBins
+    val yw = (yHi - yLo) / yBins
+    val bx = least(floor((x - xLo) / xw), lit(xBins - 1)).cast("long")
+    val by = least(floor((y - yLo) / yw), lit(yBins - 1)).cast("long")
+    df.where(x >= xLo && x <= xHi && y >= yLo && y <= yHi)
+      .select(bx.as("x_bin"), by.as("y_bin"))
+      .groupBy("x_bin", "y_bin").agg(count(lit(1)).as("n"))
+      .withColumn("x_lo", col("x_bin").cast("double") * xw + xLo)
+      .withColumn("y_lo", col("y_bin").cast("double") * yw + yLo)
+  }
+
   /** Equal-FREQUENCY histogram: per-group quantile buckets via discrete
     * percentile cuts — the 100 TB replacement for `ntile` that the
     * w5_ntile scaladoc promises. ntile needs a total order (one task owns

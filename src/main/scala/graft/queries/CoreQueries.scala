@@ -1039,6 +1039,31 @@ object CoreQueries {
       (s, dir) => graft.ops.Profile.profileApprox(Tables(s, dir).orders,
         Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
 
+    // 2-D histogram ([[graft.ops.Profile.histogram2d]]): the heatmap feed
+    // over (quantity, extendedprice) — bin widths interpolated as
+    // shortest-round-trip literals so both engines floor identical IEEE
+    // quotients; only non-empty cells return.
+    Reg("histogram_2d", Some {
+      val xw = (50.0 - 1.0) / 10
+      val yw = (120000.0 - 0.0) / 12
+      s"""WITH b AS (
+         |  SELECT CAST(LEAST(FLOOR((l_quantity - 1.0) / $xw), 9)
+         |           AS BIGINT) AS x_bin,
+         |         CAST(LEAST(FLOOR((l_extendedprice - 0.0) / $yw), 11)
+         |           AS BIGINT) AS y_bin
+         |  FROM lineitem
+         |  WHERE l_quantity >= 1.0 AND l_quantity <= 50.0
+         |    AND l_extendedprice >= 0.0 AND l_extendedprice <= 120000.0)
+         |SELECT x_bin, y_bin, COUNT(*) AS n,
+         |  CAST(x_bin AS DOUBLE) * $xw + 1.0 AS x_lo,
+         |  CAST(y_bin AS DOUBLE) * $yw + 0.0 AS y_lo
+         |FROM b GROUP BY 1, 2""".stripMargin
+    })(
+      (s, dir) => graft.ops.Profile.histogram2d(Tables(s, dir).lineitem,
+        col("l_quantity"), col("l_extendedprice"),
+        xLo = 1.0, xHi = 50.0, xBins = 10,
+        yLo = 0.0, yHi = 120000.0, yBins = 12)),
+
     // F1: dictionary recode, unmapped values pass through (etl_io.py:151).
     Reg("f1_recode", Some(
       """SELECT o_orderkey,
