@@ -29,6 +29,39 @@ object Quality {
     * a column tuple expected to be a key (`n_bad` = rows in excess of one
     * per distinct tuple). On an empty table every check passes with
     * n_bad = 0 (sums coalesced — SUM over zero rows is NULL in SQL). */
+  /** Per-column completeness report — the first data-quality question of
+    * any ingest: for each of `cols`, how many rows are NULL, how many are
+    * EMPTY strings, how many are whitespace-only BLANKS (string columns;
+    * non-strings report 0 for both) out of `n_rows`. One aggregation pass
+    * over the table (3·|cols| partial-aggregable counters — never a pass
+    * per column), unpivoted to a row per column; the rates are exact
+    * int/int divisions. */
+  def completeness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "completeness needs at least one column")
+    val isStr = cols.map(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val aggs = cols.zip(isStr).flatMap { case (c, s) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        sum(when(if (s) col(c) === "" else lit(false), 1L).otherwise(0L))
+          .as(s"__empty_$c"),
+        sum(when(if (s) col(c) =!= "" && trim(col(c)) === "" else lit(false),
+          1L).otherwise(0L)).as(s"__blank_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__null_$c").as("n_null"),
+        col(s"__empty_$c").as("n_empty"), col(s"__blank_$c").as("n_blank"))
+    }
+    one.select(col("__n"), explode(array(stacked: _*)).as("__s"))
+      .select(col("__s.column").as("column"), col("__n").as("n_rows"),
+        col("__s.n_null").as("n_null"), col("__s.n_empty").as("n_empty"),
+        col("__s.n_blank").as("n_blank"),
+        (lit(1.0) - (col("__s.n_null") + col("__s.n_empty")
+          + col("__s.n_blank")).cast("double") / col("__n").cast("double"))
+          .as("completeness"))
+  }
+
   def checkPredicates(df: DataFrame, checks: Seq[(String, Column)],
                       uniques: Seq[(String, Seq[String])] = Nil): DataFrame = {
     require(checks.nonEmpty || uniques.nonEmpty,

@@ -661,6 +661,41 @@ object ExtQueries {
       (s, dir) => graft.ops.Quality.fdViolations(Tables(s, dir).orders,
         Seq("o_custkey"), "o_orderpriority")),
 
+    // Per-column completeness ([[Quality.completeness]]): null/empty/blank
+    // counters for every documents column in ONE aggregation pass,
+    // unpivoted to a row per column; exact counts, one int/int division.
+    Reg("dq_completeness", Some(
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_id,
+        |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_t,
+        |    SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS empty_t,
+        |    SUM(CASE WHEN text <> '' AND trim(text) = ''
+        |        THEN 1 ELSE 0 END) AS blank_t,
+        |    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_l,
+        |    SUM(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS empty_l,
+        |    SUM(CASE WHEN lang <> '' AND trim(lang) = ''
+        |        THEN 1 ELSE 0 END) AS blank_l
+        |  FROM documents)
+        |SELECT 'doc_id' AS column, n AS n_rows,
+        |  CAST(null_id AS BIGINT) AS n_null, CAST(0 AS BIGINT) AS n_empty,
+        |  CAST(0 AS BIGINT) AS n_blank,
+        |  1.0 - CAST(null_id AS DOUBLE) / CAST(n AS DOUBLE) AS completeness
+        |FROM a
+        |UNION ALL
+        |SELECT 'text', n, CAST(null_t AS BIGINT), CAST(empty_t AS BIGINT),
+        |  CAST(blank_t AS BIGINT),
+        |  1.0 - CAST(null_t + empty_t + blank_t AS DOUBLE)
+        |    / CAST(n AS DOUBLE)
+        |FROM a
+        |UNION ALL
+        |SELECT 'lang', n, CAST(null_l AS BIGINT), CAST(empty_l AS BIGINT),
+        |  CAST(blank_l AS BIGINT),
+        |  1.0 - CAST(null_l + empty_l + blank_l AS DOUBLE)
+        |    / CAST(n AS DOUBLE)
+        |FROM a""".stripMargin))(
+      (s, dir) => graft.ops.Quality.completeness(
+        Tables(s, dir).documents, Seq("doc_id", "text", "lang"))),
+
     // Chi-square independence ([[graft.ops.Stats.chiSquare]]): is event
     // type associated with day-of-week? Exact integer contingency counts
     // and marginals; each cell term is pure IEEE arithmetic (no

@@ -180,4 +180,18 @@ class QualitySpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Quality.fdViolations(df, Nil, "y"))
   }
+
+  test("completeness: null/empty/blank counted once each, non-strings null-only") {
+    val df = Seq(
+      (Some(1L), "ok"), (Some(2L), ""), (Some(3L), "  "),
+      (None: Option[Long], null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val got = Quality.completeness(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got("id") == ((4L, 1L, 0L, 0L, 0.75)))
+    assert(got("s") == ((4L, 1L, 1L, 1L, 0.25)))
+    assertThrows[IllegalArgumentException](Quality.completeness(df, Nil))
+  }
 }
