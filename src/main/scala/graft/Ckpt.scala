@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** THE lineage-truncation point — every operator that needs to cut a
+  * long or re-derived lineage (iterative graph rounds, dedup pair lists,
+  * pipeline stage hand-offs) routes through here instead of calling
+  * `localCheckpoint()` inline.
+  *
+  * Why one switchboard: `localCheckpoint()` is the right call in
+  * local[32] and on healthy clusters — no checkpoint-dir round trip, no
+  * HDFS write — but it stores the truncated lineage's blocks on the
+  * executors that computed them, so on a REAL cluster a lost executor
+  * kills the job instead of recomputing (the blocks are the only copy
+  * and the lineage is gone). At 100 TB with 1000 executors, executor
+  * loss is routine, not exceptional; a multi-hour dedup pipeline must
+  * survive it. Reliable `checkpoint()` writes the blocks to the
+  * checkpoint dir (HDFS/object store), trading one write per truncation
+  * for fault tolerance.
+  *
+  * The trade is a DEPLOYMENT decision, not an operator decision, so it
+  * lives in config, not code:
+  *
+  *   - `graft.checkpoint.reliable` (default `false`): `true` routes
+  *     every truncation through reliable `checkpoint()`.
+  *   - `graft.checkpoint.dir` (optional): set as the SparkContext
+  *     checkpoint dir on first reliable use if none is set yet —
+  *     cluster jobs point it at a job-scoped HDFS/S3 path.
+  *
+  * Both checkpoints here are EAGER (the default): callers rely on the
+  * materialization barrier — e.g. a self-join derivation must run once,
+  * not once per consumer. Semantics, hashes, and plans downstream are
+  * identical in both modes; only the block-storage location differs. */
+object Ckpt {
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption("graft.checkpoint.reliable")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    if (reliable) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          spark.conf.getOption("graft.checkpoint.dir").getOrElse(
+            java.nio.file.Files.createTempDirectory("graft_ckpt")
+              .toString))
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
+  /** `.ckpt()` postfix form so call sites keep reading as a chain:
+    * `pairs.distinct().ckpt()`. */
+  implicit class CkptOps(private val df: DataFrame) extends AnyVal {
+    def ckpt(): DataFrame = Ckpt(df)
+  }
+}

@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -45,7 +46,7 @@ object Bpe {
       .withColumn("syms", transform(
         sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))))
-      .localCheckpoint()
+      .ckpt()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -66,7 +67,7 @@ object Bpe {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((round.toLong, a, b, n))
         val next = cur.withColumn("syms", mergePair(col("syms"), a, b))
-          .localCheckpoint()
+          .ckpt()
         cur.unpersist()
         cur = next
         round += 1
@@ -96,7 +97,7 @@ object Bpe {
         i => col("word").substr(i, lit(1))))
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
-      if ((i + 1) % 8 == 0) vocab = vocab.localCheckpoint()
+      if ((i + 1) % 8 == 0) vocab = vocab.ckpt()
     }
     val wt = vocab.select(col("word"), array_join(col("syms"), " ").as("wtoks"))
     df.select(col(idCol),
@@ -124,7 +125,7 @@ object Bpe {
         i => col("word").substr(i, lit(1))))
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
-      if ((i + 1) % 8 == 0) vocab = vocab.localCheckpoint()
+      if ((i + 1) % 8 == 0) vocab = vocab.ckpt()
     }
     vocab.select(col("freq"), explode(col("syms")).as("token"))
       .groupBy("token").agg(sum(col("freq")).as("n"))

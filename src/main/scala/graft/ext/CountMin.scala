@@ -47,14 +47,22 @@ object CountMin {
     * `keyCol`; duplicates fine — estimates are per distinct key): the
     * min over the sketch's depth rows of the key's bucket counter.
     * The sketch side is depth·width rows — broadcast, so the lookup
-    * never shuffles the key frame. */
+    * never shuffles the key frame.
+    *
+    * The sketch stores only NON-empty buckets (it's a groupBy output),
+    * so the lookup LEFT-joins and counts an absent (d, bucket) row as
+    * zero: a key hashing into any empty bucket estimates 0 (correct —
+    * CMS never undercounts, and an empty bucket proves absence at that
+    * depth), and a key unseen by the build still returns a row instead
+    * of vanishing. An inner join here would both inflate the min (a
+    * dropped zero row) and silently drop all-empty keys. */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
                width: Int, depth: Int): DataFrame = {
     val k = keys.select(col(keyCol)).distinct()
       .select(col(keyCol), posexplode(array((0 until depth).map(d =>
         bucket(col(keyCol), d, width)): _*)).as(Seq("d", "bucket")))
-    k.join(broadcast(sketch), Seq("d", "bucket"))
-      .groupBy(keyCol).agg(min(col("n")).as("est_n"))
+    k.join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy(keyCol).agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
   }
 
   /** The sketch demo query: exact per-key counts joined with their CMS

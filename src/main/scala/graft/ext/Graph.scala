@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -74,7 +75,7 @@ object Graph {
     // "join two tables, distinct, bidirect" re-executing per consumer was
     // the measured bulk of this operator (sf0.1 profile: 8.0 s building
     // out-degrees + 2.5 s building nodes vs ~0.8 s per rank iteration)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).ckpt()
     // out-degree rides along each edge so an iteration is ONE join with the
     // rank frame (contribution = rank(src)/outdeg(src)), not two.
     // Persisted PRE-PARTITIONED on the join key (the GraphX edge-partition
@@ -104,7 +105,7 @@ object Graph {
           (lit(base) + lit(damping) * coalesce(col("cin"), lit(0.0)))
             .as("rank"))
       if (i % checkpointInterval == 0 || i == iters) {
-        ranks = ranks.localCheckpoint() // eager: materializes rounds so far
+        ranks = ranks.ckpt() // eager: materializes rounds so far
         epsilon.foreach { eps =>
           // both sides are checkpointed O(V) frames; one agg, no shuffle of E
           val delta = ranks
@@ -150,7 +151,7 @@ object Graph {
     require(iters >= 1, s"personalizedPagerank needs >= 1 iteration: $iters")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be positive, got $checkpointInterval")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).ckpt()
     val out = e.join(
       e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
       Seq("src")).repartition(col("src")).persist()
@@ -177,7 +178,7 @@ object Graph {
           ((lit(1.0) - damping) * restart
             + lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
       if (i % checkpointInterval == 0 || i == iters)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.ckpt()
       i += 1
     }
     out.unpersist()
@@ -273,7 +274,7 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var visited = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).ckpt()
     var frontier = visited.select(col("node"))
     var hop = 1L
     while (hop <= maxHops && frontier.take(1).nonEmpty) {
@@ -281,8 +282,8 @@ object Graph {
         .select(e("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+        .ckpt()
+      visited = visited.union(next).ckpt()
       frontier = next.select(col("node"))
       hop += 1
     }
@@ -308,14 +309,26 @@ object Graph {
     * should project it (as the registered co-purchase query does) rather
     * than raise `iters`.
     *
-    * Scale: each round is one E-sized join against the persisted
-    * pre-partitioned edge list plus two O(active labels) aggregations —
-    * the same Pregel-as-shuffle shape as [[pagerank]], no adjacency list
-    * ever collected. The per-node argmax is a single `max(struct(n,
-    * -label))` partial-aggregable struct max (no window, no extra
-    * shuffle). Rounds checkpoint on `checkpointInterval` cadence —
-    * measured on [[pagerank]], both every-round and never lose to the
-    * interval. Self-loops dropped, duplicate/reversed edges deduplicated. */
+    * Scale — ACTIVE-FRONTIER delta iteration (round 11, the standard
+    * GraphX/Pregel vote-to-halt shape): synchronous LPA has a provable
+    * skip rule — if none of x's neighbors changed label in round i−1,
+    * the multiset x aggregates in round i is identical to round i−1's,
+    * so label_i(x) = label_{i−1}(x) without recomputation. Round 1 is
+    * the classic full E-sized join; every later round first derives the
+    * TOUCHED set (nodes adjacent to the previous round's changed nodes),
+    * recomputes the argmax only over touched nodes' full in-neighborhoods
+    * (a semi-join-restricted slice of the persisted pre-partitioned edge
+    * list), and carries every other label forward. At 100 TB the last
+    * rounds of a converging community structure touch a small frontier
+    * instead of re-shuffling all E per round — and an EMPTY frontier
+    * proves the fixpoint, so remaining rounds are skipped outright
+    * (output provably identical to running them). Results are
+    * bit-identical to the full recomputation: touched nodes aggregate
+    * their complete neighborhoods, so counts and the min-label tiebreak
+    * cannot drift. The per-node argmax is a single `max(struct(n, -label))`
+    * partial-aggregable struct max (no window). Rounds checkpoint on
+    * `checkpointInterval` cadence. Self-loops dropped, duplicate/reversed
+    * edges deduplicated. */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
                        checkpointInterval: Int = 2,
                        canonical: Boolean = false): DataFrame = {
@@ -336,21 +349,54 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     val e = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).persist()
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    for (i <- 1 to iters) {
-      val counts = e.join(labels, e("src") === labels("node"))
-        .groupBy(e("dst").as("node"), col("label"))
+
+    def argmaxLabels(sub: DataFrame, labels: DataFrame): DataFrame =
+      sub.join(labels, sub("src") === labels("node"))
+        .groupBy(sub("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
-      labels = counts.groupBy("node")
+        .groupBy("node")
         .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-      if (i % checkpointInterval == 0 || i == iters)
-        labels = labels.localCheckpoint()
+
+    // round 1: every node is active — the classic full-E round
+    var labels = argmaxLabels(e,
+        e.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label")))
+      .ckpt()
+    // frontier = nodes whose round-1 label differs from their init (self)
+    var changed = labels.where(col("node") =!= col("label"))
+      .select(col("node")).ckpt()
+    var i = 2
+    while (i <= iters && !changed.isEmpty) {
+      // nodes that CAN change: some in-neighbor changed last round
+      // (undirected ⇒ e carries both orientations, so src∈changed → dst)
+      val touched = e
+        .join(changed.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      // recompute ONLY touched nodes, over their FULL in-neighborhoods
+      val sub = e.join(touched.withColumnRenamed("node", "dst"), Seq("dst"),
+        "left_semi")
+      val updated = argmaxLabels(sub, labels)
+      // untouched labels carry forward unchanged (the skip rule above)
+      val next = labels.as("l")
+        .join(updated.as("u"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("u.label"), col("l.label")).as("label"),
+          (col("u.label").isNotNull &&
+            col("u.label") =!= col("l.label")).as("__chg"))
+        // every round materializes anyway (the empty-frontier probe) and
+        // BOTH the frontier and the next round's joins consume it, so an
+        // O(V) per-round truncation is strictly cheaper than re-running
+        // the round per consumer; checkpointInterval is kept for callers
+        // but cannot stretch lineage here
+        .ckpt()
+      changed = next.where(col("__chg")).select(col("node"))
+      labels = next.select(col("node"), col("label"))
+      i += 1
     }
     e.unpersist()
     labels.select(col("node"), col("label").as("community"))
@@ -379,7 +425,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct().localCheckpoint() // 3 consumers: degrees, wedges, anti
+      .distinct().ckpt() // 3 consumers: degrees, wedges, anti
     val e = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val ctr = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -421,7 +467,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct().localCheckpoint() // consumers: degrees, wedges, anti
+      .distinct().ckpt() // consumers: degrees, wedges, anti
     val e = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -462,15 +508,15 @@ object Graph {
     * localCheckpoint per round so lineage stays flat. */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"hits needs >= 1 iteration: $iters")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().ckpt()
     def normalize(df: DataFrame, c: String): DataFrame = {
       val s = df.agg(sum(col(c)).as("__s"))
       df.crossJoin(broadcast(s))
         .select(col("node"), (col(c) / col("__s")).as(c))
-        .localCheckpoint()
+        .ckpt()
     }
     var h = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(1.0)).localCheckpoint()
+      .withColumn("h", lit(1.0)).ckpt()
     var a: DataFrame = null
     for (_ <- 1 to iters) {
       a = normalize(
@@ -503,7 +549,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct().localCheckpoint() // degrees + both endpoint joins
+      .distinct().ckpt() // degrees + both endpoint joins
     val e = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -557,7 +603,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct().localCheckpoint() // consumers: m, intra, degrees
+      .distinct().ckpt() // consumers: m, intra, degrees
     val m = und.agg(count(lit(1)).as("m"))
     val la = labels.select(col("node").as("a"), col("community").as("ca"))
     val lb = labels.select(col("node").as("b"), col("community").as("cb"))
@@ -637,12 +683,12 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     val e = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).persist()
     var h = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("h"))
-      .localCheckpoint()
+      .ckpt()
     for (i <- 1 to rounds) {
       val nb = e.join(h, e("src") === h("node"))
         .select(e("dst").as("node"), col("h").as("nh"))
@@ -651,7 +697,7 @@ object Graph {
       h = nb.withColumn("r", row_number().over(w).cast("long"))
         .groupBy("node")
         .agg(max(when(col("nh") >= col("r"), col("r")).otherwise(0L)).as("h"))
-      if (i % checkpointInterval == 0 || i == rounds) h = h.localCheckpoint()
+      if (i % checkpointInterval == 0 || i == rounds) h = h.ckpt()
     }
     e.unpersist()
     h.select(col("node"), col("h").as("coreness"))
@@ -664,10 +710,10 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     var e = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .ckpt()
     var nEdges = e.count()
     var i = 1
     var done = nEdges == 0L
@@ -679,7 +725,7 @@ object Graph {
           col("src") === col("__keep_s"), "left_semi")
         .join(keep.select(col("src").as("__keep_d")),
           col("dst") === col("__keep_d"), "left_semi")
-        .localCheckpoint()
+        .ckpt()
       val n = next.count()
       if (n == nEdges) done = true // fixpoint: the true k-core, stop early
       else { e = next; nEdges = n }

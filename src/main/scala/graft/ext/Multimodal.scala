@@ -40,9 +40,12 @@ final case class MediaFrame(
 
 /** Multimodal-column plumbing for the LLM-data-pipeline layer (SURVEY.md
   * §2.11): image/audio/video as opaque `binary` columns with typed metadata,
-  * and a decode/feature-extract stage whose Spark-side shape (schema,
-  * partition-parallel batched execution, typed output) is real while the
-  * actual codec is STUBBED — media libraries are not in this container.
+  * and a decode/feature-extract stage. The Spark-side shape (schema,
+  * partition-parallel batched execution, typed output) is real everywhere;
+  * the codec itself is REAL for image mimes (javax.imageio: PNG/BMP/GIF/
+  * JPEG) and WAV audio (javax.sound.sampled — both pure-JDK), and STUBBED
+  * only for mimes with no JDK codec (mp4/mp3/webp — media libraries are
+  * not in this container), with an honest deterministic fallback.
   */
 object Multimodal {
 
@@ -126,14 +129,94 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Decode dispatch: real codec for image mimes (stub fallback when the
-    * bytes do not decode), stub for everything else. The mapPartitions
-    * plumbing, batch shape, and output schema are identical either way —
-    * adding a codec for a new mime touches only this function. */
+  /** Audio mimes [[decode]] routes to the REAL decoder — the WAV/PCM
+    * container family javax.sound.sampled parses out of the box (the JDK
+    * audio analog of the imageio precedent above). Compressed codecs
+    * (mp3/aac/ogg) have no JDK decoder and stay on the stub. */
+  private val audioMimes = Set("audio/wav", "audio/x-wav", "audio/wave")
+
+  /** REAL audio decoder (javax.sound.sampled — pure JVM, in every Java 17
+    * runtime): parses the WAV container and returns (format, decoded PCM
+    * samples as Ints, frame-major with channels interleaved). Only the
+    * uncompressed signed-16-bit PCM shape is accepted — that is what
+    * [[encodePcmWav]] writes and what "WAV" means in a data pipeline;
+    * anything else returns None and the caller falls back to the stub
+    * rather than failing the partition. */
+  def decodeAudio(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Int])] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Int](n)
+          var j = 0
+          while (j < n) {
+            out(j) =
+              if (fmt.isBigEndian)
+                (bytes(2 * j) << 8) | (bytes(2 * j + 1) & 0xff)
+              else
+                (bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff)
+            j += 1
+          }
+          Some((fmt, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** [[decodeAudio]] mapped onto the dispatch's (w, h, feats) shape:
+    * w = decoded sample count, h = channels, feats =
+    * [meanAmp, stdAmp, minS, maxS, zeroCrossRate, rate/48k, channels/8, 0]
+    * with sample values normalized by 32768 — deterministic functions of
+    * the decoded PCM, so a WAV built from known bytes oracles exactly. */
+  private def audioFeatures(payload: Array[Byte])
+      : Option[(Int, Int, Array[Float])] =
+    decodeAudio(payload).map { case (fmt, s) =>
+      val n = s.length
+      var (sa, sll) = (0L, 0L)
+      var mn = if (n == 0) 0 else Int.MaxValue
+      var mx = if (n == 0) 0 else Int.MinValue
+      var zc = 0
+      var j = 0
+      while (j < n) {
+        val v = s(j)
+        sa += math.abs(v); sll += v.toLong * v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        if (j > 0 && ((s(j - 1) >= 0) != (v >= 0))) zc += 1
+        j += 1
+      }
+      val meanA = if (n == 0) 0.0 else sa.toDouble / n
+      val varA = if (n == 0) 0.0 else sll.toDouble / n - meanA * meanA
+      (n, fmt.getChannels, Array(
+        (meanA / 32768.0).toFloat,
+        (math.sqrt(math.max(varA, 0.0)) / 32768.0).toFloat,
+        (mn / 32768.0).toFloat,
+        (mx / 32768.0).toFloat,
+        (if (n <= 1) 0.0 else zc.toDouble / (n - 1)).toFloat,
+        (fmt.getSampleRate / 48000.0).toFloat,
+        (fmt.getChannels / 8.0).toFloat,
+        0.0f))
+    }
+
+  /** Decode dispatch: real codec for image and WAV-audio mimes (stub
+    * fallback when the bytes do not decode), stub for everything else.
+    * The mapPartitions plumbing, batch shape, and output schema are
+    * identical either way — adding a codec for a new mime touches only
+    * this function. */
   private[graft] def decode(payload: Array[Byte],
                             mime: String): (Int, Int, Array[Float]) =
     if (imageMimes.contains(mime))
       decodeImage(payload).getOrElse(decodeStub(payload))
+    else if (audioMimes.contains(mime))
+      audioFeatures(payload).getOrElse(decodeStub(payload))
     else decodeStub(payload)
 
   /** Encode a grayscale w×h image as a real BMP via javax.imageio —
@@ -219,6 +302,68 @@ object Multimodal {
       }.toDF("doc_id", "width", "height", "luma_sum")
       .select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("luma_sum"))
+  }
+
+  /** Encode mono signed-16-bit PCM samples as a real WAV via
+    * javax.sound.sampled — the audio fixture generator mirroring
+    * [[encodeGrayBmp]]: PCM is uncompressed, so encode→decode round-trips
+    * every sample exactly. */
+  def encodePcmWav(samples: Array[Int],
+                   sampleRate: Float = 8000f): Array[Byte] = {
+    require(samples.nonEmpty, "empty sample array")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, 1, true, false) // mono, signed, little-endian
+    val bytes = new Array[Byte](samples.length * 2)
+    var j = 0
+    while (j < samples.length) {
+      bytes(2 * j) = (samples(j) & 0xff).toByte
+      bytes(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+      j += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The real-audio-decoder round trip, fixture included — the WAV twin
+    * of [[bmpRoundTrip]]: render each record's payload bytes into
+    * n = 1 + n_bytes mod 64 mono PCM samples (sample j =
+    * (byte(j mod len) − 128) << 8, a full-scale signed 16-bit value),
+    * ENCODE as a real WAV, then run the same [[decode]] dispatch
+    * production media takes. Emitted per record: the DECODED sample and
+    * channel counts plus Σ|decoded_j| >> 8 = Σ|byte − 128| — recomputed
+    * from the decoded PCM, so a hash match proves the real codec ran and
+    * round-tripped every sample while the oracle replays only byte
+    * arithmetic (ASCII corpus: byte = ord(char), as all mm_* oracles
+    * assume). Empty payloads pass through as zeros. */
+  def wavRoundTrip(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "mime", "n_bytes").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val len = rec.payload.length
+          if (len == 0) (rec.doc_id, 0L, 0L, 0L)
+          else {
+            val n = 1 + (rec.n_bytes % 64).toInt
+            val wav = encodePcmWav(Array.tabulate(n)(j =>
+              ((rec.payload(j % len) & 0xff) - 128) << 8))
+            // production dispatch (proves the mime routing runs the
+            // real codec), then the decoded PCM for the measurements
+            val (dn, dch, _) = decode(wav, "audio/wav")
+            val dec = decodeAudio(wav).getOrElse(
+              throw new IllegalStateException(
+                s"WAV round-trip undecodable for doc ${rec.doc_id}"))
+            var sum = 0L
+            dec._2.foreach(v => sum += math.abs(v >> 8))
+            assert(dn == n && dch == 1,
+              s"WAV round-trip frame drift for doc ${rec.doc_id}")
+            (rec.doc_id, dn.toLong, dch.toLong, sum)
+          }
+        }
+      }.toDF("doc_id", "n_samples", "channels", "amp_sum")
   }
 
   /** Resize stage (STUB resampler): a real image resize keeps one sample

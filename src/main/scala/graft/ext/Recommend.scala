@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -41,11 +42,11 @@ object Recommend {
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .distinct()
     val capped =
-      if (maxBasket == Int.MaxValue) bi.localCheckpoint() // 3 consumers
+      if (maxBasket == Int.MaxValue) bi.ckpt() // 3 consumers
       else {
         val ok = bi.groupBy("b").agg(count(lit(1)).as("__n"))
           .where(col("__n") <= maxBasket).select("b")
-        bi.join(ok, Seq("b"), "left_semi").localCheckpoint()
+        bi.join(ok, Seq("b"), "left_semi").ckpt()
       }
     val ni = capped.groupBy("i").agg(count(lit(1)).as("ni"))
     val pairs = capped.as("x")
@@ -94,11 +95,11 @@ object Recommend {
       .where(col("i").isNotNull)
       .distinct()
     val capped =
-      if (maxBasket == Int.MaxValue) bi.localCheckpoint() // 4 consumers
+      if (maxBasket == Int.MaxValue) bi.ckpt() // 4 consumers
       else {
         val ok = bi.groupBy("b").agg(count(lit(1)).as("__n"))
           .where(col("__n") <= maxBasket).select("b")
-        bi.join(ok, Seq("b"), "left_semi").localCheckpoint()
+        bi.join(ok, Seq("b"), "left_semi").ckpt()
       }
     val nBaskets = capped.select(countDistinct(col("b")).as("N"))
     val ni = capped.groupBy("i").agg(count(lit(1)).as("ni"))

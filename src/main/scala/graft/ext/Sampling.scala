@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -137,7 +138,7 @@ object Sampling {
     val ranked = graft.ops.Rank.globalRank(keyed, col("__hf"), col("id"),
         floor(col("__hf") * 64).cast("long"), rankCol = "__r")
       .select(col("id"), col("__r"))
-      .localCheckpoint() // self-joined + counted: rank derived once
+      .ckpt() // self-joined + counted: rank derived once
     val n = ranked.agg(count(lit(1)).as("__N"))
     ranked.crossJoin(broadcast(n))
       .select(col("id").as("anchor_id"), col("__r"), col("__N"),

@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -222,8 +223,14 @@ object Similarity {
     // exact per-rank double literals instead of calling log2 at runtime:
     // Spark computes log2 as ln(x)/ln(2) while DuckDB uses native log2 —
     // a last-ulp difference there sits one FLOOR away from a hash flip
-    // (the same fragility class the r5 sites guard everywhere else)
-    val discount = discountAt(k).zipWithIndex.foldLeft(lit(Double.NaN)) {
+    // (the same fragility class the r5 sites guard everywhere else).
+    // Fold DEFAULT is the runtime log2 expression, not NaN: a candidate
+    // rank outside 1..k (a caller passing a deeper list than it truths)
+    // degrades to the last-ulp-fragile discount for that row only,
+    // instead of one out-of-range row poisoning the query's whole ndcg
+    // sum to NaN.
+    val discount = discountAt(k).zipWithIndex.foldLeft(
+      log(2.0, col("rank").cast("double") + lit(1.0))) {
       case (acc, (d, i)) => when(col("rank") === (i + 1), lit(d)).otherwise(acc)
     }
     candidate.join(rel, Seq("q_id", "n_id"), "left")
@@ -312,7 +319,7 @@ object Similarity {
     // and the output projection — freeze it so the Lloyd chain (with its
     // k × dim centroid literals) plans once, not three times
     val cells = Ivf.kmeansCells(df, idCol, vecCol, k, iters,
-      orderHash = orderHash).localCheckpoint()
+      orderHash = orderHash).ckpt()
     val pairs = embeddingNearDup(cells, idCol, vecCol, "cell", threshold, roundTo)
     cells.select(col(idCol), col("cell"))
       .join(Dedup.connectedComponents(pairs).withColumnRenamed("id", idCol),

@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -681,12 +682,12 @@ object Streaming {
     // the handoff needs an explicit happens-before, not the accidental one
     // inside the stream's own locks
     val target = new java.util.concurrent.atomic.AtomicReference(
-      initial.localCheckpoint())
+      initial.ckpt())
     val q = changeStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         target.set(graft.ops.Cdc
           .applyChangesVersioned(target.get(), batch, key, opCol, seqCol)
-          .localCheckpoint())
+          .ckpt())
       }
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -715,7 +716,7 @@ object Streaming {
     // snapshot the sink (results here are bounded: aggregates / verify-size
     // frames), then drop the memory-sink temp view — otherwise a long-lived
     // session running the bench repeatedly accretes stream_* tables
-    val out = own.table(name).localCheckpoint()
+    val out = own.table(name).ckpt()
     own.catalog.dropTempView(name)
     out
   }

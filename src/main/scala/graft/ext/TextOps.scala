@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -247,7 +248,7 @@ object TextOps {
       .select(col("a_id"), col("b_id"), col("n_shared"),
         round(col("n_shared") / least(col("a_n"), col("b_n")), 6).as("overlap"))
       .where(col("overlap") >= minOverlap)
-      .localCheckpoint()
+      .ckpt()
     rfps.unpersist()
     pairs
   }

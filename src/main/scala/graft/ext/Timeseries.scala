@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -455,7 +456,7 @@ object Timeseries {
       .agg(max(col("__p")).getField("__c").as("__c"))
       // materialized: consumed by the span/grid derivation AND the union —
       // without it the per-second collapse scans the events twice
-      .localCheckpoint()
+      .ckpt()
     val grid = persec.groupBy(col(keyCol))
       .agg(min(col("__sec")).as("__s0"), max(col("__sec")).as("__s1"))
       .select(col(keyCol),

@@ -128,7 +128,11 @@ object Sources {
 
   /** S9 read side: scan a single-sheet .xlsx written by
     * [[graft.io.Sinks.xlsx]] (or any workbook whose first sheet is at the
-    * standard part path with inline strings). DELIBERATELY driver-side:
+    * standard part path with inline-string/numeric cells — sparse rows,
+    * pretty-printed XML, and short rows all land correctly via each
+    * cell's A1-style `r` attribute; shared-string (t="s") cells are NOT
+    * resolved, the one workbook shape this reader rejects reading
+    * faithfully). DELIBERATELY driver-side:
     * xlsx caps a sheet at ~1M rows, so this is report-reingestion, not a
     * corpus scan — the file parses once on the driver (JDK zip + DOM, no
     * dependency) and lands as a normal DataFrame. `schema` gives the
@@ -142,23 +146,45 @@ object Sources {
         .newDocumentBuilder()
         .parse(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
       val rows = doc.getElementsByTagName("row")
+      // "BC2" -> column index 54: the A1-style `r` attribute is the cell's
+      // authoritative position — xlsx writers legally OMIT empty cells
+      // (sparse rows), so positional child indexing misassigns columns
+      def colIdx(ref: String): Int =
+        ref.takeWhile(_.isLetter).foldLeft(0)((a, ch) =>
+          a * 26 + (ch.toUpper - 'A' + 1)) - 1
       (1 until rows.getLength).map { r => // row 0 is the header
-        val cs = rows.item(r).getChildNodes
-        org.apache.spark.sql.Row.fromSeq(schema.fields.zipWithIndex.map {
-          case (f, i) =>
-            val c = cs.item(i).asInstanceOf[org.w3c.dom.Element]
-            if (!c.hasChildNodes) null
-            else {
-              val v = c.getTextContent
-              f.dataType match {
-                case LongType => v.toLong
-                case IntegerType => v.toInt
-                case DoubleType => v.toDouble
-                case BooleanType => v == "1" || v == "true"
-                case _ => v
-              }
+        // getElementsByTagName("c"), never raw child nodes: a pretty-
+        // printed workbook interleaves whitespace TEXT nodes between
+        // cells, and a row with fewer cells than the schema must pad
+        // with nulls, not NPE
+        val cs = rows.item(r).asInstanceOf[org.w3c.dom.Element]
+          .getElementsByTagName("c")
+        val vals = new Array[Any](schema.fields.length)
+        var j = 0
+        while (j < cs.getLength) {
+          val c = cs.item(j).asInstanceOf[org.w3c.dom.Element]
+          val ref = c.getAttribute("r")
+          val i = if (ref != null && ref.nonEmpty) colIdx(ref) else j
+          if (i >= 0 && i < vals.length) {
+            // value lives in <is><t> (inline string) or <v> (number/
+            // bool); getTextContent on the cell itself would fold in
+            // pretty-printing whitespace
+            val ts = c.getElementsByTagName("t")
+            val vn = c.getElementsByTagName("v")
+            val v = if (ts.getLength > 0) ts.item(0).getTextContent
+                    else if (vn.getLength > 0) vn.item(0).getTextContent
+                    else null
+            if (v != null) vals(i) = schema.fields(i).dataType match {
+              case LongType => v.trim.toLong
+              case IntegerType => v.trim.toInt
+              case DoubleType => v.trim.toDouble
+              case BooleanType => v.trim == "1" || v.trim == "true"
+              case _ => v
             }
-        }.toSeq)
+          }
+          j += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(vals.toSeq)
       }
     } finally zf.close()
     spark.createDataFrame(

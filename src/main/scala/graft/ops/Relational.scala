@@ -1,4 +1,5 @@
 package graft.ops
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -228,7 +229,7 @@ object Relational {
             expr("substring(__fs, 1, __i - 1)"),
             expr("substring(__fs, __i + 1, length(__fs))"))).as("__v"))
       // consumed twice (stats + probe); materialize the explode once
-      .localCheckpoint()
+      .ckpt()
     val stats = v.groupBy("__v")
       .agg(count(lit(1)).as("__bsz"),
         min(struct(col("__fid"), col("__fs"))).as("__r"))
@@ -285,7 +286,7 @@ object Relational {
     // ContextCleaner, so no explicit unpersist hand-off is needed). Pass
     // reuseBuild = false when the build side is too large to store but its
     // KEYS still fit a sketch — then recomputing beats materializing.
-    val b = if (reuseBuild) build.localCheckpoint() else build
+    val b = if (reuseBuild) build.ckpt() else build
     val bf = b.agg(call_function("bloom_agg",
         xxhash64(col(buildKey)), lit(expectedItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")

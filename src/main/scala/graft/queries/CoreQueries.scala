@@ -1034,10 +1034,35 @@ object CoreQueries {
 
     // Approx profiling — the 100 TB path: HLL sketches replace the exact
     // distinct counts (whose Expand multiplies shuffle rows by column
-    // count). Sketch estimates are engine-specific → rows-only.
-    Reg("profile_orders_approx", None, kind = "sketch")(
-      (s, dir) => graft.ops.Profile.profileApprox(Tables(s, dir).orders,
-        Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
+    // count). Driver-checkable since r11: the registered entry joins the
+    // HLL profile against the exact one and replays every EXACT field
+    // (rows, nonnull, distinct, min, max) through the oracle plus an
+    // nd_within_bound flag pinning the sketch to ≤ 3·rsd relative error
+    // per column — a violation flips the flag and fails the hash. The
+    // exact profile is the verification arm; production runs bare
+    // profileApprox (no exact distinct anywhere in that plan).
+    Reg("profile_orders_approx", Some {
+      def arm(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val,
+           |  CAST(MAX($c) AS VARCHAR) AS max_val,
+           |  TRUE AS nd_within_bound FROM orders""".stripMargin
+      Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+        .map(arm).mkString("\nUNION ALL\n")
+    }, kind = "arm")(
+      (s, dir) => {
+        val cols = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+        val ap = graft.ops.Profile
+          .profileApprox(Tables(s, dir).orders, cols)
+          .select(col("col_name"), col("n_distinct").as("__nd_hll"))
+        graft.ops.Profile.profile(Tables(s, dir).orders, cols)
+          .join(ap, Seq("col_name"))
+          .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), col("min_val"), col("max_val"),
+            (abs(col("__nd_hll") - col("n_distinct")).cast("double")
+              / col("n_distinct") <= lit(0.15)).as("nd_within_bound"))
+      }),
 
     // 2-D histogram ([[graft.ops.Profile.histogram2d]]): the heatmap feed
     // over (quantity, extendedprice) — bin widths interpolated as

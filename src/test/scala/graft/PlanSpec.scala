@@ -400,4 +400,64 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("In(token"),
       s"term IN-list not pushed to the postings scan:\n$scan")
   }
+
+  test("CMS estimate broadcasts the constant-size sketch — never a shuffle of keys, never a cartesian") {
+    val df = graft.ext.CountMin.estimateVsTruth(t.events, "user_id",
+      width = 512, depth = 4)
+    val plan = physical(df)
+    // the sketch side is depth*width counters — it must arrive broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch lookup not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // estimates are one partial-aggregable min per key — no window
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "), plan)
+  }
+
+  test("Fellegi-Sunter candidate pairs come from a block-key EQUALITY join, never all-pairs") {
+    val p = t.part.select(col("p_partkey"), col("p_brand"), col("p_size"),
+      col("p_type"),
+      element_at(split(col("p_name"), " "), 1).as("tok1"),
+      element_at(split(col("p_name"), " "), 2).as("tok2"))
+    val pairs = graft.ext.Linkage.selfLinkPairs(p, "p_partkey",
+      concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
+      Seq(graft.ext.Linkage.FieldSpec("p_type", 0.95, 0.02),
+        graft.ext.Linkage.FieldSpec("tok1", 0.90, 0.05)),
+      threshold = 5.0)
+    val plan = physical(pairs)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking degraded to an all-pairs join:\n$plan")
+    // part scan is pruned to the fields the linkage reads (no p_comment,
+    // no p_retailprice)
+    val scans = pairs.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("part.parquet"))
+    assert(scans.nonEmpty && scans.forall(s =>
+      !s.contains("p_comment") && !s.contains("p_retailprice")),
+      s"part scan not pruned:\n${scans.mkString("\n")}")
+  }
+
+  test("personalized pagerank evaluates from the checkpointed O(V) frame — no corpus re-scan, 1-row stat broadcast") {
+    val e0 = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().localCheckpoint()
+    val seeds = t.customer.where(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    val pr = graft.ext.Graph.personalizedPagerank(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+      seeds, iters = 2)
+    val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
+    val out = pr.crossJoin(broadcast(nv))
+      .select(col("node"), round(col("rank") * col("nv"), 6).as("rank_rel"))
+    val plan = physical(out)
+    // the rank frame is interval-checkpointed: the consumer plan reads
+    // the truncated RDD, never re-joining orders x lineitem per consumer
+    assert(!plan.contains("orders.parquet") &&
+      !plan.contains("lineitem.parquet"),
+      s"rank consumer re-derives the corpus:\n$plan")
+    // the 1-row normalization stat arrives broadcast (the only nested-loop)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }

@@ -30,6 +30,18 @@ class CountMinSpec extends SparkSpec {
     assert(perDepth.toMap == Map(0 -> 50L, 1 -> 50L, 2 -> 50L))
   }
 
+  test("unseen keys return est_n = 0 (empty buckets count as zero, keys never vanish)") {
+    val sketch = CountMin.build(df, "k", width = 1024, depth = 4)
+    // "zzz" was never built in: with 4 keys in 1024 buckets at least one
+    // of its 4 depth buckets is empty, so the min must be 0 — and the
+    // key must still appear in the output (left join, not inner)
+    val probe = Seq("zzz", "a").toDF("k")
+    val got = CountMin.estimate(sketch, probe, "k", width = 1024, depth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("zzz") == 0L, s"unseen key should estimate 0: $got")
+    assert(got("a") == 30L)
+  }
+
   test("tiny width forces collisions: still an upper bound, never under") {
     val out = CountMin.estimateVsTruth(df, "k", width = 2, depth = 2)
       .collect().map(r => (r.getLong(1), r.getLong(2)))

@@ -104,6 +104,19 @@ class DedupSpec extends SparkSpec {
     assert(minKept == Set(1L, 4L, 6L))
   }
 
+  test("connectedComponents: multi-parent 2-level state does NOT stop early (r10 convergence bug)") {
+    // pairs whose first large/small-star round yields edges
+    // {(5,1),(5,2),(6,1),(7,2)} — no child is a root, but child 5 has
+    // TWO parents of the same true component. The r10 star-forest check
+    // stopped here and labeled {2,7} component 2; the fix requires
+    // single-parent too, so one more round collapses everything to 1.
+    val pairs = Seq((1L, 6L), (5L, 6L), (5L, 7L), (2L, 7L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L),
+      s"got $comp")
+  }
+
   test("connectedComponents matches union-find on random graphs (chains, stars, isolates)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {

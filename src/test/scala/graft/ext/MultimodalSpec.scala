@@ -90,4 +90,38 @@ class MultimodalSpec extends SparkSpec {
     // doc 2: empty payload passes through with zero dims
     assert(rt(1).getLong(1) == 0L && rt(1).getLong(3) == 0L)
   }
+
+  test("decodeAudio reads a real WAV exactly: every PCM sample round-trips") {
+    val samples = Array(0, 1000, -1000, 32767, -32768, 12345, -1)
+    val wav = Multimodal.encodePcmWav(samples, sampleRate = 8000f)
+    val (fmt, back) = Multimodal.decodeAudio(wav).get
+    assert(fmt.getChannels == 1 && fmt.getSampleRate == 8000f)
+    assert(back.toSeq == samples.toSeq)
+    // garbage bytes do not decode (caller falls back to the stub)
+    assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
+  }
+
+  test("decode dispatch routes audio/wav to the real codec (sample count + channels)") {
+    val wav = Multimodal.encodePcmWav(Array(100, -100, 200, -200, 0))
+    val (n, ch, feats) = Multimodal.decode(wav, "audio/wav")
+    assert(n == 5 && ch == 1)
+    // meanAmp = (100+100+200+200+0)/5/32768
+    assert(math.abs(feats(0) - 600.0 / 5 / 32768.0) < 1e-6)
+    // an unknown mime with the same bytes goes to the stub instead
+    val (sw, _, _) = Multimodal.decode(wav, "audio/mpeg")
+    assert(sw == 1 + wav.length % 640)
+  }
+
+  test("wavRoundTrip: encode->real decode returns exact sample count and amplitude sum") {
+    val rt = Multimodal.wavRoundTrip(spark, Multimodal.mediaTable(docs))
+      .orderBy("doc_id").collect()
+    // doc 1: "hello world" (11 bytes) -> n = 1+11%64 = 12 samples;
+    // amp_sum = sum over j<12 of |byte(j%11) - 128|
+    val b = "hello world".getBytes.map(_ & 0xff)
+    val expected = (0 until 12).map(j => math.abs(b(j % 11) - 128)).sum.toLong
+    assert(rt(0).getLong(1) == 12L && rt(0).getLong(2) == 1L)
+    assert(rt(0).getLong(3) == expected)
+    // doc 2: empty payload passes through as zeros
+    assert(rt(1).getLong(1) == 0L && rt(1).getLong(3) == 0L)
+  }
 }

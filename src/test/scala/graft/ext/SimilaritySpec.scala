@@ -135,6 +135,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set(1L)) // NOT 2L at rank 1 via NaN
   }
 
+  test("ndcgByQuery: perfect order = 1.0; out-of-range candidate rank degrades, never NaN") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "n_id", "rank")
+    val perfect = Similarity.ndcgByQuery(truth, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(perfect(1L) == 1.0, s"got $perfect")
+    // a candidate list DEEPER than k (rank 4 > k=3): the miss at rank 4
+    // contributes rel 0 via the runtime-log2 fallback discount — the
+    // query's ndcg must stay finite (r10 folded to NaN and one such row
+    // poisoned the whole sum)
+    val deep = truth.union(Seq((1L, 99L, 4)).toDF("q_id", "n_id", "rank"))
+    val got = Similarity.ndcgByQuery(truth, deep, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got(1L).isNaN && got(1L) == 1.0, s"got $got")
+    // and an out-of-range HIT (truth-relevant doc at candidate rank 4)
+    // degrades gracefully: finite, between 0 and 1
+    val lateHit = Seq((1L, 99L, 1), (1L, 98L, 2), (1L, 97L, 3), (1L, 10L, 4))
+      .toDF("q_id", "n_id", "rank")
+    val lh = Similarity.ndcgByQuery(truth, lateHit, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!lh(1L).isNaN && lh(1L) > 0.0 && lh(1L) < 1.0, s"got $lh")
+  }
+
   test("quantize maps [mn,mx] to [0,255] codes; constant vectors to zeros; dequant error bounded") {
     val vecs = Seq(
       (0L, Seq(0.0f, 0.5f, 1.0f)),

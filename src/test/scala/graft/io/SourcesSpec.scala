@@ -46,6 +46,48 @@ class SourcesSpec extends SparkSpec {
     Sources.registerViews(spark, "/root/testdata/sf0.001") // restore for peers
   }
 
+  test("xlsx reader handles pretty-printed XML, sparse cells and short rows") {
+    import org.apache.spark.sql.types._
+    // a workbook graft did NOT write: indented (whitespace text nodes
+    // between cells), row 2 omits column B entirely (sparse — position
+    // comes from the r attribute), row 3 is short (trailing cells absent)
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="inlineStr"><is><t>id</t></is></c>
+        |      <c r="B1" t="inlineStr"><is><t>label</t></is></c>
+        |      <c r="C1" t="inlineStr"><is><t>score</t></is></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2" t="n"><v>1</v></c>
+        |      <c r="B2" t="inlineStr"><is><t>alpha</t></is></c>
+        |      <c r="C2" t="n"><v>1.5</v></c>
+        |    </row>
+        |    <row r="3">
+        |      <c r="A3" t="n"><v>2</v></c>
+        |      <c r="C3" t="n"><v>2.5</v></c>
+        |    </row>
+        |    <row r="4">
+        |      <c r="A4" t="n"><v>3</v></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>
+        |""".stripMargin
+    val path = Files.createTempDirectory("xlsx_read").resolve("ext.xlsx")
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(path))
+    out.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    out.write(sheet.getBytes("UTF-8")); out.closeEntry(); out.close()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("label", StringType), StructField("score", DoubleType)))
+    val got = Sources.xlsx(spark, path.toString, schema)
+      .orderBy("id").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    assert(got == Seq((1L, "alpha", 1.5), (2L, null, 2.5), (3L, null, null)),
+      s"got $got")
+  }
+
   test("Catalog.flatMap builds a code->label driver map (A5/varnames analog)") {
     import spark.implicits._
     val df = Seq(("c1", "Label One"), ("c2", "Label Two"), (null, "skip"))
