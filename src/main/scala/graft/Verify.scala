@@ -15,6 +15,13 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // conf experiments, same knob as Bench ("k=v;k2=v2") — e.g.
+    // graft.checkpoint.reliable=true runs the whole registry through
+    // fault-tolerant checkpoints (the cluster posture, see graft.Ckpt)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     new java.io.File(outDir).mkdirs()
     // corpus signature: the artifact must say WHICH corpus it verified
     // (round 6 closed green against data regenerated after the last test)
