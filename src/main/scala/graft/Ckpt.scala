@@ -52,4 +52,17 @@ object Ckpt {
   implicit class CkptOps(private val df: DataFrame) extends AnyVal {
     def ckpt(): DataFrame = Ckpt(df)
   }
+
+  /** Conf-gated frontier telemetry for the delta-iteration loops (LPA's
+    * changed set, CC's live edge set): `graft.graph.logFrontier=true`
+    * prints one `graft.frontier` line per round so a bench run can show
+    * the per-round shrink that justifies the active-frontier design.
+    * Costs one count job per round when enabled; free (no action, no
+    * plan change) when off — the default. */
+  def frontier(name: String, round: Int, df: DataFrame): Unit =
+    if (df.sparkSession.conf.getOption("graft.graph.logFrontier")
+        .exists(_.trim.equalsIgnoreCase("true")))
+      // scalastyle:off println
+      println(s"graft.frontier op=$name round=$round size=${df.count()}")
+      // scalastyle:on println
 }

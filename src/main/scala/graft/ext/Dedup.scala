@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt
 import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -666,6 +667,7 @@ object Dedup {
         done = Some(done.fold(settled)(_.unionAll(settled)))
       converged = live.isEmpty
       round += 1
+      Ckpt.frontier("cc_live", round, live)
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // settled star forest: each non-root points at its component minimum

@@ -1,4 +1,5 @@
 package graft.ext
+import graft.Ckpt
 import graft.Ckpt.CkptOps
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -370,6 +371,7 @@ object Graph {
     // frontier = nodes whose round-1 label differs from their init (self)
     var changed = labels.where(col("node") =!= col("label"))
       .select(col("node")).ckpt()
+    Ckpt.frontier("lpa", 1, changed)
     var i = 2
     while (i <= iters && !changed.isEmpty) {
       // nodes that CAN change: some in-neighbor changed last round
@@ -395,6 +397,7 @@ object Graph {
         // but cannot stretch lineage here
         .ckpt()
       changed = next.where(col("__chg")).select(col("node"))
+      Ckpt.frontier("lpa", i, changed)
       labels = next.select(col("node"), col("label"))
       i += 1
     }

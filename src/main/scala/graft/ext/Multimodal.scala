@@ -366,6 +366,53 @@ object Multimodal {
       }.toDF("doc_id", "n_samples", "channels", "amp_sum")
   }
 
+  /** Audio feature-extraction stage over DECODED PCM — the signal stats a
+    * training pipeline gates audio on (silence/clipping/noise filters),
+    * kept exact-integer so a SQL oracle replays them bit-for-bit. Same
+    * encode→[[decodeAudio]] fixture as [[wavRoundTrip]] (sample j =
+    * (byte(j mod len) − 128) << 8), but the measurements are the gating
+    * features: mean-crossing count (DC-offset-corrected zero-crossing
+    * rate — the plain ZCR is degenerate on an all-ASCII corpus whose
+    * samples never change sign; crossings of the per-clip mean are the
+    * standard correction and stay exact via the integer cross-multiply
+    * s·n vs Σs), Σ s² energy (silence gate; ≤ 64·2^30, BIGINT-exact),
+    * and peak |s| (clipping gate). All three recompute from the
+    * decoder's output samples, so a hash match proves the real codec's
+    * PCM — not the input bytes — fed the features. Per-record work is
+    * O(samples); the stage is partition-parallel with no shuffle. */
+  def wavAudioStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "mime", "n_bytes").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val len = rec.payload.length
+          if (len == 0) (rec.doc_id, 0L, 0L, 0L, 0L)
+          else {
+            val n = 1 + (rec.n_bytes % 64).toInt
+            val wav = encodePcmWav(Array.tabulate(n)(j =>
+              ((rec.payload(j % len) & 0xff) - 128) << 8))
+            val s = decodeAudio(wav).getOrElse(
+              throw new IllegalStateException(
+                s"WAV stats undecodable for doc ${rec.doc_id}"))._2
+            var (sum, energy, peak) = (0L, 0L, 0L)
+            s.foreach { v =>
+              sum += v; energy += v.toLong * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+            }
+            // mean crossings: sign of (s_j − mean) via s_j·n − Σs (exact)
+            var (mc, j) = (0L, 1)
+            while (j < s.length) {
+              val prev = s(j - 1).toLong * s.length - sum >= 0
+              val cur = s(j).toLong * s.length - sum >= 0
+              if (prev != cur) mc += 1
+              j += 1
+            }
+            (rec.doc_id, s.length.toLong, mc, energy, peak)
+          }
+        }
+      }.toDF("doc_id", "n_samples", "mean_crossings", "energy", "peak")
+  }
+
   /** Resize stage (STUB resampler): a real image resize keeps one sample
     * per target pixel; the stub keeps one payload byte per target cell at
     * a fixed stride and checksums them — deterministic, so the whole

@@ -1987,6 +1987,38 @@ object LlmQueries {
       (s, dir) => Multimodal.wavRoundTrip(s,
         Multimodal.mediaTable(Tables(s, dir).documents))),
 
+    // Audio gating features from DECODED PCM (silence/clipping/noise
+    // filters a training pipeline applies before keeping a clip): energy
+    // Σs², peak |s|, and mean-crossing count — all exact integers, the
+    // oracle replays the byte arithmetic plus the same integer
+    // cross-multiply (s·n vs Σs) the kernel uses for the mean sign test.
+    Reg("mm_audio_features", Some(
+      """WITH m AS (SELECT doc_id, text,
+        |             octet_length(CAST(text AS BLOB)) AS len FROM documents),
+        |g AS (SELECT doc_id, text, len, 1 + len % 64 AS n
+        |      FROM m WHERE len > 0),
+        |sx AS (SELECT doc_id, n, text, len,
+        |         unnest(generate_series(0, n - 1)) AS j FROM g),
+        |b AS (SELECT doc_id, n, j,
+        |        (ord(substr(text, CAST(j % len AS INTEGER) + 1, 1)) - 128)
+        |          * 256 AS s FROM sx),
+        |w AS (SELECT doc_id, n, j, s,
+        |        LAG(s) OVER (PARTITION BY doc_id ORDER BY j) AS sp,
+        |        SUM(s) OVER (PARTITION BY doc_id) AS ssum FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(CASE WHEN sp IS NOT NULL AND
+        |      ((sp * n - ssum >= 0) <> (s * n - ssum >= 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS mean_crossings,
+        |  CAST(SUM(s * s) AS BIGINT) AS energy,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak
+        |FROM w GROUP BY 1, 2
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM m WHERE len = 0""".stripMargin))(
+      (s, dir) => Multimodal.wavAudioStats(s,
+        Multimodal.mediaTable(Tables(s, dir).documents))),
+
     // Multimodal resize stage (stub resampler): stride-sampled checksum is
     // pure byte arithmetic -> the partition-parallel plumbing oracles
     // exactly (ASCII corpus: ord(char) == byte).

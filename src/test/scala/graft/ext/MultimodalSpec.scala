@@ -124,4 +124,24 @@ class MultimodalSpec extends SparkSpec {
     // doc 2: empty payload passes through as zeros
     assert(rt(1).getLong(1) == 0L && rt(1).getLong(3) == 0L)
   }
+
+  test("wavAudioStats: energy/peak/mean-crossings replay the byte arithmetic") {
+    val st = Multimodal.wavAudioStats(spark, Multimodal.mediaTable(docs))
+      .orderBy("doc_id").collect()
+    // doc 1: "hello world" -> 12 samples, s_j = (b(j%11)-128)<<8
+    val b = "hello world".getBytes.map(_ & 0xff)
+    val s = (0 until 12).map(j => (b(j % 11) - 128) << 8)
+    val sum = s.map(_.toLong).sum
+    val mc = (1 until 12).count(j =>
+      (s(j - 1).toLong * 12 - sum >= 0) != (s(j).toLong * 12 - sum >= 0))
+    assert(st(0).getLong(1) == 12L)
+    assert(st(0).getLong(2) == mc.toLong)
+    assert(st(0).getLong(3) == s.map(v => v.toLong * v).sum)
+    assert(st(0).getLong(4) == s.map(v => math.abs(v).toLong).max)
+    // varied bytes MUST cross their own mean (the feature is not degenerate
+    // on ASCII, unlike a plain sign-based ZCR)
+    assert(st(0).getLong(2) > 0L)
+    // doc 2: empty payload -> all zeros
+    assert((1 to 4).forall(i => st(1).getLong(i) == 0L))
+  }
 }
