@@ -157,6 +157,44 @@ object Dedup {
       .join(withinPairs.select(col("b_id").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** The DELTA PAIR LIST a batch contributes against a standing corpus —
+    * verified (a_id, b_id, jaccard) pairs, a_id from the corpus index or
+    * the batch, b_id always from the batch: the input
+    * [[incrementalComponents]] needs to maintain dedup group labels
+    * without re-running the closure. Same candidate generation as
+    * [[incrementalNearDedupPersisted]] (band-equality joins against the
+    * persisted index + within-batch LSH; corpus TEXT is never read), same
+    * exact-Jaccard verification, so base pairs ∪ this delta is exactly
+    * the full corpus' verified pair set — which is what makes the
+    * incremental closure hash-identical to a full recompute. */
+  def incrementalNearDupPairs(corpusBands: DataFrame,
+                              corpusShingles: DataFrame,
+                              batch: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.7, numHashes: Int = 64,
+                              bands: Int = 16, shingleK: Int = 3,
+                              maxBucket: Int = 10000): DataFrame = {
+    val bSets = batch.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleK).as("sh"))
+      .persist()
+    val bBands = minhashBandsFromSets(bSets, numHashes, bands).persist()
+    val crossCands =
+      crossBandCandidates(bBands, corpusBandSide(corpusBands, maxBucket))
+        .ckpt()
+    bBands.unpersist()
+    val cross = crossCands
+      .join(bSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(corpusShingles.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
+      .withColumn("jaccard", jaccard(col("b_sh"), col("c_sh")))
+      .where(col("jaccard") >= threshold)
+      .select(col("c_id").as("a_id"), col("b_id"), col("jaccard"))
+    val within = nearDupPairsFromSets(bSets, threshold, numHashes, bands,
+      maxBucket)
+    val out = cross.unionAll(within).ckpt()
+    bSets.unpersist()
+    out
+  }
+
   /** MinHash signature table: (id, h0..h{numHashes-1}) — explode the shingle
     * set, hash each shingle once per seed, take per-seed minima with a
     * map-side-partial groupBy.
@@ -686,6 +724,67 @@ object Dedup {
       connectedComponents(pairs).where(col("id") =!= col("component"))
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Incremental connected components — maintain dedup/ER group labels
+    * when a NEW batch of pairs arrives, without re-running the closure
+    * over the full corpus. The standard contraction argument: every base
+    * component is already collapsed to its minimum-id representative in
+    * `base`, so it suffices to run CC over the CONTRACTED delta graph —
+    * each new pair's endpoints mapped to their current representative
+    * (self for unseen batch ids) — and re-point affected labels. Because
+    * each representative IS its component's minimum and batch ids are
+    * fresh, the contracted min-label equals the global min-label, so the
+    * output is hash-identical to a full recompute over base ∪ delta
+    * pairs (the registered oracle asserts exactly that).
+    *
+    * Scale: the closure's cost drops from O(all edges) to O(delta edges +
+    * touched components) — the contracted graph has one node per TOUCHED
+    * component or batch doc, not per corpus doc; untouched components are
+    * never read past the relabel join. Combined with the persisted-index
+    * candidate generation (`incrementalNearDedup`), daily corpus
+    * maintenance at 100 TB never re-shuffles the corpus: index-join the
+    * batch, contract, close the (small) delta graph.
+    *
+    * Contract: `base` is (id, component) with component = min member id
+    * (a [[connectedComponents]] output, singletons included or not —
+    * absent ids act as singletons via the left joins); batch ids must be
+    * disjoint from base ids. Returns (id, component) covering every base
+    * id plus every `batchIds` id. */
+  def incrementalComponents(base: DataFrame, batchIds: DataFrame,
+                            newPairs: DataFrame, aCol: String = "a_id",
+                            bCol: String = "b_id"): DataFrame = {
+    val lab = base.select(col(base.columns(0)).as("id"),
+      col(base.columns(1)).as("component"))
+    // contract: endpoint -> current representative (self when unseen)
+    val e = newPairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
+      .join(lab.select(col("id").as("pa"), col("component").as("ca")),
+        Seq("pa"), "left")
+      .join(lab.select(col("id").as("pb"), col("component").as("cb")),
+        Seq("pb"), "left")
+      .select(coalesce(col("ca"), col("pa")).as("u"),
+        coalesce(col("cb"), col("pb")).as("v"))
+      .where(col("u") =!= col("v"))
+    // close the contracted delta graph (nodes = touched reps + batch ids)
+    val merged = connectedComponents(e, "u", "v").ckpt()
+    // re-point base members whose representative moved; reps that did not
+    // participate keep their label (left join misses)
+    val rebased = lab
+      .join(merged.select(col("id").as("component"), col("component").as("__c")),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("__c"), col("component")).as("component"))
+    // batch docs: merged label when their pairs connected them, else self
+    val batch = batchIds.select(col(batchIds.columns(0)).as("id"))
+      .join(merged.withColumnRenamed("component", "__c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+    // corpus ids that were SINGLETONS in base (absent from `base`, so the
+    // contraction passed them through raw) but got connected by a delta
+    // pair: their only label lives in `merged` — emit it, or the caller's
+    // coalesce-to-self would silently split their group
+    val corpusSingletons = merged
+      .join(lab.select("id"), Seq("id"), "left_anti")
+      .join(batch.select("id"), Seq("id"), "left_anti")
+    rebased.unionAll(batch).unionAll(corpusSingletons)
+  }
 
   /** Banded near-dup join over ANY bit-signature frame `(id, sim)` —
     * SimHash, perceptual hash, any Hamming-space sketch. Two signatures

@@ -419,6 +419,35 @@ object LlmQueries {
             coalesce(col("component"), col("doc_id")).as("component"))
       }),
 
+    // INCREMENTAL group maintenance — dedup_groups' answer computed the
+    // way a standing 100 TB corpus must: close the base (even doc_ids)
+    // once, then fold in the odd-id batch by contracting its delta pairs
+    // onto existing component representatives and closing only the
+    // (small) contracted graph. The oracle is dedup_groups' full-corpus
+    // recursive closure VERBATIM — a hash match proves the incremental
+    // path is exactly equivalent to recomputing from scratch.
+    Reg("dedup_groups_incr", Some(
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |pairs AS ($duckPairs),
+         |$duckComponents
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val old = docs.where(col("doc_id") % 2 === 0)
+        val batch = docs.where(col("doc_id") % 2 === 1)
+        val base = Dedup.connectedComponents(
+          Dedup.nearDupPairs(old, "doc_id", "text", threshold = 0.7))
+        val (cBands, cSets) = Dedup.corpusNearDupIndex(old, "doc_id", "text")
+        val delta = Dedup.incrementalNearDupPairs(cBands, cSets, batch,
+          "doc_id", "text", threshold = 0.7)
+        docs.select("doc_id")
+          .join(Dedup.incrementalComponents(base, batch.select("doc_id"), delta)
+            .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+      }),
+
     // Canonical near-dedup APPLIED: keep exactly one representative (the
     // component minimum) per duplicate group — the transitive-closure
     // completion of pipeline_near_clean's single-pass keep-first policy.

@@ -142,6 +142,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents equals a full recompute (merge, rebase, batch-only, untouched)") {
+    // base graph (even ids): {2,4} comp 2, {6,8} comp 6
+    val basePairs = Seq((2L, 4L), (6L, 8L)).toDF("a_id", "b_id")
+    val base = Dedup.connectedComponents(basePairs)
+    // delta (odd batch ids): 3 bridges comps 2 and 6 (merge of two
+    // existing components through a batch node); 1 pairs with 4 and is
+    // SMALLER than every base member (the whole merged component must
+    // rebase to 1); 5~7 is a batch-only chain; 10 is a corpus SINGLETON
+    // (absent from base labels) first connected by the delta pair (10,11)
+    val delta = Seq((4L, 1L), (2L, 3L), (6L, 3L), (5L, 7L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val batchIds = Seq(1L, 3L, 5L, 7L, 9L, 11L).toDF("id")
+    val got = Dedup.incrementalComponents(base, batchIds, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: full CC over base ∪ delta pairs, plus isolates = self
+    val full = Dedup.connectedComponents(basePairs.unionAll(
+        delta.select("a_id", "b_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = full + (9L -> 9L)
+    assert(got == want, s"got $got want $want")
+    // the merge-through-batch-node case really collapsed to the global min
+    assert(got(8L) == 1L && got(3L) == 1L && got(2L) == 1L)
+    // batch-only chain got its own component, untouched singleton kept
+    assert(got(5L) == 5L && got(7L) == 5L && got(9L) == 9L)
+    // corpus singleton connected only by the delta gets its merged label
+    assert(got(10L) == 10L && got(11L) == 10L)
+  }
+
   test("minhash candidate generation is bucketed, not all-pairs") {
     // 4 mutually-unrelated docs must produce zero candidates (no bands collide)
     val df = Seq(
