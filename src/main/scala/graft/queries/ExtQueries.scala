@@ -1575,6 +1575,49 @@ object ExtQueries {
             / col("exact_users") <= lit(0.05)).as("within_bound"))
       }),
 
+    // HLL SET OPERATION — intersection cardinality by inclusion-exclusion
+    // over mergeable sketches (|A∩B| ≈ est(A) + est(B) − est(A∪B), the
+    // standard audience-overlap estimator): "how many users both viewed
+    // AND purchased" answered from two per-segment sketches and one
+    // union, never a set join. At 100 TB the two sketches are KB-sized
+    // ingest-time artifacts (sketch_hll_incr's posture), so overlap
+    // queries across any segment pair are O(sketch) — the exact
+    // DISTINCT-join here exists only to oracle the guarantee. Bound:
+    // three lgK=12 estimates (rsd ≈ 1.6%) each off by ≤ 3·rsd of their
+    // own cardinality ⇒ |err∩| ≤ 3·rsd·(|A|+|B|+|A∪B|) ≤ 10% of
+    // (|A|+|B|); a violation flips within_bound and fails the hash.
+    Reg("sketch_hll_intersect", Some(
+      """WITH f AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS isv,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS isp
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(SUM(isv) AS BIGINT) AS exact_view,
+        |  CAST(SUM(isp) AS BIGINT) AS exact_purchase,
+        |  CAST(SUM(isv * isp) AS BIGINT) AS exact_both,
+        |  TRUE AS within_bound
+        |FROM f""".stripMargin), kind = "arm")(
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val est = e.agg(
+            expr("hll_sketch_agg(CASE WHEN event_type = 'view' " +
+              "THEN user_id END, 12)").as("skv"),
+            expr("hll_sketch_agg(CASE WHEN event_type = 'purchase' " +
+              "THEN user_id END, 12)").as("skp"))
+          .select(expr("hll_sketch_estimate(skv)").as("ea"),
+            expr("hll_sketch_estimate(skp)").as("eb"),
+            expr("hll_sketch_estimate(hll_union(skv, skp))").as("eu"))
+        val exact = e.groupBy("user_id").agg(
+            max(when(col("event_type") === "view", 1L).otherwise(0L)).as("isv"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("isp"))
+          .agg(sum("isv").as("exact_view"), sum("isp").as("exact_purchase"),
+            sum(col("isv") * col("isp")).as("exact_both"))
+        exact.crossJoin(broadcast(est)).select(
+          col("exact_view"), col("exact_purchase"), col("exact_both"),
+          (abs(col("ea") + col("eb") - col("eu") - col("exact_both"))
+            <= lit(0.10) * (col("exact_view") + col("exact_purchase")))
+            .as("within_bound"))
+      }),
+
     // F-json: JSON field extraction from the events props column.
     Reg("f_json_extract", Some(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

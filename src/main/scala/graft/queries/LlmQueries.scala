@@ -108,6 +108,30 @@ object LlmQueries {
     }
   }
 
+  /** Stage the standing corpus' COMPONENT LABELS once (the closure a
+    * production pipeline persists alongside the near-dup index): CC over
+    * the even-half corpus' verified pairs, written through Sinks — the
+    * base frame [[Dedup.incrementalComponents]] folds each batch into.
+    * Keyed on the corpus file identity like every staged artifact. */
+  private def stagedBaseComponents(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val sig =
+      try {
+        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
+        val sz = java.nio.file.Files.walk(src).filter(
+          java.nio.file.Files.isRegularFile(_)).count()
+        s"${mt}_$sz"
+      } catch { case _: Exception => "nosig" }
+    CoreQueries.stageOnce(s"basecomp_$sig", dir) { path =>
+      val old = Tables(s, dir).documents.where(col("doc_id") % 2 === 0)
+      graft.io.Sinks.parquet(
+        Dedup.connectedComponents(
+          Dedup.nearDupPairs(old, "doc_id", "text", threshold = 0.7)),
+        s"$path/base_components.parquet")
+    }
+  }
+
   /** Stage the corpus inverted index ([[TextOps.invertedIndex]]) once per
     * corpus — the write-once search artifact term lookups read back, so
     * query-time cost tracks the queried postings, never the corpus text. */
@@ -420,12 +444,14 @@ object LlmQueries {
       }),
 
     // INCREMENTAL group maintenance — dedup_groups' answer computed the
-    // way a standing 100 TB corpus must: close the base (even doc_ids)
-    // once, then fold in the odd-id batch by contracting its delta pairs
-    // onto existing component representatives and closing only the
-    // (small) contracted graph. The oracle is dedup_groups' full-corpus
-    // recursive closure VERBATIM — a hash match proves the incremental
-    // path is exactly equivalent to recomputing from scratch.
+    // way a standing 100 TB corpus must: the base closure (even doc_ids)
+    // and the band+shingle index are PERSISTED ingest-time artifacts
+    // (staged once, read back), so the per-batch cost is delta pair
+    // generation + closing the CONTRACTED delta graph only — corpus text
+    // is never re-scanned and the standing closure is never re-run. The
+    // oracle is dedup_groups' full-corpus recursive closure VERBATIM — a
+    // hash match proves the incremental path is exactly equivalent to
+    // recomputing from scratch.
     Reg("dedup_groups_incr", Some(
       s"""WITH RECURSIVE s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
          |pairs AS ($duckPairs),
@@ -434,13 +460,14 @@ object LlmQueries {
          |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin))(
       (s, dir) => {
         val docs = Tables(s, dir).documents
-        val old = docs.where(col("doc_id") % 2 === 0)
         val batch = docs.where(col("doc_id") % 2 === 1)
-        val base = Dedup.connectedComponents(
-          Dedup.nearDupPairs(old, "doc_id", "text", threshold = 0.7))
-        val (cBands, cSets) = Dedup.corpusNearDupIndex(old, "doc_id", "text")
-        val delta = Dedup.incrementalNearDupPairs(cBands, cSets, batch,
-          "doc_id", "text", threshold = 0.7)
+        val idx = stagedNearDupIndex(s, dir)
+        val base = s.read.parquet(
+          s"${stagedBaseComponents(s, dir)}/base_components.parquet")
+        val delta = Dedup.incrementalNearDupPairs(
+          s.read.parquet(s"$idx/corpus_bands.parquet"),
+          s.read.parquet(s"$idx/corpus_shingles.parquet"),
+          batch, "doc_id", "text", threshold = 0.7)
         docs.select("doc_id")
           .join(Dedup.incrementalComponents(base, batch.select("doc_id"), delta)
             .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

@@ -336,6 +336,27 @@ class PlanSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(keptIds == rawIds, s"persisted=$keptIds raw=$rawIds")
     assert(keptIds == Seq(3L), s"expected only the fresh doc: $keptIds")
+
+    // incremental CLOSURE maintenance over the same artifacts: the delta
+    // pair list reads the persisted index, the base labels read persisted
+    // parquet, and corpus TEXT appears nowhere in the delta plan — the
+    // standing corpus is never re-scanned and its closure never re-run
+    val baseLabels = Dedup.connectedComponents(
+      Seq((0L, 4L)).toDF("a_id", "b_id"))
+    graft.io.Sinks.parquet(baseLabels, s"$base/base_components.parquet")
+    val deltaPairs = Dedup.incrementalNearDupPairs(
+      idxBands, idxSets, batch, "doc_id", "text", threshold = 0.7)
+    val labels = Dedup.incrementalComponents(
+      spark.read.parquet(s"$base/base_components.parquet"),
+      batch.select(col("doc_id")), deltaPairs)
+    val labelPlan = labels.queryExecution.executedPlan.toString
+    assert(labelPlan.contains("base_components"), labelPlan)
+    assert(!labelPlan.contains("corpus_docs"),
+      s"incremental closure re-scanned corpus text:\n$labelPlan")
+    // and the labels are the full-recompute answer: doc 1 duplicates
+    // corpus doc 0 (already grouped with 4), doc 3 is fresh
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 4L -> 0L, 1L -> 0L, 3L -> 3L), s"$got")
   }
 
   test("feature encoders broadcast their stats — the fact table never sort-merge-joins") {
