@@ -142,11 +142,44 @@ object Multimodal {
     * [[encodePcmWav]] writes and what "WAV" means in a data pipeline;
     * anything else returns None and the caller falls back to the stub
     * rather than failing the partition. */
+  /** The JVM's registered audio-container parsers, materialized ONCE:
+    * `AudioSystem.getAudioInputStream` re-resolves providers through a
+    * SYNCHRONIZED, TTL-cached JDK lookup on EVERY call, which convoys 32
+    * decode threads behind one lock (measured: mm_decode_wav went
+    * superlinear, 25×/decade, purely on that lock). The public
+    * ServiceLoader SPI yields the same stateless reader instances
+    * (WaveFileReader et al.) without the per-call global lock. */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+    // order by a one-time probe so the WAV-matching reader is tried FIRST:
+    // every non-matching probe THROWS (fillInStackTrace on a deep codegen'd
+    // task stack), and paying 2-3 exception constructions per record
+    // dominates the actual header parse
+    val probe = encodePcmWav(Array(0))
+    val (ok, rest) = all.partition { r =>
+      try {
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close()
+        true
+      } catch { case _: Exception => false }
+    }
+    ok ++ rest
+  }
+
   def decodeAudio(payload: Array[Byte])
       : Option[(javax.sound.sampled.AudioFormat, Array[Int])] = {
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val in = audioReaders.view
+        .flatMap { r =>
+          try Some(r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+          catch { case _: Exception => None }
+        }
+        .headOption
+        .getOrElse(throw new javax.sound.sampled
+          .UnsupportedAudioFileException("no reader matched"))
       try {
         val fmt = in.getFormat
         if (fmt.getEncoding !=
@@ -323,9 +356,21 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    // same per-call synchronized provider lookup as the read side
+    // (AudioSystem.write → getAudioFileWriters) — use the cached SPI
+    val w = audioWriters.find(
+        _.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer SPI"))
+    w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  /** Write-side twin of [[audioReaders]] — see the lock-convoy note there. */
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toSeq
   }
 
   /** The real-audio-decoder round trip, fixture included — the WAV twin
