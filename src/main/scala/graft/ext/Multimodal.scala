@@ -87,7 +87,15 @@ object Multimodal {
     * feature is a deterministic function of the payload. Returns None when
     * the bytes do not decode (truncated file, wrong mime) — the caller
     * falls back to the stub rather than failing the partition. */
+  /** ImageIO's default stream cache is a DISK-backed temp file per read —
+    * one file create/delete per record across 32 decode threads. Keep the
+    * cache in memory (process-wide, set once; MemoryCacheImageInputStream
+    * replaces FileCacheImageInputStream). */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    imageIoMemCache
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
