@@ -65,4 +65,14 @@ object Ckpt {
       // scalastyle:off println
       println(s"graft.frontier op=$name round=$round size=${df.count()}")
       // scalastyle:on println
+
+  /** Overload for loops that already hold the frontier count (LPA's
+    * adaptive switch) — no extra job either way. */
+  def frontier(name: String, round: Int, size: Long): Unit =
+    if (org.apache.spark.sql.SparkSession.active.conf
+        .getOption("graft.graph.logFrontier")
+        .exists(_.trim.equalsIgnoreCase("true")))
+      // scalastyle:off println
+      println(s"graft.frontier op=$name round=$round size=$size")
+      // scalastyle:on println
 }

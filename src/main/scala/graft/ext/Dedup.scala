@@ -144,9 +144,14 @@ object Dedup {
       crossBandCandidates(bBands, corpusBandSide(corpusBands, maxBucket))
         .ckpt()
     bBands.unpersist()
+    // semi-filter the corpus shingle table to candidate ids first (the id
+    // list broadcasts) — the array-heavy store is scanned, never shuffled
+    val cTouched = corpusShingles
+      .join(broadcast(crossCands.select(col("c_id").as("id")).distinct()),
+        Seq("id"), "left_semi")
     val hitCorpus = crossCands
       .join(bSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .join(corpusShingles.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
+      .join(cTouched.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
       .where(jaccard(col("b_sh"), col("c_sh")) >= threshold)
       .select(col("b_id").as(idCol)).distinct().ckpt()
     val withinPairs = nearDupPairsFromSets(bSets, threshold, numHashes,
@@ -182,9 +187,15 @@ object Dedup {
       crossBandCandidates(bBands, corpusBandSide(corpusBands, maxBucket))
         .ckpt()
     bBands.unpersist()
+    // semi-filter the corpus shingle table to candidate ids FIRST (the id
+    // list broadcasts): the array-heavy store is scanned map-side, never
+    // shuffled — only touched rows enter the verify join
+    val cTouched = corpusShingles
+      .join(broadcast(crossCands.select(col("c_id").as("id")).distinct()),
+        Seq("id"), "left_semi")
     val cross = crossCands
       .join(bSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .join(corpusShingles.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
+      .join(cTouched.select(col("id").as("c_id"), col("sh").as("c_sh")), Seq("c_id"))
       .withColumn("jaccard", jaccard(col("b_sh"), col("c_sh")))
       .where(col("jaccard") >= threshold)
       .select(col("c_id").as("a_id"), col("b_id"), col("jaccard"))
@@ -663,53 +674,37 @@ object Dedup {
 
     var live = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v")).distinct().ckpt()
-    var done: Option[DataFrame] = None
     var converged = live.isEmpty
     var round = 0
     while (!converged && round < maxIter) {
       val next = smallStar(largeStar(live)).ckpt()
-      // settled-star extraction. A star is settled only when EVERY
-      // member is clean — both halves of the star-forest definition,
-      // per star: the root is a child nowhere, and each child has
-      // exactly ONE distinct parent and is a root nowhere. Checking
-      // children alone is unsound: pairs {(1,6),(5,6),(5,7),(2,7)}
-      // reach a 2-level state {(5,1),(5,2),(6,1),(7,2)} after one
-      // round where no child is a root, yet child 5 points at TWO
-      // roots of the same true component — extracting (6,1) or (7,2)
-      // there would freeze component 2 separately from 1 (the r10
-      // convergence bug, now a per-star condition).
-      val badChild = next.groupBy("u")
+      // SOUND star-forest fixpoint test, probed LAZILY: the state is a
+      // star forest rooted at component minima iff (a) no child is a
+      // root anywhere AND (b) every child has exactly ONE distinct
+      // parent. Checking (a) alone is unsound: pairs
+      // {(1,6),(5,6),(5,7),(2,7)} reach a 2-level state
+      // {(5,1),(5,2),(6,1),(7,2)} after one round where no child is a
+      // root, yet child 5 points at TWO roots of the same true
+      // component — stopping there splits component 1 (the r10
+      // convergence bug). Both probes are take-1 emptiness tests over
+      // the just-checkpointed frame — no per-round splits, no extra
+      // checkpoints (round 11: the settled-star extraction variant
+      // materialized 3 additional full frames per round and measured
+      // 42% SLOWER at sf10 than re-contracting settled stars, which
+      // large/small-star map to themselves).
+      val childIsRoot = next.select("u")
+        .join(next.select(col("v").as("u")), Seq("u"), "left_semi")
+      val multiParent = next.groupBy("u")
         .agg(countDistinct(col("v")).as("__np"))
-        .where(col("__np") > 1).select("u")
-        .union(next.select("u")
-          .join(next.select(col("v").as("u")), Seq("u"), "left_semi"))
-        .distinct()
-      // ckpt: badRoots (and badChild inside it) feeds BOTH the settled
-      // anti-join and the live semi-join — truncate so the aggregation
-      // over `next` runs once, not once per consumer
-      val badRoots = next.select(col("v")).distinct()
-        .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
-        .union(next.join(badChild, Seq("u"), "left_semi")
-          .select(col("v")).distinct())
-        .distinct().ckpt()
-      // one pass splits the round's output into settled stars (whole
-      // components — final) and the live remainder the next round
-      // re-contracts; ckpt materializes the split so `next` runs once.
-      // Re-select (u, v): the using-column join reorders to (v, u), and
-      // the star ops' positional unions would silently swap the columns
-      val settled = next.join(badRoots, Seq("v"), "left_anti")
-        .select(col("u"), col("v")).ckpt()
-      live = next.join(badRoots, Seq("v"), "left_semi")
-        .select(col("u"), col("v")).ckpt()
-      if (!settled.isEmpty)
-        done = Some(done.fold(settled)(_.unionAll(settled)))
-      converged = live.isEmpty
+        .where(col("__np") > 1)
+      converged = childIsRoot.isEmpty && multiParent.isEmpty
+      live = next
       round += 1
       Ckpt.frontier("cc_live", round, live)
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // settled star forest: each non-root points at its component minimum
-    val stars = done.getOrElse(live)
+    // converged star forest: each non-root points at its component minimum
+    val stars = live
     nodes.join(stars.groupBy(col("u").as("id")).agg(min(col("v")).as("c")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))
@@ -755,34 +750,55 @@ object Dedup {
                             bCol: String = "b_id"): DataFrame = {
     val lab = base.select(col(base.columns(0)).as("id"),
       col(base.columns(1)).as("component"))
-    // contract: endpoint -> current representative (self when unseen)
-    val e = newPairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
-      .join(lab.select(col("id").as("pa"), col("component").as("ca")),
-        Seq("pa"), "left")
-      .join(lab.select(col("id").as("pb"), col("component").as("cb")),
-        Seq("pb"), "left")
+    val b = batchIds.select(col(batchIds.columns(0)).as("id"))
+    // The label store is O(corpus) — it must never be SHUFFLED, only
+    // scanned. Everything delta-sized (endpoints, contracted graph, moved
+    // reps) broadcasts instead; PlanSpec pins no SortMergeJoin. Scan
+    // count over `base`: exactly two (touched-label extraction + the
+    // final broadcast relabel pass).
+    // touched labels: restrict the store to the delta's endpoints with a
+    // broadcast semi-join (small right side), so the two endpoint lookups
+    // below join small-vs-small
+    val endIds = newPairs.select(col(aCol).as("id"))
+      .unionAll(newPairs.select(col(bCol).as("id"))).distinct()
+    val touched = lab.join(broadcast(endIds), Seq("id"), "left_semi").ckpt()
+    // contract: endpoint -> current representative (self when unseen);
+    // `ends` feeds both the edge list and the raw-corpus-node probe
+    val ends = newPairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
+      .join(broadcast(touched.select(col("id").as("pa"),
+        col("component").as("ca"))), Seq("pa"), "left")
+      .join(broadcast(touched.select(col("id").as("pb"),
+        col("component").as("cb"))), Seq("pb"), "left")
+      .ckpt()
+    val e = ends
       .select(coalesce(col("ca"), col("pa")).as("u"),
         coalesce(col("cb"), col("pb")).as("v"))
       .where(col("u") =!= col("v"))
-    // close the contracted delta graph (nodes = touched reps + batch ids)
+    // close the contracted delta graph (nodes = touched reps + raw ids)
     val merged = connectedComponents(e, "u", "v").ckpt()
-    // re-point base members whose representative moved; reps that did not
-    // participate keep their label (left join misses)
+    // re-point members of components whose representative moved — ONE
+    // map-side broadcast pass over the store; untouched labels carry
     val rebased = lab
-      .join(merged.select(col("id").as("component"), col("component").as("__c")),
-        Seq("component"), "left")
+      .join(broadcast(merged.select(col("id").as("component"),
+        col("component").as("__c"))), Seq("component"), "left")
       .select(col("id"), coalesce(col("__c"), col("component")).as("component"))
     // batch docs: merged label when their pairs connected them, else self
-    val batch = batchIds.select(col(batchIds.columns(0)).as("id"))
-      .join(merged.withColumnRenamed("component", "__c"), Seq("id"), "left")
+    val batch = b
+      .join(broadcast(merged.withColumnRenamed("component", "__c")),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
-    // corpus ids that were SINGLETONS in base (absent from `base`, so the
+    // corpus ids that were SINGLETONS in base (no label entry, so the
     // contraction passed them through raw) but got connected by a delta
     // pair: their only label lives in `merged` — emit it, or the caller's
-    // coalesce-to-self would silently split their group
-    val corpusSingletons = merged
-      .join(lab.select("id"), Seq("id"), "left_anti")
-      .join(batch.select("id"), Seq("id"), "left_anti")
+    // coalesce-to-self would silently split their group. A raw endpoint
+    // is one whose touched-label lookup missed; delta-sized throughout.
+    val corpusSingletons = ends.where(col("ca").isNull)
+      .select(col("pa").as("id"))
+      .unionAll(ends.where(col("cb").isNull).select(col("pb").as("id")))
+      .distinct()
+      .join(broadcast(b), Seq("id"), "left_anti")
+      .join(broadcast(merged), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     rebased.unionAll(batch).unionAll(corpusSingletons)
   }
 

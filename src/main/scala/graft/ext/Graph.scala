@@ -371,34 +371,53 @@ object Graph {
     // frontier = nodes whose round-1 label differs from their init (self)
     var changed = labels.where(col("node") =!= col("label"))
       .select(col("node")).ckpt()
-    Ckpt.frontier("lpa", 1, changed)
+    var changedCnt = changed.count()
+    val vCount = labels.count()
+    Ckpt.frontier("lpa", 1, changedCnt)
     var i = 2
-    while (i <= iters && !changed.isEmpty) {
-      // nodes that CAN change: some in-neighbor changed last round
-      // (undirected ⇒ e carries both orientations, so src∈changed → dst)
-      val touched = e
-        .join(changed.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node")).distinct()
-      // recompute ONLY touched nodes, over their FULL in-neighborhoods
-      val sub = e.join(touched.withColumnRenamed("node", "dst"), Seq("dst"),
-        "left_semi")
-      val updated = argmaxLabels(sub, labels)
-      // untouched labels carry forward unchanged (the skip rule above)
-      val next = labels.as("l")
-        .join(updated.as("u"), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("u.label"), col("l.label")).as("label"),
-          (col("u.label").isNotNull &&
-            col("u.label") =!= col("l.label")).as("__chg"))
-        // every round materializes anyway (the empty-frontier probe) and
-        // BOTH the frontier and the next round's joins consume it, so an
-        // O(V) per-round truncation is strictly cheaper than re-running
-        // the round per consumer; checkpointInterval is kept for callers
-        // but cannot stretch lineage here
-        .ckpt()
-      changed = next.where(col("__chg")).select(col("node"))
-      Ckpt.frontier("lpa", i, changed)
-      labels = next.select(col("node"), col("label"))
+    while (i <= iters && changedCnt > 0) {
+      // ADAPTIVE delta iteration (round 11): a delta round derives the
+      // touched set (an E-sized join + distinct) and semi-restricts the
+      // edge list (another E-sized shuffle) — ~3x a full round's work
+      // when most nodes are still moving. Measured at sf10 (dense
+      // 100-clone co-purchase graph, frontier stays ≳70% of V for all
+      // rounds): always-delta ran 406 s vs ~250 s full. So recompute
+      // FULL rounds while the frontier is wide and switch to delta
+      // rounds only once |changed| < V/5, where skipping settled
+      // neighborhoods actually pays; an empty frontier still exits
+      // outright. Output is bit-identical either way (delta rounds
+      // aggregate full in-neighborhoods of touched nodes).
+      if (changedCnt * 5 < vCount) {
+        // delta round: nodes that CAN change = in-neighbors of last
+        // round's changed set (undirected ⇒ both orientations in e)
+        val touched = e
+          .join(changed.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+        val sub = e.join(touched.withColumnRenamed("node", "dst"), Seq("dst"),
+          "left_semi")
+        val updated = argmaxLabels(sub, labels)
+        // untouched labels carry forward unchanged (the skip rule above)
+        val next = labels.as("l")
+          .join(updated.as("u"), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("u.label"), col("l.label")).as("label"),
+            (col("u.label").isNotNull &&
+              col("u.label") =!= col("l.label")).as("__chg"))
+          .ckpt()
+        changed = next.where(col("__chg")).select(col("node"))
+        labels = next.select(col("node"), col("label"))
+      } else {
+        // full round: one E-join argmax; the frontier is read off the
+        // label diff (a V-sized join of two checkpointed frames)
+        val next = argmaxLabels(e, labels).ckpt()
+        changed = next.as("n")
+          .join(labels.as("l"), Seq("node"))
+          .where(col("n.label") =!= col("l.label"))
+          .select(col("node"))
+        labels = next
+      }
+      changedCnt = changed.count()
+      Ckpt.frontier("lpa", i, changedCnt)
       i += 1
     }
     e.unpersist()

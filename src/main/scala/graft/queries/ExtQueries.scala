@@ -2377,6 +2377,35 @@ object ExtQueries {
             (col("est_n") - col("true_n")).as("overcount"))
       }),
 
+    // ST: streaming HLL — approximate distinct users per event type with
+    // the SKETCH as the streaming state (KB per group whatever the user
+    // cardinality does; per-key exact distinct state would grow O(users)).
+    // Complete-mode microbatches merge per-batch sketches associatively —
+    // the streaming twin of sketch_hll_incr's batch merge. Bound-style
+    // oracle: exact distincts hash-replayed plus a within_bound flag
+    // (lgK = 12 → 3·rsd ≈ 5%) that fails the hash on violation.
+    Reg("stream_hll", Some(
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin), kind = "arm")(
+      (s, dir) => {
+        val name = s"stream_hll_${streamRunCounter.incrementAndGet()}"
+        val est = graft.ext.Streaming.runToTable(s,
+            graft.ext.Streaming.readEvents(
+                graft.ext.Streaming.streamingSession(s), dir)
+              .groupBy(col("event_type"))
+              .agg(expr("hll_sketch_agg(user_id, 12)").as("sk")),
+            name)
+          .select(col("event_type"),
+            expr("hll_sketch_estimate(sk)").as("__est"))
+        Tables(s, dir).events.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .join(est, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("__est") - col("exact_users")).cast("double")
+              / col("exact_users") <= lit(0.05)).as("within_bound"))
+      }),
+
     // Skew diagnostic: the heaviest join-key values and their ratio to the
     // mean per-key count — the measurement that decides between a plain
     // join, AQE skew splitting, and Relational.saltedJoin. The global mean

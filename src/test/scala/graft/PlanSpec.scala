@@ -353,6 +353,11 @@ class PlanSpec extends SparkSpec {
     assert(labelPlan.contains("base_components"), labelPlan)
     assert(!labelPlan.contains("corpus_docs"),
       s"incremental closure re-scanned corpus text:\n$labelPlan")
+    // the O(corpus) label store is SCANNED (broadcast relabel), never
+    // shuffled: everything delta-sized broadcasts, so no sort-merge join
+    // may appear anywhere in the incremental label plan
+    assert(!labelPlan.contains("SortMergeJoin"),
+      s"label store was shuffled:\n$labelPlan")
     // and the labels are the full-recompute answer: doc 1 duplicates
     // corpus doc 0 (already grouped with 4), doc 3 is fresh
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
