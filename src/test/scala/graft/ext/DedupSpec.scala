@@ -170,6 +170,34 @@ class DedupSpec extends SparkSpec {
     assert(got(10L) == 10L && got(11L) == 10L)
   }
 
+  test("incrementalComponents equals full CC on random graphs and random batch splits") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      // corpus ids 0..19, batch ids 100..107 (disjoint, per contract)
+      val basePairs = Seq.fill(12)(
+          (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val batchIds = (100L to 107L)
+      val deltaPairs = Seq.fill(10) {
+        val b = 100L + rnd.nextInt(8)
+        if (rnd.nextBoolean()) (rnd.nextInt(20).toLong, b)
+        else (100L + rnd.nextInt(8), b)
+      }.filter(e => e._1 != e._2).distinct
+      val base = Dedup.connectedComponents(basePairs.toDF("a_id", "b_id"))
+      val got = Dedup.incrementalComponents(base, batchIds.toDF("id"),
+          deltaPairs.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.connectedComponents(
+          (basePairs ++ deltaPairs).toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // incremental output covers base ids + batch ids + delta-connected
+      // corpus singletons — exactly full CC's node set plus isolated
+      // batch ids, which label themselves
+      val want = full ++ batchIds.filterNot(full.contains).map(b => b -> b)
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
   test("minhash candidate generation is bucketed, not all-pairs") {
     // 4 mutually-unrelated docs must produce zero candidates (no bands collide)
     val df = Seq(

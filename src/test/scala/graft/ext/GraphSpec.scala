@@ -146,6 +146,35 @@ class GraphSpec extends SparkSpec {
     assert(even == Map(10L -> 10L, 20L -> 20L))
   }
 
+  test("labelPropagation matches a driver reference on random graphs (both adaptive postures)") {
+    import spark.implicits._
+    // driver-side synchronous LPA with the same min-label tiebreak; the
+    // random graphs traverse BOTH adaptive paths (full rounds while the
+    // frontier is wide, delta rounds once |changed| < V/5), so equality
+    // here pins that the two postures compute the same rounds
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, (e._2, e._1))).distinct
+      val ins = und.groupBy(_._2).map { case (n, es) => n -> es.map(_._1) }
+      var lab = ins.keys.map(n => n -> n).toMap
+      for (_ <- 1 to iters)
+        lab = ins.map { case (n, nb) =>
+          n -> -nb.groupBy(lab).toSeq.map { case (l, xs) => (xs.size, -l) }.max._2
+        }
+      lab
+    }
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 24
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val want = ref(edges, 4)
+      val got = Graph.labelPropagation(edges.toDF("src", "dst"), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
   test("kCore peels the pendant chain in cascading rounds; fixpoint is budget-stable") {
     import spark.implicits._
     // triangle 1-2-3 with a pendant chain 3-4-5: at k=2, node 5 falls
