@@ -694,8 +694,11 @@ object Dedup {
       // large/small-star map to themselves).
       val childIsRoot = next.select("u")
         .join(next.select(col("v").as("u")), Seq("u"), "left_semi")
+      // next is DISTINCT (smallStar ends with one), so plain count(*)
+      // per child equals its distinct-parent count — no distinct-tracking
+      // aggregate needed
       val multiParent = next.groupBy("u")
-        .agg(countDistinct(col("v")).as("__np"))
+        .agg(count(lit(1)).as("__np"))
         .where(col("__np") > 1)
       converged = childIsRoot.isEmpty && multiParent.isEmpty
       live = next
