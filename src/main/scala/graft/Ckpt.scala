@@ -23,9 +23,19 @@ import org.apache.spark.sql.DataFrame
   *
   *   - `graft.checkpoint.reliable` (default `false`): `true` routes
   *     every truncation through reliable `checkpoint()`.
-  *   - `graft.checkpoint.dir` (optional): set as the SparkContext
-  *     checkpoint dir on first reliable use if none is set yet —
-  *     cluster jobs point it at a job-scoped HDFS/S3 path.
+  *   - `graft.checkpoint.dir` (required on a cluster): set as the
+  *     SparkContext checkpoint dir on first reliable use if none is set
+  *     yet — cluster jobs point it at a job-scoped HDFS/S3 path. A
+  *     driver-local temp dir is only a valid fallback under a local[*]
+  *     master (one JVM, one disk); on a multi-executor master each
+  *     executor would write its blocks to its OWN local disk and later
+  *     reads would miss, so reliable mode REFUSES to fall back there.
+  *
+  * Long iterative pipelines should also set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so reliable
+  * checkpoint files are deleted when their RDDs are GC'd — otherwise
+  * every truncation leaves its files in the checkpoint dir for the
+  * lifetime of the job.
   *
   * Both checkpoints here are EAGER (the default): callers rely on the
   * materialization barrier — e.g. a self-join derivation must run once,
@@ -40,9 +50,16 @@ object Ckpt {
     if (reliable) {
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         spark.sparkContext.setCheckpointDir(
-          spark.conf.getOption("graft.checkpoint.dir").getOrElse(
-            java.nio.file.Files.createTempDirectory("graft_ckpt")
-              .toString))
+          spark.conf.getOption("graft.checkpoint.dir").getOrElse {
+            // a driver-local temp dir is only shared storage when driver
+            // and executors are the same JVM — refuse the silent
+            // lost-blocks trap on a real cluster
+            require(spark.sparkContext.master.startsWith("local"),
+              "graft.checkpoint.reliable=true on a non-local master " +
+                "requires graft.checkpoint.dir (or a pre-set " +
+                "SparkContext checkpoint dir) on shared storage")
+            java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+          })
       df.checkpoint()
     } else df.localCheckpoint()
   }

@@ -20,7 +20,9 @@ object Verify {
     // fault-tolerant checkpoints (the cluster posture, see graft.Ckpt)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+        val parts = kv.split("=", 2)
+        require(parts.length == 2, s"bad SPARK_GRAFT_CONF entry: $kv")
+        spark.conf.set(parts(0), parts(1))
       })
     new java.io.File(outDir).mkdirs()
     // corpus signature: the artifact must say WHICH corpus it verified

@@ -616,22 +616,20 @@ object Dedup {
     * [[graft.Ckpt]]-truncated so lineage stays flat and the (small) edge
     * list never re-derives from the corpus.
     *
-    * ACTIVE-FRONTIER contraction (round 11): after each round, SETTLED
-    * stars leave the working set. A star (root r, children C) is settled
-    * when r is a child nowhere and every child in C has exactly one
-    * distinct parent and is a root nowhere — then the star's nodes appear
-    * in no other edge, so it is an isolated component of the current
-    * state, and since both operations preserve components it IS a complete
-    * original component with r its minimum (smallStar orients parent <
-    * child). Settled edges accumulate in a done list; later rounds
-    * re-contract only the LIVE remainder. On a real dedup corpus most
-    * components are small clusters that settle in round 1–2, so the
-    * per-round edge list collapses to the few deep chains still merging —
-    * the frontier shrink that cuts the sf10 slope (every-round full-E
-    * re-joins were the r10 adjudicated weak spot). Convergence = empty
-    * live set (detection is free); rounds are identical to the
-    * non-extracting algorithm on the live subgraph, so the output is
-    * bit-identical.
+    * Convergence (round 11): every round re-contracts the FULL current
+    * edge list, and the loop stops when the state is a star forest rooted
+    * at component minima — probed by two lazy emptiness tests over the
+    * just-checkpointed frame: (a) no child is a root anywhere, and (b) no
+    * child has more than one distinct parent. Probe (a) alone is unsound
+    * (a 2-level state can have a child pointing at two roots of the same
+    * true component — stopping there splits it; the r10 bug), so both run.
+    * A settled-star EXTRACTION variant (move stars that both operations
+    * map to themselves into a done list; re-contract only the live
+    * remainder) was built and measured: it materialized 3 extra full
+    * frames per round and ran 42% slower at sf10, because re-contracting
+    * an already-settled star is two cheap self-joins that shrink nothing —
+    * so it was rejected in favor of full re-contraction with the sound
+    * two-probe fixpoint test.
     *
     * Returns (id, component) for every id appearing in `pairs`, where
     * component = the minimum id reachable via any pair chain. Throws if the

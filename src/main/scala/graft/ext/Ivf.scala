@@ -155,14 +155,40 @@ object Ivf {
   }
 
   /** Approximate top-k: probe the `nprobe` cells nearest each query (by
-    * centroid cosine), brute-force only within those cells. */
+    * centroid cosine), brute-force only within those cells. Centroids are
+    * re-aggregated from `corpus` — one bounded collect; at index-read
+    * scale prefer [[ivfTopKStaged]], which reads them from the persisted
+    * centroid table instead of re-scanning the corpus. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, cellCol: String,
-              k: Int, nprobe: Int = 2, roundTo: Int = 4): DataFrame = {
-    // bounded: (cells × dim) doubles — safe to collect + broadcast as literal
-    val cents: Seq[(Int, Seq[Double])] = centroids(corpus, cellCol, vecCol)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
-      .sortBy(_._1)
+              k: Int, nprobe: Int = 2, roundTo: Int = 4): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, cellCol,
+      // bounded: (cells × dim) doubles — safe to collect + broadcast as literal
+      centroids(corpus, cellCol, vecCol)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+        .sortBy(_._1),
+      k, nprobe, roundTo)
+
+  /** [[ivfTopK]] over a PERSISTED index — the production read path: the
+    * corpus side is the staged cell-assignment table and `centroidTable`
+    * is the staged (cell, centroid) table written at ingest, so a search
+    * run never re-clusters and never re-aggregates the corpus; its only
+    * corpus-sized work is the probe join itself. `centroidTable` is k
+    * rows — the collect is bounded by construction. */
+  def ivfTopKStaged(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, cellCol: String,
+                    centroidTable: DataFrame,
+                    k: Int, nprobe: Int = 2, roundTo: Int = 4): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, cellCol,
+      centroidTable.select(col("cell").cast("int"), col("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+        .sortBy(_._1),
+      k, nprobe, roundTo)
+
+  private def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, cellCol: String,
+                          cents: Seq[(Int, Seq[Double])],
+                          k: Int, nprobe: Int, roundTo: Int): DataFrame = {
 
     // rank cells per query by centroid dot (unit centroids ⇒ cosine order),
     // keep nprobe; norms computed ONCE per row, native vec_dot throughout

@@ -96,6 +96,35 @@ object Pq {
     }
   }
 
+  /** Codebooks as a persistable (s, code, centroid) frame — the artifact a
+    * 100 TB index stores beside its codes table so search runs read the
+    * trained state back instead of retraining (m × ksub rows, bounded). */
+  def codebooksDf(spark: org.apache.spark.sql.SparkSession,
+                  cbs: Codebooks): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, code) => (s, code, c) }
+    }.toDF("s", "code", "centroid")
+  }
+
+  /** Inverse of [[codebooksDf]]: collect the (bounded) persisted codebook
+    * table back to the positional literals every search path embeds.
+    * Positions must be dense per subspace — a gap means the artifact does
+    * not match what [[train]] wrote, and a silent mis-index would score
+    * every candidate against the wrong codewords. */
+  def codebooksFromDf(df: DataFrame): Codebooks = {
+    val rows = df.select(col("s").cast("int"), col("code").cast("int"),
+        col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, cw) =>
+      val sorted = cw.sortBy(_._2).toSeq
+      require(sorted.zipWithIndex.forall { case ((_, code, _), i) => code == i },
+        s"subspace $s codebook has non-dense codes — stale or corrupt artifact")
+      sorted.map(_._3)
+    }
+  }
+
   /** Flattened codebook + per-codeword c·c literals for the native kernels
     * (same left-to-right fold as [[assignCol]]'s driver-side cc). */
   private def flat(cbs: Codebooks): (Array[Double], Array[Double]) =
@@ -145,15 +174,26 @@ object Pq {
     * The query side must be small (it broadcasts with its dt). */
   def adcTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, cbs: Codebooks,
-              k: Int, roundTo: Int = 4): DataFrame = {
+              k: Int, roundTo: Int = 4): DataFrame =
+    adcTopKFromCodes(encode(corpus, idCol, vecCol, cbs),
+      queries, idCol, vecCol, cbs, k, roundTo)
+
+  /** [[adcTopK]] over a PRE-ENCODED (idCol, codes) table — the persisted-
+    * index read path: the codes table (m bytes/vector) was written at
+    * ingest, so a search run never touches a full corpus vector and never
+    * re-encodes; per-candidate work is `m` lookups into the query's
+    * broadcast dot table. */
+  def adcTopKFromCodes(codes: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, cbs: Codebooks,
+                       k: Int, roundTo: Int = 4): DataFrame = {
     val dsub = cbs.head.head.length
-    val d = Similarity.pdot(corpus) _
+    val d = Similarity.pdot(queries) _
     // flattened dt: subspace s's codewords start at offsets(s)
     val offsets = cbs.scanLeft(0)(_ + _.length).init
     // native kernel preferred for the same plan-cost reason as [[encode]]
     val dt =
       if (uniform(cbs) &&
-          corpus.sparkSession.catalog.functionExists("pq_dot_table"))
+          queries.sparkSession.catalog.functionExists("pq_dot_table"))
         call_function("pq_dot_table", col(vecCol), typedlit(flat(cbs)._1),
           lit(cbs.head.length), lit(dsub))
       else
@@ -162,8 +202,7 @@ object Pq {
           c <- cb
         } yield d(subCol(col(vecCol), s, dsub), typedlit(c))): _*)
     val q = broadcast(queries.select(col(idCol).as("q_id"), dt.as("dt")))
-    val n = encode(corpus, idCol, vecCol, cbs)
-      .select(col(idCol).as("n_id"), col("codes"))
+    val n = codes.select(col(idCol).as("n_id"), col("codes"))
     val scored = n.crossJoin(q).where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         round(aggregate(

@@ -462,6 +462,37 @@ class PlanSpec extends SparkSpec {
       s"part scan not pruned:\n${scans.mkString("\n")}")
   }
 
+  test("persisted ANN search reads the staged index — embeddings are never re-clustered or re-encoded") {
+    // IVF read path: corpus side AND query side come from the staged cell
+    // table, centroids from the staged k-row table — embeddings.parquet
+    // must appear NOWHERE in the plan (re-reading it means the index was
+    // re-derived, the per-run training cost the artifact exists to remove)
+    val ivf = SparkEntry.queries("topk_sim_ivf_persisted")(
+      spark, "/root/testdata/sf0.001")
+    // leaf paths truncate in the InMemoryFileIndex display — match the
+    // stage-dir name and the read schema, not the full file path
+    val ivfLeaves = ivf.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    assert(ivfLeaves.exists(l => l.contains("graft_stage_annidx") &&
+      l.contains("cell:int")),
+      s"IVF search not reading the staged cells:\n${ivfLeaves.mkString("\n")}")
+    assert(!ivfLeaves.exists(_.contains("embeddings.parquet")),
+      s"persisted IVF re-scanned the embeddings table:\n${ivfLeaves.mkString("\n")}")
+    // PQ read path: the corpus-sized side is the staged codes table only;
+    // embeddings.parquet may appear ONLY as the bounded query side, with
+    // the vec_id < 20 filter pushed to its scan
+    val pq = SparkEntry.queries("topk_sim_pq_persisted")(
+      spark, "/root/testdata/sf0.001")
+    val pqLeaves = pq.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    assert(pqLeaves.exists(l => l.contains("graft_stage_annidx") &&
+      l.contains("codes:array<int>")),
+      s"PQ search not reading the staged codes:\n${pqLeaves.mkString("\n")}")
+    val embScans = pqLeaves.filter(_.contains("embeddings.parquet"))
+    assert(embScans.forall(_.contains("LessThan(vec_id,20)")),
+      s"embeddings scan without the pushed query filter:\n${embScans.mkString("\n")}")
+  }
+
   test("personalized pagerank evaluates from the checkpointed O(V) frame — no corpus re-scan, 1-row stat broadcast") {
     val e0 = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))

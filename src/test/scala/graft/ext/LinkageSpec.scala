@@ -56,4 +56,28 @@ class LinkageSpec extends SparkSpec {
       Set((1L, 2L)))
     intercept[IllegalArgumentException](Linkage.FieldSpec("x", 0.1, 0.5))
   }
+
+  test("over-cap blocks star-collapse around the min-id representative") {
+    // skew-planted block: one degenerate key holds 50 of 60 records (the
+    // empty-field-in-the-block-key failure), plus a small exact block
+    val skew = ((1L to 50L).map(i => (i, "HOT", "steel", s"c$i")) ++
+      (100L to 109L).map(i => (i, "COLD", "steel", "red")))
+      .toDF("id", "blk", "ty", "tk")
+    val out = Linkage.selfLinkPairs(skew, "id", col("blk"), fields,
+        threshold = -100.0, maxBlock = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // HOT (size 50 > 20): 49 star pairs anchored at id 1, not 1225
+    val hot = out.filter(_._2 <= 50L)
+    assert(hot.size == 49 && hot.forall(_._1 == 1L))
+    // COLD (size 10 <= 20): exact all-pairs, 45
+    assert(out.count(_._1 >= 100L) == 45)
+    // under the cap the output is IDENTICAL to the uncapped exact path —
+    // the er_fs oracle contract
+    val exact = Linkage.selfLinkPairs(rows, "id", col("blk"), fields,
+      threshold = -100.0, maxBlock = 10000)
+    val tiny = Linkage.selfLinkPairs(rows, "id", col("blk"), fields,
+      threshold = -100.0, maxBlock = 4)
+    assert(exact.collect().map(_.toString).sorted
+      .sameElements(tiny.collect().map(_.toString).sorted))
+  }
 }
