@@ -68,11 +68,34 @@ object Streaming {
     * Kafka topic to begin with). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val (streamDir, schemaPath) =
+      streamSource(java.nio.file.Paths.get(dir, "events.parquet"))
+    graft.io.Sources.normalizeTs(
+      spark.readStream
+        .schema(eventsSchema(spark, schemaPath))
+        .parquet(streamDir))
+  }
+
+  /** File-source stream over the documents parquet — the ingest-stream
+    * source for the streaming near-dedup path. Same staging contract as
+    * [[readEvents]]; no timestamp normalization (documents carry none). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schemaPath) =
+      streamSource(java.nio.file.Paths.get(dir, "documents.parquet"))
+    spark.readStream
+      .schema(graft.io.Sources.parquetSchema(spark, schemaPath))
+      .parquet(streamDir)
+  }
+
+  /** Resolve a corpus parquet source to a (streamable directory, schema
+    * path) pair — staging single files behind the directory-only file
+    * stream source per the [[readEvents]] contract. */
+  private def streamSource(src: java.nio.file.Path): (String, String) = {
     val streamDir =
       if (java.nio.file.Files.isDirectory(src)) src.toString
       else {
-        // cache key carries mtime+size: a REGENERATED events.parquet at the
+        val name = src.getFileName.toString
+        // cache key carries mtime+size: a REGENERATED source file at the
         // same path must re-stage, or the stream would silently read the
         // old inode through the stale hardlink
         val sig = s"${java.nio.file.Files.getLastModifiedTime(src)}" +
@@ -95,8 +118,9 @@ object Streaming {
           if (prev != null && prev._1 == sig) prev
           else {
             if (prev != null) evicted = prev._2
-            val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
-            val dst = d.resolve("events.parquet")
+            val d = java.nio.file.Files.createTempDirectory(
+              "graft_stream_" + name.stripSuffix(".parquet"))
+            val dst = d.resolve(name)
             try java.nio.file.Files.createLink(dst, src)
             catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
             (sig, d.toString)
@@ -112,11 +136,9 @@ object Streaming {
     // 1000× ts mis-scale this footer-derived schema exists to prevent).
     val schemaPath =
       if (java.nio.file.Files.isDirectory(src)) src.toString
-      else java.nio.file.Paths.get(streamDir, "events.parquet").toString
-    graft.io.Sources.normalizeTs(
-      spark.readStream
-        .schema(eventsSchema(spark, schemaPath))
-        .parquet(streamDir))
+      else java.nio.file.Paths
+        .get(streamDir, src.getFileName.toString).toString
+    (streamDir, schemaPath)
   }
 
   /** One staged dir per source PATH per JVM (value = (mtime+size signature,
@@ -694,6 +716,71 @@ object Streaming {
       .start()
     q.awaitTermination()
     target.get()
+  }
+
+  /** STREAMING near-dedup against the persisted corpus index — the ingest
+    * path completed: a document stream is filtered per micro-batch by
+    * [[Dedup.incrementalNearDedupPersisted]] against the standing index
+    * PLUS every stream document seen in earlier batches, so a later batch
+    * drops near-duplicates of anything already streamed (first-seen wins —
+    * the policy the batch sibling expresses as keep-min-id; the two agree
+    * whenever arrival order is id-ascending, trivially so on a one-batch
+    * bounded run, which is why `stream_near_dedup` shares
+    * `dedup_incr_near_persisted`'s oracle verbatim).
+    *
+    * State is DURABLE and restart-idempotent, not a driver variable: each
+    * batch writes its accepted docs to `outDir/bid=<batchId>` and its
+    * band/shingle contribution (for ALL batch docs — dropped docs still
+    * suppress later copies, exactly the oracle's any-earlier-doc rule) to
+    * `stateDir/{bands,sets}/bid=<batchId>`, mode OVERWRITE — a batch
+    * replayed after a crash between write and offset-commit rewrites the
+    * same partition instead of duplicating it (the foreachBatch
+    * exactly-once recipe). Each batch's index view = base index ∪
+    * contributions with bid < current, so a replayed batch never sees its
+    * own stale partial write. At 100 TB the contributions are exactly
+    * what ingest appends to the standing index — the corpus is never
+    * re-scanned (same plan contract as the batch sibling).
+    *
+    * Returns the accepted documents read back from `outDir` (empty-input
+    * streams return an empty frame of the stream's schema). */
+  def nearDedupStream(docStream: DataFrame, corpusBands: DataFrame,
+                      corpusShingles: DataFrame, stateDir: String,
+                      outDir: String, ckptDir: String,
+                      idCol: String, textCol: String,
+                      threshold: Double = 0.7, numHashes: Int = 64,
+                      bands: Int = 16, shingleK: Int = 3,
+                      maxBucket: Int = 10000): DataFrame = {
+    val spark = docStream.sparkSession
+    def part(base: String): Option[DataFrame] =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(base)))
+        Some(spark.read.parquet(base)) else None
+    val q = docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = part(s"$stateDir/bands").map(_.where(col("bid") < batchId))
+          .zip(part(s"$stateDir/sets").map(_.where(col("bid") < batchId)))
+        val idxBands = prior.map { case (b, _) =>
+          corpusBands.unionByName(b.drop("bid")) }.getOrElse(corpusBands)
+        val idxSets = prior.map { case (_, s) =>
+          corpusShingles.unionByName(s.drop("bid")) }.getOrElse(corpusShingles)
+        val kept = Dedup.incrementalNearDedupPersisted(idxBands, idxSets,
+          batch, idCol, textCol, threshold, numHashes, bands, shingleK,
+          maxBucket).ckpt()
+        kept.write.mode("overwrite").parquet(s"$outDir/bid=$batchId")
+        // ALL batch docs enter the index — a dropped doc must still
+        // suppress its own later near-copies (the oracle's rule)
+        val (nb, ns) = Dedup.corpusNearDupIndex(batch, idCol, textCol,
+          numHashes, bands, shingleK)
+        nb.write.mode("overwrite").parquet(s"$stateDir/bands/bid=$batchId")
+        ns.write.mode("overwrite").parquet(s"$stateDir/sets/bid=$batchId")
+      }
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+    part(outDir).map(_.drop("bid")).getOrElse(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        docStream.schema))
   }
 
   /** Run a streaming DataFrame to completion over the (bounded) file source

@@ -31,6 +31,27 @@ object LlmQueries {
 
   private val duckStop = "('the','a','of','and','is')"
 
+  /** Brute-force replay of incremental near-dedup vs the persisted
+    * even-doc index — shared VERBATIM by `dedup_incr_near_persisted` and
+    * its streaming twin `stream_near_dedup`: a batch (odd) doc survives
+    * iff no corpus (even) doc and no earlier (smaller-id) batch doc is a
+    * shingle-Jaccard near-duplicate. */
+  private lazy val incrNearPersistedSql: String =
+    s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+       |b AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+       |c AS (SELECT * FROM s WHERE doc_id % 2 = 0)
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |JOIN b ON d.doc_id = b.doc_id
+       |WHERE NOT EXISTS (SELECT 1 FROM c
+       |  WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+       |    (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
+       |    >= 0.7)
+       |AND NOT EXISTS (SELECT 1 FROM b b2
+       |  WHERE b2.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(b.sh, b2.sh)) AS DOUBLE) /
+       |    (len(b.sh) + len(b2.sh) - len(list_intersect(b.sh, b2.sh)))
+       |    >= 0.7)""".stripMargin
+
   /** DuckDB replay of the PQ chain ([[graft.ext.Pq]]): per-subspace
     * seeding, L2 assignment in dot-product form (c·c − 2·x·c, the only
     * form both engines compute identically), per-dim AVG means,
@@ -2961,27 +2982,36 @@ object LlmQueries {
     // restages) and each batch joins against the read-back index — corpus
     // TEXT is never re-scanned (PlanSpec pins this). Same semantics, same
     // brute-force oracle as dedup_incr_near.
-    Reg("dedup_incr_near_persisted", Some(
-      s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
-         |b AS (SELECT * FROM s WHERE doc_id % 2 = 1),
-         |c AS (SELECT * FROM s WHERE doc_id % 2 = 0)
-         |SELECT d.doc_id, d.lang, d.source FROM documents d
-         |JOIN b ON d.doc_id = b.doc_id
-         |WHERE NOT EXISTS (SELECT 1 FROM c
-         |  WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
-         |    (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
-         |    >= 0.7)
-         |AND NOT EXISTS (SELECT 1 FROM b b2
-         |  WHERE b2.doc_id < b.doc_id
-         |  AND CAST(len(list_intersect(b.sh, b2.sh)) AS DOUBLE) /
-         |    (len(b.sh) + len(b2.sh) - len(list_intersect(b.sh, b2.sh)))
-         |    >= 0.7)""".stripMargin))(
+    Reg("dedup_incr_near_persisted", Some(incrNearPersistedSql))(
       (s, dir) => {
         val idx = stagedNearDupIndex(s, dir)
         Dedup.incrementalNearDedupPersisted(
           s.read.parquet(s"$idx/corpus_bands.parquet"),
           s.read.parquet(s"$idx/corpus_shingles.parquet"),
           Tables(s, dir).documents.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", threshold = 0.7)
+          .select("doc_id", "lang", "source")
+      }),
+
+    // ST: STREAMING near-dedup — the ingest path's streaming twin
+    // ([[graft.ext.Streaming.nearDedupStream]]): the odd-doc stream is
+    // filtered per micro-batch against the SAME persisted even-doc index
+    // as dedup_incr_near_persisted, with each batch's band/shingle
+    // contribution appended as durable, batchId-keyed state (overwrite =
+    // replay-idempotent; the checkpoint-recovery spec drives a mid-stream
+    // restart). Over the bounded AvailableNow source the result is the
+    // batch sibling's, so the oracle is shared VERBATIM.
+    Reg("stream_near_dedup", Some(incrNearPersistedSql))(
+      (s, dir) => {
+        val idx = stagedNearDupIndex(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_stream_neardup").toString
+        graft.ext.Streaming.nearDedupStream(
+          graft.ext.Streaming.readDocuments(s, dir)
+            .where(col("doc_id") % 2 === 1),
+          s.read.parquet(s"$idx/corpus_bands.parquet"),
+          s.read.parquet(s"$idx/corpus_shingles.parquet"),
+          s"$base/state", s"$base/out", s"$base/ckpt",
           "doc_id", "text", threshold = 0.7)
           .select("doc_id", "lang", "source")
       }),

@@ -485,6 +485,49 @@ class StreamingSpec extends SparkSpec {
     assert(broken.map(_._1) == Seq(1L, 2L, 4L), broken.toString)
   }
 
+  test("checkpoint recovery: streaming near-dedup's durable index survives restart — run-2 copies of run-1 docs are suppressed") {
+    // Fifth stateful codepath: the near-dedup BAND/SHINGLE INDEX — durable
+    // batchId-keyed contributions on disk, not a Spark state store. A
+    // run-2 near-copy of a run-1 doc must drop (index reloaded from the
+    // bid<current partitions), INCLUDING a copy of a run-1 doc that was
+    // itself DROPPED (all seen docs enter the index — the oracle's
+    // any-earlier-doc rule), and the restarted run must equal the
+    // unbroken run.
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_recovery_neardup").toString
+    val corpus = Seq(
+      (0L, "the standing corpus document about federated scan sources"))
+      .toDF("doc_id", "text")
+    val (cb, cs) = Dedup.corpusNearDupIndex(corpus, "doc_id", "text")
+    val half1 = Seq(
+      (1L, "the standing corpus document about federated scan sources"), // corpus dup — drop
+      (3L, "a genuinely novel first document with its own words"))       // keep
+    val half2 = Seq(
+      (5L, "a genuinely novel first document with its own words"),       // dup of kept 3 — drop
+      (7L, "the standing corpus document about federated scan sources"), // dup of DROPPED 1 — drop
+      (9L, "another fresh second document no earlier text resembles"))   // keep
+    def write(rows: Seq[(Long, String)], dir: String): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    val schema = Seq.empty[(Long, String)].toDF("doc_id", "text").schema
+    def run(srcDir: String, stateDir: String, outDir: String,
+            ckptDir: String): Seq[Long] =
+      Streaming.nearDedupStream(
+          spark.readStream.schema(schema).parquet(srcDir), cb, cs,
+          stateDir, outDir, ckptDir, "doc_id", "text", threshold = 0.7)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    write(half1, s"$base/src")
+    run(s"$base/src", s"$base/state", s"$base/out", s"$base/ckpt")
+    write(half2, s"$base/src")
+    val broken = run(s"$base/src", s"$base/state", s"$base/out", s"$base/ckpt")
+    write(half1 ++ half2, s"$base/src2")
+    val unbroken =
+      run(s"$base/src2", s"$base/state2", s"$base/out2", s"$base/ckpt2")
+    assert(broken == unbroken,
+      s"recovered near-dedup diverged:\nbroken=$broken\nunbroken=$unbroken")
+    assert(broken == Seq(3L, 9L), broken.toString)
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
