@@ -354,6 +354,43 @@ object Graph {
     val e = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).persist()
+    val out = lpaRounds(e, iters, checkpointInterval)
+    e.unpersist()
+    out
+  }
+
+  /** [[labelPropagation]] over a PRE-BIDIRECTED, PRE-PARTITIONED edge
+    * table — the staged-layout read path: `e0` is the bidirected edge
+    * list an ingest pipeline wrote BUCKETED BY `src`
+    * ([[graft.io.Sinks.writeBucketed]]), so each round's src-side join
+    * consumes the bucket layout directly — no derivation self-join, no
+    * E-sized distinct, and no repartition exchange anywhere on the edge
+    * input (PlanSpec pins it). This is the last per-round shuffle lever
+    * for the iterative family at 100 TB: the only E-sized movement left
+    * is the partial-aggregated message combine itself.
+    *
+    * Caller contract (what the staged writer produces): deduplicated,
+    * self-loop-free, BOTH orientations present. Output is hash-identical
+    * to [[labelPropagation]] over the matching canonical pair list. */
+  def labelPropagationBucketed(e0: DataFrame, iters: Int = 5,
+                               checkpointInterval: Int = 2): DataFrame = {
+    require(iters >= 1, s"labelPropagation needs >= 1 iteration: $iters")
+    // persist keeps the bucketed scan's HashPartitioning(src) on the
+    // cached blocks — rounds re-read memory, not parquet
+    val e = e0.select(col(e0.columns(0)).as("src"),
+      col(e0.columns(1)).as("dst")).persist()
+    val out = lpaRounds(e, iters, checkpointInterval)
+    e.unpersist()
+    out
+  }
+
+  /** The shared LPA round loop over a bidirected, partitioned-by-src,
+    * persisted edge frame (see [[labelPropagation]] for the algorithm
+    * and the adaptive full/delta round policy). */
+  private def lpaRounds(e: DataFrame, iters: Int,
+                        checkpointInterval: Int): DataFrame = {
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be positive, got $checkpointInterval")
 
     def argmaxLabels(sub: DataFrame, labels: DataFrame): DataFrame =
       sub.join(labels, sub("src") === labels("node"))
@@ -420,7 +457,6 @@ object Graph {
       Ckpt.frontier("lpa", i, changedCnt)
       i += 1
     }
-    e.unpersist()
     labels.select(col("node"), col("label").as("community"))
   }
 

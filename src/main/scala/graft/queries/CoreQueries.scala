@@ -108,7 +108,7 @@ object CoreQueries {
     * restore in a fresh session. Overwrite-mode writes keep the path from
     * accreting; an OS file lock serializes concurrent JVMs so two sessions
     * never interleave writes into the same stage. */
-  private def stageEachJvm(kind: String, dir: String)(create: String => Unit): String =
+  private[queries] def stageEachJvm(kind: String, dir: String)(create: String => Unit): String =
     stageCache.computeIfAbsent(s"$kind:$dir", { _ =>
       import java.nio.file.{Files, StandardOpenOption}
       val base = stableStageBase(kind, dir)

@@ -170,6 +170,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("staged bucketed edge table feeds an LPA round with NO Exchange on the edge input") {
+    import graft.io.Sinks
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val e0 = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    Sinks.writeBucketed(e0, "bkt_edges_plan", "src", 8, sortCol = Some("src"))
+    try {
+      def round(e: org.apache.spark.sql.DataFrame): String = {
+        val labels = e.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+        physical(e.join(labels, e("src") === labels("node"))
+          .groupBy(e("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("n")))
+      }
+      val bucketed = round(spark.table("bkt_edges_plan"))
+      val plain = round(e0)
+      // the bucketed scan is consumed AS bucketed...
+      assert(bucketed.contains("Bucketed: true"),
+        s"edge scan not reading the bucket layout:\n$bucketed")
+      // ...and the round pays strictly fewer shuffles than the plain edge
+      // frame — the edge-side Exchange is gone (only the label side and
+      // the message combine remain)
+      def nEx(p: String): Int = p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      assert(nEx(bucketed) < nEx(plain),
+        s"bucketed round did not remove the edge-side Exchange:" +
+          s"\nbucketed ${nEx(bucketed)} vs plain ${nEx(plain)}\n$bucketed")
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_edges_plan")
+  }
+
   test("trainOrder never single-partition-sorts the data — only the 256-row offset table") {
     val df = graft.ext.Sampling.trainOrder(t.documents, "doc_id")
     val plan = physical(df)
