@@ -77,7 +77,13 @@ object Bench {
       // (string building, regex, HOF transforms) would time as a bare scan.
       // The noop sink consumes all columns — the same work Verify's parquet
       // dump pays — without write I/O.
-      fn(sess, dir).write.mode("overwrite").format("noop").save()
+      // Ckpt.releasing: each timed run releases its own checkpoint blocks
+      // at scope close — a full-registry sweep in ONE JVM must not
+      // accrete them (the sf10 OOM lesson); the release cost is inside
+      // the timed window, as it would be in any real job.
+      Ckpt.releasing {
+        fn(sess, dir).write.mode("overwrite").format("noop").save()
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

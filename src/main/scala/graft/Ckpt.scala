@@ -47,7 +47,7 @@ object Ckpt {
     val spark = df.sparkSession
     val reliable = spark.conf.getOption("graft.checkpoint.reliable")
       .exists(_.trim.equalsIgnoreCase("true"))
-    if (reliable) {
+    val out = if (reliable) {
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         spark.sparkContext.setCheckpointDir(
           spark.conf.getOption("graft.checkpoint.dir").getOrElse {
@@ -62,6 +62,53 @@ object Ckpt {
           })
       df.checkpoint()
     } else df.localCheckpoint()
+    track(out)
+    out
+  }
+
+  // ---- scoped block release --------------------------------------------
+  // The sf10 lesson (round 11): N heavy queries in one JVM accrete
+  // localCheckpoint blocks — each truncation pins its materialized frame
+  // in executor storage for the JVM's lifetime (checkpointed RDDs are
+  // only dropped by GC + ContextCleaner, which lags far behind a
+  // back-to-back sweep) — until an unrelated SortMergeJoin OOMs. The
+  // fleet workaround was family-sized JVMs; the ENGINE fix is scoped
+  // release: the harness wraps each query's run-and-materialize in
+  // [[releasing]], and every truncation performed inside the scope is
+  // unpersisted when the scope closes. Safe by the scope contract: the
+  // caller has fully materialized (written/collected) anything it keeps,
+  // so the pinned blocks have no remaining consumer.
+
+  private val scopes =
+    new java.util.ArrayDeque[scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.rdd.RDD[_]]]()
+
+  private def track(out: DataFrame): Unit = scopes.synchronized {
+    if (!scopes.isEmpty) {
+      val rdds = out.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      scopes.peek() ++= rdds
+    }
+  }
+
+  /** Run `body`; after it returns (or throws), unpersist every block a
+    * [[apply]]/`.ckpt()` truncation inside the scope pinned. Call sites:
+    * one scope per query in Verify/Bench, wrapped AROUND the result's
+    * materialization. Scopes nest — an inner scope releases only its own
+    * truncations. No-op for code running outside any scope (library use
+    * keeps today's lifetime). */
+  def releasing[T](body: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    scopes.synchronized(scopes.push(buf))
+    try body
+    finally {
+      scopes.synchronized(scopes.remove(buf))
+      buf.foreach(r =>
+        try r.unpersist(blocking = false)
+        catch { case _: Exception => () })
+    }
   }
 
   /** `.ckpt()` postfix form so call sites keep reading as a chain:

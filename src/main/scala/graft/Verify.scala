@@ -40,9 +40,13 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce would fuse into the final
-      // stage and run each query's post-shuffle work single-threaded
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // stage and run each query's post-shuffle work single-threaded.
+      // Ckpt.releasing: drop the query's checkpoint blocks once its dump
+      // is written — a 300-query sweep must not accrete them (sf10 OOM)
+      try Ckpt.releasing {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a FAILED query must not leave a stale dump from an earlier run —

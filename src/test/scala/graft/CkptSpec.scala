@@ -38,6 +38,34 @@ class CkptSpec extends SparkSpec {
     }
   }
 
+  test("releasing scope drops the blocks its truncations pinned; outer work survives") {
+    def pinned: Int = spark.sparkContext.getPersistentRDDs.size
+    // outside any scope: ckpt blocks stay (library behavior unchanged)
+    val keep = spark.range(50).toDF("x").ckpt()
+    val base = pinned
+    var inside = -1
+    val res = Ckpt.releasing {
+      val a = spark.range(1000).select(col("id"), (col("id") % 3).as("m")).ckpt()
+      val b = a.groupBy("m").count().ckpt()
+      inside = pinned
+      b.count() // fully materialized before the scope closes
+    }
+    assert(res == 3L)
+    assert(inside >= base + 2, s"ckpts not pinned in scope: $inside vs $base")
+    assert(pinned == base,
+      s"scope did not release its blocks: $pinned vs $base")
+    // the pre-scope checkpoint is untouched and still readable
+    assert(keep.count() == 50L)
+    // an iterative consumer inside a scope stays green end-to-end
+    val comp = Ckpt.releasing {
+      graft.ext.Dedup.connectedComponents(
+          Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(pinned == base, "iterative scope leaked blocks")
+  }
+
   test("an iterative consumer (connectedComponents) is green in reliable mode") {
     spark.conf.set("graft.checkpoint.reliable", "true")
     try {
