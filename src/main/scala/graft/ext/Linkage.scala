@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * input for [[Dedup.connectedComponents]] grouping + [[Dedup
   * .goldenRecords]] fusion — this file completes that ER pipeline.
   *
-  * Engine-parity discipline: m/u are CALLER-SUPPLIED PRIORS, so the four
-  * per-field weights are compile-time double literals — the score is a
-  * fixed-order sum of literals (IEEE-exact on any engine), never a
-  * runtime transcendental. An oracle replays it by embedding the same
-  * shortest-round-trip literals.
+  * Engine-parity discipline: m/u are caller-supplied priors or the
+  * [[emFitFields]] EM estimates — either way the per-field weights reach
+  * the plan as double literals, so the score is a fixed-order sum of
+  * literals (IEEE-exact on any engine). An oracle replays supplied
+  * priors by embedding the same shortest-round-trip literals, and
+  * fitted ones by unrolling the deterministic EM chain (see [[emFit]]).
   *
   * Scale: candidate pairs come from an EQUALITY self-join on `blockKey`
   * (never all-pairs), and block sizes bound the quadratic ONLY while the
@@ -47,13 +48,17 @@ object Linkage {
     * `threshold` drop. Returns (a_id, b_id, n_agree, score). Nulls never
     * agree (null ⇔ anything, including null, is a disagreement — the
     * conservative contract; use a sentinel upstream to opt out). */
-  def selfLinkPairs(df: DataFrame, idCol: String, blockKey: Column,
-                    fields: Seq[FieldSpec],
-                    threshold: Double,
-                    maxBlock: Int = 10000): DataFrame = {
-    require(fields.nonEmpty, "at least one compared field")
+  /** Blocked candidate pairs carrying both sides' compared fields
+    * (`__a_<f>` / `__b_<f>`): exact all-pairs within blocks at or under
+    * `maxBlock`, star-collapsed around the block's min-id representative
+    * above it. Shared by [[selfLinkPairs]] (scoring) and
+    * [[agreementPatternCounts]] (the EM fit). */
+  private def candidatePairs(df: DataFrame, idCol: String, blockKey: Column,
+                             fieldNames: Seq[String],
+                             maxBlock: Int): DataFrame = {
+    require(fieldNames.nonEmpty, "at least one compared field")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
-    val cols = col(idCol).as("__id") +: fields.map(f => col(f.field))
+    val cols = col(idCol).as("__id") +: fieldNames.map(col)
     // a plain pruned projection — unlike signaturePairs' exploded band
     // table there is no row inflation to cache, so the operator stays a
     // single LAZY declarative plan (scan reuse, runtime broadcast of the
@@ -65,42 +70,147 @@ object Linkage {
     // WindowExec task — same skew armor as [[Dedup.signaturePairs]]
     val stats = base.groupBy("__blk")
       .agg(count(lit(1)).as("__bsz"),
-        min(struct(col("__id") +: fields.map(f => col(f.field)): _*))
-          .as("__r"))
+        min(struct(col("__id") +: fieldNames.map(col): _*)).as("__r"))
     val sized = base.join(stats, Seq("__blk"))
-
-    def scored(pairs: DataFrame): DataFrame = {
-      val agreeFlags = fields.map { f =>
-        (col(s"__a_${f.field}") === col(s"__b_${f.field}"))
-          .and(col(s"__a_${f.field}").isNotNull)
-      }
-      val nAgree = agreeFlags.map(fl => when(fl, 1L).otherwise(0L))
-        .reduce(_ + _)
-      val score = fields.zip(agreeFlags).map { case (f, fl) =>
-        when(fl, lit(f.agreeWeight)).otherwise(lit(f.disagreeWeight))
-      }.reduce(_ + _)
-      pairs.select(col("a_id"), col("b_id"), nAgree.as("n_agree"),
-          Timeseries.r5(score).as("score"))
-        .where(col("score") >= threshold)
-    }
-
     // exact path: all pairs within blocks at or under the cap
     val small = sized.where(col("__bsz") <= maxBlock)
     val a = small.select(col("__blk") +: col("__id").as("a_id") +:
-      fields.map(f => col(f.field).as(s"__a_${f.field}")): _*)
+      fieldNames.map(f => col(f).as(s"__a_$f")): _*)
     val b = small.select(col("__blk") +: col("__id").as("b_id") +:
-      fields.map(f => col(f.field).as(s"__b_${f.field}")): _*)
-    val exact = scored(a.join(b, Seq("__blk"))
-      .where(col("a_id") < col("b_id")))
+      fieldNames.map(f => col(f).as(s"__b_$f")): _*)
+    val exact = a.join(b, Seq("__blk"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id") +: col("b_id") +:
+        fieldNames.flatMap(f => Seq(col(s"__a_$f"), col(s"__b_$f"))): _*)
     // star path: over-cap blocks compare members against the block's
     // min-id representative only — k-1 pairs, not k²/2; a_id < b_id
     // holds by construction (the representative is the block minimum)
-    val star = scored(sized
+    val star = sized
       .where(col("__bsz") > maxBlock && col("__id") =!= col("__r.__id"))
       .select(col("__r.__id").as("a_id") +: col("__id").as("b_id") +:
-        fields.flatMap(f => Seq(
-          col(s"__r.${f.field}").as(s"__a_${f.field}"),
-          col(f.field).as(s"__b_${f.field}"))): _*))
+        fieldNames.flatMap(f => Seq(
+          col(s"__r.$f").as(s"__a_$f"), col(f).as(s"__b_$f"))): _*)
     exact.union(star)
+  }
+
+  /** Per-field agreement flag: non-null equality (nulls never agree). */
+  private def agreeFlag(f: String): Column =
+    (col(s"__a_$f") === col(s"__b_$f")).and(col(s"__a_$f").isNotNull)
+
+  def selfLinkPairs(df: DataFrame, idCol: String, blockKey: Column,
+                    fields: Seq[FieldSpec],
+                    threshold: Double,
+                    maxBlock: Int = 10000): DataFrame = {
+    val pairs = candidatePairs(df, idCol, blockKey, fields.map(_.field),
+      maxBlock)
+    val agreeFlags = fields.map(f => agreeFlag(f.field))
+    val nAgree = agreeFlags.map(fl => when(fl, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val score = fields.zip(agreeFlags).map { case (f, fl) =>
+      when(fl, lit(f.agreeWeight)).otherwise(lit(f.disagreeWeight))
+    }.reduce(_ + _)
+    pairs.select(col("a_id"), col("b_id"), nAgree.as("n_agree"),
+        Timeseries.r5(score).as("score"))
+      .where(col("score") >= threshold)
+  }
+
+  /** EXACT agreement-pattern counts over the blocked candidates — the
+    * bounded sufficient statistic the EM fit runs on: one row per 0/1
+    * vector (g_0..g_{k−1}, n), at most 2^k rows however large the corpus.
+    * This is the only corpus-sized job unsupervised estimation needs. */
+  def agreementPatternCounts(df: DataFrame, idCol: String, blockKey: Column,
+                             fieldNames: Seq[String],
+                             maxBlock: Int = 10000): DataFrame = {
+    val flags = fieldNames.zipWithIndex.map { case (f, i) =>
+      when(agreeFlag(f), 1).otherwise(0).as(s"g$i")
+    }
+    candidatePairs(df, idCol, blockKey, fieldNames, maxBlock)
+      .select(flags: _*)
+      .groupBy(fieldNames.indices.map(i => col(s"g$i")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Driver twin of the oracle's `FLOOR(x·1e9 + 0.5)/1e9`. */
+  private def r9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+  /** Unsupervised (m, u, p) estimation — the classical EM fit over
+    * agreement-pattern counts (Winkler, "Using the EM algorithm for
+    * weight computation in the Fellegi–Sunter model of record linkage",
+    * 1988): treat match/non-match as the latent class, E-step assigns
+    * each pattern a match responsibility w(γ) under conditional
+    * independence, M-step re-estimates p, m_i, u_i from the weighted
+    * counts. Fixed `iters` iterations from fixed literal inits — no
+    * convergence test, so a SQL oracle can unroll the chain.
+    *
+    * Engine-neutral determinism (the dsum integer-cents trick applied to
+    * EM): each pattern's responsibility rounds to an INTEGER
+    * w9 = floor(w·1e9 + 0.5); all M-step aggregation is then EXACT
+    * 64-bit integer arithmetic (order-free), each new parameter is one
+    * double division r9-rounded and clamped to [1e-9, 1−1e-9] — so an
+    * unrolled SQL replay reproduces every iterate bit-for-bit. Integer
+    * budget: Σ n·1e9 must stay under 2^63 ⇒ < ~9.2e9 candidate pairs —
+    * fit on a blocked sample beyond that.
+    *
+    * `patterns` = (agreement vector, count); at most 2^k rows (the
+    * [[agreementPatternCounts]] collect — bounded by construction).
+    * Returns (p, m, u). */
+  def emFit(patterns: Seq[(Seq[Int], Long)], nFields: Int,
+            iters: Int = 20, initP: Double = 0.1, initM: Double = 0.9,
+            initU: Double = 0.1): (Double, Seq[Double], Seq[Double]) = {
+    require(patterns.nonEmpty, "no candidate pairs to fit on")
+    require(patterns.forall(_._1.length == nFields),
+      "pattern arity != nFields")
+    val total = patterns.map(_._2).sum
+    def clamp(x: Double): Double = math.min(math.max(x, 1e-9), 1.0 - 1e-9)
+    var p = initP
+    var m = Seq.fill(nFields)(initM)
+    var u = Seq.fill(nFields)(initU)
+    var it = 0
+    while (it < iters) {
+      // E-step: per-pattern responsibility, left-assoc products in field
+      // order (the same association the SQL replay writes out)
+      val rows = patterns.map { case (g, n) =>
+        val pm = g.zip(m).foldLeft(p) { case (acc, (gi, mi)) =>
+          acc * (if (gi == 1) mi else 1.0 - mi) }
+        val pu = g.zip(u).foldLeft(1.0 - p) { case (acc, (gi, ui)) =>
+          acc * (if (gi == 1) ui else 1.0 - ui) }
+        (g, n, math.floor(pm / (pm + pu) * 1e9 + 0.5).toLong)
+      }
+      // M-step: exact integer sums, one rounded division per parameter
+      val sw = rows.map(r => r._2 * r._3).sum
+      val swc = rows.map(r => r._2 * (1000000000L - r._3)).sum
+      p = clamp(r9(sw.toDouble / (total.toDouble * 1e9)))
+      if (sw > 0)
+        m = (0 until nFields).map { i =>
+          clamp(r9(rows.filter(_._1(i) == 1).map(r => r._2 * r._3).sum
+            .toDouble / sw.toDouble))
+        }
+      if (swc > 0)
+        u = (0 until nFields).map { i =>
+          clamp(r9(rows.filter(_._1(i) == 1)
+            .map(r => r._2 * (1000000000L - r._3)).sum
+            .toDouble / swc.toDouble))
+        }
+      it += 1
+    }
+    (p, m, u)
+  }
+
+  /** Fit [[FieldSpec]]s from the data itself — [[agreementPatternCounts]]
+    * (one corpus-sized job, ≤ 2^k collected rows) feeding [[emFit]] — so
+    * [[selfLinkPairs]] runs without hand-supplied priors. Throws if a
+    * fitted field is non-discriminating (m ≤ u): silent garbage weights
+    * are worse than a loud failure. */
+  def emFitFields(df: DataFrame, idCol: String, blockKey: Column,
+                  fieldNames: Seq[String], iters: Int = 20,
+                  maxBlock: Int = 10000): Seq[FieldSpec] = {
+    val k = fieldNames.length
+    val pats = agreementPatternCounts(df, idCol, blockKey, fieldNames,
+        maxBlock)
+      .collect()
+      .map(r => (Seq.tabulate(k)(i => r.getInt(i)), r.getLong(k)))
+      .toSeq.sortBy(_._1.mkString)
+    val (_, m, u) = emFit(pats, k, iters)
+    fieldNames.zipWithIndex.map { case (f, i) => FieldSpec(f, m(i), u(i)) }
   }
 }

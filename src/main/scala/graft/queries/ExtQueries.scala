@@ -3050,6 +3050,7 @@ object ExtQueries {
     graphPprReg,
     sketchCmsReg,
     erFsReg,
+    erFsEmReg,
     erFsGroupsReg
   )
 
@@ -3220,6 +3221,117 @@ object ExtQueries {
         concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
         fields, threshold = 5.0))
   }
+
+  /** Unrolled-EM replay for er_fs_em (see [[graft.ext.Linkage.emFit]]'s
+    * determinism contract): blocked candidates → agreement-pattern counts
+    * → `iters` E/M CTE pairs with the identical integer-w9 / r9-rounded
+    * arithmetic → LN weights from the final iterate → scored pairs. The
+    * kmeans/PCA unrolled-chain precedent applied to EM. */
+  private def erFsEmSql(iters: Int): String = {
+    val k = 3
+    val gflags = (0 until k).map(i =>
+      s"CASE WHEN a.f$i = b.f$i THEN 1 ELSE 0 END AS g$i").mkString(",\n    ")
+    // E-step responsibility, left-assoc products in field order — the
+    // exact expression emFit folds
+    val pm = (0 until k).map(i =>
+      s"(CASE WHEN t.g$i = 1 THEN e.m$i ELSE 1.0 - e.m$i END)")
+      .mkString(" * ")
+    val pu = (0 until k).map(i =>
+      s"(CASE WHEN t.g$i = 1 THEN e.u$i ELSE 1.0 - e.u$i END)")
+      .mkString(" * ")
+    def r9clamp(x: String) =
+      s"LEAST(GREATEST(FLOOR($x * 1000000000.0 + 0.5) / 1000000000.0, " +
+        "1e-9), 1.0 - 1e-9)"
+    val gs = (0 until k).map(i => s"g$i").mkString(", ")
+    val steps = (1 to iters).map { j =>
+      val ms = (0 until k).map(i => r9clamp(
+        s"CAST(SUM(n * w9 * g$i) AS DOUBLE) / CAST(SUM(n * w9) AS DOUBLE)")
+        + s" AS m$i").mkString(",\n  ")
+      val us = (0 until k).map(i => r9clamp(
+        s"CAST(SUM(n * (1000000000 - w9) * g$i) AS DOUBLE) / " +
+          "CAST(SUM(n * (1000000000 - w9)) AS DOUBLE)") + s" AS u$i")
+        .mkString(",\n  ")
+      s"""w$j AS (SELECT $gs, n,
+         |  CAST(FLOOR((e.p * $pm) / ((e.p * $pm) + ((1.0 - e.p) * $pu))
+         |    * 1000000000.0 + 0.5) AS BIGINT) AS w9
+         |  FROM pat t, em${j - 1} e),
+         |em$j AS (SELECT
+         |  ${r9clamp("CAST(SUM(n * w9) AS DOUBLE) / " +
+              "((SELECT nn FROM tot) * 1000000000.0)")} AS p,
+         |  $ms,
+         |  $us
+         |  FROM w$j)""".stripMargin
+    }.mkString(",\n")
+    val wts = (0 until k).map(i =>
+      s"LN(m$i / u$i) AS aw$i, LN((1.0 - m$i) / (1.0 - u$i)) AS dw$i")
+      .mkString(", ")
+    val scoreSum = (0 until k).map(i =>
+      s"(CASE WHEN c.g$i = 1 THEN w.aw$i ELSE w.dw$i END)").mkString("\n      + ")
+    val nAgree = (0 until k).map(i => s"c.g$i").mkString(" + ")
+    s"""WITH base AS (SELECT p_partkey AS id,
+       |    p_brand || '|' || CAST(p_size AS VARCHAR) AS blk,
+       |    p_type AS f0, string_split(p_name, ' ')[1] AS f1,
+       |    string_split(p_name, ' ')[2] AS f2 FROM part),
+       |dups AS (SELECT id + 10000000 AS id, blk,
+       |    CASE WHEN id % 20 = 0 THEN 'XX' ELSE f0 END AS f0,
+       |    CASE WHEN id % 25 = 5 THEN 'XX' ELSE f1 END AS f1,
+       |    CASE WHEN id % 5 = 1 THEN 'XX' ELSE f2 END AS f2
+       |  FROM base WHERE id % 2 = 0),
+       |p AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+       |cand AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    $gflags
+       |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id),
+       |pat AS (SELECT $gs, COUNT(*) AS n FROM cand GROUP BY $gs),
+       |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM pat),
+       |em0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+       |  ${(0 until k).map(i => s"CAST(0.9 AS DOUBLE) AS m$i").mkString(", ")},
+       |  ${(0 until k).map(i => s"CAST(0.1 AS DOUBLE) AS u$i").mkString(", ")}),
+       |$steps,
+       |wt AS (SELECT $wts FROM em$iters)
+       |SELECT a_id, b_id, n_agree, score FROM (
+       |  SELECT c.a_id, c.b_id, CAST($nAgree AS BIGINT) AS n_agree,
+       |    CAST(FLOOR(($scoreSum) * 100000.0 + 0.5) AS BIGINT) / 100000.0
+       |      AS score
+       |  FROM cand c, wt w)
+       |WHERE score >= 0.0""".stripMargin
+  }
+
+  // Fellegi–Sunter with UNSUPERVISED priors — er_fs without hand-tuned
+  // weights: [[graft.ext.Linkage.emFitFields]] fits (m, u) per field by
+  // Winkler EM over the blocked agreement-pattern counts (one bounded
+  // groupBy + a ≤2^k-row collect), and the fitted weights then reach the
+  // plan as literals exactly as er_fs's supplied priors do. Raw part has
+  // NO latent duplicate class (EM on its blocked pairs converges to a
+  // degenerate mixture — measured), so the query runs on a PLANTED noisy
+  // re-crawl derived from part: every even-keyed part re-appears
+  // id-offset with deterministic per-field error rates (f0 5%, f1 4%,
+  // f2 20%). EM recovers that structure unsupervised — fitted m ≈
+  // (0.90, 0.97, 0.73) ≫ u ≈ (0.15, 0.11, 0.12) at sf0.01 — and the
+  // oracle UNROLLS the same 20 deterministic iterations (integer-w9
+  // responsibilities, r9-rounded clamped parameters — bit-stable on any
+  // engine) over the same derived frame, so the hash pins the planting,
+  // candidate generation, the whole fit, and the scoring at once.
+  private def erFsEmReg: Reg =
+    Reg("er_fs_em", Some(erFsEmSql(iters = 20)))(
+      (s, dir) => {
+        val base = Tables(s, dir).part.select(
+          col("p_partkey").as("id"),
+          concat(col("p_brand"), lit("|"),
+            col("p_size").cast("string")).as("blk"),
+          col("p_type").as("f0"),
+          element_at(split(col("p_name"), " "), 1).as("f1"),
+          element_at(split(col("p_name"), " "), 2).as("f2"))
+        val dups = base.where(col("id") % 2 === 0).select(
+          (col("id") + 10000000L).as("id"), col("blk"),
+          when(col("id") % 20 === 0, "XX").otherwise(col("f0")).as("f0"),
+          when(col("id") % 25 === 5, "XX").otherwise(col("f1")).as("f1"),
+          when(col("id") % 5 === 1, "XX").otherwise(col("f2")).as("f2"))
+        val p = base.unionAll(dups)
+        val fitted = graft.ext.Linkage.emFitFields(p, "id", col("blk"),
+          Seq("f0", "f1", "f2"), iters = 20)
+        graft.ext.Linkage.selfLinkPairs(p, "id", col("blk"), fitted,
+          threshold = 0.0)
+      })
 
   // The COMPLETE entity-resolution pipeline in one query: Fellegi–Sunter
   // pairs (er_fs's exact configuration) → connected-components grouping →

@@ -57,6 +57,45 @@ class LinkageSpec extends SparkSpec {
     intercept[IllegalArgumentException](Linkage.FieldSpec("x", 0.1, 0.5))
   }
 
+  test("emFit recovers planted (p, m, u) from model-expected pattern counts") {
+    // exact expected counts under the two-class conditional-independence
+    // model at N = 1e6: the ML optimum IS the planted parameter vector,
+    // so a converged EM must land on it
+    val p0 = 0.2
+    val m0 = Seq(0.95, 0.9, 0.8)
+    val u0 = Seq(0.15, 0.1, 0.05)
+    val pats = for (g0 <- 0 to 1; g1 <- 0 to 1; g2 <- 0 to 1) yield {
+      val g = Seq(g0, g1, g2)
+      def pr(t: Seq[Double]) = g.zip(t)
+        .map { case (gi, ti) => if (gi == 1) ti else 1 - ti }.product
+      (g, math.round((p0 * pr(m0) + (1 - p0) * pr(u0)) * 1e6))
+    }
+    val (p, m, u) = Linkage.emFit(pats.toSeq, 3, iters = 200)
+    assert(math.abs(p - p0) < 0.02, s"p=$p")
+    m0.zip(m).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 0.02, s"m: want $want got $got") }
+    u0.zip(u).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 0.02, s"u: want $want got $got") }
+  }
+
+  test("emFitFields fits discriminating specs on a planted-duplicate frame") {
+    // one block, 10 originals + a noisy copy of each: ty always agrees on
+    // match pairs, tk agrees on 8 of 10 — fitted m must dominate u and
+    // scoring with the fitted specs must link every (i, i+100) pair
+    val rows = (1L to 10L).flatMap { i =>
+      Seq((i, "B", s"t$i", s"k$i"),
+        (i + 100L, "B", s"t$i", if (i <= 8) s"k$i" else "zz"))
+    }.toDF("id", "blk", "ty", "tk")
+    val fitted = Linkage.emFitFields(rows, "id", col("blk"),
+      Seq("ty", "tk"), iters = 50)
+    fitted.foreach(f => assert(f.m > f.u, f.toString))
+    val linked = Linkage.selfLinkPairs(rows, "id", col("blk"), fitted,
+        threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 10L).foreach(i => assert(linked.contains((i, i + 100L)),
+      s"match pair ($i, ${i + 100}) not linked: $linked"))
+  }
+
   test("over-cap blocks star-collapse around the min-id representative") {
     // skew-planted block: one degenerate key holds 50 of 60 records (the
     // empty-field-in-the-block-key failure), plus a small exact block
