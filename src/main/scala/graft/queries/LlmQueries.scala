@@ -31,6 +31,20 @@ object LlmQueries {
 
   private val duckStop = "('the','a','of','and','is')"
 
+  /** The applied near-clean contract — docs minus the larger id of every
+    * verified ≥ 0.7 pair — shared VERBATIM by `pipeline_near_clean` and
+    * its exact-pre-collapse sibling (see that Reg for the equivalence
+    * argument). */
+  private lazy val nearCleanSql: String =
+    s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+       |pairs AS (
+       |  SELECT b.doc_id AS b_id
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT b_id FROM pairs)""".stripMargin
+
   /** Brute-force replay of incremental near-dedup vs the persisted
     * even-doc index — shared VERBATIM by `dedup_incr_near_persisted` and
     * its streaming twin `stream_near_dedup`: a batch (odd) doc survives
@@ -2238,19 +2252,35 @@ object LlmQueries {
     // Near-dedup APPLIED: the corpus minus the larger id of every verified
     // near-dup pair (keep-first policy) — what a cleaning job actually
     // emits. Oracle-able because the pair list itself is (dedup_near).
-    Reg("pipeline_near_clean", Some(
-      s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
-         |pairs AS (
-         |  SELECT b.doc_id AS b_id
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id NOT IN (SELECT b_id FROM pairs)""".stripMargin))(
+    Reg("pipeline_near_clean", Some(nearCleanSql))(
       (s, dir) => {
         val docs = Tables(s, dir).documents
         val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
         Dedup.dropNearDups(docs, pairs, "doc_id")
+          .select("doc_id", "lang", "source")
+      }),
+
+    // The DEFENDED composition order for clone-heavy corpora (SCALE.md
+    // round 12: pipeline_near_clean measured 13×/decade on the
+    // ×100-clone corpus because banding meets 100-member identical
+    // groups; this shape is the fix): exact-dup pre-collapse to min-id
+    // representatives, then near-dup cleaning over representatives
+    // only. The OUTPUT is provably identical to pipeline_near_clean —
+    // an exact clone and its representative have the same shingle set,
+    // so (a) every non-representative is the larger end of a Jaccard-1
+    // pair (dropped either way) and (b) any smaller near-dup of a
+    // surviving doc maps to a smaller representative near-dup — which
+    // is why the oracle is shared VERBATIM: the hash proves the cheap
+    // order computes the expensive order's answer.
+    Reg("pipeline_near_clean_collapsed", Some(nearCleanSql))(
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val keep = Dedup.exactDedupGroups(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val reps = docs.join(keep, Seq("doc_id"), "left_semi")
+        val pairs = Dedup.nearDupPairs(reps, "doc_id", "text",
+          threshold = 0.7)
+        Dedup.dropNearDups(reps, pairs, "doc_id")
           .select("doc_id", "lang", "source")
       }),
 

@@ -46,6 +46,34 @@ object ScaleLab {
       }
     }
 
+    if (which.contains("erfs")) {
+      // round 12: the er_fs block quadratic under a SKEW-PLANTED key.
+      // Blocking on p_brand ALONE (25 blocks, |block| = parts/25) is the
+      // dominant-brand / empty-field-in-the-key failure the maxBlock
+      // star-collapse armor exists for: uncapped candidate pairs grow
+      // ×100 per decade (|block|²), the capped shape grows ×10 (k−1 star
+      // pairs per over-cap block). SCALELAB_ERFS_UNCAP=1 adds the
+      // uncapped arm (do NOT run it at sf10: ~8e10 pairs).
+      val part = tb.part.select(col("p_partkey"), col("p_brand"),
+        col("p_type"),
+        element_at(split(col("p_name"), " "), 1).as("tok1"),
+        element_at(split(col("p_name"), " "), 2).as("tok2"))
+      val fields = Seq(
+        graft.ext.Linkage.FieldSpec("p_type", 0.95, 0.02),
+        graft.ext.Linkage.FieldSpec("tok1", 0.90, 0.05),
+        graft.ext.Linkage.FieldSpec("tok2", 0.90, 0.05))
+      t("er_fs skew-block capped (maxBlock=2000)") {
+        graft.ext.Linkage.selfLinkPairs(part, "p_partkey",
+          col("p_brand"), fields, threshold = 5.0, maxBlock = 2000)
+      }
+      if (sys.env.get("SCALELAB_ERFS_UNCAP").contains("1"))
+        t("er_fs skew-block UNCAPPED") {
+          graft.ext.Linkage.selfLinkPairs(part, "p_partkey",
+            col("p_brand"), fields, threshold = 5.0,
+            maxBlock = Int.MaxValue)
+        }
+    }
+
     if (which.contains("neardup")) {
       // clone-heavy corpora put every document in a ~copies-sized identical
       // group, all of it below the over-cap star-collapse threshold — the
