@@ -78,10 +78,31 @@ object Ckpt {
   // unpersisted when the scope closes. Safe by the scope contract: the
   // caller has fully materialized (written/collected) anything it keeps,
   // so the pinned blocks have no remaining consumer.
+  //
+  // THREAD MODEL: the scope stack is process-global, not thread-scoped —
+  // a truncation on ANY thread is attributed to the innermost open
+  // scope. This is by design for the one legitimate cross-thread case
+  // (a foreachBatch microbatch thread truncating while the harness
+  // thread holds the query's scope open around awaitTermination); the
+  // contract is that callers do NOT run unrelated queries on other
+  // threads while a scope is open. Scopes are removed by IDENTITY
+  // (`eq`), never by structural equality — two empty ArrayBuffers
+  // compare `==`-equal, and a structural remove could pop another
+  // scope's buffer and unpersist localCheckpoint blocks that are the
+  // only copy of in-flight data.
 
   private val scopes =
     new java.util.ArrayDeque[scala.collection.mutable.ArrayBuffer[
       org.apache.spark.rdd.RDD[_]]]()
+
+  private def removeScope(
+      buf: scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.rdd.RDD[_]]): Unit = scopes.synchronized {
+    val it = scopes.iterator()
+    var found = false
+    while (!found && it.hasNext)
+      if (it.next() eq buf) { it.remove(); found = true }
+  }
 
   private def track(out: DataFrame): Unit = scopes.synchronized {
     if (!scopes.isEmpty) {
@@ -98,18 +119,47 @@ object Ckpt {
     * materialization. Scopes nest — an inner scope releases only its own
     * truncations. No-op for code running outside any scope (library use
     * keeps today's lifetime). */
-  def releasing[T](body: => T): T = {
+  def releasing[T](body: => T): T = releasingTracked(body)._1
+
+  /** Test/diagnostic form of [[releasing]]: also returns the scope's own
+    * tracked RDDs (already unpersisted by the time this returns). Tests
+    * assert on THESE — e.g. each tracked RDD's `getStorageLevel` is NONE
+    * after the scope — never on a global `getPersistentRDDs.size` delta,
+    * which races the async ContextCleaner dropping *unrelated* RDDs. */
+  private[graft] def releasingTracked[T](
+      body: => T): (T, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     scopes.synchronized(scopes.push(buf))
-    try body
-    finally {
-      scopes.synchronized(scopes.remove(buf))
-      buf.foreach(r =>
-        try r.unpersist(blocking = false)
-        catch { case _: Exception => () })
-    }
+    val result =
+      try body
+      finally {
+        removeScope(buf)
+        buf.foreach(r =>
+          try r.unpersist(blocking = false)
+          catch { case _: Exception => () })
+      }
+    (result, buf.toSeq)
   }
+
+  /** Release a checkpointed frame's blocks NOW, before its scope closes —
+    * for iterative loops where each interval's checkpoint supersedes the
+    * previous one: once the new checkpoint is MATERIALIZED (ckpt is
+    * eager) and any cross-checkpoint read (convergence delta, frontier
+    * count) has run, the predecessor's blocks have no remaining consumer,
+    * and dropping them keeps peak pinned state at O(1) checkpoints
+    * instead of O(iters/interval) — the graph_ppr 32 GiB margin. The
+    * caller must pass a frame whose plan root IS the checkpoint
+    * (ckpt()'s result or a pure projection of it), never a frame that
+    * joins OTHER live checkpointed inputs — drop unpersists every
+    * LogicalRDD in the plan. Safe to call on never-persisted frames
+    * (no-op) and idempotent with the scope-close release. */
+  def drop(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(r =>
+      try r.unpersist(blocking = false)
+      catch { case _: Exception => () })
 
   /** `.ckpt()` postfix form so call sites keep reading as a chain:
     * `pairs.distinct().ckpt()`. */

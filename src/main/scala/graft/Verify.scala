@@ -36,9 +36,10 @@ object Verify {
     // those queries, so tools/compare.py checks a focused subset fast
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce would fuse into the final
       // stage and run each query's post-shuffle work single-threaded.
       // Ckpt.releasing: drop the query's checkpoint blocks once its dump
@@ -49,6 +50,7 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
         // a FAILED query must not leave a stale dump from an earlier run —
         // the compare would silently pass old data; missing file = visible
         // failure
@@ -83,6 +85,25 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/kinds.json"), kindsJson)
+    // Manifest: the round-12 lesson — the driver's correctness artifact
+    // shipped EMPTY and nothing noticed. The manifest records how many
+    // queries the registry holds vs how many this run dumped, so any
+    // downstream compare (tools/compare.py, the close gate) can fail
+    // loudly when it compared fewer queries than the registry size
+    // instead of silently reporting n/n over a truncated set.
+    val manifest =
+      s"""{"registry_total": ${SparkEntry.queries.size},
+         | "selected": ${selected.size},
+         | "dumped": ${selected.size - failed.size},
+         | "failed": [${failed.map(q).mkString(",")}],
+         | "subset": ${only.isDefined}}""".stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED to dump: ${failed.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

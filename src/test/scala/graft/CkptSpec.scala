@@ -39,31 +39,58 @@ class CkptSpec extends SparkSpec {
   }
 
   test("releasing scope drops the blocks its truncations pinned; outer work survives") {
-    def pinned: Int = spark.sparkContext.getPersistentRDDs.size
+    // Assert on the scope's OWN tracked RDDs, never on a global
+    // getPersistentRDDs.size delta — the async ContextCleaner can drop
+    // *earlier tests'* RDDs between two global reads (the round-12 flake).
+    import org.apache.spark.storage.StorageLevel
     // outside any scope: ckpt blocks stay (library behavior unchanged)
     val keep = spark.range(50).toDF("x").ckpt()
-    val base = pinned
-    var inside = -1
-    val res = Ckpt.releasing {
+    var pinnedInside = Seq.empty[org.apache.spark.storage.StorageLevel]
+    val (res, tracked) = Ckpt.releasingTracked {
       val a = spark.range(1000).select(col("id"), (col("id") % 3).as("m")).ckpt()
       val b = a.groupBy("m").count().ckpt()
-      inside = pinned
+      pinnedInside =
+        Seq(a, b).flatMap(_.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.getStorageLevel
+        })
       b.count() // fully materialized before the scope closes
     }
     assert(res == 3L)
-    assert(inside >= base + 2, s"ckpts not pinned in scope: $inside vs $base")
-    assert(pinned == base,
-      s"scope did not release its blocks: $pinned vs $base")
+    assert(tracked.size >= 2, s"scope tracked ${tracked.size} truncations")
+    assert(pinnedInside.size >= 2 &&
+      pinnedInside.forall(_ != StorageLevel.NONE),
+      s"ckpts not pinned in scope: $pinnedInside")
+    assert(tracked.forall(_.getStorageLevel == StorageLevel.NONE),
+      s"scope did not release its blocks: " +
+        tracked.map(r => r.id -> r.getStorageLevel).mkString(", "))
     // the pre-scope checkpoint is untouched and still readable
     assert(keep.count() == 50L)
-    // an iterative consumer inside a scope stays green end-to-end
-    val comp = Ckpt.releasing {
+    // an iterative consumer inside a scope stays green end-to-end and
+    // releases everything it truncated
+    val (comp, tracked2) = Ckpt.releasingTracked {
       graft.ext.Dedup.connectedComponents(
           Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
-    assert(pinned == base, "iterative scope leaked blocks")
+    assert(tracked2.forall(_.getStorageLevel == StorageLevel.NONE),
+      "iterative scope leaked blocks")
+  }
+
+  test("scope removal is by identity: closing one scope cannot pop a sibling's") {
+    // two interleaved empty scopes are structurally == but not eq; a
+    // structural remove would pop the wrong one (the ADVICE latent bug)
+    val outerBuf = Ckpt.releasingTracked {
+      val (_, inner) = Ckpt.releasingTracked { 42 }
+      assert(inner.isEmpty)
+      // after the inner (empty) scope closed, a truncation here must
+      // still be attributed to THIS scope — i.e. the inner close removed
+      // its own buffer, not ours
+      spark.range(10).toDF("y").ckpt().count()
+    }._2
+    assert(outerBuf.size == 1,
+      s"outer scope lost its buffer to a structural remove: $outerBuf")
   }
 
   test("an iterative consumer (connectedComponents) is green in reliable mode") {

@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Dev-loop oracle compare (mirrors the driver's CORRECTNESS gate).
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [reportOut.json]
 
 Loads each <verifyOutDir>/<name> parquet (graft.Verify output), runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir parquet tables,
 sorts columns by name and rows by all columns, and compares values.
-Dev tooling only — the shipped library is pure Scala/Spark.
+Optionally writes the per-query report as JSON (CORRECTNESS-artifact
+shape). Dev tooling only — the shipped library is pure Scala/Spark.
+
+HARD GATE (round-13 rule, after CORRECTNESS_r12.json shipped empty and
+nothing noticed): exits non-zero if ZERO queries were compared, or if a
+full (non-subset) Verify run compared fewer queries than the registry
+size recorded in <verifyOutDir>/manifest.json. An empty or truncated
+compare must be loud, never a silent n/n over the wrong denominator.
 """
 import json, math, sys
 import duckdb
@@ -37,7 +44,7 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, report_out: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         # the driver corpus ships single files; ScaleUp (and any Spark
@@ -107,8 +114,35 @@ def main(sf_dir: str, out_dir: str) -> int:
             ("" if entry.get("rows_match") else f"rows={entry.get('rows')}")
         print(f"{flag} {name} {extra if extra else ''}")
     print(f"\n{n_ok}/{len(report)} queries hash-match")
+    if report_out:
+        with open(report_out, "w") as f:
+            json.dump(report, f, indent=1, default=str)
+        print(f"report written: {report_out} ({len(report)} queries)")
+    # ---- hard denominator gate (round-13) -------------------------------
+    # compared == 0, or a FULL run comparing fewer queries than the
+    # registry, is an emission failure, not a pass — fail LOUDLY.
+    if len(report) == 0:
+        print("GATE FAIL: zero queries compared — empty oracle set "
+              "(this is how CORRECTNESS_r12.json shipped as {})")
+        return 2
+    import os
+    mpath = f"{out_dir}/manifest.json"
+    if os.path.exists(mpath):
+        m = json.load(open(mpath))
+        if not m.get("subset", False) and len(report) < m["registry_total"]:
+            print(f"GATE FAIL: compared {len(report)} < registry "
+                  f"{m['registry_total']} on a full run "
+                  f"(dumped={m.get('dumped')}, failed={m.get('failed')})")
+            return 2
+        if m.get("failed"):
+            print(f"GATE FAIL: Verify reported dump failures: {m['failed']}")
+            return 2
+    else:
+        print(f"WARN: no manifest.json in {out_dir} — denominator "
+              f"unverified (stale Verify build?)")
     return 0 if n_ok == len(report) else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
