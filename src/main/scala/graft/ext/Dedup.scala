@@ -699,6 +699,11 @@ object Dedup {
         .agg(count(lit(1)).as("__np"))
         .where(col("__np") > 1)
       converged = childIsRoot.isEmpty && multiParent.isEmpty
+      // the superseded round's blocks have no reader left: `next` is
+      // materialized and both fixpoint probes (which only read `next`)
+      // have run — drop eagerly so the loop pins O(1) rounds of edge
+      // state, not O(rounds) (the prLoop/lpaRounds lifetime rule)
+      Ckpt.drop(live)
       live = next
       round += 1
       Ckpt.frontier("cc_live", round, live)

@@ -86,14 +86,79 @@ object Graph {
     val out = e.join(
       e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
       Seq("src")).repartition(col("src")).persist()
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .repartition(col("node")).persist()
+    val ranks = prUniform(out, nodes0, iters, damping, checkpointInterval,
+      epsilon)
+    out.unpersist()
+    ranks
+  }
+
+  /** [[pagerank]] over a PRE-BIDIRECTED, outdeg-ANNOTATED edge table the
+    * ingest pipeline staged BUCKETED BY `src` ([[graft.io.Sinks
+    * .writeBucketed]]) — the staged-layout read path the round-12
+    * bucketed-LPA precedent established, applied to the rank family: no
+    * per-run derivation join/distinct, no edge checkpoint, and no
+    * Exchange anywhere on the edge input of a power-iteration round (the
+    * bucket layout satisfies every round's src-join requirement;
+    * PlanSpec pins it). Caller contract: columns (src, dst, outdeg),
+    * deduplicated, self-loop-free, both orientations present, outdeg =
+    * per-src row count as DOUBLE (what the staged writer computes).
+    * Bidirected ⇒ the src column alone covers the node set. Output is
+    * hash-identical to [[pagerank]] over the matching edge list. */
+  def pagerankBucketed(e0: DataFrame, iters: Int = 10,
+                       damping: Double = 0.85,
+                       checkpointInterval: Int = 4,
+                       epsilon: Option[Double] = None): DataFrame = {
+    require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
+    // persist keeps the bucketed scan's HashPartitioning(src) on the
+    // cached blocks — rounds re-read memory, not parquet
+    val out = e0.select(col("src"), col("dst"), col("outdeg")).persist()
+    val nodes0 = out.select(col("src").as("node")).distinct()
+    val ranks = prUniform(out, nodes0, iters, damping, checkpointInterval,
+      epsilon)
+    out.unpersist()
+    ranks
+  }
+
+  /** Uniform-teleport wrapper: builds the (node, __base, __init) frame
+    * for plain PageRank — base = (1−d)/N, init = 1/N, both driver-side
+    * double literals, the exact IEEE chain the pre-refactor loop
+    * computed — and runs [[prLoop]]. */
+  private def prUniform(out: DataFrame, nodes0: DataFrame, iters: Int,
+                        damping: Double, checkpointInterval: Int,
+                        epsilon: Option[Double]): DataFrame = {
+    val nodes = nodes0.repartition(col("node")).persist()
     val n = nodes.count().toDouble // also materializes the persisted nodes
     val base = (1.0 - damping) / n
+    val withBase = nodes.select(col("node"), lit(base).as("__base"),
+      lit(1.0 / n).as("__init"))
+    val ranks = prLoop(out, withBase, iters, damping,
+      checkpointInterval, epsilon)
+    nodes.unpersist()
+    ranks
+  }
 
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+  /** The shared damped power-iteration loop over a persisted,
+    * src-partitioned, outdeg-annotated edge frame `out` and a node frame
+    * (backed by a caller-persisted node set) carrying per-node teleport
+    * terms: rank'(v) = __base(v) + d · Σ rank(u)/outdeg(u).
+    *
+    * Block lifetime: each interval checkpoint SUPERSEDES the previous
+    * one — once the new frame is materialized (ckpt is eager) and the
+    * convergence delta (the predecessor's only reader) has run, the
+    * predecessor is dropped via [[Ckpt.drop]], so the loop pins O(1)
+    * rank checkpoints however many iterations run (the graph_ppr 32 GiB
+    * sf10 margin: 10 rounds previously held every interval checkpoint
+    * until scope close). */
+  private def prLoop(out: DataFrame, nodes: DataFrame, iters: Int,
+                     damping: Double, checkpointInterval: Int,
+                     epsilon: Option[Double]): DataFrame = {
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be positive, got $checkpointInterval")
+    var ranks = nodes.select(col("node"), col("__init").as("rank"))
     var prevCp = ranks
+    var lastCp: DataFrame = null
     var i = 1
     var converged = false
     while (i <= iters && !converged) {
@@ -103,7 +168,7 @@ object Graph {
       // left join keeps zero-in-degree nodes alive at the base rank
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + lit(damping) * coalesce(col("cin"), lit(0.0)))
+          (col("__base") + lit(damping) * coalesce(col("cin"), lit(0.0)))
             .as("rank"))
       if (i % checkpointInterval == 0 || i == iters) {
         ranks = ranks.ckpt() // eager: materializes rounds so far
@@ -115,12 +180,14 @@ object Graph {
             .head().getAs[Double]("d")
           if (delta < eps) converged = true
         }
+        // the superseded checkpoint has no remaining consumer: the new
+        // one is materialized and its delta read (if any) has run
+        if (lastCp ne null) Ckpt.drop(lastCp)
+        lastCp = ranks
         prevCp = ranks
       }
       i += 1
     }
-    out.unpersist()
-    nodes.unpersist()
     ranks
   }
 
@@ -150,15 +217,41 @@ object Graph {
                            iters: Int = 10, damping: Double = 0.85,
                            checkpointInterval: Int = 4): DataFrame = {
     require(iters >= 1, s"personalizedPagerank needs >= 1 iteration: $iters")
-    require(checkpointInterval >= 1,
-      s"checkpointInterval must be positive, got $checkpointInterval")
     val e = edges.select(col("src"), col("dst")).ckpt()
     val out = e.join(
       e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
       Seq("src")).repartition(col("src")).persist()
-    val seedSet = seeds.select(col(seeds.columns(0)).as("node")).distinct()
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    val ranks = prSeeded(out, nodes0, seeds, iters, damping,
+      checkpointInterval)
+    out.unpersist()
+    ranks
+  }
+
+  /** [[personalizedPagerank]] over the staged bucketed outdeg-annotated
+    * edge table — same contract and rationale as [[pagerankBucketed]]. */
+  def personalizedPagerankBucketed(e0: DataFrame, seeds: DataFrame,
+                                   iters: Int = 10, damping: Double = 0.85,
+                                   checkpointInterval: Int = 4): DataFrame = {
+    require(iters >= 1, s"personalizedPagerank needs >= 1 iteration: $iters")
+    val out = e0.select(col("src"), col("dst"), col("outdeg")).persist()
+    val nodes0 = out.select(col("src").as("node")).distinct()
+    val ranks = prSeeded(out, nodes0, seeds, iters, damping,
+      checkpointInterval)
+    out.unpersist()
+    ranks
+  }
+
+  /** Seeded-teleport wrapper: restart mass lands uniformly on the seed
+    * set — __base = (1−d)·(seed/|S|), __init = seed/|S|, the exact
+    * per-row IEEE chain the pre-refactor loop computed — then the shared
+    * [[prLoop]]. */
+  private def prSeeded(out: DataFrame, nodes0: DataFrame, seeds: DataFrame,
+                       iters: Int, damping: Double,
+                       checkpointInterval: Int): DataFrame = {
+    val seedSet = seeds.select(col(seeds.columns(0)).as("node")).distinct()
+    val nodes = nodes0
       .join(seedSet.select(col("node"), lit(1.0).as("__seed")),
         Seq("node"), "left")
       .na.fill(0.0, Seq("__seed"))
@@ -167,24 +260,13 @@ object Graph {
     require(nSeeds > 0, "no seed id present in the graph")
     // restart vector: 1/|S| on seeds, 0 elsewhere
     val restart = col("__seed") / nSeeds
-    var ranks = nodes.select(col("node"), col("__seed"),
-      restart.as("rank"))
-    var i = 1
-    while (i <= iters) {
-      val contrib = out.join(ranks, out("src") === ranks("node"))
-        .groupBy(out("dst").as("node"))
-        .agg(sum(col("rank") / col("outdeg")).as("cin"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), col("__seed"),
-          ((lit(1.0) - damping) * restart
-            + lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
-      if (i % checkpointInterval == 0 || i == iters)
-        ranks = ranks.ckpt()
-      i += 1
-    }
-    out.unpersist()
+    val withBase = nodes.select(col("node"),
+      ((lit(1.0) - damping) * restart).as("__base"),
+      restart.as("__init"))
+    val ranks = prLoop(out, withBase, iters, damping,
+      checkpointInterval, epsilon = None)
     nodes.unpersist()
-    ranks.select(col("node"), col("rank"))
+    ranks
   }
 
   /** Per-node triangle counts over an UNDIRECTED edge list (src, dst) —
@@ -411,8 +493,22 @@ object Graph {
     var changedCnt = changed.count()
     val vCount = labels.count()
     Ckpt.frontier("lpa", 1, changedCnt)
+    // superseded-checkpoint bookkeeping: the loop pins O(1) rounds of
+    // O(V) state instead of every round until scope close — but the drop
+    // must TRAIL BY TWO rounds, not one: a full round's `changed` is a
+    // lazy view over (next ⋈ PRIOR labels), and the following round's
+    // delta branch re-executes that view — dropping the prior round's
+    // checkpoint at round end therefore kills blocks a localCheckpoint
+    // cannot recompute (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, caught by the
+    // round-13 bench smoke). After round i's frontier count, round i−2's
+    // frames have no live lazy reference left: every view over them
+    // (round i−1's `changed`) was superseded during round i.
+    var olderLabels: DataFrame = null
+    var olderChanged: DataFrame = null
     var i = 2
     while (i <= iters && changedCnt > 0) {
+      val priorLabels = labels
+      val priorChanged = changed
       // ADAPTIVE delta iteration (round 11): a delta round derives the
       // touched set (an E-sized join + distinct) and semi-restricts the
       // edge list (another E-sized shuffle) — ~3x a full round's work
@@ -455,6 +551,12 @@ object Graph {
       }
       changedCnt = changed.count()
       Ckpt.frontier("lpa", i, changedCnt)
+      if (olderLabels ne null) {
+        Ckpt.drop(olderLabels)
+        Ckpt.drop(olderChanged)
+      }
+      olderLabels = priorLabels
+      olderChanged = priorChanged
       i += 1
     }
     labels.select(col("node"), col("label").as("community"))

@@ -114,21 +114,72 @@ object Linkage {
       .where(col("score") >= threshold)
   }
 
+  /** End-to-end UNSUPERVISED self-linkage with ONE candidate pass: the
+    * blocked candidate join runs once, is checkpointed, and feeds BOTH
+    * the EM fit (agreement-pattern counts) and the final scoring —
+    * previously [[emFitFields]] + [[selfLinkPairs]] each re-derived the
+    * blocked join, the dominant cost of the composition (round-12
+    * measure: 47.3 s at sf10, 7.3×/decade, twice the candidate work).
+    *
+    * Scoring uses the LIKELIHOOD-RATIO form, Π over fields of m/u on
+    * agreement and (1−m)/(1−u) on disagreement — the same Fellegi–Sunter
+    * statistic as the log form (exp is monotone; threshold transforms as
+    * exp(t)), chosen for engine parity with FITTED priors: the fitted
+    * (m, u) are r9-rounded doubles an oracle reproduces bit-for-bit
+    * ([[emFit]]), and ratios + a left-assoc product of identical doubles
+    * are IEEE-exact on any engine, where a runtime ln() is each libm's
+    * own approximation — a 1-ulp weight difference could flip a rounded
+    * score on a boundary pair. Supplied-prior scoring ([[selfLinkPairs]])
+    * keeps the log form: its weights are compiled literals, already
+    * engine-exact. Returns (a_id, b_id, n_agree, lr), lr r5-rounded,
+    * pairs with lr >= `threshold` (in ratio space). */
+  def selfLinkPairsEmFitted(df: DataFrame, idCol: String, blockKey: Column,
+                            fieldNames: Seq[String], iters: Int = 20,
+                            threshold: Double = 1.0,
+                            maxBlock: Int = 10000): DataFrame = {
+    val pairs = graft.Ckpt(
+      candidatePairs(df, idCol, blockKey, fieldNames, maxBlock))
+    val k = fieldNames.length
+    val pats = patternCounts(pairs, fieldNames)
+      .collect()
+      .map(r => (Seq.tabulate(k)(i => r.getInt(i)), r.getLong(k)))
+      .toSeq.sortBy(_._1.mkString)
+    val (_, m, u) = emFit(pats, k, iters)
+    val specs = fieldNames.zipWithIndex.map { case (f, i) =>
+      FieldSpec(f, m(i), u(i)) }
+    val agreeFlags = specs.map(f => agreeFlag(f.field))
+    val nAgree = agreeFlags.map(fl => when(fl, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val lr = specs.zip(agreeFlags).map { case (f, fl) =>
+      when(fl, lit(f.m / f.u)).otherwise(lit((1.0 - f.m) / (1.0 - f.u)))
+    }.reduce(_ * _)
+    pairs.select(col("a_id"), col("b_id"), nAgree.as("n_agree"),
+        Timeseries.r5(lr).as("lr"))
+      .where(col("lr") >= threshold)
+  }
+
+  /** Agreement-pattern counts from an already-derived candidate frame
+    * (the [[candidatePairs]] column contract) — shared by
+    * [[agreementPatternCounts]] and [[selfLinkPairsEmFitted]]. */
+  private def patternCounts(pairs: DataFrame,
+                            fieldNames: Seq[String]): DataFrame = {
+    val flags = fieldNames.zipWithIndex.map { case (f, i) =>
+      when(agreeFlag(f), 1).otherwise(0).as(s"g$i")
+    }
+    pairs.select(flags: _*)
+      .groupBy(fieldNames.indices.map(i => col(s"g$i")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** EXACT agreement-pattern counts over the blocked candidates — the
     * bounded sufficient statistic the EM fit runs on: one row per 0/1
     * vector (g_0..g_{k−1}, n), at most 2^k rows however large the corpus.
     * This is the only corpus-sized job unsupervised estimation needs. */
   def agreementPatternCounts(df: DataFrame, idCol: String, blockKey: Column,
                              fieldNames: Seq[String],
-                             maxBlock: Int = 10000): DataFrame = {
-    val flags = fieldNames.zipWithIndex.map { case (f, i) =>
-      when(agreeFlag(f), 1).otherwise(0).as(s"g$i")
-    }
-    candidatePairs(df, idCol, blockKey, fieldNames, maxBlock)
-      .select(flags: _*)
-      .groupBy(fieldNames.indices.map(i => col(s"g$i")): _*)
-      .agg(count(lit(1)).as("n"))
-  }
+                             maxBlock: Int = 10000): DataFrame =
+    patternCounts(
+      candidatePairs(df, idCol, blockKey, fieldNames, maxBlock), fieldNames)
 
   /** Driver twin of the oracle's `FLOOR(x·1e9 + 0.5)/1e9`. */
   private def r9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9

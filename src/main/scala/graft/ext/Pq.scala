@@ -117,7 +117,15 @@ object Pq {
         col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, cw) =>
+    val bySub = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    // subspace ids must be dense 0..m-1 too: a missing subspace would
+    // shift every later one down a POSITION, so its codes score against
+    // the wrong codewords — the same silent mis-index the per-subspace
+    // code check below guards, one level up
+    require(bySub.map(_._1) == bySub.indices,
+      s"codebook subspace ids not dense 0..${bySub.size - 1}: " +
+        s"${bySub.map(_._1).mkString(",")} — stale or corrupt artifact")
+    bySub.map { case (s, cw) =>
       val sorted = cw.sortBy(_._2).toSeq
       require(sorted.zipWithIndex.forall { case ((_, code, _), i) => code == i },
         s"subspace $s codebook has non-dense codes — stale or corrupt artifact")

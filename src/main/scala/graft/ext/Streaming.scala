@@ -749,19 +749,88 @@ object Streaming {
                       idCol: String, textCol: String,
                       threshold: Double = 0.7, numHashes: Int = 64,
                       bands: Int = 16, shingleK: Int = 3,
-                      maxBucket: Int = 10000): DataFrame = {
+                      maxBucket: Int = 10000,
+                      compactEvery: Int = 8): DataFrame = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1: $compactEvery")
     val spark = docStream.sparkSession
+    // a state dir can legitimately exist but hold NO parquet right after
+    // a compaction deleted every settled bid partition and before the
+    // current batch wrote its own — read it as absent, not as an
+    // UNABLE_TO_INFER_SCHEMA failure
     def part(base: String): Option[DataFrame] =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(base)))
-        Some(spark.read.parquet(base)) else None
+        try Some(spark.read.parquet(base))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => None
+        }
+      else None
+    // ---- bounded state (round-13): fold settled bid partitions into a
+    // compacted base every `compactEvery` batches, so a long-running
+    // ingest's per-batch plan reads ONE base + at most `compactEvery`
+    // bid partitions instead of a file listing + union that grows with
+    // batch count forever (the Sinks.compact precedent, stream-side).
+    // The current base is the MAX `upto=` dir: base(upto=k) holds every
+    // contribution with bid < k. All writes are idempotent overwrites —
+    // a batch replayed after a crash anywhere in the sequence rebuilds
+    // the same view: compaction to an existing upto is a no-op, and
+    // partitions below the base watermark are EXCLUDED by the bid-range
+    // filter even when their deferred deletion hasn't happened yet.
+    def baseUpto(kind: String): Long = {
+      val d = java.nio.file.Paths.get(s"$stateDir/${kind}_base")
+      if (!java.nio.file.Files.exists(d)) 0L
+      else {
+        val us = d.toFile.listFiles().toSeq
+          .map(_.getName).filter(_.startsWith("upto="))
+          .map(_.stripPrefix("upto=").toLong)
+        if (us.isEmpty) 0L else us.max
+      }
+    }
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    def compactTo(kind: String, upTo: Long): Unit = {
+      val cur = baseUpto(kind)
+      if (cur < upTo) {
+        val settled = part(s"$stateDir/$kind")
+          .map(_.where(col("bid") >= cur && col("bid") < upTo).drop("bid"))
+        val base = part(s"$stateDir/${kind}_base/upto=$cur")
+        val merged = (base, settled) match {
+          case (Some(b), Some(s)) => Some(b.unionByName(s))
+          case (b, s) => b.orElse(s)
+        }
+        merged.foreach(_.write.mode("overwrite")
+          .parquet(s"$stateDir/${kind}_base/upto=$upTo"))
+      }
+      // deferred cleanup (retried each compaction): older bases and
+      // below-watermark partitions are dead weight, never read again
+      val w = baseUpto(kind)
+      val baseDir = new java.io.File(s"$stateDir/${kind}_base")
+      Option(baseDir.listFiles).foreach(_.filter { f =>
+        f.getName.startsWith("upto=") &&
+          f.getName.stripPrefix("upto=").toLong < w
+      }.foreach(rmTree))
+      val partDir = new java.io.File(s"$stateDir/$kind")
+      Option(partDir.listFiles).foreach(_.filter { f =>
+        f.getName.startsWith("bid=") &&
+          f.getName.stripPrefix("bid=").toLong < w
+      }.foreach(rmTree))
+    }
+    def indexView(kind: String, corpus: DataFrame, batchId: Long): DataFrame = {
+      val cur = baseUpto(kind)
+      val base = part(s"$stateDir/${kind}_base/upto=$cur")
+      val recent = part(s"$stateDir/$kind")
+        .map(_.where(col("bid") >= cur && col("bid") < batchId).drop("bid"))
+      Seq(Some(corpus), base, recent).flatten.reduce(_ unionByName _)
+    }
     val q = docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prior = part(s"$stateDir/bands").map(_.where(col("bid") < batchId))
-          .zip(part(s"$stateDir/sets").map(_.where(col("bid") < batchId)))
-        val idxBands = prior.map { case (b, _) =>
-          corpusBands.unionByName(b.drop("bid")) }.getOrElse(corpusBands)
-        val idxSets = prior.map { case (_, s) =>
-          corpusShingles.unionByName(s.drop("bid")) }.getOrElse(corpusShingles)
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          compactTo("bands", batchId)
+          compactTo("sets", batchId)
+        }
+        val idxBands = indexView("bands", corpusBands, batchId)
+        val idxSets = indexView("sets", corpusShingles, batchId)
         val kept = Dedup.incrementalNearDedupPersisted(idxBands, idxSets,
           batch, idCol, textCol, threshold, numHashes, bands, shingleK,
           maxBucket).ckpt()

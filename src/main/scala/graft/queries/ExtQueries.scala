@@ -3107,17 +3107,14 @@ object ExtQueries {
         |  ROUND(rank * (SELECT nv FROM nn), 6) AS rank_rel
         |FROM r10""".stripMargin))(
       (s, dir) => {
-        val t = Tables(s, dir)
-        val e0 = t.orders
-          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct().ckpt()
-        val seeds = t.customer.where(col("c_nationkey") === 0)
+        // staged layout (round 13): same bucketed edge table as
+        // graph_pagerank — see that Reg and [[stagedPurchaseEdges]]
+        val (_, tbl) = stagedPurchaseEdges(s, dir)
+        val seeds = Tables(s, dir).customer
+          .where(col("c_nationkey") === 0)
           .select((col("c_custkey") * 2).as("node"))
-        val pr = graft.ext.Graph.personalizedPagerank(
-          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
-          seeds, iters = 10, damping = 0.85)
+        val pr = graft.ext.Graph.personalizedPagerankBucketed(
+          s.table(tbl), seeds, iters = 10, damping = 0.85)
         val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
         pr.crossJoin(broadcast(nv))
           .select(
@@ -3201,16 +3198,33 @@ object ExtQueries {
     val agreeSum = erAgreeSumSql
     val scoreSum = erScoreSumSql
     Reg("er_fs", Some(
+      // the cand branches model the engine's maxBlock=10000 star-collapse
+      // (round-13 ADVICE closure): exact all-pairs at or under the cap,
+      // members-vs-min-id-representative above it — so the oracle stays
+      // the engine's exact twin on skewed corpora and beyond ~sf40
       s"""WITH p AS (SELECT p_partkey AS id,
          |    p_brand || '|' || CAST(p_size AS VARCHAR) AS blk,
          |    p_type, string_split(p_name, ' ')[1] AS tok1,
          |    string_split(p_name, ' ')[2] AS tok2 FROM part),
-         |s AS (SELECT a.id AS a_id, b.id AS b_id,
-         |  CAST($agreeSum AS BIGINT) AS n_agree,
-         |  CAST(FLOOR(($scoreSum) * 100000.0 + 0.5) AS BIGINT) / 100000.0
-         |    AS score
-         |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
-         |SELECT a_id, b_id, n_agree, score FROM s
+         |bs AS (SELECT blk, COUNT(*) AS bsz, MIN(id) AS rid
+         |       FROM p GROUP BY blk),
+         |cand AS (
+         |  SELECT a.id AS a_id, b.id AS b_id,
+         |    CAST($agreeSum AS BIGINT) AS n_agree,
+         |    CAST(FLOOR(($scoreSum) * 100000.0 + 0.5) AS BIGINT) / 100000.0
+         |      AS score
+         |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+         |  JOIN bs ON bs.blk = a.blk
+         |  WHERE bs.bsz <= 10000
+         |  UNION ALL
+         |  SELECT a.id AS a_id, b.id AS b_id,
+         |    CAST($agreeSum AS BIGINT) AS n_agree,
+         |    CAST(FLOOR(($scoreSum) * 100000.0 + 0.5) AS BIGINT) / 100000.0
+         |      AS score
+         |  FROM bs JOIN p a ON a.id = bs.rid
+         |  JOIN p b ON b.blk = bs.blk AND b.id <> a.id
+         |  WHERE bs.bsz > 10000)
+         |SELECT a_id, b_id, n_agree, score FROM cand
          |WHERE score >= 5.0""".stripMargin))(
       (s, dir) => graft.ext.Linkage.selfLinkPairs(
         Tables(s, dir).part.select(
@@ -3223,10 +3237,20 @@ object ExtQueries {
   }
 
   /** Unrolled-EM replay for er_fs_em (see [[graft.ext.Linkage.emFit]]'s
-    * determinism contract): blocked candidates → agreement-pattern counts
-    * → `iters` E/M CTE pairs with the identical integer-w9 / r9-rounded
-    * arithmetic → LN weights from the final iterate → scored pairs. The
-    * kmeans/PCA unrolled-chain precedent applied to EM. */
+    * determinism contract): blocked CAPPED candidates → agreement-pattern
+    * counts → `iters` E/M CTE pairs with the identical integer-w9 /
+    * r9-rounded arithmetic (degenerate-collapse guards mirrored: a zero
+    * match- or unmatch-mass keeps the previous iterate, exactly the
+    * Scala guard) → RATIO weights from the final iterate → scored pairs.
+    * The kmeans/PCA unrolled-chain precedent applied to EM.
+    *
+    * Round-13 parity closures (ADVICE): (a) the cand CTE models the
+    * engine's maxBlock=10000 star-collapse, so the oracle stays exact on
+    * skewed corpora and beyond ~sf40 where blocks overflow the cap;
+    * (b) weights are the LIKELIHOOD-RATIO form (m/u, (1−m)/(1−u)) —
+    * divisions and a left-assoc product of bit-identical doubles, IEEE-
+    * exact on both engines, where the previous LN() pitted DuckDB's libm
+    * against the JVM's Math.log; (c) the M-step guards are in the SQL. */
   private def erFsEmSql(iters: Int): String = {
     val k = 3
     val gflags = (0 until k).map(i =>
@@ -3244,29 +3268,36 @@ object ExtQueries {
         "1e-9), 1.0 - 1e-9)"
     val gs = (0 until k).map(i => s"g$i").mkString(", ")
     val steps = (1 to iters).map { j =>
-      val ms = (0 until k).map(i => r9clamp(
-        s"CAST(SUM(n * w9 * g$i) AS DOUBLE) / CAST(SUM(n * w9) AS DOUBLE)")
-        + s" AS m$i").mkString(",\n  ")
-      val us = (0 until k).map(i => r9clamp(
-        s"CAST(SUM(n * (1000000000 - w9) * g$i) AS DOUBLE) / " +
-          "CAST(SUM(n * (1000000000 - w9)) AS DOUBLE)") + s" AS u$i")
-        .mkString(",\n  ")
-      s"""w$j AS (SELECT $gs, n,
+      // guard mirror (Linkage.emFit): sw = 0 or swc = 0 keeps the
+      // previous m/u — MAX(e.x) over the 1-row em cross join is that
+      // previous value (dropping the guard is NOT equivalent: 0/0 is
+      // NaN through the clamp on both engines, but then the chains
+      // would have to agree on NaN propagation — keep them frozen)
+      val ms = (0 until k).map(i =>
+        "CASE WHEN SUM(n * w9) > 0 THEN " + r9clamp(
+          s"CAST(SUM(n * w9 * g$i) AS DOUBLE) / CAST(SUM(n * w9) AS DOUBLE)")
+          + s" ELSE MAX(e.m$i) END AS m$i").mkString(",\n  ")
+      val us = (0 until k).map(i =>
+        "CASE WHEN SUM(n * (1000000000 - w9)) > 0 THEN " + r9clamp(
+          s"CAST(SUM(n * (1000000000 - w9) * g$i) AS DOUBLE) / " +
+            "CAST(SUM(n * (1000000000 - w9)) AS DOUBLE)")
+          + s" ELSE MAX(e.u$i) END AS u$i").mkString(",\n  ")
+      s"""w$j AS MATERIALIZED (SELECT $gs, n,
          |  CAST(FLOOR((e.p * $pm) / ((e.p * $pm) + ((1.0 - e.p) * $pu))
          |    * 1000000000.0 + 0.5) AS BIGINT) AS w9
          |  FROM pat t, em${j - 1} e),
-         |em$j AS (SELECT
+         |em$j AS MATERIALIZED (SELECT
          |  ${r9clamp("CAST(SUM(n * w9) AS DOUBLE) / " +
               "((SELECT nn FROM tot) * 1000000000.0)")} AS p,
          |  $ms,
          |  $us
-         |  FROM w$j)""".stripMargin
+         |  FROM w$j, em${j - 1} e)""".stripMargin
     }.mkString(",\n")
     val wts = (0 until k).map(i =>
-      s"LN(m$i / u$i) AS aw$i, LN((1.0 - m$i) / (1.0 - u$i)) AS dw$i")
+      s"m$i / u$i AS aw$i, (1.0 - m$i) / (1.0 - u$i) AS dw$i")
       .mkString(", ")
-    val scoreSum = (0 until k).map(i =>
-      s"(CASE WHEN c.g$i = 1 THEN w.aw$i ELSE w.dw$i END)").mkString("\n      + ")
+    val scoreProd = (0 until k).map(i =>
+      s"(CASE WHEN c.g$i = 1 THEN w.aw$i ELSE w.dw$i END)").mkString("\n      * ")
     val nAgree = (0 until k).map(i => s"c.g$i").mkString(" + ")
     s"""WITH base AS (SELECT p_partkey AS id,
        |    p_brand || '|' || CAST(p_size AS VARCHAR) AS blk,
@@ -3278,29 +3309,44 @@ object ExtQueries {
        |    CASE WHEN id % 5 = 1 THEN 'XX' ELSE f2 END AS f2
        |  FROM base WHERE id % 2 = 0),
        |p AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
-       |cand AS (SELECT a.id AS a_id, b.id AS b_id,
+       |bs AS (SELECT blk, COUNT(*) AS bsz, MIN(id) AS rid
+       |       FROM p GROUP BY blk),
+       |cand AS MATERIALIZED (
+       |  SELECT a.id AS a_id, b.id AS b_id,
        |    $gflags
-       |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id),
-       |pat AS (SELECT $gs, COUNT(*) AS n FROM cand GROUP BY $gs),
-       |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM pat),
+       |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+       |  JOIN bs ON bs.blk = a.blk
+       |  WHERE bs.bsz <= 10000
+       |  UNION ALL
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    $gflags
+       |  FROM bs JOIN p a ON a.id = bs.rid
+       |  JOIN p b ON b.blk = bs.blk AND b.id <> a.id
+       |  WHERE bs.bsz > 10000),
+       |pat AS MATERIALIZED (SELECT $gs, COUNT(*) AS n FROM cand
+       |  GROUP BY $gs),
+       |tot AS MATERIALIZED (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM pat),
        |em0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
        |  ${(0 until k).map(i => s"CAST(0.9 AS DOUBLE) AS m$i").mkString(", ")},
        |  ${(0 until k).map(i => s"CAST(0.1 AS DOUBLE) AS u$i").mkString(", ")}),
        |$steps,
        |wt AS (SELECT $wts FROM em$iters)
-       |SELECT a_id, b_id, n_agree, score FROM (
+       |SELECT a_id, b_id, n_agree, lr FROM (
        |  SELECT c.a_id, c.b_id, CAST($nAgree AS BIGINT) AS n_agree,
-       |    CAST(FLOOR(($scoreSum) * 100000.0 + 0.5) AS BIGINT) / 100000.0
-       |      AS score
+       |    CAST(FLOOR(($scoreProd) * 100000.0 + 0.5) AS BIGINT) / 100000.0
+       |      AS lr
        |  FROM cand c, wt w)
-       |WHERE score >= 0.0""".stripMargin
+       |WHERE lr >= 1.0""".stripMargin
   }
 
   // Fellegi–Sunter with UNSUPERVISED priors — er_fs without hand-tuned
-  // weights: [[graft.ext.Linkage.emFitFields]] fits (m, u) per field by
-  // Winkler EM over the blocked agreement-pattern counts (one bounded
-  // groupBy + a ≤2^k-row collect), and the fitted weights then reach the
-  // plan as literals exactly as er_fs's supplied priors do. Raw part has
+  // weights: [[graft.ext.Linkage.selfLinkPairsEmFitted]] fits (m, u) per
+  // field by Winkler EM over the blocked agreement-pattern counts (one
+  // bounded groupBy + a ≤2^k-row collect) and scores the SAME
+  // checkpointed candidate pass in the likelihood-RATIO form (round 13:
+  // one blocked join instead of two; ratios of the r9-rounded fitted
+  // doubles are IEEE-exact cross-engine where a runtime LN was each
+  // libm's own). Raw part has
   // NO latent duplicate class (EM on its blocked pairs converges to a
   // degenerate mixture — measured), so the query runs on a PLANTED noisy
   // re-crawl derived from part: every even-keyed part re-appears
@@ -3327,10 +3373,12 @@ object ExtQueries {
           when(col("id") % 25 === 5, "XX").otherwise(col("f1")).as("f1"),
           when(col("id") % 5 === 1, "XX").otherwise(col("f2")).as("f2"))
         val p = base.unionAll(dups)
-        val fitted = graft.ext.Linkage.emFitFields(p, "id", col("blk"),
-          Seq("f0", "f1", "f2"), iters = 20)
-        graft.ext.Linkage.selfLinkPairs(p, "id", col("blk"), fitted,
-          threshold = 0.0)
+        // ONE candidate pass (round-13): the blocked join is
+        // checkpointed inside selfLinkPairsEmFitted and feeds both the
+        // EM pattern counts and the scoring — previously emFitFields +
+        // selfLinkPairs derived it twice (the round-12 47.3 s sf10 row)
+        graft.ext.Linkage.selfLinkPairsEmFitted(p, "id", col("blk"),
+          Seq("f0", "f1", "f2"), iters = 20, threshold = 1.0)
       })
 
   // The COMPLETE entity-resolution pipeline in one query: Fellegi–Sunter
@@ -3346,9 +3394,20 @@ object ExtQueries {
          |    p_type, p_name, p_size,
          |    string_split(p_name, ' ')[1] AS tok1,
          |    string_split(p_name, ' ')[2] AS tok2 FROM part),
+         |bs AS (SELECT blk, COUNT(*) AS bsz, MIN(id) AS rid
+         |       FROM p GROUP BY blk),
          |s AS (SELECT a.id AS a_id, b.id AS b_id
          |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
-         |  WHERE CAST(FLOOR(($erScoreSumSql) * 100000.0 + 0.5) AS BIGINT)
+         |  JOIN bs ON bs.blk = a.blk
+         |  WHERE bs.bsz <= 10000
+         |    AND CAST(FLOOR(($erScoreSumSql) * 100000.0 + 0.5) AS BIGINT)
+         |    / 100000.0 >= 5.0
+         |  UNION ALL
+         |  SELECT a.id AS a_id, b.id AS b_id
+         |  FROM bs JOIN p a ON a.id = bs.rid
+         |  JOIN p b ON b.blk = bs.blk AND b.id <> a.id
+         |  WHERE bs.bsz > 10000
+         |    AND CAST(FLOOR(($erScoreSumSql) * 100000.0 + 0.5) AS BIGINT)
          |    / 100000.0 >= 5.0),
          |und AS (SELECT a_id AS u, b_id AS v FROM s
          |        UNION SELECT b_id, a_id FROM s),
@@ -3374,10 +3433,15 @@ object ExtQueries {
          |FROM g JOIN md USING (component)""".stripMargin))(
       (s, dir) => {
         val p = erParts(s, dir)
+        // ckpt the scored pair list: connectedComponents consumes its
+        // input twice (live derivation + node set), and the blocked
+        // join now carries the maxBlock armor's block-stats pass —
+        // materializing once keeps that pass at one execution per query
+        // (the round-12 sf0.1 premium was it running twice)
         val pairs = graft.ext.Linkage.selfLinkPairs(p, "p_partkey",
             concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
             erFields, threshold = 5.0)
-          .select("a_id", "b_id")
+          .select("a_id", "b_id").ckpt()
         val comp = graft.ext.Dedup.connectedComponents(pairs)
           .withColumnRenamed("id", "p_partkey")
         graft.ext.Dedup.goldenRecords(
@@ -3444,22 +3508,17 @@ object ExtQueries {
   private def graphPagerankReg: Reg =
     Reg("graph_pagerank", Some(duckPagerank))(
       (s, dir) => {
-        val t = Tables(s, dir)
-        // checkpointed BEFORE bidirecting: e0 appears twice in the union
-        // (forward + swapped), and without materialization the
-        // join+distinct would execute twice inside every consumer.
-        // Node ids are integer-encoded for the iterations (parity-disjoint
-        // custkey*2 / suppkey*2+1) and decoded to names at the end — long
-        // keys through 10 rounds of joins beat strings by ~20% measured,
-        // and at corpus scale you'd dictionary-encode ids the same way.
-        val e0 = t.orders
-          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct().ckpt()
-        val pr = graft.ext.Graph.pagerank(
-          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
-          iters = 10, damping = 0.85)
+        // staged layout (round 13): reads the bucketed outdeg-annotated
+        // bidirected purchase graph — the orders⋈lineitem derivation,
+        // distinct, bidirect, and degree join are all ingest-time costs
+        // now ([[stagedPurchaseEdges]]); a rank round consumes the
+        // bucket partitioning with no Exchange on the edge input.
+        // Node ids are integer-encoded (parity-disjoint custkey*2 /
+        // suppkey*2+1) and decoded to names at the end — long keys
+        // through 10 rounds of joins beat strings by ~20% measured.
+        val (_, tbl) = stagedPurchaseEdges(s, dir)
+        val pr = graft.ext.Graph.pagerankBucketed(
+          s.table(tbl), iters = 10, damping = 0.85)
         val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
         pr.crossJoin(nv) // 1-row side — broadcast, not a real cross product
           .select(
@@ -3740,6 +3799,55 @@ object ExtQueries {
         pr.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(pr.select(col("b").as("src"), col("a").as("dst"))),
         tbl, "src", 32, sortCol = Some("src"), path = Some(s"$path/$tbl"))
+    }
+    (s"$pairsDir/pairs.parquet", tbl)
+  }
+
+  /** Stage the bidirected customer↔supplier purchase graph ONCE per
+    * corpus — the round-12 staged-copurchase precedent applied to the
+    * rank family (round-13 demand: graph_pagerank/graph_ppr were the
+    * last per-run edge derivations, 85.6/94.6 s at sf10): the directed
+    * distinct (custkey·2 → suppkey·2+1) pair list as parquet, and the
+    * BIDIRECTED edge table annotated with per-src out-degree, written
+    * BUCKETED BY src, 32 buckets, so every power-iteration round's
+    * src-join reads a pre-shuffled layout with outdeg already on the
+    * edge row — no derivation join, no degree join, no Exchange on the
+    * edge input (PlanSpec pins it). Returns (pairsPath, tableName). */
+  private def stagedPurchaseEdges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val src = java.nio.file.Paths.get(dir, "lineitem.parquet")
+    val sig =
+      try {
+        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
+        val sz = java.nio.file.Files.walk(src).filter(
+          java.nio.file.Files.isRegularFile(_)).count()
+        s"${mt}_$sz"
+      } catch { case _: Exception => "nosig" }
+    val pairsDir = CoreQueries.stageOnce(s"puredges_$sig", dir) { path =>
+      val t = Tables(s, dir)
+      graft.io.Sinks.parquet(
+        t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct(),
+        s"$path/pairs.parquet")
+    }
+    val sfx = CoreQueries.stageDigest("puredgesbkt", dir)
+    val tbl = s"graft_puredges_$sfx"
+    CoreQueries.stageEachJvm("puredgesbkt", dir) { path =>
+      val pr = s.read.parquet(s"$pairsDir/pairs.parquet")
+      // parity-disjoint encoding ⇒ the swapped set never overlaps the
+      // forward set, so unionAll here equals the oracle's UNION
+      val e = pr.unionAll(
+        pr.select(col("dst").as("src"), col("src").as("dst")))
+      val withDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
+        Seq("src"))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.io.Sinks.writeBucketed(withDeg, tbl, "src", 32,
+        sortCol = Some("src"), path = Some(s"$path/$tbl"))
     }
     (s"$pairsDir/pairs.parquet", tbl)
   }

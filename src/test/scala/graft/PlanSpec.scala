@@ -493,6 +493,54 @@ class PlanSpec extends SparkSpec {
       s"part scan not pruned:\n${scans.mkString("\n")}")
   }
 
+  test("staged bucketed purchase edges feed a pagerank round with NO Exchange on the edge input") {
+    // the rank-family twin of the LPA staged-layout pin (round 13): an
+    // outdeg-annotated bidirected edge table bucketed by src satisfies
+    // the power-iteration src-join with no shuffle on the O(E) side
+    import graft.io.Sinks
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val e0 = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val withDeg = e0.join(
+      e0.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
+      Seq("src"))
+    Sinks.writeBucketed(withDeg, "bkt_rank_edges_plan", "src", 8,
+      sortCol = Some("src"))
+    try {
+      def round(e: org.apache.spark.sql.DataFrame): String = {
+        val ranks = e.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(0.25).as("rank"))
+        physical(e.join(ranks, e("src") === ranks("node"))
+          .groupBy(e("dst").as("node"))
+          .agg(sum(col("rank") / col("outdeg")).as("cin")))
+      }
+      val bucketed = round(spark.table("bkt_rank_edges_plan"))
+      val plain = round(withDeg)
+      assert(bucketed.contains("Bucketed: true"),
+        s"edge scan not reading the bucket layout:\n$bucketed")
+      def nEx(p: String): Int = p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      assert(nEx(bucketed) < nEx(plain),
+        s"bucketed rank round did not remove the edge-side Exchange:" +
+          s"\nbucketed ${nEx(bucketed)} vs plain ${nEx(plain)}\n$bucketed")
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_rank_edges_plan")
+  }
+
+  test("er_fs_em derives its blocked candidates ONCE — scoring reads the checkpoint, never a re-join of part") {
+    // round-13 demand: the EM fit and the final scoring share one
+    // candidate pass; the returned (scored) plan must read the
+    // checkpointed pair frame, with NO part.parquet scan left anywhere
+    val df = SparkEntry.queries("er_fs_em")(spark, "/root/testdata/sf0.001")
+    val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(!leaves.exists(_.contains("part.parquet")),
+      s"scored plan re-derives the blocked join from part:\n" +
+        leaves.mkString("\n"))
+    assert(leaves.exists(l => l.contains("ExistingRDD") || l.contains("LogicalRDD")),
+      s"scored plan does not read a checkpointed candidate frame:\n" +
+        leaves.mkString("\n"))
+  }
+
   test("persisted ANN search reads the staged index — embeddings are never re-clustered or re-encoded") {
     // IVF read path: corpus side AND query side come from the staged cell
     // table, centroids from the staged k-row table — embeddings.parquet

@@ -96,6 +96,36 @@ class LinkageSpec extends SparkSpec {
       s"match pair ($i, ${i + 100}) not linked: $linked"))
   }
 
+  test("selfLinkPairsEmFitted: one candidate pass, same links as the two-pass composition") {
+    // the shared-candidate path (fit + score off one checkpointed blocked
+    // join) must select exactly the pairs the two-pass composition
+    // (emFitFields then selfLinkPairs) selects: lr >= 1 ⟺ log-score >= 0
+    // for the same fitted priors (exp is monotone), and n_agree is the
+    // same integer either way
+    val rows = (1L to 10L).flatMap { i =>
+      Seq((i, "B", s"t$i", s"k$i"),
+        (i + 100L, "B", s"t$i", if (i <= 8) s"k$i" else "zz"))
+    }.toDF("id", "blk", "ty", "tk")
+    val fitted = Linkage.emFitFields(rows, "id", col("blk"),
+      Seq("ty", "tk"), iters = 50)
+    val two = Linkage.selfLinkPairs(rows, "id", col("blk"), fitted,
+        threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = Linkage.selfLinkPairsEmFitted(rows, "id", col("blk"),
+      Seq("ty", "tk"), iters = 50, threshold = 1.0)
+    assert(one.columns.toSeq == Seq("a_id", "b_id", "n_agree", "lr"))
+    val oneSet = one
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oneSet == two, s"one-pass $oneSet vs two-pass $two")
+    // every reported ratio clears the threshold in ratio space
+    assert(one.collect().forall(_.getDouble(3) >= 1.0))
+    // and the candidate join really was materialized once: the scored
+    // plan reads a checkpoint (LogicalRDD), not a re-derived join
+    assert(one.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr }.nonEmpty,
+      "scored plan does not read the shared checkpointed candidates")
+  }
+
   test("over-cap blocks star-collapse around the min-id representative") {
     // skew-planted block: one degenerate key holds 50 of 60 records (the
     // empty-field-in-the-block-key failure), plus a small exact block

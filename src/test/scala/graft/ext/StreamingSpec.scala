@@ -528,6 +528,94 @@ class StreamingSpec extends SparkSpec {
     assert(broken == Seq(3L, 9L), broken.toString)
   }
 
+  test("near-dedup stream state stays BOUNDED across compactions; recovery crosses a compaction boundary") {
+    // Round-13 demand: nearDedupStream previously accreted one
+    // bid=<batchId> partition per microbatch forever and unioned ALL
+    // priors per batch. With compactEvery=4 over 12 single-doc
+    // microbatches (maxFilesPerTrigger=1), settled partitions fold into
+    // a base at batches 4, 8 — suppression must still work against
+    // FOLDED contributions (a copy of a doc now living in the base
+    // drops), the on-disk state must stay bounded (≤ compactEvery bid
+    // partitions + exactly one base), and a restart whose first batch
+    // triggers a compaction must equal the unbroken run.
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_neardup_compact").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    val corpus = Seq((0L, "the standing corpus document about federated " +
+      "scan sources")).toDF("doc_id", "text")
+    val (cb, cs) = Dedup.corpusNearDupIndex(corpus, "doc_id", "text")
+    val A = "alpha wolves howl across the frozen northern tundra at dusk"
+    val B = "database engines shuffle partitioned rows between executor nodes"
+    val C = "gardeners plant heirloom tomato seedlings after the last frost"
+    val D = "violin sections tune carefully before the evening symphony opens"
+    val E = "submarines navigate ocean trenches using long range sonar pings"
+    val F = "bakers fold laminated butter dough for tomorrow's croissant batch"
+    val G = "astronomers catalog distant quasars from the mountain observatory"
+    val schema = Seq.empty[(Long, String)].toDF("doc_id", "text").schema
+    def writeOne(n: Int, id: Long, text: String, srcDir: String): Unit = {
+      val tmp = s"$base/tmp"
+      Seq((id, text)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val pf = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(pf.toPath,
+        java.nio.file.Paths.get(f"$srcDir/b$n%02d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // 12 microbatches; dups placed to probe pre-fold, post-fold, and
+    // double-fold suppression (compactions fire at batchId 4 and 8)
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> A, 2L -> B, 3L -> A /*drop: recent*/, 4L -> C,
+      5L -> B /*drop: folded at 4*/, 6L -> D, 7L -> C /*drop: folded*/,
+      8L -> D /*drop: recent*/, 9L -> E, 10L -> E /*drop: recent*/,
+      11L -> F, 12L -> A /*drop: double-folded*/)
+    def run(srcDir: String, stateDir: String, outDir: String,
+            ckptDir: String): Seq[Long] =
+      Streaming.nearDedupStream(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(srcDir), cb, cs,
+          stateDir, outDir, ckptDir, "doc_id", "text", threshold = 0.7,
+          compactEvery = 4)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    docs.zipWithIndex.foreach { case ((id, t), n) =>
+      writeOne(n, id, t, s"$base/src") }
+    val kept1 = run(s"$base/src", s"$base/state", s"$base/out", s"$base/ckpt")
+    assert(kept1 == Seq(1L, 2L, 4L, 6L, 9L, 11L), kept1.toString)
+    // state boundedness after 12 batches: one base (upto=8), bid
+    // partitions only at 8..11 — the pre-fold listings are GONE
+    def bids(kind: String, sd: String): Seq[Long] =
+      new java.io.File(s"$sd/$kind").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("bid="))
+        .map(_.stripPrefix("bid=").toLong).sorted
+    def bases(kind: String, sd: String): Seq[Long] =
+      new java.io.File(s"$sd/${kind}_base").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("upto="))
+        .map(_.stripPrefix("upto=").toLong).sorted
+    for (k <- Seq("bands", "sets")) {
+      assert(bases(k, s"$base/state") == Seq(8L),
+        s"$k base dirs: ${bases(k, s"$base/state")}")
+      assert(bids(k, s"$base/state") == Seq(8L, 9L, 10L, 11L),
+        s"$k bid dirs: ${bids(k, s"$base/state")}")
+    }
+    // restart: the resumed run's FIRST batch (batchId 12) triggers a
+    // compaction folding bids 8..11; doc 13 (copy of F, just folded)
+    // must drop, doc 14 (novel) must survive
+    writeOne(12, 13L, F, s"$base/src")
+    writeOne(13, 14L, G, s"$base/src")
+    val kept2 = run(s"$base/src", s"$base/state", s"$base/out", s"$base/ckpt")
+    assert(kept2 == Seq(1L, 2L, 4L, 6L, 9L, 11L, 14L), kept2.toString)
+    // unbroken replay over the same 14 files equals the restarted run
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/src2"))
+    (docs ++ Seq(13L -> F, 14L -> G)).zipWithIndex.foreach {
+      case ((id, t), n) => writeOne(n, id, t, s"$base/src2") }
+    val unbroken =
+      run(s"$base/src2", s"$base/state2", s"$base/out2", s"$base/ckpt2")
+    assert(unbroken == kept2,
+      s"compaction-crossing recovery diverged: $kept2 vs $unbroken")
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,
