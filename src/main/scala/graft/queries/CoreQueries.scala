@@ -108,6 +108,22 @@ object CoreQueries {
     * restore in a fresh session. Overwrite-mode writes keep the path from
     * accreting; an OS file lock serializes concurrent JVMs so two sessions
     * never interleave writes into the same stage. */
+  /** Row count of a staged parquet layout, memoized beside it as
+    * count.txt — stage dirs created before the file existed (earlier
+    * rounds) backfill it once, best-effort. */
+  private[queries] def stagedCount(s: org.apache.spark.sql.SparkSession,
+                                   stageDir: String, file: String): Long = {
+    val cp = java.nio.file.Paths.get(s"$stageDir/count.txt")
+    if (java.nio.file.Files.exists(cp))
+      java.nio.file.Files.readString(cp).trim.toLong
+    else {
+      val n = s.read.parquet(s"$stageDir/$file").count()
+      try { java.nio.file.Files.writeString(cp, n.toString); () }
+      catch { case _: Exception => () }
+      n
+    }
+  }
+
   private[queries] def stageEachJvm(kind: String, dir: String)(create: String => Unit): String =
     stageCache.computeIfAbsent(s"$kind:$dir", { _ =>
       import java.nio.file.{Files, StandardOpenOption}

@@ -3109,12 +3109,13 @@ object ExtQueries {
       (s, dir) => {
         // staged layout (round 13): same bucketed edge table as
         // graph_pagerank — see that Reg and [[stagedPurchaseEdges]]
-        val (_, tbl) = stagedPurchaseEdges(s, dir)
+        val (_, tbl, nEdges) = stagedPurchaseEdges(s, dir)
+        val sess = rankSession(s, nEdges)
         val seeds = Tables(s, dir).customer
           .where(col("c_nationkey") === 0)
           .select((col("c_custkey") * 2).as("node"))
         val pr = graft.ext.Graph.personalizedPagerankBucketed(
-          s.table(tbl), seeds, iters = 10, damping = 0.85)
+          sess.table(tbl), seeds, iters = 10, damping = 0.85)
         val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
         pr.crossJoin(broadcast(nv))
           .select(
@@ -3516,9 +3517,9 @@ object ExtQueries {
         // Node ids are integer-encoded (parity-disjoint custkey*2 /
         // suppkey*2+1) and decoded to names at the end — long keys
         // through 10 rounds of joins beat strings by ~20% measured.
-        val (_, tbl) = stagedPurchaseEdges(s, dir)
+        val (_, tbl, nEdges) = stagedPurchaseEdges(s, dir)
         val pr = graft.ext.Graph.pagerankBucketed(
-          s.table(tbl), iters = 10, damping = 0.85)
+          rankSession(s, nEdges).table(tbl), iters = 10, damping = 0.85)
         val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
         pr.crossJoin(nv) // 1-row side — broadcast, not a real cross product
           .select(
@@ -3812,10 +3813,11 @@ object ExtQueries {
     * BUCKETED BY src, 32 buckets, so every power-iteration round's
     * src-join reads a pre-shuffled layout with outdeg already on the
     * edge row — no derivation join, no degree join, no Exchange on the
-    * edge input (PlanSpec pins it). Returns (pairsPath, tableName). */
+    * edge input (PlanSpec pins it). Returns (pairsPath, tableName,
+    * bidirectedEdgeCount). */
   private def stagedPurchaseEdges(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): (String, String) = {
+      dir: String): (String, String, Long) = {
     val src = java.nio.file.Paths.get(dir, "lineitem.parquet")
     val sig =
       try {
@@ -3833,7 +3835,16 @@ object ExtQueries {
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct(),
         s"$path/pairs.parquet")
+      // directed-pair count beside the layout — consumers match their
+      // round parallelism to |E| = 2·pairs (Graph.rankParallelism)
+      val n = s.read.parquet(s"$path/pairs.parquet").count()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/count.txt"), n.toString)
     }
+    val nEdges =
+      CoreQueries.stagedCount(s, pairsDir, "pairs.parquet") * 2
+    val buckets = math.max(1L, math.min(32L, (nEdges + 1999999L) / 2000000L))
+      .toInt
     val sfx = CoreQueries.stageDigest("puredgesbkt", dir)
     val tbl = s"graft_puredges_$sfx"
     CoreQueries.stageEachJvm("puredgesbkt", dir) { path =>
@@ -3846,10 +3857,24 @@ object ExtQueries {
         e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
         Seq("src"))
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      graft.io.Sinks.writeBucketed(withDeg, tbl, "src", 32,
+      graft.io.Sinks.writeBucketed(withDeg, tbl, "src", buckets,
         sortCol = Some("src"), path = Some(s"$path/$tbl"))
     }
-    (s"$pairsDir/pairs.parquet", tbl)
+    (s"$pairsDir/pairs.parquet", tbl, nEdges)
+  }
+
+  /** Child session carrying |E|-matched shuffle parallelism for a rank
+    * loop ([[graft.ext.Graph.rankParallelism]]); the parent session when
+    * the value already matches. */
+  private def rankSession(s: org.apache.spark.sql.SparkSession,
+                          nEdges: Long): org.apache.spark.sql.SparkSession = {
+    val parts = graft.ext.Graph.rankParallelism(nEdges)
+    if (parts.toString == s.conf.get("spark.sql.shuffle.partitions")) s
+    else {
+      val c = s.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      c
+    }
   }
 
   // Adamic–Adar link prediction ([[Graph.adamicAdar]]): non-adjacent part

@@ -131,9 +131,10 @@ object LlmQueries {
     * pattern for the vocabulary-sized word graph, so the corpus-sized
     * tokenize + explode + distinct derivation is an ingest-time cost
     * and a rank round's src-join reads the bucket layout Exchange-free.
-    * Returns the bucketed table name. */
+    * Bucket count and consumer parallelism are sized to the recorded
+    * |E| (count.txt). Returns (bucketedTableName, edgeCount). */
   private def stagedWordEdges(s: org.apache.spark.sql.SparkSession,
-                              dir: String): String = {
+                              dir: String): (String, Long) = {
     val src = java.nio.file.Paths.get(dir, "documents.parquet")
     val sig =
       try {
@@ -153,7 +154,20 @@ object LlmQueries {
         e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
           .distinct(),
         s"$path/edges.parquet")
+      // edge count recorded beside the layout: consumers SIZE their
+      // round parallelism and the bucket count to |E| instead of the
+      // session default (a 31-node word graph under 32-partition
+      // shuffles is 600+ near-empty tasks per query — measured 3.5 s of
+      // pure scheduling at sf0.1, 2.3 s with matched parallelism)
+      val n = s.read.parquet(s"$path/edges.parquet").count()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/count.txt"), n.toString)
     }
+    val nEdges = CoreQueries.stagedCount(s, edgesDir, "edges.parquet")
+    // ~2M edges per bucket, 1..32 — the stage-time twin of the
+    // consumer-side parallelism policy (graft.ext.Graph.rankParallelism)
+    val buckets = math.max(1L, math.min(32L, (nEdges + 1999999L) / 2000000L))
+      .toInt
     val tbl = s"graft_wordedges_${CoreQueries.stageDigest("wordedgesbkt", dir)}"
     CoreQueries.stageEachJvm("wordedgesbkt", dir) { path =>
       val e = s.read.parquet(s"$edgesDir/edges.parquet")
@@ -161,10 +175,10 @@ object LlmQueries {
         e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
         Seq("src"))
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      graft.io.Sinks.writeBucketed(withDeg, tbl, "src", 32,
+      graft.io.Sinks.writeBucketed(withDeg, tbl, "src", buckets,
         sortCol = Some("src"), path = Some(s"$path/$tbl"))
     }
-    tbl
+    (tbl, nEdges)
   }
 
   private def stagedNearDupIndex(s: org.apache.spark.sql.SparkSession,
@@ -1180,10 +1194,21 @@ object LlmQueries {
         // explode + distinct — exactly the ingest-time artifact shape.
         // Staged once per corpus as a bucketed outdeg-annotated table
         // ([[stagedWordEdges]]); the rank rounds then ride the same
-        // Exchange-free bucketed path as graph_pagerank.
-        val tbl = stagedWordEdges(s, dir)
+        // Exchange-free bucketed path as graph_pagerank, at shuffle
+        // parallelism MATCHED to |E| ([[graft.ext.Graph
+        // .rankParallelism]]) in a child session — a 31-node graph must
+        // not schedule 32-partition shuffles ten rounds deep.
+        val (tbl, nEdges) = stagedWordEdges(s, dir)
+        val parts = graft.ext.Graph.rankParallelism(nEdges)
+        val sess =
+          if (parts.toString == s.conf.get("spark.sql.shuffle.partitions")) s
+          else {
+            val c = s.newSession()
+            c.conf.set("spark.sql.shuffle.partitions", parts.toString)
+            c
+          }
         val pr = graft.ext.Graph.pagerankBucketed(
-          s.table(tbl), iters = 10, damping = 0.85)
+          sess.table(tbl), iters = 10, damping = 0.85)
         val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
         pr.crossJoin(broadcast(nv))
           .select(col("node").as("word"),
