@@ -169,14 +169,24 @@ object LlmQueries {
     val buckets = math.max(1L, math.min(32L, (nEdges + 1999999L) / 2000000L))
       .toInt
     val tbl = s"graft_wordedges_${CoreQueries.stageDigest("wordedgesbkt", dir)}"
-    CoreQueries.stageEachJvm("wordedgesbkt", dir) { path =>
+    // bucketed FILES once per corpus; per JVM only the catalog MOUNT
+    // ([[graft.io.Sinks.mountBucketed]] — no per-JVM rewrite)
+    val bktDir = CoreQueries.stageOnce(s"wordedgesbktf_$sig", dir) { path =>
       val e = s.read.parquet(s"$edgesDir/edges.parquet")
       val withDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
         Seq("src"))
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      graft.io.Sinks.writeBucketed(withDeg, tbl, "src", buckets,
-        sortCol = Some("src"), path = Some(s"$path/$tbl"))
+      val build = s"${tbl}_build"
+      s.sql(s"DROP TABLE IF EXISTS $build")
+      graft.io.Sinks.writeBucketed(withDeg, build, "src", buckets,
+        sortCol = Some("src"), path = Some(s"$path/files"))
+      s.sql(s"DROP TABLE IF EXISTS $build") // external: files remain
+      ()
+    }
+    CoreQueries.stageEachJvm("wordedgesmnt", dir) { _ =>
+      graft.io.Sinks.mountBucketed(s, tbl,
+        s.read.parquet(s"$bktDir/files").schema,
+        "src", buckets, Some("src"), s"$bktDir/files")
     }
     (tbl, nEdges)
   }

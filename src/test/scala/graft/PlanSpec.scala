@@ -493,6 +493,36 @@ class PlanSpec extends SparkSpec {
       s"part scan not pruned:\n${scans.mkString("\n")}")
   }
 
+  test("mountBucketed re-registers existing bucketed files — scan is still Bucketed, rows intact, no rewrite") {
+    import graft.io.Sinks
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mount").toString
+    val df = (1 to 300).map(i => (i.toLong % 40, i.toLong)).toDF("k", "v")
+    Sinks.writeBucketed(df, "bkt_mount_src", "k", 8, sortCol = Some("k"),
+      path = Some(s"$dir/files"))
+    spark.sql("DROP TABLE IF EXISTS bkt_mount_src") // external: files stay
+    try {
+      val before = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      Sinks.mountBucketed(spark, "bkt_mounted",
+        spark.read.parquet(s"$dir/files").schema,
+        "k", 8, Some("k"), s"$dir/files")
+      val after = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      assert(before == after, "mount rewrote data files")
+      val mounted = spark.table("bkt_mounted")
+      assert(mounted.count() == 300)
+      // the mounted catalog entry restores the bucket metadata: a
+      // groupBy on the bucket column consumes the layout with no
+      // Exchange before the aggregate's final pass
+      val plan = physical(mounted.groupBy("k").agg(sum("v")))
+      assert(plan.contains("Bucketed: true"),
+        s"mounted table not read as bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"mounted bucketed agg still shuffles:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_mounted")
+  }
+
   test("staged bucketed purchase edges feed a pagerank round with NO Exchange on the edge input") {
     // the rank-family twin of the LPA staged-layout pin (round 13): an
     // outdeg-annotated bidirected edge table bucketed by src satisfies
