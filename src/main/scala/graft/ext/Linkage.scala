@@ -53,25 +53,30 @@ object Linkage {
     * `maxBlock`, star-collapsed around the block's min-id representative
     * above it. Shared by [[selfLinkPairs]] (scoring) and
     * [[agreementPatternCounts]] (the EM fit). */
-  private def candidatePairs(df: DataFrame, idCol: String, blockKey: Column,
-                             fieldNames: Seq[String],
-                             maxBlock: Int): DataFrame = {
+  /** The block-annotated O(N) frame both halves of the operator read:
+    * every row with its block key, size, and the block's min-id
+    * representative (id AND compared fields via one min-struct) by
+    * aggregate + join-back, never a window over the block key — the
+    * degenerate block must not serialize through one WindowExec task
+    * (same skew armor as [[Dedup.signaturePairs]]). */
+  private def sizedFrame(df: DataFrame, idCol: String, blockKey: Column,
+                         fieldNames: Seq[String]): DataFrame = {
     require(fieldNames.nonEmpty, "at least one compared field")
-    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     val cols = col(idCol).as("__id") +: fieldNames.map(col)
-    // a plain pruned projection — unlike signaturePairs' exploded band
-    // table there is no row inflation to cache, so the operator stays a
-    // single LAZY declarative plan (scan reuse, runtime broadcast of the
-    // block stats, and skew handling are AQE's call)
     val base = df.select((blockKey.as("__blk") +: cols): _*)
-    // block size + min-id representative (id AND its compared fields via
-    // one min-struct) by aggregate + join-back, never a window over the
-    // block key: the degenerate block must not serialize through one
-    // WindowExec task — same skew armor as [[Dedup.signaturePairs]]
     val stats = base.groupBy("__blk")
       .agg(count(lit(1)).as("__bsz"),
         min(struct(col("__id") +: fieldNames.map(col): _*)).as("__r"))
-    val sized = base.join(stats, Seq("__blk"))
+    base.join(stats, Seq("__blk"))
+  }
+
+  /** Candidate pairs from a prebuilt [[sizedFrame]] — exact all-pairs at
+    * or under the cap, member-vs-representative star above it. The
+    * OUTPUT is O(Σ block²): stream it (aggregate/filter), never
+    * checkpoint it. */
+  private def pairsFromSized(sized: DataFrame, fieldNames: Seq[String],
+                             maxBlock: Int): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     // exact path: all pairs within blocks at or under the cap
     val small = sized.where(col("__bsz") <= maxBlock)
     val a = small.select(col("__blk") +: col("__id").as("a_id") +:
@@ -92,6 +97,15 @@ object Linkage {
           col(s"__r.$f").as(s"__a_$f"), col(f).as(s"__b_$f"))): _*)
     exact.union(star)
   }
+
+  private def candidatePairs(df: DataFrame, idCol: String, blockKey: Column,
+                             fieldNames: Seq[String],
+                             maxBlock: Int): DataFrame =
+    // a plain pruned projection — no row inflation to cache, so the
+    // operator stays a single LAZY declarative plan (scan reuse, runtime
+    // broadcast of the block stats, and skew handling are AQE's call)
+    pairsFromSized(sizedFrame(df, idCol, blockKey, fieldNames), fieldNames,
+      maxBlock)
 
   /** Per-field agreement flag: non-null equality (nulls never agree). */
   private def agreeFlag(f: String): Column =
@@ -114,12 +128,16 @@ object Linkage {
       .where(col("score") >= threshold)
   }
 
-  /** End-to-end UNSUPERVISED self-linkage with ONE candidate pass: the
-    * blocked candidate join runs once, is checkpointed, and feeds BOTH
-    * the EM fit (agreement-pattern counts) and the final scoring —
-    * previously [[emFitFields]] + [[selfLinkPairs]] each re-derived the
-    * blocked join, the dominant cost of the composition (round-12
-    * measure: 47.3 s at sf10, 7.3×/decade, twice the candidate work).
+  /** End-to-end UNSUPERVISED self-linkage with ONE pairwise candidate
+    * pass: the EM fit consumes [[agreementPatternCounts]] — which after
+    * round 13 never enumerates pairs at all (subset-lattice counting,
+    * O(2^k·N)) — and the blocked candidate JOIN then runs exactly once,
+    * for scoring, streamed straight into the threshold filter.
+    * Previously [[emFitFields]] + [[selfLinkPairs]] ran the quadratic
+    * join twice (round-12: 47.3 s at sf10); the intermediate round-13
+    * attempt to share it by CHECKPOINTING the pairs was worse — a
+    * quadratic OUTPUT (~3.6e9 rows at sf10) must be streamed, never
+    * stored (it filled the disk).
     *
     * Scoring uses the LIKELIHOOD-RATIO form, Π over fields of m/u on
     * agreement and (1−m)/(1−u) on disagreement — the same Fellegi–Sunter
@@ -137,16 +155,19 @@ object Linkage {
                             fieldNames: Seq[String], iters: Int = 20,
                             threshold: Double = 1.0,
                             maxBlock: Int = 10000): DataFrame = {
-    val pairs = graft.Ckpt(
-      candidatePairs(df, idCol, blockKey, fieldNames, maxBlock))
     val k = fieldNames.length
-    val pats = patternCounts(pairs, fieldNames)
+    // ONE O(N) derivation for both halves: the checkpointed sized frame
+    // feeds the 2^k fit aggregations AND the scoring join — the final
+    // plan reads this checkpoint, never the source table (PlanSpec)
+    val sized = graft.Ckpt(sizedFrame(df, idCol, blockKey, fieldNames))
+    val pats = patternCountsFromSized(sized, fieldNames, maxBlock)
       .collect()
       .map(r => (Seq.tabulate(k)(i => r.getInt(i)), r.getLong(k)))
       .toSeq.sortBy(_._1.mkString)
     val (_, m, u) = emFit(pats, k, iters)
     val specs = fieldNames.zipWithIndex.map { case (f, i) =>
       FieldSpec(f, m(i), u(i)) }
+    val pairs = pairsFromSized(sized, fieldNames, maxBlock)
     val agreeFlags = specs.map(f => agreeFlag(f.field))
     val nAgree = agreeFlags.map(fl => when(fl, 1L).otherwise(0L))
       .reduce(_ + _)
@@ -158,28 +179,120 @@ object Linkage {
       .where(col("lr") >= threshold)
   }
 
-  /** Agreement-pattern counts from an already-derived candidate frame
-    * (the [[candidatePairs]] column contract) — shared by
-    * [[agreementPatternCounts]] and [[selfLinkPairsEmFitted]]. */
-  private def patternCounts(pairs: DataFrame,
-                            fieldNames: Seq[String]): DataFrame = {
-    val flags = fieldNames.zipWithIndex.map { case (f, i) =>
-      when(agreeFlag(f), 1).otherwise(0).as(s"g$i")
-    }
-    pairs.select(flags: _*)
-      .groupBy(fieldNames.indices.map(i => col(s"g$i")): _*)
-      .agg(count(lit(1)).as("n"))
-  }
-
   /** EXACT agreement-pattern counts over the blocked candidates — the
     * bounded sufficient statistic the EM fit runs on: one row per 0/1
     * vector (g_0..g_{k−1}, n), at most 2^k rows however large the corpus.
-    * This is the only corpus-sized job unsupervised estimation needs. */
+    *
+    * WITHOUT enumerating pairs (round 13): the fit needs counts, never
+    * pair identity, and the candidate join's output is O(Σ block²) —
+    * 3.6e9 rows at sf10, which must not be materialized OR re-enumerated
+    * just to be counted. Within-cap blocks are counted analytically:
+    * for every field subset T, m(T) = # pairs agreeing on at least T =
+    * Σ over (block, T-values) groups of C(n,2) (null rows excluded —
+    * null never agrees), one O(N) aggregation per subset, 2^k subsets;
+    * exact-pattern counts follow by Möbius inversion
+    * n(S) = Σ_{T ⊇ S} (−1)^{|T\S|} m(T). Over-cap blocks contribute the
+    * LINEAR member-vs-min-id-representative star pass, counted directly.
+    * Bit-identical to pairwise enumeration (exact integer
+    * combinatorics); total work O(2^k · N) aggregation instead of the
+    * quadratic join — the EM fit becomes corpus-LINEAR. */
   def agreementPatternCounts(df: DataFrame, idCol: String, blockKey: Column,
                              fieldNames: Seq[String],
                              maxBlock: Int = 10000): DataFrame =
-    patternCounts(
-      candidatePairs(df, idCol, blockKey, fieldNames, maxBlock), fieldNames)
+    // O(N) frame, checkpointed once: 2^k subset aggregations + the star
+    // pass all re-read it (bounded storage — this is NOT the pair list)
+    patternCountsFromSized(
+      graft.Ckpt(sizedFrame(df, idCol, blockKey, fieldNames)),
+      fieldNames, maxBlock)
+
+  private def patternCountsFromSized(sized: DataFrame,
+                                     fieldNames: Seq[String],
+                                     maxBlock: Int): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val k = fieldNames.length
+    require(k <= 16, s"subset-lattice counting is 2^k in k; got k=$k")
+    val spark = sized.sparkSession
+    val small = sized.where(col("__bsz") <= maxBlock)
+    // m(T) for EVERY subset T in ONE pass: GROUPING SETS over
+    // (__blk, fields) — the Expand operator replicates each row 2^k
+    // times into one partial-aggregated job instead of 2^k separate
+    // scans (measured 27 s → one job at sf10). A group whose IN-SET
+    // field value is the actual NULL is excluded afterwards (null never
+    // agrees); grouping_id distinguishes "aggregated away" from "null
+    // value" (bit 1 = column not in this set).
+    val groupCols = col("__blk") +: fieldNames.map(col)
+    val sets: Seq[Seq[Column]] = (0 until (1 << k)).map { mask =>
+      col("__blk") +: fieldNames.zipWithIndex
+        .filter { case (_, i) => (mask & (1 << i)) != 0 }
+        .map { case (f, _) => col(f) }
+    }
+    val grouped = small.groupingSets(sets, groupCols: _*)
+      .agg(count(lit(1)).as("__n"), grouping_id().as("__gid"))
+    // grouping_id bit layout: first grouping column = highest bit;
+    // group cols are (blk, f0..f_{k-1}) ⇒ field i's bit shift = k−1−i
+    def inSet(i: Int): Column =
+      (shiftright(col("__gid"), k - 1 - i) % 2) === 0
+    val nullInSet = fieldNames.zipWithIndex
+      .map { case (f, i) => inSet(i).and(col(f).isNull) }
+      .reduce(_ || _)
+    // C(n,2) = n(n−1)/2 exactly: n(n−1) is even; bigint division in
+    // Spark truncates, which is exact here
+    val mRows = grouped.where(!nullInSet)
+      .groupBy(col("__gid"))
+      .agg(sum(expr("(__n * (__n - 1)) div 2")).as("m"))
+      .collect()
+    val mT: Map[Int, Long] = (0 until (1 << k)).map { mask =>
+      // gid for mask: blk grouped (bit 0); field i aggregated away
+      // (bit 1) iff i NOT in mask
+      val gid = fieldNames.indices
+        .filter(i => (mask & (1 << i)) == 0)
+        .map(i => 1 << (k - 1 - i)).sum
+      mask -> mRows.find(_.getLong(0).toInt == gid)
+        .map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).getOrElse(0L)
+    }.toMap
+    // Möbius inversion to exact-pattern counts
+    def popcount(x: Int): Int = Integer.bitCount(x)
+    val full = (1 << k) - 1
+    val exactSmall = (0 to full).map { s =>
+      val n = (0 to full).filter(t => (t & s) == s).map { t =>
+        val sign = if (popcount(t ^ s) % 2 == 0) 1L else -1L
+        sign * mT(t)
+      }.sum
+      s -> n
+    }.toMap
+    // star pass: over-cap members vs the block representative — linear
+    val starFlags = fieldNames.zipWithIndex.map { case (f, i) =>
+      when((col(s"__r.$f") === col(f)).and(col(s"__r.$f").isNotNull), 1)
+        .otherwise(0).as(s"g$i")
+    }
+    val starCounts = sized
+      .where(col("__bsz") > maxBlock && col("__id") =!= col("__r.__id"))
+      .select(starFlags: _*)
+      .groupBy(fieldNames.indices.map(i => col(s"g$i")): _*)
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val mask = fieldNames.indices
+          .map(i => if (r.getInt(i) == 1) 1 << i else 0).sum
+        mask -> r.getLong(k)
+      }.toMap
+    val rows = (0 to full).flatMap { s =>
+      val n = exactSmall.getOrElse(s, 0L) + starCounts.getOrElse(s, 0L)
+      // zero-count patterns stay absent — the shape pairwise GROUP BY
+      // (engine and oracle alike) produces
+      if (n == 0L) None
+      else Some(org.apache.spark.sql.Row.fromSeq(
+        fieldNames.indices.map(i => if ((s & (1 << i)) != 0) 1 else 0) :+ n))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      fieldNames.indices.map(i => org.apache.spark.sql.types.StructField(
+        s"g$i", org.apache.spark.sql.types.IntegerType, nullable = false)) :+
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
 
   /** Driver twin of the oracle's `FLOOR(x·1e9 + 0.5)/1e9`. */
   private def r9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9

@@ -3374,10 +3374,11 @@ object ExtQueries {
           when(col("id") % 25 === 5, "XX").otherwise(col("f1")).as("f1"),
           when(col("id") % 5 === 1, "XX").otherwise(col("f2")).as("f2"))
         val p = base.unionAll(dups)
-        // ONE candidate pass (round-13): the blocked join is
-        // checkpointed inside selfLinkPairsEmFitted and feeds both the
-        // EM pattern counts and the scoring — previously emFitFields +
-        // selfLinkPairs derived it twice (the round-12 47.3 s sf10 row)
+        // ONE pairwise pass (round-13): the EM fit runs on analytic
+        // subset-lattice pattern counts (O(2^k·N), no pair enumeration)
+        // and the blocked join executes once, for scoring, streamed —
+        // previously emFitFields + selfLinkPairs enumerated the
+        // quadratic candidates twice (the round-12 47.3 s sf10 row)
         graft.ext.Linkage.selfLinkPairsEmFitted(p, "id", col("blk"),
           Seq("f0", "f1", "f2"), iters = 20, threshold = 1.0)
       })

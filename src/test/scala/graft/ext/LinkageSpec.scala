@@ -119,11 +119,49 @@ class LinkageSpec extends SparkSpec {
     assert(oneSet == two, s"one-pass $oneSet vs two-pass $two")
     // every reported ratio clears the threshold in ratio space
     assert(one.collect().forall(_.getDouble(3) >= 1.0))
-    // and the candidate join really was materialized once: the scored
-    // plan reads a checkpoint (LogicalRDD), not a re-derived join
+    // and the scored plan reads the shared checkpointed O(N) sized
+    // frame (LogicalRDD), never a re-derivation of the source table
     assert(one.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr }.nonEmpty,
-      "scored plan does not read the shared checkpointed candidates")
+      "scored plan does not read the shared checkpointed sized frame")
+  }
+
+  test("agreementPatternCounts (subset-lattice) equals brute-force pair enumeration — nulls, caps, star path") {
+    // the analytic counter must be BIT-identical to enumerating pairs:
+    // nulls never agree (not even with nulls), within-cap blocks are
+    // all-pairs, over-cap blocks are member-vs-min-id-representative
+    val rows = (
+      // HOT block: 30 rows > maxBlock 20 → star path; planted repeats
+      (1L to 30L).map(i => (i, "HOT",
+        if (i % 3 == 0) null else s"t${i % 4}",
+        if (i % 5 == 0) null else s"k${i % 2}")) ++
+      // COLD block: 8 rows ≤ cap → exact all-pairs, with nulls
+      (100L to 107L).map(i => (i, "COLD",
+        if (i % 4 == 0) null else s"t${i % 3}", s"k${i % 2}"))
+    ).toDF("id", "blk", "ty", "tk")
+    val analytic = Linkage.agreementPatternCounts(rows, "id", col("blk"),
+        Seq("ty", "tk"), maxBlock = 20)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // brute force on the driver (tiny frame): same pairing rules
+    val data = rows.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)), Option(r.getString(3))))
+    def agree(a: Option[String], b: Option[String]): Int =
+      if (a.isDefined && a == b) 1 else 0
+    val brute = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    data.groupBy(_._2).foreach { case (_, members) =>
+      val ms = members.sortBy(_._1)
+      val pairs =
+        if (ms.length <= 20)
+          for (i <- ms.indices; j <- (i + 1) until ms.length)
+            yield (ms(i), ms(j))
+        else ms.tail.map(m => (ms.head, m)).toIndexedSeq
+      pairs.foreach { case (x, y) =>
+        val key = (agree(x._3, y._3), agree(x._4, y._4))
+        brute(key) = brute.getOrElse(key, 0L) + 1L
+      }
+    }
+    assert(analytic == brute.toMap,
+      s"analytic $analytic != brute ${brute.toMap}")
   }
 
   test("over-cap blocks star-collapse around the min-id representative") {
