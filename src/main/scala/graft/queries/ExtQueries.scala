@@ -3437,9 +3437,12 @@ object ExtQueries {
         val p = erParts(s, dir)
         // ckpt the scored pair list: connectedComponents consumes its
         // input twice (live derivation + node set), and the blocked
-        // join now carries the maxBlock armor's block-stats pass —
+        // join carries the maxBlock armor's block-stats pass —
         // materializing once keeps that pass at one execution per query
-        // (the round-12 sf0.1 premium was it running twice)
+        // (the round-12 sf0.1 premium was it running twice). A
+        // child-session parallelism rebind (the rank-family policy) was
+        // measured HERE and lost: createDataFrame(ckpt.rdd) re-converts
+        // rows and forfeits the checkpoint layout — 4.9 s vs 2.5 s.
         val pairs = graft.ext.Linkage.selfLinkPairs(p, "p_partkey",
             concat(col("p_brand"), lit("|"), col("p_size").cast("string")),
             erFields, threshold = 5.0)
