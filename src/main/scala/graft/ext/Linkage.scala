@@ -360,6 +360,39 @@ object Linkage {
     (p, m, u)
   }
 
+  /** The fitted Fellegi–Sunter parameters as a 1-ROW FRAME
+    * (p, m_0..m_{k−1}, u_0..u_{k−1}) — the model ARTIFACT a production
+    * linkage job persists beside its pair output so later scoring runs
+    * (and audits of what the unsupervised fit believed) read the
+    * parameters back instead of re-fitting. All values are the
+    * r9-rounded clamped iterates of [[emFit]]'s deterministic chain, so
+    * an oracle that unrolls the same iterations lands on bit-identical
+    * doubles — the fit itself is hash-checkable, not just the scores it
+    * produces. */
+  def emFitParams(df: DataFrame, idCol: String, blockKey: Column,
+                  fieldNames: Seq[String], iters: Int = 20,
+                  maxBlock: Int = 10000): DataFrame = {
+    val k = fieldNames.length
+    val pats = agreementPatternCounts(df, idCol, blockKey, fieldNames,
+        maxBlock)
+      .collect()
+      .map(r => (Seq.tabulate(k)(i => r.getInt(i)), r.getLong(k)))
+      .toSeq.sortBy(_._1.mkString)
+    val (p, m, u) = emFit(pats, k, iters)
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.DoubleType, nullable = false) +:
+      (fieldNames.indices.map(i => org.apache.spark.sql.types.StructField(
+        s"m$i", org.apache.spark.sql.types.DoubleType, nullable = false)) ++
+       fieldNames.indices.map(i => org.apache.spark.sql.types.StructField(
+        s"u$i", org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val row = org.apache.spark.sql.Row.fromSeq(p +: (m ++ u))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.List.of(row)), schema)
+  }
+
   /** Fit [[FieldSpec]]s from the data itself — [[agreementPatternCounts]]
     * (one corpus-sized job, ≤ 2^k collected rows) feeding [[emFit]] — so
     * [[selfLinkPairs]] runs without hand-supplied priors. Throws if a

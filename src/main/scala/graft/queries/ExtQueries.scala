@@ -3051,6 +3051,7 @@ object ExtQueries {
     sketchCmsReg,
     erFsReg,
     erFsEmReg,
+    erFsEmParamsReg,
     erFsGroupsReg
   )
 
@@ -3251,8 +3252,12 @@ object ExtQueries {
     * (b) weights are the LIKELIHOOD-RATIO form (m/u, (1−m)/(1−u)) —
     * divisions and a left-assoc product of bit-identical doubles, IEEE-
     * exact on both engines, where the previous LN() pitted DuckDB's libm
-    * against the JVM's Math.log; (c) the M-step guards are in the SQL. */
-  private def erFsEmSql(iters: Int): String = {
+    * against the JVM's Math.log; (c) the M-step guards are in the SQL.
+    *
+    * This builds the SHARED chain through `em$iters` (planting →
+    * capped candidates → pattern counts → EM iterates); er_fs_em and
+    * er_fs_em_params append their own final SELECTs. */
+  private def erFsEmChain(iters: Int): String = {
     val k = 3
     val gflags = (0 until k).map(i =>
       s"CASE WHEN a.f$i = b.f$i THEN 1 ELSE 0 END AS g$i").mkString(",\n    ")
@@ -3294,12 +3299,6 @@ object ExtQueries {
          |  $us
          |  FROM w$j, em${j - 1} e)""".stripMargin
     }.mkString(",\n")
-    val wts = (0 until k).map(i =>
-      s"m$i / u$i AS aw$i, (1.0 - m$i) / (1.0 - u$i) AS dw$i")
-      .mkString(", ")
-    val scoreProd = (0 until k).map(i =>
-      s"(CASE WHEN c.g$i = 1 THEN w.aw$i ELSE w.dw$i END)").mkString("\n      * ")
-    val nAgree = (0 until k).map(i => s"c.g$i").mkString(" + ")
     s"""WITH base AS (SELECT p_partkey AS id,
        |    p_brand || '|' || CAST(p_size AS VARCHAR) AS blk,
        |    p_type AS f0, string_split(p_name, ' ')[1] AS f1,
@@ -3330,14 +3329,39 @@ object ExtQueries {
        |em0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
        |  ${(0 until k).map(i => s"CAST(0.9 AS DOUBLE) AS m$i").mkString(", ")},
        |  ${(0 until k).map(i => s"CAST(0.1 AS DOUBLE) AS u$i").mkString(", ")}),
-       |$steps,
-       |wt AS (SELECT $wts FROM em$iters)
-       |SELECT a_id, b_id, n_agree, lr FROM (
-       |  SELECT c.a_id, c.b_id, CAST($nAgree AS BIGINT) AS n_agree,
-       |    CAST(FLOOR(($scoreProd) * 100000.0 + 0.5) AS BIGINT) / 100000.0
-       |      AS lr
-       |  FROM cand c, wt w)
-       |WHERE lr >= 1.0""".stripMargin
+       |$steps""".stripMargin
+  }
+
+  /** er_fs_em's final SELECT over the shared EM chain: ratio-form
+    * weights from the final iterate, scored pairs. */
+  private def erFsEmSql(iters: Int): String = {
+    val k = 3
+    val wts = (0 until k).map(i =>
+      s"m$i / u$i AS aw$i, (1.0 - m$i) / (1.0 - u$i) AS dw$i")
+      .mkString(", ")
+    val scoreProd = (0 until k).map(i =>
+      s"(CASE WHEN c.g$i = 1 THEN w.aw$i ELSE w.dw$i END)").mkString("\n      * ")
+    val nAgree = (0 until k).map(i => s"c.g$i").mkString(" + ")
+    erFsEmChain(iters) +
+      s""",
+         |wt AS (SELECT $wts FROM em$iters)
+         |SELECT a_id, b_id, n_agree, lr FROM (
+         |  SELECT c.a_id, c.b_id, CAST($nAgree AS BIGINT) AS n_agree,
+         |    CAST(FLOOR(($scoreProd) * 100000.0 + 0.5) AS BIGINT) / 100000.0
+         |      AS lr
+         |  FROM cand c, wt w)
+         |WHERE lr >= 1.0""".stripMargin
+  }
+
+  /** er_fs_em_params: the fitted 1-row parameter artifact — the final
+    * EM iterate verbatim (r9-rounded clamped doubles, bit-stable). */
+  private def erFsEmParamsSql(iters: Int): String = {
+    val k = 3
+    erFsEmChain(iters) +
+      s"""
+         |SELECT p, ${(0 until k).map(i => s"m$i").mkString(", ")},
+         |  ${(0 until k).map(i => s"u$i").mkString(", ")}
+         |FROM em$iters""".stripMargin
   }
 
   // Fellegi–Sunter with UNSUPERVISED priors — er_fs without hand-tuned
@@ -3358,30 +3382,50 @@ object ExtQueries {
   // responsibilities, r9-rounded clamped parameters — bit-stable on any
   // engine) over the same derived frame, so the hash pins the planting,
   // candidate generation, the whole fit, and the scoring at once.
+  /** The planted noisy re-crawl er_fs_em and er_fs_em_params fit on —
+    * every even-keyed part re-appears id-offset with deterministic
+    * per-field error rates (f0 5%, f1 4%, f2 20%). */
+  private def erPlanted(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables(s, dir).part.select(
+      col("p_partkey").as("id"),
+      concat(col("p_brand"), lit("|"),
+        col("p_size").cast("string")).as("blk"),
+      col("p_type").as("f0"),
+      element_at(split(col("p_name"), " "), 1).as("f1"),
+      element_at(split(col("p_name"), " "), 2).as("f2"))
+    val dups = base.where(col("id") % 2 === 0).select(
+      (col("id") + 10000000L).as("id"), col("blk"),
+      when(col("id") % 20 === 0, "XX").otherwise(col("f0")).as("f0"),
+      when(col("id") % 25 === 5, "XX").otherwise(col("f1")).as("f1"),
+      when(col("id") % 5 === 1, "XX").otherwise(col("f2")).as("f2"))
+    base.unionAll(dups)
+  }
+
   private def erFsEmReg: Reg =
     Reg("er_fs_em", Some(erFsEmSql(iters = 20)))(
-      (s, dir) => {
-        val base = Tables(s, dir).part.select(
-          col("p_partkey").as("id"),
-          concat(col("p_brand"), lit("|"),
-            col("p_size").cast("string")).as("blk"),
-          col("p_type").as("f0"),
-          element_at(split(col("p_name"), " "), 1).as("f1"),
-          element_at(split(col("p_name"), " "), 2).as("f2"))
-        val dups = base.where(col("id") % 2 === 0).select(
-          (col("id") + 10000000L).as("id"), col("blk"),
-          when(col("id") % 20 === 0, "XX").otherwise(col("f0")).as("f0"),
-          when(col("id") % 25 === 5, "XX").otherwise(col("f1")).as("f1"),
-          when(col("id") % 5 === 1, "XX").otherwise(col("f2")).as("f2"))
-        val p = base.unionAll(dups)
+      (s, dir) =>
         // ONE pairwise pass (round-13): the EM fit runs on analytic
         // subset-lattice pattern counts (O(2^k·N), no pair enumeration)
         // and the blocked join executes once, for scoring, streamed —
         // previously emFitFields + selfLinkPairs enumerated the
         // quadratic candidates twice (the round-12 47.3 s sf10 row)
-        graft.ext.Linkage.selfLinkPairsEmFitted(p, "id", col("blk"),
-          Seq("f0", "f1", "f2"), iters = 20, threshold = 1.0)
-      })
+        graft.ext.Linkage.selfLinkPairsEmFitted(erPlanted(s, dir), "id",
+          col("blk"), Seq("f0", "f1", "f2"), iters = 20, threshold = 1.0))
+
+  // The fitted MODEL as a first-class 1-row artifact
+  // ([[graft.ext.Linkage.emFitParams]]): p and per-field (m, u) after 20
+  // deterministic EM iterations over the planted re-crawl — what a
+  // production linkage job persists beside its pair output (and the
+  // audit surface for what the unsupervised fit believed). The oracle
+  // unrolls the identical integer-w9 / r9-rounded chain and selects the
+  // final iterate VERBATIM, so the hash pins the fit itself — every
+  // responsibility rounding, every clamp — not merely the scores
+  // downstream of it.
+  private def erFsEmParamsReg: Reg =
+    Reg("er_fs_em_params", Some(erFsEmParamsSql(iters = 20)))(
+      (s, dir) => graft.ext.Linkage.emFitParams(erPlanted(s, dir), "id",
+        col("blk"), Seq("f0", "f1", "f2"), iters = 20))
 
   // The COMPLETE entity-resolution pipeline in one query: Fellegi–Sunter
   // pairs (er_fs's exact configuration) → connected-components grouping →
