@@ -91,8 +91,13 @@ object Verify {
     // downstream compare (tools/compare.py, the close gate) can fail
     // loudly when it compared fewer queries than the registry size
     // instead of silently reporting n/n over a truncated set.
+    // oracle_total is the gate denominator for the compare: the compare
+    // report holds one entry per ORACLE-BEARING query, so a registry
+    // entry without oracle SQL (allowed by the contract — "omit for
+    // non-SQL-expressible ops") must not count against it.
     val manifest =
       s"""{"registry_total": ${SparkEntry.queries.size},
+         | "oracle_total": ${SparkEntry.oracleSql.size},
          | "selected": ${selected.size},
          | "dumped": ${selected.size - failed.size},
          | "failed": [${failed.map(q).mkString(",")}],

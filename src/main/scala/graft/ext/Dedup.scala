@@ -756,6 +756,34 @@ object Dedup {
                             bCol: String = "b_id"): DataFrame = {
     val lab = base.select(col(base.columns(0)).as("id"),
       col(base.columns(1)).as("component"))
+    val (moves, inserts) =
+      incrementalComponentJournal(base, batchIds, newPairs, aCol, bCol)
+    // re-point members of components whose representative moved — ONE
+    // map-side broadcast pass over the store; untouched labels carry
+    val rebased = lab
+      .join(broadcast(moves.withColumnRenamed("new_component", "__c")),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("__c"), col("component")).as("component"))
+    rebased.unionAll(inserts)
+  }
+
+  /** The UPDATE JOURNAL a batch contributes to the persisted label store —
+    * [[incrementalComponents]] without re-materializing the store: returns
+    * (moves, inserts) where `moves` (component, new_component) re-points
+    * every store row whose component is a moved representative, and
+    * `inserts` (id, component) labels the batch ids plus corpus singletons
+    * a delta pair connected. Both frames are DELTA-sized (touched
+    * components + batch), so the ingest pipeline's per-batch label
+    * persistence is batch-sized — the O(corpus) store is only ever
+    * scanned (by the caller applying the journal), never rewritten per
+    * batch. `incrementalComponents` IS journal application, so a
+    * journal-maintained store is hash-identical to the full recompute the
+    * registered oracle replays. */
+  def incrementalComponentJournal(base: DataFrame, batchIds: DataFrame,
+                                  newPairs: DataFrame, aCol: String = "a_id",
+                                  bCol: String = "b_id"): (DataFrame, DataFrame) = {
+    val lab = base.select(col(base.columns(0)).as("id"),
+      col(base.columns(1)).as("component"))
     val b = batchIds.select(col(batchIds.columns(0)).as("id"))
     // The label store is O(corpus) — it must never be SHUFFLED, only
     // scanned. Everything delta-sized (endpoints, contracted graph, moved
@@ -782,12 +810,11 @@ object Dedup {
       .where(col("u") =!= col("v"))
     // close the contracted delta graph (nodes = touched reps + raw ids)
     val merged = connectedComponents(e, "u", "v").ckpt()
-    // re-point members of components whose representative moved — ONE
-    // map-side broadcast pass over the store; untouched labels carry
-    val rebased = lab
-      .join(broadcast(merged.select(col("id").as("component"),
-        col("component").as("__c"))), Seq("component"), "left")
-      .select(col("id"), coalesce(col("__c"), col("component")).as("component"))
+    // moves: a contracted node id IS the old component key of every store
+    // row it represents; no-op rows (label unchanged) are dropped
+    val moves = merged
+      .select(col("id").as("component"), col("component").as("new_component"))
+      .where(col("component") =!= col("new_component"))
     // batch docs: merged label when their pairs connected them, else self
     val batch = b
       .join(broadcast(merged.withColumnRenamed("component", "__c")),
@@ -805,7 +832,7 @@ object Dedup {
       .join(broadcast(b), Seq("id"), "left_anti")
       .join(broadcast(merged), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    rebased.unionAll(batch).unionAll(corpusSingletons)
+    (moves, batch.unionAll(corpusSingletons))
   }
 
   /** Banded near-dup join over ANY bit-signature frame `(id, sim)` —

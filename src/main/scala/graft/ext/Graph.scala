@@ -304,12 +304,18 @@ object Graph {
     * and deduplicated here. Returns (node, n_triangles) for nodes in ≥1
     * triangle; counts are exact integers, so the oracle is a plain
     * three-way SQL join with no float tolerance. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges
+  def triangleCounts(edges: DataFrame,
+                     canonical: Boolean = false): DataFrame = {
+    // `canonical = true`: edges is ALREADY the deduplicated a ≤ b pair
+    // list (the staged ingest artifact) — skip the E-sized distinct
+    val e = (if (canonical)
+      edges.select(col(edges.columns(0)).as("a"),
+        col(edges.columns(1)).as("b"))
+    else edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
+      .distinct())
       .persist() // reused by degrees, both wedge sides, and the closure join
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
@@ -365,11 +371,15 @@ object Graph {
     * check is one cheap job on a checkpointed frame and exits early on
     * exhausted components. */
   def bfsLevels(edges: DataFrame, sources: DataFrame,
-                maxHops: Int): DataFrame = {
+                maxHops: Int, dedupDirected: Boolean = false): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col("src"), col("dst"))
+    // `dedupDirected = true`: edges is already a DEDUPLICATED directed
+    // pair list whose reversed set is disjoint from it (e.g. the staged
+    // parity-encoded bipartite purchase graph) — bidirecting needs no
+    // E-sized distinct shuffle
+    val e0 = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+    val e = (if (dedupDirected) e0 else e0.distinct()).persist()
     var visited = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).ckpt()
     var frontier = visited.select(col("node"))
@@ -593,9 +603,16 @@ object Graph {
     * leave via one anti-join. Degree-1 centers form no wedge, so
     * ln(deg) ≥ ln 2 — no division hazard. */
   def adamicAdar(edges: DataFrame, maxDeg: Long = 30,
-                 minCommon: Long = 2): DataFrame = {
+                 minCommon: Long = 2,
+                 canonical: Boolean = false): DataFrame = {
     require(maxDeg >= 2, s"maxDeg below 2 centers nothing: $maxDeg")
-    val und = edges
+    // `canonical = true`: edges is ALREADY the deduplicated a ≤ b pair
+    // list (typically a staged parquet scan — cheap to re-read, so no
+    // checkpoint needed either)
+    val und = if (canonical)
+      edges.select(col(edges.columns(0)).as("a"),
+        col(edges.columns(1)).as("b"))
+    else edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
@@ -635,9 +652,13 @@ object Graph {
     * recall trade; the u/w degrees in the denominator stay FULL
     * (uncapped), so the score never inflates from the cap. */
   def neighborJaccard(edges: DataFrame, maxDeg: Long = 30,
-                      minCommon: Long = 2): DataFrame = {
+                      minCommon: Long = 2,
+                      canonical: Boolean = false): DataFrame = {
     require(maxDeg >= 2, s"maxDeg below 2 centers nothing: $maxDeg")
-    val und = edges
+    val und = if (canonical)
+      edges.select(col(edges.columns(0)).as("a"),
+        col(edges.columns(1)).as("b"))
+    else edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
@@ -706,6 +727,47 @@ object Graph {
         Timeseries.r5(col("a")).as("score")))
   }
 
+  /** [[hits]] over PRE-DEDUPLICATED directed edges the ingest pipeline
+    * staged in BOTH bucket orientations — `eBySrc` bucketed by `src`,
+    * `eByDst` bucketed by `dst`, same (src, dst) edge set ([[graft.io
+    * .Sinks.writeBucketed]]): the authority half-round joins on src and
+    * the hub half-round on dst, so ONE layout cannot serve both
+    * Exchange-free — the staged twin layouts can (the score frames, O(V),
+    * shuffle to meet the buckets; PlanSpec pins no Exchange on either
+    * edge input). No per-run derivation join, no E-sized distinct, no
+    * edge checkpoint. Output is hash-identical to [[hits]] over the
+    * matching edge list. */
+  def hitsBucketed(eBySrc: DataFrame, eByDst: DataFrame,
+                   iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"hits needs >= 1 iteration: $iters")
+    // persist keeps each bucketed scan's HashPartitioning on the cached
+    // blocks — rounds re-read memory, not parquet
+    val es = eBySrc.select(col("src"), col("dst")).persist()
+    val ed = eByDst.select(col("src"), col("dst")).persist()
+    def normalize(df: DataFrame, c: String): DataFrame = {
+      val s = df.agg(sum(col(c)).as("__s"))
+      df.crossJoin(broadcast(s))
+        .select(col("node"), (col(c) / col("__s")).as(c))
+        .ckpt()
+    }
+    var h = es.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0)).ckpt()
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = normalize(
+        es.join(h, es("src") === h("node"))
+          .groupBy(es("dst").as("node")).agg(sum(col("h")).as("a")), "a")
+      h = normalize(
+        ed.join(a, ed("dst") === a("node"))
+          .groupBy(ed("src").as("node")).agg(sum(col("a")).as("h")), "h")
+    }
+    es.unpersist(); ed.unpersist()
+    h.select(col("node"), lit("hub").as("role"),
+        Timeseries.r5(col("h")).as("score"))
+      .unionAll(a.select(col("node"), lit("authority").as("role"),
+        Timeseries.r5(col("a")).as("score")))
+  }
+
   /** Degree assortativity coefficient (Newman, "Assortative mixing in
     * networks", Phys. Rev. Lett. 2002): the Pearson correlation of
     * endpoint degrees over the BIDIRECTED edge list — positive means hubs
@@ -718,8 +780,12 @@ object Graph {
     * the only float site — r5-rounded, engine-identical. Plan: one degree
     * aggregation, two V-sized joins back to the edges, one global
     * partial-aggregable sum — O(E), no window, nothing collected. */
-  def assortativity(edges: DataFrame): DataFrame = {
-    val und = edges
+  def assortativity(edges: DataFrame,
+                    canonical: Boolean = false): DataFrame = {
+    val und = if (canonical)
+      edges.select(col(edges.columns(0)).as("a"),
+        col(edges.columns(1)).as("b"))
+    else edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))

@@ -776,13 +776,22 @@ object Streaming {
     // the same view: compaction to an existing upto is a no-op, and
     // partitions below the base watermark are EXCLUDED by the bid-range
     // filter even when their deferred deletion hasn't happened yet.
+    // A crash during the merged-base write leaves a partial upto= dir
+    // (only _temporary, no _SUCCESS). Such a dir must NOT become the
+    // watermark: it would make compactTo skip the merge (cur == upTo)
+    // and the deferred cleanup would delete the previous good base and
+    // every settled partition below it — silently losing the whole
+    // settled index. Only a committed write (_SUCCESS present) counts;
+    // a partial dir is invisible here and gets overwritten by the next
+    // compaction's mode("overwrite") write to the same path.
     def baseUpto(kind: String): Long = {
       val d = java.nio.file.Paths.get(s"$stateDir/${kind}_base")
       if (!java.nio.file.Files.exists(d)) 0L
       else {
         val us = d.toFile.listFiles().toSeq
-          .map(_.getName).filter(_.startsWith("upto="))
-          .map(_.stripPrefix("upto=").toLong)
+          .filter(f => f.getName.startsWith("upto=") &&
+            new java.io.File(f, "_SUCCESS").exists())
+          .map(_.getName.stripPrefix("upto=").toLong)
         if (us.isEmpty) 0L else us.max
       }
     }

@@ -135,15 +135,8 @@ object LlmQueries {
     * |E| (count.txt). Returns (bucketedTableName, edgeCount). */
   private def stagedWordEdges(s: org.apache.spark.sql.SparkSession,
                               dir: String): (String, Long) = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val sig =
-      try {
-        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
-        val sz = java.nio.file.Files.walk(src).filter(
-          java.nio.file.Files.isRegularFile(_)).count()
-        s"${mt}_$sz"
-      } catch { case _: Exception => "nosig" }
-    val edgesDir = CoreQueries.stageOnce(s"wordedges_$sig", dir) { path =>
+    val sig = CoreQueries.corpusSig(dir, "documents.parquet")
+    val edgesDir = CoreQueries.stageVersioned("wordedges", sig, dir) { path =>
       val e0 = Tables(s, dir).documents
         .select(explode(TextOps.ngramTokens(col("text"), 2)).as("bigram"))
         .select(substring_index(col("bigram"), " ", 1).as("src"),
@@ -171,7 +164,7 @@ object LlmQueries {
     val tbl = s"graft_wordedges_${CoreQueries.stageDigest("wordedgesbkt", dir)}"
     // bucketed FILES once per corpus; per JVM only the catalog MOUNT
     // ([[graft.io.Sinks.mountBucketed]] — no per-JVM rewrite)
-    val bktDir = CoreQueries.stageOnce(s"wordedgesbktf_$sig", dir) { path =>
+    val bktDir = CoreQueries.stageVersioned("wordedgesbktf", sig, dir) { path =>
       val e = s.read.parquet(s"$edgesDir/edges.parquet")
       val withDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")),
@@ -183,7 +176,7 @@ object LlmQueries {
       s.sql(s"DROP TABLE IF EXISTS $build") // external: files remain
       ()
     }
-    CoreQueries.stageEachJvm("wordedgesmnt", dir) { _ =>
+    CoreQueries.stageEachJvm(s"wordedgesmnt_$sig", dir) { _ =>
       graft.io.Sinks.mountBucketed(s, tbl,
         s.read.parquet(s"$bktDir/files").schema,
         "src", buckets, Some("src"), s"$bktDir/files")
@@ -193,15 +186,8 @@ object LlmQueries {
 
   private def stagedNearDupIndex(s: org.apache.spark.sql.SparkSession,
                                  dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val sig =
-      try {
-        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
-        val sz = java.nio.file.Files.walk(src).filter(
-          java.nio.file.Files.isRegularFile(_)).count()
-        s"${mt}_$sz"
-      } catch { case _: Exception => "nosig" }
-    CoreQueries.stageOnce(s"neardupidx_$sig", dir) { path =>
+    val sig = CoreQueries.corpusSig(dir, "documents.parquet")
+    CoreQueries.stageVersioned("neardupidx", sig, dir) { path =>
       val (bands, sets) = Dedup.corpusNearDupIndex(
         Tables(s, dir).documents.where(col("doc_id") % 2 === 0),
         "doc_id", "text")
@@ -220,19 +206,18 @@ object LlmQueries {
     * file identity like every staged artifact. */
   private def stagedIncrCorpus(s: org.apache.spark.sql.SparkSession,
                                dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val sig =
-      try {
-        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
-        val sz = java.nio.file.Files.walk(src).filter(
-          java.nio.file.Files.isRegularFile(_)).count()
-        s"${mt}_$sz"
-      } catch { case _: Exception => "nosig" }
-    CoreQueries.stageOnce(s"incrcorpus_$sig", dir) { path =>
+    val sig = CoreQueries.corpusSig(dir, "documents.parquet")
+    CoreQueries.stageVersioned("incrcorpus", sig, dir) { path =>
       val old = Tables(s, dir).documents.where(col("doc_id") % 10 =!= 9)
       val (bands, sets) = Dedup.corpusNearDupIndex(old, "doc_id", "text")
       graft.io.Sinks.parquet(bands, s"$path/corpus_bands.parquet")
       graft.io.Sinks.parquet(sets, s"$path/corpus_shingles.parquet")
+      // content-hash set beside the near-dup index: the EXACT-dedup
+      // lookup side, so a batch's exact pass touches hashes, never text
+      graft.io.Sinks.parquet(
+        old.select(TextOps.md5Hash60(col("text")).as("content_hash"))
+          .distinct(),
+        s"$path/corpus_hashes.parquet")
       // base closure from the just-written shingle sets (one corpus scan)
       val setsBack = s.read.parquet(s"$path/corpus_shingles.parquet").persist()
       graft.io.Sinks.parquet(
@@ -247,15 +232,8 @@ object LlmQueries {
     * query-time cost tracks the queried postings, never the corpus text. */
   private def stagedInvertedIndex(s: org.apache.spark.sql.SparkSession,
                                   dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val sig =
-      try {
-        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
-        val sz = java.nio.file.Files.walk(src).filter(
-          java.nio.file.Files.isRegularFile(_)).count()
-        s"${mt}_$sz"
-      } catch { case _: Exception => "nosig" }
-    CoreQueries.stageOnce(s"invidx_$sig", dir) { path =>
+    val sig = CoreQueries.corpusSig(dir, "documents.parquet")
+    CoreQueries.stageVersioned("invidx", sig, dir) { path =>
       graft.io.Sinks.parquet(
         TextOps.invertedIndex(Tables(s, dir).documents),
         s"$path/postings.parquet")
@@ -267,15 +245,8 @@ object LlmQueries {
     * persisted encode path reads back. */
   private def stagedBpeMerges(s: org.apache.spark.sql.SparkSession,
                               dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val sig =
-      try {
-        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
-        val sz = java.nio.file.Files.walk(src).filter(
-          java.nio.file.Files.isRegularFile(_)).count()
-        s"${mt}_$sz"
-      } catch { case _: Exception => "nosig" }
-    CoreQueries.stageOnce(s"bpemerges_$sig", dir) { path =>
+    val sig = CoreQueries.corpusSig(dir, "documents.parquet")
+    CoreQueries.stageVersioned("bpemerges", sig, dir) { path =>
       graft.io.Sinks.parquet(
         graft.ext.Bpe.train(s, Tables(s, dir).documents, "text", merges = 20),
         s"$path/bpe_merges.parquet")
@@ -318,15 +289,8 @@ object LlmQueries {
     * file identity like every staged artifact. */
   private def stagedAnnIndex(s: org.apache.spark.sql.SparkSession,
                              dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val sig =
-      try {
-        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
-        val sz = java.nio.file.Files.walk(src).filter(
-          java.nio.file.Files.isRegularFile(_)).count()
-        s"${mt}_$sz"
-      } catch { case _: Exception => "nosig" }
-    CoreQueries.stageOnce(s"annidx_$sig", dir) { path =>
+    val sig = CoreQueries.corpusSig(dir, "embeddings.parquet")
+    CoreQueries.stageVersioned("annidx", sig, dir) { path =>
       val e = Tables(s, dir).embeddings
       val seedHash = Some(md5(concat(col("vec_id").cast("string"),
         lit(":42"))))
@@ -1209,16 +1173,9 @@ object LlmQueries {
         // .rankParallelism]]) in a child session — a 31-node graph must
         // not schedule 32-partition shuffles ten rounds deep.
         val (tbl, nEdges) = stagedWordEdges(s, dir)
-        val parts = graft.ext.Graph.rankParallelism(nEdges)
-        val sess =
-          if (parts.toString == s.conf.get("spark.sql.shuffle.partitions")) s
-          else {
-            val c = s.newSession()
-            c.conf.set("spark.sql.shuffle.partitions", parts.toString)
-            c
-          }
         val pr = graft.ext.Graph.pagerankBucketed(
-          sess.table(tbl), iters = 10, damping = 0.85)
+          ExtQueries.rankSession(s, nEdges).table(tbl),
+          iters = 10, damping = 0.85)
         val nv = pr.agg(count(lit(1)).cast("double").as("nv"))
         pr.crossJoin(broadcast(nv))
           .select(col("node").as("word"),

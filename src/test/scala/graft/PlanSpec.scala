@@ -557,6 +557,57 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS bkt_rank_edges_plan")
   }
 
+  test("staged twin-orientation HITS edges feed BOTH half-rounds with NO Exchange on the edge input") {
+    // HITS alternates an authority half-round joining edges on src with
+    // a hub half-round joining on dst — one bucket layout cannot serve
+    // both, the staged twin layouts (by src AND by dst) must (round-14
+    // demand: graph_hits was the last per-run edge derivation)
+    import graft.io.Sinks
+    import spark.implicits._
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
+      .toDF("src", "dst")
+    Sinks.writeBucketed(e, "bkt_hits_src_plan", "src", 8,
+      sortCol = Some("src"))
+    Sinks.writeBucketed(e, "bkt_hits_dst_plan", "dst", 8,
+      sortCol = Some("dst"))
+    // force the sort-merge regime (the O(V)-score-frame shape at real
+    // scale) — with a broadcastable score side the edge layout is moot
+    val bcThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val scores = e.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1.0).as("h"))
+      def aRound(ed: org.apache.spark.sql.DataFrame): String =
+        physical(ed.join(scores, ed("src") === scores("node"))
+          .groupBy(ed("dst").as("node")).agg(sum(col("h")).as("a")))
+      def hRound(ed: org.apache.spark.sql.DataFrame): String = {
+        val a = ed.select(col("dst").as("node")).distinct()
+          .select(col("node"), lit(1.0).as("a"))
+        physical(ed.join(a, ed("dst") === a("node"))
+          .groupBy(ed("src").as("node")).agg(sum(col("a")).as("h")))
+      }
+      // the edge-side shuffle is the one keyed on the edge JOIN column
+      // (src for the authority round, dst for the hub round) — the score
+      // side and the post-join aggregate legitimately keep theirs
+      val aB = aRound(spark.table("bkt_hits_src_plan"))
+      val hB = hRound(spark.table("bkt_hits_dst_plan"))
+      assert(aB.contains("Bucketed: true") && hB.contains("Bucketed: true"),
+        s"HITS edge scans not reading the bucket layouts:\n$aB\n$hB")
+      assert(aRound(e).contains("Exchange hashpartitioning(src#"),
+        "fixture drift: plain authority round no longer shuffles edges")
+      assert(!aB.contains("Exchange hashpartitioning(src#"),
+        s"authority round kept an edge-side Exchange:\n$aB")
+      assert(hRound(e).contains("Exchange hashpartitioning(dst#"),
+        "fixture drift: plain hub round no longer shuffles edges")
+      assert(!hB.contains("Exchange hashpartitioning(dst#"),
+        s"hub round kept an edge-side Exchange:\n$hB")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
+      spark.sql("DROP TABLE IF EXISTS bkt_hits_src_plan")
+      spark.sql("DROP TABLE IF EXISTS bkt_hits_dst_plan")
+    }
+  }
+
   test("er_fs_em derives its blocked candidates ONCE — scoring reads the checkpoint, never a re-join of part") {
     // round-13 demand: the EM fit and the final scoring share one
     // candidate pass; the returned (scored) plan must read the
@@ -582,7 +633,7 @@ class PlanSpec extends SparkSpec {
     // stage-dir name and the read schema, not the full file path
     val ivfLeaves = ivf.queryExecution.executedPlan.collectLeaves()
       .map(_.toString)
-    assert(ivfLeaves.exists(l => l.contains("graft_stage_annidx") &&
+    assert(ivfLeaves.exists(l => l.contains("graft_stagefam_annidx") &&
       l.contains("cell:int")),
       s"IVF search not reading the staged cells:\n${ivfLeaves.mkString("\n")}")
     assert(!ivfLeaves.exists(_.contains("embeddings.parquet")),
@@ -594,7 +645,7 @@ class PlanSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001")
     val pqLeaves = pq.queryExecution.executedPlan.collectLeaves()
       .map(_.toString)
-    assert(pqLeaves.exists(l => l.contains("graft_stage_annidx") &&
+    assert(pqLeaves.exists(l => l.contains("graft_stagefam_annidx") &&
       l.contains("codes:array<int>")),
       s"PQ search not reading the staged codes:\n${pqLeaves.mkString("\n")}")
     val embScans = pqLeaves.filter(_.contains("embeddings.parquet"))

@@ -616,6 +616,58 @@ class StreamingSpec extends SparkSpec {
       s"compaction-crossing recovery diverged: $kept2 vs $unbroken")
   }
 
+  test("a CRASHED compaction base write is never trusted as the watermark") {
+    // Crash model: the JVM dies mid merged.write during a compaction —
+    // the new upto=N dir exists but holds only _temporary, no _SUCCESS.
+    // If baseUpto() took that dir as the watermark, the bid-range filter
+    // would exclude every settled partition below N (duplicates pass
+    // through) and the deferred cleanup would DELETE the previous good
+    // base — silent total state loss. The fix: only _SUCCESS-committed
+    // bases count; the partial dir is invisible and the next compaction's
+    // overwrite-mode write replaces it.
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_neardup_crash").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    val corpus = Seq((0L, "the standing corpus document about federated " +
+      "scan sources")).toDF("doc_id", "text")
+    val (cb, cs) = Dedup.corpusNearDupIndex(corpus, "doc_id", "text")
+    val A = "alpha wolves howl across the frozen northern tundra at dusk"
+    val B = "database engines shuffle partitioned rows between executor nodes"
+    val G = "astronomers catalog distant quasars from the mountain observatory"
+    val schema = Seq.empty[(Long, String)].toDF("doc_id", "text").schema
+    def writeOne(n: Int, id: Long, text: String): Unit = {
+      val tmp = s"$base/tmp"
+      Seq((id, text)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val pf = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(pf.toPath,
+        java.nio.file.Paths.get(f"$base/src/b$n%02d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Seq[Long] =
+      Streaming.nearDedupStream(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$base/src"), cb, cs,
+          s"$base/state", s"$base/out", s"$base/ckpt", "doc_id", "text",
+          threshold = 0.7, compactEvery = 4)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    writeOne(0, 1L, A); writeOne(1, 2L, B)
+    assert(run() == Seq(1L, 2L))
+    // fabricate the crash artifact: a partial upto=99 dir, no _SUCCESS
+    for (k <- Seq("bands", "sets")) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        s"$base/state/${k}_base/upto=99/_temporary"))
+    }
+    // resume: a copy of A must still DROP (state below the fake
+    // watermark is the only thing that knows A) and a novel doc keeps
+    writeOne(2, 3L, A); writeOne(3, 4L, G)
+    val kept = run()
+    assert(kept == Seq(1L, 2L, 4L),
+      s"partial base dir was trusted as watermark — settled state lost: $kept")
+  }
+
   test("streaming windowed agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.runToTable(spark,

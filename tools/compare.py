@@ -129,9 +129,15 @@ def main(sf_dir: str, out_dir: str, report_out: str = None) -> int:
     mpath = f"{out_dir}/manifest.json"
     if os.path.exists(mpath):
         m = json.load(open(mpath))
-        if not m.get("subset", False) and len(report) < m["registry_total"]:
-            print(f"GATE FAIL: compared {len(report)} < registry "
-                  f"{m['registry_total']} on a full run "
+        # Gate against the ORACLE-BEARING count: the report has one entry
+        # per query with oracle SQL; registry entries whose oracle is
+        # legitimately omitted (non-SQL-expressible ops) don't appear here
+        # and must not fail a full run. Older manifests without
+        # oracle_total fall back to registry_total (all-oracled era).
+        denom = m.get("oracle_total", m["registry_total"])
+        if not m.get("subset", False) and len(report) < denom:
+            print(f"GATE FAIL: compared {len(report)} < oracle-bearing "
+                  f"{denom} on a full run "
                   f"(dumped={m.get('dumped')}, failed={m.get('failed')})")
             return 2
         if m.get("failed"):
