@@ -13,11 +13,15 @@ import org.apache.spark.sql.SparkSession
   *      dq_report benched 8.99 s vs 1.02 s isolated — 9x phantom).
   *   2. QUIET RE-TIME: the K slowest queries from pass 1 re-run one at a
   *      time in a fresh session with cache clear + System.gc() + settle
-  *      before each, approximating an isolated JVM. The reported per-query
-  *      time is the best across both passes, so BENCH_r* is a usable
-  *      regression signal for exactly the queries where pass 1 lies.
-  * The JSON carries "retimed" (quiet-pass values) so a reader can see which
-  * numbers were corrected and by how much.
+  *      before each, approximating an isolated JVM. A retimed query
+  *      PUBLISHES its quiet-pass value (method-stable — never
+  *      min-of-passes, which mixes methods across rounds and manufactures
+  *      phantom regressions), so BENCH_r* is a usable regression signal
+  *      for exactly the queries where pass 1 lies.
+  * The JSON carries "retimed" (quiet-pass values), "coverage_pass" (the
+  * raw pass-1 values for the same set — the delta is measured contention
+  * inflation), and "method" (per-query pass tag) so cross-round diffs
+  * compare like with like.
   */
 /** JSON formatting for the bench line, factored out for the locale spec:
   * the one line the driver parses must be byte-identical under any default
@@ -144,9 +148,16 @@ object Bench {
     // attempted at most once, so the loop is bounded by the query count).
     val attempted = scala.collection.mutable.Set.empty[String]
     val retimedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // METHOD-STABLE publish (round-13 verdict demand #5): a query that got
+    // a quiet retime publishes the RETIME value, never min-of-passes — a
+    // min silently mixes methods across rounds (one round's lucky coverage
+    // pass vs the next round's retime) and manufactures phantom
+    // regressions on untouched code. The pass used is tagged per query in
+    // full_latest.json ("method"), so cross-round diffs compare like with
+    // like.
     def currentFinal: Seq[(String, Double)] = {
       val m = retimedBuf.toMap
-      ok.map { case (n, t) => n -> math.min(t, m.getOrElse(n, t)) }
+      ok.map { case (n, t) => n -> m.getOrElse(n, t) }
     }
     var pending = ok.sortBy(-_._2).take(retimeK).map(_._1)
       .filterNot(attempted)
@@ -161,8 +172,8 @@ object Bench {
     val retimed: Seq[(String, Double)] = retimedBuf.toSeq
     val retimedMap = retimed.toMap
 
-    // headline per-query number: best across both passes (a quiet-pass run
-    // can still catch a stray GC; never report worse than what pass 1 saw)
+    // headline per-query number: the quiet-pass value where one exists
+    // (method-stable), the coverage value otherwise
     val finalTimes = currentFinal
 
     // per-query fixed cost of this harness (plan + dispatch + 32-partition
@@ -295,7 +306,11 @@ object Bench {
     val line = candidates.find(_.length <= 1900).getOrElse(candidates.last)
     val emptyJson = jmap(emptyReplay.toSeq.sortBy(-_._2).map {
       case (k, t) => k -> sec(t) })
-    val full = s"""{"queries":$fullMap,"coverage_pass":$raw,"retimed":$rt,"const_replay_1row":$emptyJson,"errors_full":$errsFull,${summary("{}")}}"""
+    // per-query pass tag: "retimed" (quiet-pass value) vs "coverage" —
+    // cross-round regression reads are only meaningful method-matched
+    val methods = jmap(finalTimes.sortBy(-_._2).map { case (k, _) =>
+      k -> ("\"" + (if (retimedMap.contains(k)) "retimed" else "coverage") + "\"") })
+    val full = s"""{"queries":$fullMap,"method":$methods,"coverage_pass":$raw,"retimed":$rt,"const_replay_1row":$emptyJson,"errors_full":$errsFull,${summary("{}")}}"""
     System.err.println(s"[bench] full: $full")
     try {
       val dir = java.nio.file.Paths.get("bench")

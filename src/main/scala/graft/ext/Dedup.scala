@@ -835,6 +835,76 @@ object Dedup {
     (moves, batch.unionAll(corpusSingletons))
   }
 
+  /** THE INGEST-A-BATCH COMPOSITION — one call that runs a new document
+    * batch through the full daily pipeline against the PERSISTED corpus
+    * state only (never corpus text):
+    *   1. exact dedup — batch content hashes vs the persisted hash set,
+    *      keep-first (min id) among same-hash batch docs;
+    *   2. incremental near-dedup — exact survivors vs the persisted
+    *      band+shingle index and within themselves
+    *      ([[incrementalNearDedupPersisted]]);
+    *   3. label fold — the FULL batch's delta pairs (duplicates join
+    *      their groups too) closed into the base components via the
+    *      delta-sized update journal ([[incrementalComponentJournal]]);
+    *   4. index append/refresh — the accepted docs' band/shingle/hash
+    *      contributions plus the label journal WRITTEN to `outDir`
+    *      (all batch-sized; the standing index is never rewritten) and
+    *      read BACK to build the result, so a broken append breaks the
+    *      caller's oracle hash.
+    * Returns one row per batch doc: (idCol, status ∈ {dup_exact,
+    * dup_near, accepted}, component). */
+  def ingestBatch(batch: DataFrame, corpusBands: DataFrame,
+                  corpusShingles: DataFrame, corpusHashes: DataFrame,
+                  baseComponents: DataFrame, idCol: String, textCol: String,
+                  outDir: String, threshold: Double = 0.7,
+                  hash: Column => Column = xxhash64(_)): DataFrame = {
+    val spark = batch.sparkSession
+    // (1) exact, vs the persisted hash set (column name taken from the
+    // persisted frame) + keep-first within batch
+    val hCol = corpusHashes.columns(0)
+    val bh = batch.select(col(idCol), hash(col(textCol)).as(hCol))
+    val keepers = bh.groupBy(hCol).agg(min(col(idCol)).as("__keep"))
+    val exact = bh.join(keepers, Seq(hCol))
+      .join(corpusHashes.withColumn("__inc", lit(1)), Seq(hCol), "left")
+      .select(col(idCol),
+        (col("__inc").isNotNull || col(idCol) =!= col("__keep"))
+          .as("__dup_exact"))
+    val exactKept = batch.join(
+      exact.where(!col("__dup_exact")).select(idCol), Seq(idCol),
+      "left_semi")
+    // (2) near, vs the persisted index — corpus text never read
+    val accepted = incrementalNearDedupPersisted(corpusBands,
+      corpusShingles, exactKept, idCol, textCol, threshold)
+    // (3) fold via the delta-sized journal
+    val delta = incrementalNearDupPairs(corpusBands, corpusShingles,
+      batch, idCol, textCol, threshold)
+    val (moves, inserts) = incrementalComponentJournal(
+      baseComponents, batch.select(idCol), delta)
+    // (4) append/refresh — batch-sized writes, read back below
+    val (aBands, aSets) = corpusNearDupIndex(accepted, idCol, textCol)
+    graft.io.Sinks.parquet(aBands, s"$outDir/bands_append.parquet")
+    graft.io.Sinks.parquet(aSets, s"$outDir/shingles_append.parquet")
+    graft.io.Sinks.parquet(
+      accepted.select(hash(col(textCol)).as(hCol)).distinct(),
+      s"$outDir/hashes_append.parquet")
+    graft.io.Sinks.parquet(moves, s"$outDir/label_moves.parquet")
+    graft.io.Sinks.parquet(inserts, s"$outDir/label_inserts.parquet")
+    val acceptedBack = spark.read
+      .parquet(s"$outDir/shingles_append.parquet")
+      .select(col("id").as(idCol), lit(1).as("__acc"))
+    val labelsBack = spark.read.parquet(s"$outDir/label_inserts.parquet")
+      .select(col("id").as(idCol), col("component"))
+    batch.select(idCol)
+      .join(exact, Seq(idCol))
+      .join(acceptedBack, Seq(idCol), "left")
+      .join(labelsBack, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__dup_exact"), "dup_exact")
+          .when(col("__acc").isNull, "dup_near")
+          .otherwise("accepted").as("status"),
+        coalesce(col("component"), col(idCol)).as("component"))
+  }
+
   /** Banded near-dup join over ANY bit-signature frame `(id, sim)` —
     * SimHash, perceptual hash, any Hamming-space sketch. Two signatures
     * within hamming distance d share at least one of `bands` equal chunks

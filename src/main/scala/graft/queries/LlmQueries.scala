@@ -206,8 +206,12 @@ object LlmQueries {
     * file identity like every staged artifact. */
   private def stagedIncrCorpus(s: org.apache.spark.sql.SparkSession,
                                dir: String): String = {
+    // family carries a FORMAT version ("2" = +corpus_hashes.parquet):
+    // corpusSig tracks corpus identity only, so an artifact-format change
+    // must bump the family or an already-staged version dir (old format,
+    // same sig) would be served missing the new file
     val sig = CoreQueries.corpusSig(dir, "documents.parquet")
-    CoreQueries.stageVersioned("incrcorpus", sig, dir) { path =>
+    CoreQueries.stageVersioned("incrcorpus2", sig, dir) { path =>
       val old = Tables(s, dir).documents.where(col("doc_id") % 10 =!= 9)
       val (bands, sets) = Dedup.corpusNearDupIndex(old, "doc_id", "text")
       graft.io.Sinks.parquet(bands, s"$path/corpus_bands.parquet")
@@ -613,6 +617,74 @@ object LlmQueries {
             .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"))
+      }),
+
+    // THE INGEST-A-BATCH COMPOSITION (round-13 verdict demand #4): one
+    // registered query that takes the arriving batch (doc_id % 10 = 9)
+    // and, against the PERSISTED corpus state only (content-hash set,
+    // band+shingle index, base closure — [[stagedIncrCorpus]]; corpus
+    // text is never re-scanned, PlanSpec pins it), runs the full daily
+    // pipeline: (1) exact dedup vs the hash set + keep-first within
+    // batch, (2) incremental near-dedup of the exact survivors vs the
+    // band index, (3) label fold — the batch's delta pairs closed into
+    // the base closure via the DELTA-sized update journal
+    // ([[Dedup.incrementalComponentJournal]]), (4) index append — the
+    // accepted docs' band/shingle/hash contributions and the label
+    // journal WRITTEN (batch-sized, the standing index is never
+    // rewritten) and read back to produce the result, so a broken
+    // append breaks the hash. Output: one row per batch doc —
+    // (doc_id, status ∈ {dup_exact, dup_near, accepted}, component).
+    // Oracle: the from-scratch recompute — md5 replay for exact,
+    // brute-force Jaccard for near, recursive-CTE closure for the fold.
+    Reg("pipeline_ingest_batch", Some(
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |pairs AS ($duckPairs),
+         |$duckComponents,
+         |bh AS (SELECT doc_id,
+         |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+         |       FROM documents WHERE doc_id % 10 = 9),
+         |ch AS (SELECT DISTINCT
+         |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+         |       FROM documents WHERE doc_id % 10 <> 9),
+         |ex AS (SELECT b.doc_id FROM bh b
+         |       WHERE EXISTS (SELECT 1 FROM ch WHERE ch.h = b.h)
+         |          OR EXISTS (SELECT 1 FROM bh b2
+         |                     WHERE b2.h = b.h AND b2.doc_id < b.doc_id)),
+         |nr AS (SELECT b.doc_id FROM s b
+         |       WHERE b.doc_id % 10 = 9
+         |         AND b.doc_id NOT IN (SELECT doc_id FROM ex)
+         |         AND (EXISTS (SELECT 1 FROM s c
+         |                WHERE c.doc_id % 10 <> 9
+         |                  AND CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+         |                    (len(b.sh) + len(c.sh)
+         |                      - len(list_intersect(b.sh, c.sh))) >= 0.7)
+         |           OR EXISTS (SELECT 1 FROM s b2
+         |                WHERE b2.doc_id % 10 = 9
+         |                  AND b2.doc_id < b.doc_id
+         |                  AND b2.doc_id NOT IN (SELECT doc_id FROM ex)
+         |                  AND CAST(len(list_intersect(b.sh, b2.sh)) AS DOUBLE) /
+         |                    (len(b.sh) + len(b2.sh)
+         |                      - len(list_intersect(b.sh, b2.sh))) >= 0.7)))
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM ex) THEN 'dup_exact'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM nr) THEN 'dup_near'
+         |       ELSE 'accepted' END AS status,
+         |  coalesce(c.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 9""".stripMargin))(
+      (s, dir) => {
+        val batch = Tables(s, dir).documents
+          .where(col("doc_id") % 10 === 9)
+        val idx = stagedIncrCorpus(s, dir)
+        Dedup.ingestBatch(batch,
+          s.read.parquet(s"$idx/corpus_bands.parquet"),
+          s.read.parquet(s"$idx/corpus_shingles.parquet"),
+          s.read.parquet(s"$idx/corpus_hashes.parquet"),
+          s.read.parquet(s"$idx/base_components.parquet"),
+          "doc_id", "text",
+          outDir = java.nio.file.Files
+            .createTempDirectory("graft_ingest_batch").toString,
+          threshold = 0.7, hash = TextOps.md5Hash60)
       }),
 
     // Canonical near-dedup APPLIED: keep exactly one representative (the
