@@ -126,9 +126,30 @@ object Bench {
     // compilation/cleanup threads to drain.
     val retimeK = sys.env.get("SPARK_GRAFT_RETIME").map(_.toInt).getOrElse(20)
     val byName = SparkEntry.queries
+    // Retime hygiene (round 14 measurement-bug fix, documented in
+    // OPTIMIZATION_r14.md): the round-start baseline run showed quiet-pass
+    // retimes reading 2-9× ABOVE their own coverage-pass values
+    // (dedup_setsim_collapsed 4.2 s coverage → 36.5 s retime) — the
+    // opposite of what the quiet pass exists for. Cause: blocks pinned by
+    // the 2×316-query coverage sweep (operator persist()s whose release
+    // is GC/ContextCleaner-lagged, plus any leaked cache) fill the
+    // storage pool, so a heavy retimed query's own persists thrash
+    // to disk. clearCache() only drops catalog-registered relations;
+    // force-unpersist EVERY persistent RDD before each retime — between
+    // queries no cross-query cache is legitimate (staged artifacts live
+    // on disk, not in executor storage), so this only removes leaks. The
+    // count is printed so a leak regression is visible in the stderr log.
     def retimeOne(name: String): Option[(String, Double)] =
       try {
         spark.catalog.clearCache()
+        val leaked = spark.sparkContext.getPersistentRDDs
+        if (leaked.nonEmpty) {
+          System.err.println(
+            s"[bench] retime $name: force-unpersisting ${leaked.size} leftover RDDs")
+          leaked.values.foreach(r =>
+            try r.unpersist(blocking = true)
+            catch { case _: Exception => () })
+        }
         System.gc()
         Thread.sleep(800)
         val sess = spark.newSession()

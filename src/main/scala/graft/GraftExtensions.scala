@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharKGrams, CosineSimilarity, DotProduct, JaroWinkler, NearestCell, PqCodes, PqDotTable, VectorNorm}
+import graft.functions.{BpeMergeAll, CharKGrams, CosineSimilarity, DotProduct, JaroWinkler, MinHashBands, MinHashSigs, NearestCell, PqCodes, PqDotTable, SimHashTokens, VectorNorm, WordShingles}
 
 /** Session extensions: registers the native vector expressions as SQL
   * functions. Enable with
@@ -54,6 +54,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects a literal int, got $other")
     }
   }
+  private def foldBool(name: String, e: Expression): Boolean = {
+    require(e.foldable, s"$name expects a literal boolean argument")
+    e.eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal boolean, got $other")
+    }
+  }
+  private def foldStrings(name: String, e: Expression): Seq[String] = {
+    require(e.foldable, s"$name expects a literal array<string> argument")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal array<string>, got $other")
+    }
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -67,6 +84,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharKGrams].getName, "char_kgrams"),
       arity("char_kgrams", 2)(c =>
         CharKGrams(c(0), foldInt("char_kgrams", c(1))))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      arity("minhash_bands", 3)(c => MinHashBands(c(0),
+        foldInt("minhash_bands", c(1)), foldInt("minhash_bands", c(2))))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      arity("minhash_sigs", 2)(c =>
+        MinHashSigs(c(0), foldInt("minhash_sigs", c(1))))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      arity("word_shingles", 2)(c =>
+        WordShingles(c(0), foldInt("word_shingles", c(1))))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_tokens"),
+      new ExpressionInfo(classOf[SimHashTokens].getName, "simhash_tokens"),
+      arity("simhash_tokens", 3)(c => SimHashTokens(c(0),
+        foldInt("simhash_tokens", c(1)), foldBool("simhash_tokens", c(2))))))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_merge_all"),
+      new ExpressionInfo(classOf[BpeMergeAll].getName, "bpe_merge_all"),
+      arity("bpe_merge_all", 3)(c => BpeMergeAll(c(0),
+        foldStrings("bpe_merge_all", c(1)),
+        foldStrings("bpe_merge_all", c(2))))))
     ext.injectFunction((
       new FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),

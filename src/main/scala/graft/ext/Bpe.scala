@@ -43,10 +43,10 @@ object Bpe {
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var cur = vocab
-      .withColumn("syms", transform(
-        sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))))
+      .withColumn("syms", charSymsCol(col("word")))
       .ckpt()
+    var lastCkpt = cur
+    var pending = 0
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -66,17 +66,68 @@ object Bpe {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((round.toLong, a, b, n))
-        val next = cur.withColumn("syms", mergePair(col("syms"), a, b))
-          .ckpt()
-        cur.unpersist()
-        cur = next
+        // rule application stays LAZY (round 14): a per-round eager
+        // checkpoint cost one materialization job per rule — half the
+        // loop's job count for a frame the next round's argmax scans
+        // anyway. The argmax job re-runs at most ckptEvery-1 pending
+        // native merges over the last checkpoint (map work on the vocab),
+        // and a checkpoint every ckptEvery rules keeps plan depth and
+        // re-execution bounded.
+        cur = cur.withColumn("syms", mergeRuleCol(col("syms"), a, b))
+        pending += 1
+        if (pending == ckptEvery) {
+          val next = cur.ckpt()
+          lastCkpt.unpersist()
+          lastCkpt = next
+          cur = next
+          pending = 0
+        }
         round += 1
       }
     }
-    cur.unpersist()
+    lastCkpt.unpersist()
     import spark.implicits._
     learned.toSeq.toDF("merge_rank", "lhs", "rhs", "n")
   }
+
+  /** Checkpoint cadence of the training loop's lazy rule chain. */
+  private val ckptEvery = 4
+
+  /** Character-initial symbol split — the native one-pass kernel
+    * (`char_kgrams` at k = 1) when the session ships it; the
+    * `transform(sequence(…), substr)` HOF otherwise (identical output —
+    * vocab words are non-empty, so the descending-sequence edge never
+    * fires). */
+  private def charSymsCol(word: Column): Column =
+    if (TextOps.hasNativeFn("char_kgrams"))
+      call_function("char_kgrams", word, lit(1))
+    else transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** One merge rule over a symbol array: the native one-pass kernel
+    * ([[graft.functions.BpeMergeAll]], greedy-leftmost == the fold,
+    * BpeKernelSpec) when available, else the interpreted fold. */
+  private def mergeRuleCol(syms: Column, a: String, b: String): Column =
+    if (TextOps.hasNativeFn("bpe_merge_all"))
+      call_function("bpe_merge_all", syms, typedlit(Seq(a)), typedlit(Seq(b)))
+    else mergePair(syms, a, b)
+
+  /** ALL merge rules in rank order: ONE native expression when available
+    * (plan depth 1, no mid-chain lineage checkpoints), else the per-rule
+    * interpreted folds checkpointed every 8 (the pre-round-14 shape). */
+  private def applyMergesCol(vocab: DataFrame,
+                             merges: Seq[(String, String)]): DataFrame =
+    if (merges.isEmpty) vocab
+    else if (TextOps.hasNativeFn("bpe_merge_all"))
+      vocab.withColumn("syms", call_function("bpe_merge_all", col("syms"),
+        typedlit(merges.map(_._1)), typedlit(merges.map(_._2))))
+    else {
+      var cur = vocab
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        cur = cur.withColumn("syms", mergePair(col("syms"), a, b))
+        if ((i + 1) % 8 == 0) cur = cur.ckpt()
+      }
+      cur
+    }
 
   /** Apply a learned merge table: tokenize `textCol` with `merges` in
     * rank order. The scale shape mirrors [[train]]: merges are applied to
@@ -89,16 +140,10 @@ object Bpe {
     * no non-empty words are absent, matching the vocab inner join). */
   def encode(df: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
-    var vocab = df
+    val vocab = applyMergesCol(df
       .select(explode(split(col(textCol), " ")).as("word"))
       .where(col("word") =!= "").distinct()
-      .withColumn("syms", transform(
-        sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))))
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
-      if ((i + 1) % 8 == 0) vocab = vocab.ckpt()
-    }
+      .withColumn("syms", charSymsCol(col("word"))), merges)
     val wt = vocab.select(col("word"), array_join(col("syms"), " ").as("wtoks"))
     df.select(col(idCol),
         posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
@@ -115,21 +160,14 @@ object Bpe {
     * its corpus-weighted occurrence count. Same vocab-only cost shape as
     * [[encode]]; the corpus is scanned once for word counts. */
   def vocabulary(df: DataFrame, textCol: String,
-                 merges: Seq[(String, String)]): DataFrame = {
-    var vocab = df
+                 merges: Seq[(String, String)]): DataFrame =
+    applyMergesCol(df
       .select(explode(split(col(textCol), " ")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("syms", transform(
-        sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))))
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
-      if ((i + 1) % 8 == 0) vocab = vocab.ckpt()
-    }
-    vocab.select(col("freq"), explode(col("syms")).as("token"))
+      .withColumn("syms", charSymsCol(col("word"))), merges)
+      .select(col("freq"), explode(col("syms")).as("token"))
       .groupBy("token").agg(sum(col("freq")).as("n"))
-  }
 
   /** Leftmost-greedy single-pair merge over a symbol array — one codegen
     * fold, no UDF. */

@@ -229,11 +229,27 @@ object Dedup {
     * ensemble's multiple detectors) from one persisted frame instead of
     * re-splitting the corpus per consumer. */
   def minhashSignaturesFromSets(sets: DataFrame,
-                                numHashes: Int = 64): DataFrame = {
-    val exploded = sets.select(col("id"), explode(col("sh")).as("s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
-  }
+                                numHashes: Int = 64): DataFrame =
+    // native per-row kernel (round 14, guide §2.4): the signature is a
+    // pure per-document fold, so the explode→groupBy formulation paid a
+    // full shuffle of one row PER SHINGLE OCCURRENCE (corpus-sized at
+    // 100 TB) and re-hashed each shingle's bytes once per slot
+    // (`xxhash64(s, i)` × 64). The kernel computes bit-identical slot
+    // minima map-side — zero shuffles, one string hash per shingle.
+    // Empty shingle sets yield null → filtered, matching the exploded
+    // form's absent-id semantics. HOF fallback for plain sessions.
+    if (TextOps.hasNativeFn("minhash_sigs")) {
+      val sig = sets
+        .select(col("id"),
+          call_function("minhash_sigs", col("sh"), lit(numHashes)).as("__sig"))
+        .where(col("__sig").isNotNull)
+      sig.select(col("id") +: (0 until numHashes)
+        .map(i => element_at(col("__sig"), i + 1).as(s"h$i")): _*)
+    } else {
+      val exploded = sets.select(col("id"), explode(col("sh")).as("s"))
+      val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+      exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+    }
 
   /** Banded signature rows: (id, band, band_hash) — one row per band, where
     * band_hash fingerprints `rowsPerBand` consecutive signature slots.
@@ -251,12 +267,25 @@ object Dedup {
   def minhashBandsFromSets(sets: DataFrame, numHashes: Int = 64,
                            bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
-    val r = numHashes / bands
-    val sig = minhashSignaturesFromSets(sets, numHashes)
-    val bandHashes = array((0 until bands).map { j =>
-      xxhash64((j * r until (j + 1) * r).map(i => col(s"h$i")): _*)
-    }: _*)
-    sig.select(col("id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
+    // native per-row kernel (round 14): signature + banding in one
+    // map-side fold — the first shuffle of every near-dup path
+    // (explode→groupBy over shingle occurrences) is GONE; band hash
+    // values are bit-identical (same XXH64 seed chains), so persisted
+    // band indexes from earlier stagings still join correctly.
+    // posexplode of the null (empty-set) result emits no rows, matching
+    // the exploded form. HOF fallback for plain sessions.
+    if (TextOps.hasNativeFn("minhash_bands"))
+      sets.select(col("id"),
+        posexplode(call_function("minhash_bands", col("sh"),
+          lit(numHashes), lit(bands))).as(Seq("band", "band_hash")))
+    else {
+      val r = numHashes / bands
+      val sig = minhashSignaturesFromSets(sets, numHashes)
+      val bandHashes = array((0 until bands).map { j =>
+        xxhash64((j * r until (j + 1) * r).map(i => col(s"h$i")): _*)
+      }: _*)
+      sig.select(col("id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
+    }
   }
 
   /** [[dropNearDupGroups]] with a QUALITY keep policy: keep the
@@ -453,7 +482,19 @@ object Dedup {
       s"threshold must be in (0, 1]: $threshold")
     val sets = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh")).persist()
-    val tok = sets.select(col("id"), explode(col("sh")).as("t"))
+    // Shuffle HASHES, not shingle strings (round 14, guide §2.3): every
+    // stage from the frequency count to the candidate join uses the
+    // shingle only as an opaque equality key, so an 8-byte xxhash64
+    // stands in for the ~string-sized token through THREE shuffles
+    // (freq groupBy, freq join-back, per-doc collect) and the candidate
+    // equi-join. Correctness is unconditional, not probabilistic: the
+    // AllPairs prefix completeness proof holds for ANY global total
+    // order of tokens shared by both sides — (merged-df, hash) is one —
+    // and a hash collision can only ADD candidate pairs (two tokens
+    // colliding join more rows), never remove one; the exact-Jaccard
+    // verification on the real shingle sets then decides every pair.
+    val tok = sets.select(col("id"), explode(col("sh")).as("t0"))
+      .select(col("id"), xxhash64(col("t0")).as("t"))
     val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
     val pre = tok.join(freq, "t")
       .groupBy("id")
@@ -507,7 +548,12 @@ object Dedup {
       s"threshold must be in (0, 1]: $threshold")
     val sets = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh")).persist()
-    val tok = sets.select(col("id"), explode(col("sh")).as("t"))
+    // hashes through every shuffle/join, exact verify at the end — the
+    // same unconditional-correctness argument as [[setSimJoinPrefix]]
+    // (any shared global token order preserves prefix completeness;
+    // collisions only add candidates, and verification is exact)
+    val tok = sets.select(col("id"), explode(col("sh")).as("t0"))
+      .select(col("id"), xxhash64(col("t0")).as("t"))
     val ordered = tok.join(tok.groupBy("t").agg(count(lit(1)).as("df")), "t")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
@@ -587,18 +633,57 @@ object Dedup {
     * shared-tokenization entry point (see
     * [[graft.ext.TextOps.ngramsFromTokens]]). */
   def simhashesFromTokens(tok: DataFrame, bits: Int = 32,
-                          hash: Column => Column = xxhash64(_)): DataFrame = {
-    val hashed = tok
-      .select(col("id"), explode(col("w")).as("w"))
-      .select(col("id"), hash(col("w")).as("h"))
-    val bitSums = (0 until bits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
-    val agg = hashed.groupBy("id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    val packed = (0 until bits).map(b =>
-      when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("id"), packed.as("sim"))
+                          hash: Column => Column = xxhash64(_)): DataFrame =
+    // native per-row kernel (round 14, guide §2.4): the bit-majority is a
+    // pure per-document fold — the explode→groupBy formulation shuffled
+    // one row per TOKEN OCCURRENCE into a 60-column bit-sum aggregate.
+    // The kernel packs bit-identical signatures map-side for the two hash
+    // recipes the engine ships (xxhash64 / md5-60); any other caller-
+    // supplied hash keeps the exploded form. Empty token arrays yield
+    // null → filtered, matching the exploded form's absent-id semantics.
+    simhashHashKind(tok, hash) match {
+      case Some(md5Kind) if TextOps.hasNativeFn("simhash_tokens") =>
+        tok.select(col("id"),
+            call_function("simhash_tokens", col("w"), lit(bits), lit(md5Kind))
+              .as("sim"))
+          .where(col("sim").isNotNull)
+      case _ =>
+        val hashed = tok
+          .select(col("id"), explode(col("w")).as("w"))
+          .select(col("id"), hash(col("w")).as("h"))
+        val bitSums = (0 until bits).map(b =>
+          sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
+        val agg = hashed.groupBy("id")
+          .agg(count(lit(1)).as("n"), bitSums: _*)
+        val packed = (0 until bits).map(b =>
+          when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        agg.select(col("id"), packed.as("sim"))
+    }
+
+  /** Behavior probe of a caller-supplied token-hash recipe: evaluate it
+    * on three literal strings (constant-folded — a LocalRelation head(),
+    * no cluster work) and compare against the two kernel recipes.
+    * Some(false) = xxhash64 (seed 42), Some(true) = the md5-60 shape
+    * ([[TextOps.md5Hash60]]), None = anything else (exploded fallback —
+    * never guess a kernel for an unknown hash). */
+  private def simhashHashKind(tok: DataFrame,
+                              hash: Column => Column): Option[Boolean] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val probes = Seq("a", "xy z", "über café")
+    val got =
+      try {
+        val row = tok.sparkSession.range(1)
+          .select(probes.map(p => hash(lit(p)).cast("long")): _*).head()
+        probes.indices.map(row.getLong)
+      } catch { case _: Throwable => return None }
+    val xxh = probes.map(p => org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(UTF8String.fromString(p), 42L))
+    val md5 = probes.map(p =>
+      graft.functions.SketchKernels.md5Hash60(UTF8String.fromString(p)))
+    if (got == xxh) Some(false)
+    else if (got == md5) Some(true)
+    else None
   }
 
   /** Connected components over an undirected pair list — the transitive-
@@ -676,29 +761,32 @@ object Dedup {
     var round = 0
     while (!converged && round < maxIter) {
       val next = smallStar(largeStar(live)).ckpt()
-      // SOUND star-forest fixpoint test, probed LAZILY: the state is a
-      // star forest rooted at component minima iff (a) no child is a
-      // root anywhere AND (b) every child has exactly ONE distinct
-      // parent. Checking (a) alone is unsound: pairs
-      // {(1,6),(5,6),(5,7),(2,7)} reach a 2-level state
-      // {(5,1),(5,2),(6,1),(7,2)} after one round where no child is a
-      // root, yet child 5 points at TWO roots of the same true
-      // component — stopping there splits component 1 (the r10
-      // convergence bug). Both probes are take-1 emptiness tests over
-      // the just-checkpointed frame — no per-round splits, no extra
-      // checkpoints (round 11: the settled-star extraction variant
-      // materialized 3 additional full frames per round and measured
-      // 42% SLOWER at sf10 than re-contracting settled stars, which
-      // large/small-star map to themselves).
-      val childIsRoot = next.select("u")
-        .join(next.select(col("v").as("u")), Seq("u"), "left_semi")
-      // next is DISTINCT (smallStar ends with one), so plain count(*)
-      // per child equals its distinct-parent count — no distinct-tracking
-      // aggregate needed
-      val multiParent = next.groupBy("u")
-        .agg(count(lit(1)).as("__np"))
-        .where(col("__np") > 1)
-      converged = childIsRoot.isEmpty && multiParent.isEmpty
+      // SOUND star-forest fixpoint test: the state is a star forest
+      // rooted at component minima iff (a) no child is a root anywhere
+      // AND (b) every child has exactly ONE distinct parent. Checking
+      // (a) alone is unsound: pairs {(1,6),(5,6),(5,7),(2,7)} reach a
+      // 2-level state {(5,1),(5,2),(6,1),(7,2)} after one round where
+      // no child is a root, yet child 5 points at TWO roots of the same
+      // true component — stopping there splits component 1 (the r10
+      // convergence bug). Probed over the just-checkpointed frame — no
+      // per-round splits, no extra checkpoints (round 11: the
+      // settled-star extraction variant materialized 3 additional full
+      // frames per round and measured 42% SLOWER at sf10 than
+      // re-contracting settled stars, which large/small-star map to
+      // themselves).
+      // ONE probe job (round 14): tag each edge endpoint with its side
+      // and aggregate both violation tests in a single pass — (a) a node
+      // appearing as child AND parent, (b) a child with more than one
+      // parent row (next is DISTINCT — smallStar ends with one — so the
+      // plain row count per child equals its distinct-parent count). The
+      // two-probe form paid a semi-join shuffle plus a groupBy shuffle
+      // and two scheduling round-trips per round for the same answer.
+      val viol = next.select(col("u"), lit(1L).as("__c"), lit(0L).as("__p"))
+        .unionAll(next.select(col("v").as("u"), lit(0L).as("__c"),
+          lit(1L).as("__p")))
+        .groupBy("u").agg(sum(col("__c")).as("__nc"), sum(col("__p")).as("__np"))
+        .where((col("__nc") > 0 && col("__np") > 0) || col("__nc") > 1)
+      converged = viol.isEmpty
       // the superseded round's blocks have no reader left: `next` is
       // materialized and both fixpoint probes (which only read `next`)
       // have run — drop eagerly so the loop pins O(1) rounds of edge

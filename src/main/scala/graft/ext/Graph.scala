@@ -349,12 +349,21 @@ object Graph {
       .withColumn("common", array_intersect(col("nu"), col("nw")))
       .where(size(col("common")) > 0)
     // corners: u and w once per closing vertex, plus each closing vertex
+    // materialize the (V-sized) counts eagerly so the two E-sized caches
+    // can release NOW (round 14): returning a lazy frame over them pinned
+    // `e` + `adj` for the JVM's lifetime — the storage leak that degraded
+    // every later query in a multi-query JVM (the bench retime pathology)
+    // and eroded the sf10 32 GiB margin. Same ckpt-then-unpersist idiom
+    // as [[graft.ext.Dedup.nearDupCandidatesFromSets]].
     val counts = tri
       .select(explode(concat(
         array_repeat(col("u"), size(col("common"))),
         array_repeat(col("w"), size(col("common"))),
         col("common"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .ckpt()
+    e.unpersist()
+    adj.unpersist()
     counts
   }
 

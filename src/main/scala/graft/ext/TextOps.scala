@@ -36,12 +36,29 @@ object TextOps {
   def shingles(c: Column, k: Int = 3): Column =
     shinglesFromTokens(words(c), k)
 
+  /** True when the session (active, else default) has the graft native
+    * SQL functions — the [[charGramsOf]] dispatch for call sites without
+    * a DataFrame in hand. Plan-construction-time only, never per row. */
+  private[graft] def hasNativeFn(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .exists(_.catalog.functionExists(name))
+
   /** [[shingles]] over an already-split token array (see
-    * [[ngramsFromTokens]] for when that matters). The occurrence stream
-    * comes from ngramsFromTokens — ONE copy of the zipped-shifts
-    * construction, so a fix to that HOF shape (this file's documented
-    * pitfall area) cannot drift between the two. */
+    * [[ngramsFromTokens]] for when that matters). Prefers the native
+    * one-pass kernel (`word_shingles`, [[graft.functions.WordShingles]]):
+    * the zipped-shifts HOF chain is interpreted (HOFs are
+    * CodegenFallback) and allocates a struct per token window; the kernel
+    * emits identical distinct shingles — including the short-doc
+    * whole-join rule — in one fold (guide §1.2 step 2: per-task work).
+    * The HOF form stays as the sessions-without-extensions fallback;
+    * TextOpsSpec pins kernel == HOF equality. */
   def shinglesFromTokens(w: Column, k: Int = 3): Column =
+    if (hasNativeFn("word_shingles")) call_function("word_shingles", w, lit(k))
+    else shinglesFromTokensHof(w, k)
+
+  /** The pre-round-14 HOF formulation — fallback and test oracle. */
+  private[graft] def shinglesFromTokensHof(w: Column, k: Int = 3): Column =
     array_distinct(
       when(size(w) < k, array(array_join(w, " ")))
         .otherwise(ngramsFromTokens(w, k)))
@@ -274,10 +291,20 @@ object TextOps {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 30, minLen: Int = 40,
                       maxDf: Long = 20): DataFrame = {
+    // the gram string is used ONLY as an equality key from here on —
+    // hash it to 8 bytes BEFORE the shuffle (round 14, guide §2.3; the
+    // "hash the gram first at real scale" note below, now done): the
+    // gram table shuffles ~(len−k+1) rows per document, each previously
+    // carrying a k=30-byte string. A 64-bit collision between distinct
+    // grams can only add an isolated diagonal point, which the
+    // span_len ≥ minLen run filter drops (a run needs ≥ minLen−k+1
+    // CONSECUTIVE same-diagonal positions); output equality is verified
+    // against the string-keyed oracle on every checked corpus.
     val grams = df.where(length(col(textCol)) >= k)
       .select(col(idCol).as("id"),
-        posexplode(kgramsCol(df, col(textCol), k)).as(Seq("off", "gram")))
-      .select(col("id"), (col("off") + 1).as("pos"), col("gram"))
+        posexplode(kgramsCol(df, col(textCol), k)).as(Seq("off", "gram0")))
+      .select(col("id"), (col("off") + 1).as("pos"),
+        xxhash64(col("gram0")).as("gram"))
     // ONE pass over the gram table: group occurrences per gram (single
     // shuffle), df-filter on distinct docs inside the same aggregate, and
     // generate cross-document position pairs by double-explode IN PLACE —
