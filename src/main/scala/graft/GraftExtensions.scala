@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeMergeAll, CharKGrams, CosineSimilarity, DotProduct, JaroWinkler, MinHashBands, MinHashSigs, NearestCell, PqCodes, PqDotTable, SimHashTokens, VectorNorm, WordShingles}
+import graft.functions.{BpeMergeAll, CharKGrams, CosineSimilarity, DotProduct, JaroWinkler, MinHashBands, MinHashSigs, NearestCell, PqCodes, PqDotTable, SimHashTokens, VectorNorm, WinnowFps, WordShingles}
 
 /** Session extensions: registers the native vector expressions as SQL
   * functions. Enable with
@@ -104,6 +104,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashTokens].getName, "simhash_tokens"),
       arity("simhash_tokens", 3)(c => SimHashTokens(c(0),
         foldInt("simhash_tokens", c(1)), foldBool("simhash_tokens", c(2))))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      arity("winnow_fps", 4)(c => WinnowFps(c(0),
+        foldInt("winnow_fps", c(1)), foldInt("winnow_fps", c(2)),
+        foldBool("winnow_fps", c(3))))))
     ext.injectFunction((
       new FunctionIdentifier("bpe_merge_all"),
       new ExpressionInfo(classOf[BpeMergeAll].getName, "bpe_merge_all"),

@@ -668,23 +668,8 @@ object Dedup {
     * ([[TextOps.md5Hash60]]), None = anything else (exploded fallback —
     * never guess a kernel for an unknown hash). */
   private def simhashHashKind(tok: DataFrame,
-                              hash: Column => Column): Option[Boolean] = {
-    import org.apache.spark.unsafe.types.UTF8String
-    val probes = Seq("a", "xy z", "über café")
-    val got =
-      try {
-        val row = tok.sparkSession.range(1)
-          .select(probes.map(p => hash(lit(p)).cast("long")): _*).head()
-        probes.indices.map(row.getLong)
-      } catch { case _: Throwable => return None }
-    val xxh = probes.map(p => org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashUTF8String(UTF8String.fromString(p), 42L))
-    val md5 = probes.map(p =>
-      graft.functions.SketchKernels.md5Hash60(UTF8String.fromString(p)))
-    if (got == xxh) Some(false)
-    else if (got == md5) Some(true)
-    else None
-  }
+                              hash: Column => Column): Option[Boolean] =
+    TextOps.knownHashKind(tok.sparkSession, hash)
 
   /** Connected components over an undirected pair list — the transitive-
     * closure canonicalization [[dropNearDups]] deliberately leaves open:

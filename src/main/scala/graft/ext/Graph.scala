@@ -34,8 +34,19 @@ object Graph {
     * of AQE partition coalescing, which only merges AFTER each shuffle
     * has already been scheduled wide. Callers run the rank loop in a
     * child session carrying this value. */
-  def rankParallelism(edgeCount: Long, cap: Int = 32): Int =
-    math.max(1L, math.min(cap.toLong, (edgeCount + 249999L) / 250000L)).toInt
+  def rankParallelism(edgeCount: Long, cap: Int = 32): Int = {
+    // per-partition edge budget, conf-overridable (round 14): the right
+    // value is a per-deployment trade between scheduling overhead (too
+    // many near-empty tasks) and core utilization (too few tasks on a
+    // wide executor) — parameterized instead of hard-coded, local
+    // default kept at the r13-measured 250k
+    val per = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("graft.graph.edgesPerPartition"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0L)
+      .getOrElse(250000L)
+    math.max(1L, math.min(cap.toLong, (edgeCount + per - 1L) / per)).toInt
+  }
 
   /** PageRank by fixed-iteration power iteration over a DIRECTED edge list
     * with columns (src, dst). Returns (node, rank) for every node that
@@ -924,11 +935,17 @@ object Graph {
     * E rows, one partial-aggregable max — Pregel-as-shuffle, nothing
     * collected. Self-loops dropped, duplicates/reversals deduplicated. */
   def coreness(edges: DataFrame, rounds: Int = 4,
-               checkpointInterval: Int = 2): DataFrame = {
+               checkpointInterval: Int = 2,
+               canonical: Boolean = false): DataFrame = {
     require(rounds >= 1, s"coreness needs >= 1 round, got $rounds")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be positive, got $checkpointInterval")
-    val und = edges
+    // `canonical = true`: edges is ALREADY the deduplicated a < b pair
+    // list (a staged parquet layout) — skip the E-sized distinct+ckpt
+    val und = if (canonical)
+      edges.select(col(edges.columns(0)).as("a"),
+        col(edges.columns(1)).as("b"))
+    else edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
@@ -952,10 +969,16 @@ object Graph {
     h.select(col("node"), col("h").as("coreness"))
   }
 
-  def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Long, rounds: Int,
+            canonical: Boolean = false): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
     require(rounds >= 1, s"kCore needs >= 1 round, got $rounds")
-    val und = edges
+    // `canonical = true`: input is already the deduplicated a < b pair
+    // list (a staged parquet layout) — skip the E-sized distinct+ckpt
+    val und = if (canonical)
+      edges.select(col(edges.columns(0)).as("a"),
+        col(edges.columns(1)).as("b"))
+    else edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))

@@ -69,6 +69,69 @@ object Recommend {
         col("rk").cast("long").as("rk"))
   }
 
+  /** [[itemCooccur]] over PRE-AGGREGATED inputs — the staged-layout read
+    * path (round 14): `pairCounts` is the canonical (a < b, nij) basket
+    * co-occurrence count table and `itemCounts` the (i, ni) per-item
+    * basket counts, both written once at ingest over the SAME basket
+    * universe (the graft_kcore/coreness repeat-co-purchase staging).
+    * Identical output to [[itemCooccur]] over the raw rows: the cosine,
+    * the 6-dp rounding, and the (sim DESC, rec ASC) window are unchanged
+    * — only the per-run distinct + basket self-join are gone. */
+  def itemCooccurFromCounts(pairCounts: DataFrame, itemCounts: DataFrame,
+                            topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val pairs = pairCounts.select(col(pairCounts.columns(0)).as("a"),
+      col(pairCounts.columns(1)).as("c"),
+      col(pairCounts.columns(2)).as("nij"))
+    val ni = itemCounts.select(col(itemCounts.columns(0)).as("i"),
+      col(itemCounts.columns(1)).as("ni"))
+    val both = pairs.unionAll(
+      pairs.select(col("c").as("a"), col("a").as("c"), col("nij")))
+    val sims = both
+      .join(ni.select(col("i").as("a"), col("ni").as("na")), Seq("a"))
+      .join(ni.select(col("i").as("c"), col("ni").as("nc")), Seq("c"))
+      .withColumn("sim", col("nij").cast("double") /
+        sqrt((col("na") * col("nc")).cast("double")))
+    val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("c").asc)
+    sims.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("a").as("item"), col("c").as("rec"),
+        (floor(col("sim") * 1e6 + 0.5) / 1e6).as("sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** [[associationRules]] over PRE-AGGREGATED inputs (the staged-layout
+    * read path, round 14): `pairCounts` (a < b, nij) UNFILTERED pair
+    * counts, `itemCounts` (i, ni), `nBaskets` a 1-row (N) frame — all
+    * counted over the same basket universe at ingest. Identical output
+    * to [[associationRules]]: minCount filters at read, ratios and
+    * rounding unchanged. */
+  def associationRulesFromCounts(pairCounts: DataFrame, itemCounts: DataFrame,
+                                 nBaskets: DataFrame,
+                                 minCount: Long = 2): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val pairs = pairCounts.select(col(pairCounts.columns(0)).as("a"),
+      col(pairCounts.columns(1)).as("c"),
+      col(pairCounts.columns(2)).as("nij"))
+      .where(col("nij") >= minCount)
+    val ni = itemCounts.select(col(itemCounts.columns(0)).as("i"),
+      col(itemCounts.columns(1)).as("ni"))
+    val n = nBaskets.select(col(nBaskets.columns(0)).as("N"))
+    val directed = pairs.unionAll(
+      pairs.select(col("c").as("a"), col("a").as("c"), col("nij")))
+    val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    directed
+      .join(ni.select(col("i").as("a"), col("ni").as("na")), Seq("a"))
+      .join(ni.select(col("i").as("c"), col("ni").as("nc")), Seq("c"))
+      .crossJoin(broadcast(n))
+      .select(col("a").as("antecedent"), col("c").as("consequent"),
+        col("nij").as("n_joint"),
+        r6(col("nij").cast("double") / col("N")).as("support"),
+        r6(col("nij").cast("double") / col("na")).as("confidence"),
+        r6(col("N").cast("double") * col("nij") /
+          (col("na") * col("nc"))).as("lift"))
+  }
+
   /** Association rules over (basket, item) rows (Agrawal & Srikant,
     * "Fast algorithms for mining association rules", VLDB'94 — the
     * support/confidence framing; lift per Brin et al. SIGMOD'97): for every

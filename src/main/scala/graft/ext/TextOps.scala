@@ -44,6 +44,32 @@ object TextOps {
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .exists(_.catalog.functionExists(name))
 
+  /** Behavior probe of a caller-supplied hash recipe, shared by the
+    * hash-parameterized kernels ([[graft.ext.Dedup.simhashesFromTokens]],
+    * [[winnowFingerprints]]): evaluate it on three literal strings
+    * (constant-folded local head(), no cluster work) and compare against
+    * the two recipes the kernels ship. Some(false) = xxhash64 (seed 42),
+    * Some(true) = [[md5Hash60]], None = anything else (callers keep
+    * their pre-kernel formulation — never guess for an unknown hash). */
+  private[graft] def knownHashKind(spark: org.apache.spark.sql.SparkSession,
+                                   hash: Column => Column): Option[Boolean] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val probes = Seq("a", "xy z", "über café")
+    val got =
+      try {
+        val row = spark.range(1)
+          .select(probes.map(p => hash(lit(p)).cast("long")): _*).head()
+        probes.indices.map(row.getLong)
+      } catch { case _: Throwable => return None }
+    val xxh = probes.map(p => org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(UTF8String.fromString(p), 42L))
+    val md5 = probes.map(p =>
+      graft.functions.SketchKernels.md5Hash60(UTF8String.fromString(p)))
+    if (got == xxh) Some(false)
+    else if (got == md5) Some(true)
+    else None
+  }
+
   /** [[shingles]] over an already-split token array (see
     * [[ngramsFromTokens]] for when that matters). Prefers the native
     * one-pass kernel (`word_shingles`, [[graft.functions.WordShingles]]):
@@ -213,17 +239,30 @@ object TextOps {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, w: Int = 4,
                          hash: Column => Column = xxhash64(_)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = df.select(col(idCol).as("id"),
-        greatest(length(col(textCol)) - (k - 1), lit(1)).as("n"),
-        posexplode(kgramsCol(df, col(textCol), k)).as(Seq("p0", "g")))
-      .select(col("id"), col("n"), (col("p0") + 1).as("pos"),
-        hash(col("g")).as("h"))
-    val frame = Window.partitionBy("id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams.withColumn("fp", min(col("h")).over(frame))
-      .where(col("pos") - 1 <= greatest(col("n") - w, lit(0)))
-      .select(col("id"), col("fp")).distinct()
+    // native per-row kernel (round 14, guide §2.4): the fingerprint set
+    // is a pure per-document fold, so the exploded formulation paid an
+    // Exchange(id) of every gram hash plus a WindowExec sliding min plus
+    // a distinct — all gone; the kernel's monotonic-deque sliding min is
+    // value-identical (pinned by SketchKernelSpec). Unknown hash recipes
+    // keep the exploded form.
+    knownHashKind(df.sparkSession, hash) match {
+      case Some(md5Kind) if hasNativeFn("winnow_fps") =>
+        df.select(col(idCol).as("id"),
+            explode(call_function("winnow_fps", col(textCol), lit(k), lit(w),
+              lit(md5Kind))).as("fp"))
+      case _ =>
+        import org.apache.spark.sql.expressions.Window
+        val grams = df.select(col(idCol).as("id"),
+            greatest(length(col(textCol)) - (k - 1), lit(1)).as("n"),
+            posexplode(kgramsCol(df, col(textCol), k)).as(Seq("p0", "g")))
+          .select(col("id"), col("n"), (col("p0") + 1).as("pos"),
+            hash(col("g")).as("h"))
+        val frame = Window.partitionBy("id").orderBy("pos")
+          .rowsBetween(Window.currentRow, w - 1)
+        grams.withColumn("fp", min(col("h")).over(frame))
+          .where(col("pos") - 1 <= greatest(col("n") - w, lit(0)))
+          .select(col("id"), col("fp")).distinct()
+    }
   }
 
   /** Winnowing overlap candidates — the actual MOSS use case for

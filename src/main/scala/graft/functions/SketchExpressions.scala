@@ -155,6 +155,56 @@ object SketchKernels {
     packed
   }
 
+  /** Winnowing fingerprints of a text (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: local algorithms for document fingerprinting",
+    * SIGMOD'03) in one pass — the per-document DISTINCT set of
+    * sliding-window minima over hashed char k-grams, exactly the
+    * posexplode → per-id window min → filter → distinct pipeline of
+    * [[graft.ext.TextOps.winnowFingerprints]]: gram g_p at 1-based char
+    * position p (whole text as the single gram when shorter than k),
+    * fp_p = min(h_p .. h_{p+w-1}) clamped at the end, positions kept for
+    * p ≤ max(n_grams − w, 0) + 1. Monotonic-deque sliding min, O(n).
+    * Returns first-occurrence-ordered distinct minima; null input → null. */
+  def winnowFps(s: UTF8String, k: Int, w: Int, md5Kind: Boolean): ArrayData = {
+    val grams = CharKGrams.compute(s, k)
+    val n = grams.numElements()
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val g = grams.getUTF8String(i)
+      h(i) = if (md5Kind) md5Hash60(g) else XXH64.hashUTF8String(g, 42L)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < w) {
+      // fewer grams than the window: one clamped window over everything
+      var m = h(0)
+      i = 1
+      while (i < n) { if (h(i) < m) m = h(i); i += 1 }
+      seen.add(m)
+    } else {
+      // monotonic deque of indices with increasing h values; window at
+      // step i (i ≥ w−1) is [i−w+1, i]
+      val dq = new Array[Int](n)
+      var head = 0
+      var tail = 0 // exclusive
+      i = 0
+      while (i < n) {
+        while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+        dq(tail) = i
+        tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(h(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Greedy-leftmost BPE merge of ONE rule over a symbol array — the
     * [[graft.ext.Bpe.mergePair]] fold semantics: scan left to right,
     * replace every non-overlapping (lhs, rhs) adjacency by lhs+rhs. A
@@ -312,6 +362,33 @@ case class SimHashTokens(child: Expression, bits: Int, md5Kind: Boolean)
       if ($res == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ((Long) $res).longValue(); }""")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** winnow_fps(text, k, w, md5Kind): the per-document DISTINCT winnowing
+  * fingerprint set as array<long> — one pass, replacing the
+  * posexplode → Exchange(id) → WindowExec sliding-min → distinct
+  * pipeline (value-identical; see [[SketchKernels.winnowFps]]). */
+case class WinnowFps(child: Expression, k: Int, w: Int, md5Kind: Boolean)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow_fps needs k, w >= 1: k=$k w=$w")
+
+  override def prettyName: String = "winnow_fps"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    SketchKernels.winnowFps(a.asInstanceOf[UTF8String], k, w, md5Kind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.winnowFps($a, $k, $w, $md5Kind);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -129,6 +129,33 @@ class SketchKernelSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("winnowFingerprints kernel == exploded window-min pipeline, both hash kinds and w > n") {
+    for (((md5Kind, hash), (k, w)) <- Seq(
+        ((false, (c: org.apache.spark.sql.Column) => xxhash64(c)), (5, 4)),
+        ((true, (c: org.apache.spark.sql.Column) => TextOps.md5Hash60(c)), (5, 4)),
+        ((true, (c: org.apache.spark.sql.Column) => TextOps.md5Hash60(c)), (3, 40)))) {
+      import org.apache.spark.sql.expressions.Window
+      // exploded oracle (the pre-kernel formulation, inlined)
+      val grams = docs.select(col("id"),
+          greatest(length(col("text")) - (k - 1), lit(1)).as("n"),
+          posexplode(call_function("char_kgrams", col("text"), lit(k)))
+            .as(Seq("p0", "g")))
+        .select(col("id"), col("n"), (col("p0") + 1).as("pos"),
+          hash(col("g")).as("h"))
+      val frame = Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+      val old = grams.withColumn("fp", min(col("h")).over(frame))
+        .where(col("pos") - 1 <= greatest(col("n") - w, lit(0)))
+        .select(col("id"), col("fp")).distinct()
+      val nw = TextOps.winnowFingerprints(docs, "id", "text", k, w, hash)
+      assert(!nw.queryExecution.executedPlan.toString.contains("Window"),
+        "kernel path must not plan a WindowExec")
+      assert(nw.orderBy("id", "fp").collect().toSeq ==
+        old.orderBy("id", "fp").collect().toSeq,
+        s"md5Kind=$md5Kind k=$k w=$w")
+    }
+  }
+
   test("bpe_merge_all == sequential mergePair folds (single and multi rule)") {
     val words = Seq("aaaa", "abab", "banana", "mississippi", "x", "aa",
       "aaa", "ababa", "bbbb", "abcabcabc", "ab", "ba")
